@@ -1,0 +1,84 @@
+"""Central query registry backing ``__spark_entry__.py``.
+
+Every analytic operator from SURVEY.md §2.2 registers here with
+``@query(name, oracle=<duckdb-sql or None>)``. The driver runs the Spark
+callable and the oracle SQL side-by-side and hash-compares values, so:
+
+- alias every computed column identically on both sides;
+- keep float outputs bitwise-deterministic (see queries._num helpers):
+  sums go through exact DECIMAL intermediates, division/sqrt happen in
+  IEEE double identically on both engines;
+- ops with no faithful SQL equivalent register oracle=None (rows-only
+  check).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+_MODULES = (
+    "oraaud_kafka_spark.queries.pricing",
+    "oraaud_kafka_spark.queries.filters",
+    "oraaud_kafka_spark.queries.joins",
+    "oraaud_kafka_spark.queries.aggregates",
+    "oraaud_kafka_spark.queries.windows",
+    "oraaud_kafka_spark.queries.sorts",
+    "oraaud_kafka_spark.queries.setops",
+    "oraaud_kafka_spark.queries.scalar_funcs",
+    "oraaud_kafka_spark.queries.semistructured",
+    "oraaud_kafka_spark.queries.event_time",
+    "oraaud_kafka_spark.llm.text",
+    "oraaud_kafka_spark.llm.dedup",
+    "oraaud_kafka_spark.llm.similarity",
+    "oraaud_kafka_spark.llm.multimodal",
+)
+
+_loaded = False
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a (spark, sf_dir) -> DataFrame callable, optionally with a
+    DuckDB oracle SQL string proving the same semantics."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    global _loaded
+    if _loaded:
+        return
+    for mod in _MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError as e:
+            # Module not written yet during incremental build; only swallow
+            # the registry module itself being absent, not its dependencies.
+            if mod not in str(e):
+                raise
+    _loaded = True
+
+
+def all_queries() -> dict[str, QueryFn]:
+    load_all()
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    load_all()
+    return dict(ORACLES)
