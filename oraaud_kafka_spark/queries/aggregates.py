@@ -1,0 +1,271 @@
+"""Aggregation operators (SURVEY.md §2.2): global/grouped, distinct,
+rollup/cube/grouping-sets, pivot, stats (exact stddev via moment sums),
+exact percentiles, collect_set, approx_count_distinct (rows-only).
+
+Partial (map-side) aggregation is automatic for all of these; the decimal
+casts ride inside the aggregate so scans stay columnar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load, register_views
+from . import DEC, sql_davg, sql_dsum, to_dbl
+
+_GLOBAL_ORACLE = f"""
+SELECT count(*) AS n_rows,
+       count(DISTINCT l_orderkey) AS n_orders,
+       {sql_dsum('l_quantity')} AS total_qty,
+       min(l_shipdate) AS first_ship,
+       max(l_shipdate) AS last_ship,
+       {sql_davg('l_extendedprice')} AS avg_price
+FROM lineitem
+"""
+
+
+@query("q_agg_global", oracle=_GLOBAL_ORACLE)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        to_dbl(F.sum(F.col("l_quantity").cast(DEC))).alias("total_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        (
+            to_dbl(F.sum(F.col("l_extendedprice").cast(DEC)))
+            / F.count("l_extendedprice")
+        ).alias("avg_price"),
+    )
+
+
+_CD_ORACLE = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(DISTINCT CAST(o_orderdate AS DATE)) AS n_days,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("q_agg_count_distinct", oracle=_CD_ORACLE)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count_distinct(F.col("o_orderdate").cast("date")).alias("n_days"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_ROLLUP_ORACLE = f"""
+SELECT r_name, n_name,
+       count(*) AS n_customers,
+       {sql_dsum('c_acctbal')} AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+"""
+
+
+@query("q_agg_rollup", oracle=_ROLLUP_ORACLE)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            to_dbl(F.sum(F.col("c_acctbal").cast(DEC))).alias("total_bal"),
+        )
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+_CUBE_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@query("q_agg_cube", oracle=_CUBE_ORACLE)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            to_dbl(F.sum(F.col("l_quantity").cast(DEC))).alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+_GSETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@query("q_agg_grouping_sets", oracle=_GSETS_ORACLE)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping_id(o_orderstatus, o_orderpriority) AS gid,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+# Pivot: wide sums of quantity by return flag. Oracle = conditional
+# aggregation with identical output column names.
+_PIVOT_ORACLE = f"""
+SELECT l_linestatus,
+       {sql_dsum("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS qty_A,
+       {sql_dsum("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS qty_N,
+       {sql_dsum("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS qty_R
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+@query("q_agg_pivot", oracle=_PIVOT_ORACLE)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(to_dbl(F.sum(F.col("l_quantity").cast(DEC))))
+    )
+    return pivoted.select(
+        "l_linestatus",
+        F.col("A").alias("qty_A"),
+        F.col("N").alias("qty_N"),
+        F.col("R").alias("qty_R"),
+    ).orderBy("l_linestatus")
+
+
+# Exact sample-stddev via moment sums: decimal sums are order-independent,
+# the closed-form arithmetic is identical IEEE double on both sides.
+_STATS_ORACLE = f"""
+SELECT l_returnflag,
+       count(*) AS n,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty,
+       sqrt((CAST(count(*) AS DOUBLE) * {sql_dsum('l_quantity * l_quantity')}
+             - {sql_dsum('l_quantity')} * {sql_dsum('l_quantity')})
+            / (CAST(count(*) AS DOUBLE) * (count(*) - 1))) AS stddev_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q_agg_stats", oracle=_STATS_ORACLE)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    n = F.count("*").cast("double")
+    s1 = to_dbl(F.sum(qty.cast(DEC)))
+    s2 = to_dbl(F.sum((qty * qty).cast(DEC)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(qty).alias("min_qty"),
+            F.max(qty).alias("max_qty"),
+            F.sqrt((n * s2 - s1 * s1) / (n * (F.count("*") - 1))).alias("stddev_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_PCT_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.5) AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q_agg_percentile", oracle=_PCT_ORACLE)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+            F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
+            F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_COLLECT_ORACLE = """
+SELECT r_name,
+       array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+@query("q_agg_collect_set", oracle=_COLLECT_ORACLE)
+def q_agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations"))
+        .orderBy("r_name")
+    )
+
+
+@query("q_agg_approx_count_distinct")  # HLL sketch ≠ DuckDB's: rows-only check
+def q_agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.count_distinct("l_orderkey").alias("exact_orders"),
+        )
+        .orderBy("l_returnflag")
+    )

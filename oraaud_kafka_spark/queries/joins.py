@@ -1,0 +1,302 @@
+"""Join operators (SURVEY.md §2.2): equi inner/outer, semi/anti, cross,
+theta, range. Small dimensions are broadcast explicitly; the big
+fact-fact joins shuffle on their keys and AQE handles skew at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..registry import query
+from ..tables import load
+from . import DEC, DEC_MONEY, DEC_RATE, sql_dsum, sql_to_dbl, to_dbl
+
+_INNER_ORACLE = f"""
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("q_join_inner", oracle=_INNER_ORACLE)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            to_dbl(F.sum(F.col("o_totalprice").cast(DEC))).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_Q5_ORACLE = f"""
+SELECT n_name,
+       {sql_to_dbl("sum(CAST(l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l_discount AS DECIMAL(6,4))))")} AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@query("q_join_5way_revenue", oracle=_Q5_ORACLE)
+def q_join_5way_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style star join. region/nation/customer are broadcast so
+    the only shuffle is the lineitem-orders join + final aggregate."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(DEC_MONEY) * (
+        F.lit(1) - F.col("l_discount").cast(DEC_RATE)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(to_dbl(F.sum(rev)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# TPC-H Q13 style: distribution of order counts per customer, left join so
+# zero-order customers count too.
+_LEFT_ORACLE = """
+SELECT n_orders, count(*) AS n_customers
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY n_orders
+ORDER BY n_customers DESC, n_orders DESC
+"""
+
+
+@query("q_join_left_histogram", oracle=_LEFT_ORACLE)
+def q_join_left_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("n_orders").desc())
+    )
+
+
+_RIGHT_ORACLE = """
+SELECT p_brand,
+       count(*) AS n_parts,
+       count(l_orderkey) AS n_matched_lines
+FROM (SELECT * FROM lineitem WHERE l_partkey < 50) l
+RIGHT JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@query("q_join_right_outer", oracle=_RIGHT_ORACLE)
+def q_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 50)
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey, "right")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.count("l_orderkey").alias("n_matched_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_FULL_ORACLE = """
+SELECT coalesce(c.nk, s.nk) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust,
+       coalesce(n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer WHERE c_nationkey < 15 GROUP BY 1) c
+FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier WHERE s_nationkey > 10 GROUP BY 1) s
+  ON c.nk = s.nk
+ORDER BY nationkey
+"""
+
+
+@query("q_join_full_outer", oracle=_FULL_ORACLE)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 15)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") > 10)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        c.join(s, c.c_nk == s.s_nk, "full")
+        .select(
+            F.coalesce("c_nk", "s_nk").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+_SEMI_ORACLE = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("q_join_left_semi", oracle=_SEMI_ORACLE)
+def q_join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("q_join_left_anti", oracle=_ANTI_ORACLE)
+def q_join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_CROSS_ORACLE = """
+SELECT r1.r_name AS from_region, r2.r_name AS to_region
+FROM region r1 CROSS JOIN region r2
+WHERE r1.r_name <> r2.r_name
+ORDER BY from_region, to_region
+"""
+
+
+@query("q_join_cross", oracle=_CROSS_ORACLE)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r1 = load(spark, sf_dir, "region").select(F.col("r_name").alias("from_region"))
+    r2 = load(spark, sf_dir, "region").select(F.col("r_name").alias("to_region"))
+    return (
+        r1.crossJoin(r2)
+        .filter(F.col("from_region") != F.col("to_region"))
+        .orderBy("from_region", "to_region")
+    )
+
+
+# Theta join: equi on nation + inequality on balances. Catalyst runs the
+# equi part as a hash/SMJ join and the inequality as a post-filter.
+_THETA_ORACLE = """
+SELECT n_name, count(*) AS n_pairs
+FROM supplier
+JOIN customer ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@query("q_join_theta", oracle=_THETA_ORACLE)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal))
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("n_name")
+    )
+
+
+# Range join: pairs of events from the same user within a 5-minute window.
+# Equi key (user_id) keeps it a hash join + range filter, NOT a cross join —
+# the shape that survives 100x scale.
+_RANGE_ORACLE = """
+SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_pairs
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 5 MINUTE
+GROUP BY type_a, type_b
+ORDER BY type_a, type_b
+"""
+
+
+@query("q_join_range_events", oracle=_RANGE_ORACLE)
+def q_join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    a = e.select(
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+        F.col("event_type").alias("type_a"),
+    )
+    b = e.select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_type").alias("type_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a_user") == F.col("b_user"))
+            & (F.col("b_ts") > F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTE")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("type_a", "type_b")
+    )
