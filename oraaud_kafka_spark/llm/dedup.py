@@ -1,0 +1,291 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.2
+LLM ops): exact (hash-groupBy), MinHash+LSH banding, SimHash, n-gram
+Jaccard. All are expressed as shuffles on hash keys — the shape that
+scales linearly: no operator here ever compares all pairs; candidate
+generation is always hash-bucket (band) equality.
+
+Portability note: signatures use md5 (identical across Spark and DuckDB)
+rather than xxhash64 (Spark-private seed), so every stage is
+oracle-checkable. At production scale you'd swap md5 -> xxhash64 for
+speed; the plan shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+_EXACT_ORACLE = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_distinct,
+       count(*) - count(DISTINCT md5(text)) AS n_exact_dups
+FROM documents
+"""
+
+
+@query("q_dedup_exact", oracle=_EXACT_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash: one shuffle on md5(text). At 100 TB
+    the hash (16 B) shuffles instead of the document bodies."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5("text")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(h).alias("n_distinct"),
+        (F.count("*") - F.count_distinct(h)).alias("n_exact_dups"),
+    )
+
+
+_KEEP_ORACLE = """
+SELECT fp, doc_id AS kept_doc_id, n_copies
+FROM (
+  SELECT md5(text) AS fp, doc_id,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY md5(text)) AS n_copies
+  FROM documents
+)
+WHERE rn = 1 AND fp LIKE '0%'
+ORDER BY fp
+"""
+
+
+@query("q_dedup_exact_keep_first", oracle=_KEEP_ORACLE)
+def q_dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-row selection: keep min doc_id per content hash."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").withColumn("fp", F.md5("text"))
+    w = Window.partitionBy("fp")
+    return (
+        d.withColumn("rn", F.row_number().over(w.orderBy("doc_id")))
+        .withColumn("n_copies", F.count("*").over(w))
+        .filter((F.col("rn") == 1) & F.col("fp").like("0%"))
+        .select("fp", F.col("doc_id").alias("kept_doc_id"), "n_copies")
+        .orderBy("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding.
+#
+# Pipeline (classic shingle -> minhash -> band -> bucket-join):
+#   1. shingles: word 3-grams per doc
+#   2. signature: for each of 16 hash functions h_i(s) = md5(i || '|' || s),
+#      take the lexicographic min over shingles (min of a uniform hash ≈
+#      permutation minimum)
+#   3. bands: 4 bands x 4 rows; band key = md5 of its 4 signature entries
+#   4. candidates: docs sharing any band key (hash-equality join on the
+#      band bucket — NEVER an all-pairs comparison)
+# ---------------------------------------------------------------------------
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+_SHINGLES_SQL = """
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3
+"""
+
+_SIG_COLS_SQL = ", ".join(
+    f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(N_HASHES)
+)
+_BAND_COLS_SQL = ", ".join(
+    "md5(" + " || ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + f") AS band{b}"
+    for b in range(N_BANDS)
+)
+_BAND_UNNEST_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM bands"
+    for b in range(N_BANDS)
+)
+
+_MINHASH_ORACLE = f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id, {_SIG_COLS_SQL}
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shingled)
+  GROUP BY doc_id
+),
+bands AS (SELECT doc_id, {_BAND_COLS_SQL} FROM sigs),
+band_rows AS ({_BAND_UNNEST_SQL})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM band_rows a JOIN band_rows b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("q_dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    exploded = (
+        d.filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(shingles).alias("shingle"))
+    )
+    sigs = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat(*[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
+            ).alias(f"band{b}")
+            for b in range(N_BANDS)
+        ],
+    )
+    band_rows = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_key"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_idx", "bk.band_key")
+    a = band_rows.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
+    )
+    b = band_rows.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_key"
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit): per token, md5 -> 32 bits via hex digits; each bit
+# contributes +1/-1; fingerprint bit = sign of the sum. Bit extraction
+# uses only strpos/substring arithmetic so both engines agree exactly.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, md5(tok) AS h
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents WHERE doc_id < 100)
+),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN ((strpos('0123456789abcdef', substring(h, (b // 4) + 1, 1)) - 1)
+                        // CAST(pow(2, 3 - (b % 4)) AS INT)) % 2 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM tok, (SELECT unnest(range(32)) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash_bits
+FROM bits
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("q_dedup_simhash", oracle=_SIMHASH_ORACLE)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    ).withColumn("h", F.md5("tok"))
+    bit_idx = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    tok_bits = tok.select("doc_id", "h", bit_idx)
+    hexdigit = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.col("h"), (F.col("b") / 4).cast("int") + 1, 1),
+    ) - 1
+    bit = (hexdigit / F.pow(F.lit(2), 3 - (F.col("b") % 4)).cast("int")).cast("int") % 2
+    signed = F.when(bit == 1, 1).otherwise(-1)
+    bits = tok_bits.groupBy("doc_id", "b").agg(F.sum(signed).alias("s"))
+    fingerprint = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("b"), F.when(F.col("s") >= 0, "1").otherwise("0").alias("bit")))
+            ),
+            lambda x: x.bit,
+        ),
+        "",
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(fingerprint.alias("simhash_bits"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup: candidate pairs come from a cheap blocking key
+# (lang + token-count bucket) — a hash-equality join — then the exact
+# Jaccard over distinct-token sets is integer set arithmetic.
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) // 10 AS size_bucket,
+         list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+FROM t a JOIN t b
+  ON a.lang = b.lang AND a.size_bucket = b.size_bucket AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.toks, b.toks)) * 2
+      >= len(list_distinct(list_concat(a.toks, b.toks)))
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("q_dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        (F.size(F.split("text", " ")) / 10).cast("int").alias("size_bucket"),
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    a = t.select(
+        F.col("doc_id").alias("doc_a"), "lang", "size_bucket", F.col("toks").alias("toks_a")
+    )
+    b = t.select(
+        F.col("doc_id").alias("doc_b"), "lang", "size_bucket", F.col("toks").alias("toks_b")
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_distinct(F.concat("toks_a", "toks_b")))
+    return (
+        a.join(b, ["lang", "size_bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(inter * 2 >= union)
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,229 @@
+"""Embedding similarity search (SURVEY.md §2.2 LLM ops).
+
+- Brute-force cosine top-k: broadcast the (small) query set against the
+  partitioned corpus — the exact baseline. Linear in corpus size, never
+  corpus x corpus.
+- SRP-LSH (signed random projection) bucketed top-k: sign-bit bucket from
+  dots against fixed anchor vectors, candidates share the bucket — the
+  sublinear scale path.
+- A vectorized pandas-UDF scorer (Arrow-batched numpy) as the
+  escape-hatch pattern for metrics SQL can't express (rows-only check:
+  numpy's summation order differs from the JVM's).
+
+Float determinism: elements are cast float->double (exact) BEFORE any
+arithmetic, and dot products fold sequentially in array order on both
+engines (F.aggregate <-> list_reduce), so scores are bit-identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+N_QUERIES = 10
+TOP_K = 5
+
+# Sequential double-precision dot product, identical fold order in both
+# engines.
+_DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), "
+    "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (acc, x) -> acc + x)"
+)
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return _DOT_SQL.format(a=a, b=b)
+
+
+def _sql_norm(a: str) -> str:
+    inner = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x)"
+    )
+    return f"sqrt({inner})"
+
+
+_BRUTE_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.qid, e.vec_id AS nid, e.label,
+         {_sql_dot('q.qv', 'e.embedding')} / ({_sql_norm('q.qv')} * {_sql_norm('e.embedding')}) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.qid
+)
+SELECT qid, nid, label, cosine, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+      FROM scored)
+WHERE rnk <= {TOP_K}
+ORDER BY qid, rnk
+"""
+
+
+@query("q_sim_cosine_topk_brute", oracle=_BRUTE_ORACLE)
+def q_sim_cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("nid"), "label", F.col("embedding").alias("nv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            "label",
+            (_dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "nid", "label", "cosine", "rnk")
+        .orderBy("qid", "rnk")
+    )
+
+
+# SRP-LSH: bucket = sign bits of dots against N_ANCHORS fixed anchor
+# vectors (deterministically chosen: the lowest vec_ids). Candidate set =
+# same bucket — an equality join on the bucket key; probing cost is
+# corpus/2^bits per query on average.
+N_ANCHORS = 6
+
+_ANCHORS_SQL = f"(SELECT vec_id AS aid, embedding AS av FROM embeddings WHERE vec_id < {N_ANCHORS})"
+
+_BUCKET_SQL = f"""
+  SELECT e.vec_id, e.label, e.embedding,
+         string_agg(CASE WHEN {_sql_dot('e.embedding', 'a.av')} >= 0 THEN '1' ELSE '0' END,
+                    '' ORDER BY a.aid) AS bucket
+  FROM embeddings e, {_ANCHORS_SQL} a
+  GROUP BY e.vec_id, e.label, e.embedding
+"""
+
+_LSH_ORACLE = f"""
+WITH bucketed AS ({_BUCKET_SQL}),
+q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM bucketed WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.qid, c.vec_id AS nid,
+         {_sql_dot('q.qv', 'c.embedding')} / ({_sql_norm('q.qv')} * {_sql_norm('c.embedding')}) AS cosine
+  FROM q JOIN bucketed c ON q.bucket = c.bucket AND c.vec_id <> q.qid
+)
+SELECT qid, nid, cosine, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+      FROM scored)
+WHERE rnk <= {TOP_K}
+ORDER BY qid, rnk
+"""
+
+
+@query("q_sim_lsh_bucketed_topk", oracle=_LSH_ORACLE)
+def q_sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    anchors = (
+        e.filter(F.col("vec_id") < N_ANCHORS)
+        .select(F.col("vec_id").alias("aid"), F.col("embedding").alias("av"))
+    )
+    with_anchor = F.broadcast(anchors).crossJoin(
+        e.select("vec_id", "label", "embedding")
+    )
+    bucketed = (
+        with_anchor.withColumn(
+            "bit",
+            F.struct(
+                F.col("aid"),
+                F.when(_dot(F.col("embedding"), F.col("av")) >= 0, "1")
+                .otherwise("0")
+                .alias("bit"),
+            ),
+        )
+        .groupBy("vec_id", "label", "embedding")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("bit")), lambda x: x.bit), ""
+            ).alias("bucket")
+        )
+    )
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "bucket"
+    )
+    scored = (
+        q.join(bucketed.alias("c"), "bucket")
+        .filter(F.col("c.vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("c.vec_id").alias("nid"),
+            (
+                _dot(F.col("qv"), F.col("c.embedding"))
+                / (_norm(F.col("qv")) * _norm(F.col("c.embedding")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "nid", "cosine", "rnk")
+        .orderBy("qid", "rnk")
+    )
+
+
+@query("q_sim_pandas_udf_cosine")  # numpy sum order != JVM: rows-only check
+def q_sim_pandas_udf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched numpy scorer via mapInPandas — the pattern for
+    metrics that built-ins can't express. Each batch is vectorized
+    (matrix @ query), never per-row Python."""
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings")
+    qrow = (
+        e.filter(F.col("vec_id") == 0).select("embedding").head()
+    )
+    qv = np.asarray(qrow[0], dtype=np.float64)
+    qn = np.linalg.norm(qv)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.vstack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+            cos = (m @ qv) / (np.linalg.norm(m, axis=1) * qn)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cosine": cos})
+
+    out = e.select("vec_id", "embedding").mapInPandas(
+        score, "vec_id long, cosine double"
+    )
+    return (
+        out.filter(F.col("vec_id") != 0)
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )

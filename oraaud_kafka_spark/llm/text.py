@@ -1,0 +1,182 @@
+"""Text-analysis operators for training-data pipelines: token counting
+(whitespace + BPE-ish regex), quality scoring, n-gram-heuristic language
+ID, document fingerprinting. All pure JVM expressions — these run inside
+whole-stage codegen over billions of documents without Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+# BPE-ish pre-tokenizer: runs of alphanumerics OR single non-space symbols.
+# Kept to a regex subset (character classes, +) that Java regex and RE2
+# interpret identically.
+_BPE_RE = "[a-zA-Z0-9]+|[^a-zA-Z0-9 ]"
+
+_TOKENS_ORACLE = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
+       length(text) AS n_chars_computed,
+       n_chars
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
+@query("q_text_token_count", oracle=_TOKENS_ORACLE)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+# Quality score: integer counts ratioed with one exact double division —
+# length signal, stopword density, unique-token ratio, mean word length.
+_QUALITY_ORACLE = f"""
+SELECT doc_id, lang,
+       n_toks,
+       CAST(n_stop AS DOUBLE) / n_toks AS stopword_ratio,
+       CAST(n_uniq AS DOUBLE) / n_toks AS unique_ratio,
+       CAST(total_tok_chars AS DOUBLE) / n_toks AS mean_word_len,
+       CASE WHEN n_toks >= 20 AND n_uniq * 2 >= n_toks THEN 1 ELSE 0 END AS quality_pass
+FROM (
+  SELECT doc_id, lang,
+         len(toks) AS n_toks,
+         len(list_filter(toks, x -> list_contains({_SW_SQL}, x))) AS n_stop,
+         len(list_distinct(toks)) AS n_uniq,
+         list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a, x) -> a + x) AS total_tok_chars
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+)
+ORDER BY doc_id
+"""
+
+
+@query("q_text_quality_score", oracle=_QUALITY_ORACLE)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_toks = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_uniq = F.size(F.array_distinct(toks))
+    total_chars = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            n_toks.alias("n_toks"),
+            (n_stop.cast("double") / n_toks).alias("stopword_ratio"),
+            (n_uniq.cast("double") / n_toks).alias("unique_ratio"),
+            (total_chars.cast("double") / n_toks).alias("mean_word_len"),
+            F.when((n_toks >= 20) & (n_uniq * 2 >= n_toks), 1)
+            .otherwise(0)
+            .alias("quality_pass"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# N-gram-heuristic language ID: score each candidate language by marker-
+# token hits, argmax with a deterministic tie-break (list order). The
+# fixture vocabulary is language-neutral so accuracy is chance — the
+# operator contract (deterministic scoring + argmax) is what's tested.
+_MARKERS = {
+    "en": ("the", "data", "query"),
+    "es": ("table", "row", "line"),
+    "de": ("group", "sort", "merge"),
+    "fr": ("key", "value", "hash"),
+    "zh": ("spark", "batch", "stream"),
+}
+
+
+def _marker_sql(lang: str) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in _MARKERS[lang]) + "]"
+    return f"len(list_filter(toks, x -> list_contains({arr}, x)))"
+
+
+_LANGID_ORACLE = f"""
+SELECT lang, lang_guess, count(*) AS n
+FROM (
+  SELECT lang,
+         CASE greatest(s_en, s_es, s_de, s_fr, s_zh)
+           WHEN s_en THEN 'en' WHEN s_es THEN 'es' WHEN s_de THEN 'de'
+           WHEN s_fr THEN 'fr' ELSE 'zh' END AS lang_guess
+  FROM (
+    SELECT lang,
+           {_marker_sql('en')} AS s_en,
+           {_marker_sql('es')} AS s_es,
+           {_marker_sql('de')} AS s_de,
+           {_marker_sql('fr')} AS s_fr,
+           {_marker_sql('zh')} AS s_zh
+    FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)
+  )
+)
+GROUP BY lang, lang_guess
+ORDER BY lang, lang_guess
+"""
+
+
+@query("q_text_lang_id", oracle=_LANGID_ORACLE)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    # NB: the lambda must be single-parameter — PySpark reads a 2-arg
+    # lambda as (element, index) — so capture the marker array via closure.
+    def _contains(arr):
+        return lambda x: F.array_contains(arr, x)
+
+    scores = {}
+    for lang, words in _MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        scores[lang] = F.size(F.filter(toks, _contains(arr)))
+    best = F.greatest(*scores.values())
+    guess = F.when(scores["en"] == best, "en")
+    for lang in ("es", "de", "fr"):
+        guess = guess.when(scores[lang] == best, lang)
+    guess = guess.otherwise("zh")
+    return (
+        d.select("lang", guess.alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+# Content-defined fingerprint: md5 over the sorted distinct token set —
+# invariant to word order and duplication, the canonical "bag fingerprint"
+# for clustering near-identical documents at scale.
+_FPRINT_ORACLE = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS bag_fingerprint,
+       md5(text) AS exact_fingerprint
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
+@query("q_text_fingerprint", oracle=_FPRINT_ORACLE)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    bag = F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " "))), " "
+    )
+    return d.select(
+        "doc_id",
+        F.md5(bag).alias("bag_fingerprint"),
+        F.md5(F.col("text")).alias("exact_fingerprint"),
+    ).orderBy("doc_id")

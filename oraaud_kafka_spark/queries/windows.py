@@ -1,0 +1,222 @@
+"""Window-function operators (SURVEY.md §2.2): ranking, analytic
+(lag/lead/first/last), aggregates over row/range frames, top-k per group.
+
+Every window spec carries a total order (explicit tie-breaker key) so
+results are deterministic and comparable against the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+from . import DEC, to_dbl
+
+_TOPK_ORACLE = """
+SELECT c_mktsegment, rnk, o_orderkey, o_totalprice
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+WHERE rnk <= 3
+ORDER BY c_mktsegment, rnk
+"""
+
+
+@query("q_window_topk_per_group", oracle=_TOPK_ORACLE)
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("c_mktsegment", "rnk")
+    )
+
+
+_RANKS_ORACLE = """
+SELECT s_nationkey, s_suppkey, s_acctbal,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS prnk,
+       cume_dist() OVER w AS cdist
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+ORDER BY s_nationkey, rnk
+"""
+
+
+@query("q_window_ranks", oracle=_RANKS_ORACLE)
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    ).orderBy("s_nationkey", "rnk")
+
+
+# lag/lead deltas; |delta| summed through decimal so the group totals are
+# order-independent.
+_LAG_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(CAST(round(sum(CAST(abs(delta) AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS total_abs_delta
+FROM (
+  SELECT event_type,
+         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+  FROM events
+)
+WHERE delta IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q_window_lag_delta", oracle=_LAG_ORACLE)
+def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = (F.col("value") - F.lag("value").over(w)).alias("delta")
+    return (
+        e.select("event_type", delta)
+        .filter(F.col("delta").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            to_dbl(F.sum(F.abs(F.col("delta")).cast(DEC))).alias("total_abs_delta"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# Running total over an explicit ROWS frame. The per-row prefix sums are
+# decimal-exact, so every output row is bit-identical to the oracle.
+_RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total
+FROM orders
+WHERE o_custkey < 100
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@query("q_window_running_total", oracle=_RUNNING_ORACLE)
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+_MOVAVG_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+         / count(*) OVER w AS moving_avg_3
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@query("q_window_moving_avg", oracle=_MOVAVG_ORACLE)
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("moving_avg_3"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+_FIRSTLAST_ORACLE = """
+SELECT DISTINCT s_nationkey,
+       first_value(s_name) OVER w AS poorest,
+       last_value(s_name) OVER w AS richest
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY s_nationkey
+"""
+
+
+@query("q_window_first_last", oracle=_FIRSTLAST_ORACLE)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    w = (
+        Window.partitionBy("s_nationkey")
+        .orderBy("s_acctbal", "s_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        s.select(
+            "s_nationkey",
+            F.first("s_name").over(w).alias("poorest"),
+            F.last("s_name").over(w).alias("richest"),
+        )
+        .distinct()
+        .orderBy("s_nationkey")
+    )
+
+
+_LEAD_ORACLE = """
+SELECT user_id, event_id, event_type,
+       lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+       date_diff('microsecond', ts,
+            lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS us_to_next
+FROM events
+WHERE user_id < 5
+ORDER BY user_id, event_id
+"""
+
+
+@query("q_window_lead_next", oracle=_LEAD_ORACLE)
+def q_window_lead_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    next_ts = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.unix_micros(next_ts) - F.unix_micros(F.col("ts"))).alias("us_to_next"),
+    ).orderBy("user_id", "event_id")

@@ -6,6 +6,7 @@ from __future__ import annotations
 import math
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from .tables import TABLES
@@ -33,7 +34,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v,
+                lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v,
                 na_action="ignore",
             )
     if len(df):
