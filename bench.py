@@ -17,9 +17,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from oraaud_kafka_spark import registry
 from oraaud_kafka_spark.session import get_spark
 
-# Headline set: one per operator family; grown as coverage widens.
+# Headline set: one (heavy) representative per operator family.
 HEADLINE = [
-    "q1_pricing_summary",
+    "q1_pricing_summary",      # scan + filter + groupBy agg
+    "q_join_5way_revenue",     # star join (broadcast dims + 1 shuffle join)
+    "q_join_asof",             # as-of via union + single window pass
+    "q_agg_rollup",            # hierarchical agg
+    "q_window_topk_per_group", # ranking window + filter
+    "q_sort_top10_global",     # TakeOrderedAndProject
+    "q_json_from_json",        # semistructured parse
+    "q_time_session_window",   # event-time sessionization
+    "q_dedup_minhash_lsh",     # shingle->minhash->band->bucket join
+    "q_sim_cosine_topk_brute", # broadcast queries x corpus + window top-k
+    "q_text_quality_score",    # text feature extraction
 ]
 
 

@@ -289,3 +289,76 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: candidate pairs blocked on `label` (the
+# cheap partitioner — at scale this is an IVF/LSH bucket, never all
+# pairs), exact cosine on candidates only. Dot products fold
+# sequentially in array order on both engines (F.aggregate <->
+# list_reduce) so the threshold filter is bit-deterministic.
+# ---------------------------------------------------------------------------
+
+_EMB_THRESHOLD = 0.35
+
+_EMB_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), "
+    "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (acc, x) -> acc + x)"
+)
+
+
+def _emb_sql_norm(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+        f"(acc, x) -> acc + x))"
+    )
+
+
+_EMB_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       {_EMB_DOT.format(a='a.embedding', b='b.embedding')}
+         / ({_emb_sql_norm('a.embedding')} * {_emb_sql_norm('b.embedding')}) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_EMB_DOT.format(a='a.embedding', b='b.embedding')}
+        / ({_emb_sql_norm('a.embedding')} * {_emb_sql_norm('b.embedding')}) >= {_EMB_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+@query("q_dedup_embedding_cosine", oracle=_EMB_ORACLE)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def norm(a):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), "label", F.col("embedding").alias("vb")
+    )
+    cosine = dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb")))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= _EMB_THRESHOLD)
+        .select("vec_a", "vec_b", "label", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )

@@ -227,3 +227,105 @@ def q_sim_pandas_udf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(TOP_K)
     )
+
+
+# IVF-style ANN: coarse quantization into inverted lists. Centroids here
+# are deterministically fixed (lowest vec_ids) so the oracle can express
+# assignment in SQL; a production build would k-means them — the plan
+# shape (assign -> equi-join on list id -> exact re-rank) is identical.
+# Probing cost is nprobe/n_centroids of the corpus per query, and every
+# stage is a hash shuffle or broadcast — never corpus x corpus.
+N_CENTROIDS = 8
+NPROBE = 2
+
+_CENTROIDS_SQL = (
+    f"(SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {N_CENTROIDS})"
+)
+
+
+def _ivf_assign_sql(src: str, keep: int, id_alias: str) -> str:
+    """Rank centroids by cosine for each vector in `src`, keep the top
+    `keep` lists (1 for corpus assignment, NPROBE for query probing)."""
+    return f"""
+  SELECT vec_id AS {id_alias}, embedding, cid
+  FROM (
+    SELECT s.vec_id, s.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY {_sql_dot('s.embedding', 'c.cv')}
+                      / ({_sql_norm('s.embedding')} * {_sql_norm('c.cv')}) DESC,
+                      c.cid) AS crnk
+    FROM {src} s, {_CENTROIDS_SQL} c
+  ) WHERE crnk <= {keep}
+"""
+
+
+_IVF_ORACLE = f"""
+WITH lists AS ({_ivf_assign_sql('embeddings', 1, 'nid')}),
+probes AS ({_ivf_assign_sql(f'(SELECT * FROM embeddings WHERE vec_id < {N_QUERIES})', NPROBE, 'qid')}),
+scored AS (
+  SELECT DISTINCT p.qid, l.nid,
+         {_sql_dot('p.embedding', 'l.embedding')}
+           / ({_sql_norm('p.embedding')} * {_sql_norm('l.embedding')}) AS cosine
+  FROM probes p JOIN lists l ON p.cid = l.cid AND l.nid <> p.qid
+)
+SELECT qid, nid, cosine, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+      FROM scored)
+WHERE rnk <= {TOP_K}
+ORDER BY qid, rnk
+"""
+
+
+def _ivf_assign(e: DataFrame, centroids: DataFrame, keep: int, id_alias: str) -> DataFrame:
+    ranked = (
+        e.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "ccos",
+            _dot(F.col("embedding"), F.col("cv"))
+            / (_norm(F.col("embedding")) * _norm(F.col("cv"))),
+        )
+        .withColumn(
+            "crnk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cid")
+            ),
+        )
+        .filter(F.col("crnk") <= keep)
+    )
+    return ranked.select(F.col("vec_id").alias(id_alias), "embedding", "cid")
+
+
+@query("q_sim_ivf_topk", oracle=_IVF_ORACLE)
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    lists = _ivf_assign(e.select("vec_id", "embedding"), centroids, 1, "nid")
+    probes = _ivf_assign(
+        e.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding"),
+        centroids,
+        NPROBE,
+        "qid",
+    ).select("qid", F.col("embedding").alias("qv"), "cid")
+    scored = (
+        probes.join(lists, "cid")
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            (
+                _dot(F.col("qv"), F.col("embedding"))
+                / (_norm(F.col("qv")) * _norm(F.col("embedding")))
+            ).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "nid", "cosine", "rnk")
+        .orderBy("qid", "rnk")
+    )

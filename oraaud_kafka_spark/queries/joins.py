@@ -1,11 +1,11 @@
 """Join operators (SURVEY.md §2.2): equi inner/outer, semi/anti, cross,
-theta, range. Small dimensions are broadcast explicitly; the big
+theta, range, as-of. Small dimensions are broadcast explicitly; the big
 fact-fact joins shuffle on their keys and AQE handles skew at scale.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -299,4 +299,72 @@ def q_join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("type_a", "type_b")
+    )
+
+
+# As-of join (no native Spark op, SURVEY.md §2.2 / §7 "hard parts"): for
+# each click, the value of the user's most recent purchase at-or-before
+# the click. Implemented as union + one window pass — ONE shuffle on
+# user_id and zero joins, the shape that scales where a per-row range
+# probe (quadratic) would not. Build side is pre-aggregated to one row
+# per (user, ts) so ties are deterministic on both engines.
+_ASOF_ORACLE = """
+WITH build AS (
+  SELECT user_id, ts, max(value) AS pv
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+probe AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+u AS (
+  SELECT user_id, ts, 0 AS side, CAST(NULL AS BIGINT) AS event_id, pv FROM build
+  UNION ALL
+  SELECT user_id, ts, 1 AS side, event_id, CAST(NULL AS DOUBLE) AS pv FROM probe
+),
+w AS (
+  SELECT *,
+         last_value(pv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, side
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+  FROM u
+)
+SELECT event_id, user_id, ts, last_purchase
+FROM w WHERE side = 1
+ORDER BY event_id
+"""
+
+
+@query("q_join_asof", oracle=_ASOF_ORACLE)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    build = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pv"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("event_id"),
+            "pv",
+        )
+    )
+    probe = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("double").alias("pv"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        build.unionByName(probe)
+        .withColumn("last_purchase", F.last("pv", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", "ts", "last_purchase")
+        .orderBy("event_id")
     )

@@ -1,0 +1,172 @@
+"""Streaming analytics kit (SURVEY.md §2.2 streaming ops): watermarks,
+event-time windows, streaming dedup, stream-static and stream-stream
+joins, and a custom stateful operator reproducing the reference's
+retry-until-complete contract (R-6/R-10) in-stream.
+
+All helpers take/return streaming DataFrames so they compose with the
+ingest pipeline (streaming.ingest) and any sink. Each is a thin,
+declarative wrapper — Catalyst/the streaming engine keep incremental
+state; nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def with_event_time(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """Watermark = how long to wait for late data before state GC. The
+    reference's analog is the incomplete-file requeue window
+    (KafkaJob.java:81-88): data not ready yet is retried, data that
+    never completes is eventually abandoned."""
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling_counts(
+    df: DataFrame, ts_col: str, width: str, *, delay: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling event-time window counts; append-mode-safe (watermarked)."""
+    return (
+        with_event_time(df, ts_col, delay)
+        .groupBy(F.window(ts_col, width).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("w.start", "w.end", "n")
+    )
+
+
+def sliding_counts(
+    df: DataFrame, ts_col: str, width: str, slide: str, *, delay: str = "10 minutes"
+) -> DataFrame:
+    return (
+        with_event_time(df, ts_col, delay)
+        .groupBy(F.window(ts_col, width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("w.start", "w.end", "n")
+    )
+
+
+def session_counts(
+    df: DataFrame, ts_col: str, gap: str, keys: list[str], *, delay: str = "10 minutes"
+) -> DataFrame:
+    """Session windows: gap-based, state merges as events arrive."""
+    return (
+        with_event_time(df, ts_col, delay)
+        .groupBy(*keys, F.session_window(ts_col, gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(*keys, "w.start", "w.end", "n")
+    )
+
+
+def streaming_dedup(
+    df: DataFrame, keys: list[str], *, ts_col: str | None = None, delay: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup. With a watermark the key-set state is
+    GC-able (dropDuplicatesWithinWatermark) — the only shape that
+    survives an unbounded stream; without one, state grows forever."""
+    if ts_col is None:
+        return df.dropDuplicates(keys)
+    return with_event_time(df, ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_static_enrich(
+    stream: DataFrame, dim: DataFrame, on: Any, how: str = "inner"
+) -> DataFrame:
+    """Stream-static join: the static side is broadcast per micro-batch,
+    so the stream never shuffles — the standard enrichment shape
+    (parsed audit events x user/object dimension tables)."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Any,
+    *,
+    left_ts: str,
+    right_ts: str,
+    delay: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream join; both sides watermarked so join state is
+    bounded. The caller's `on` must include an event-time constraint
+    for the state bound to be effective."""
+    return with_event_time(left, left_ts, delay).join(
+        with_event_time(right, right_ts, delay), on, how
+    )
+
+
+# ---------------------------------------------------------------------------
+# R-6/R-10 in-stream: retry-until-complete as a custom stateful operator.
+#
+# The reference re-enqueues a file whose payload doesn't yet end with
+# </Audit> and ships it on a later poll once complete
+# (KafkaJob.java:59,81-88). Modeled in-stream: group by src_file, keep an
+# attempts counter in state; emit exactly when a complete payload
+# arrives, then drop the state. Incomplete-only groups hold state (the
+# retry queue) until a later micro-batch completes them.
+# ---------------------------------------------------------------------------
+
+RETRY_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("src_file", StringType()),
+        StructField("value", StringType()),
+        StructField("n_attempts", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+RETRY_STATE_SCHEMA = StructType([StructField("attempts", IntegerType())])
+
+
+def _retry_fn(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    (src_file,) = key
+    attempts = state.get[0] if state.exists else 0
+    complete_value = None
+    for pdf in pdfs:
+        for _, row in pdf.iterrows():
+            attempts += 1
+            if row["is_complete"]:
+                complete_value = row["value"]
+    if complete_value is not None:
+        if state.exists:
+            state.remove()
+        yield pd.DataFrame(
+            {
+                "src_file": [src_file],
+                "value": [complete_value],
+                "n_attempts": [attempts],
+                "n_bytes": [len(complete_value)],
+            }
+        )
+    else:
+        state.update((attempts,))
+
+
+def retry_until_complete(df: DataFrame) -> DataFrame:
+    """Stateful completeness gate over (src_file, value, is_complete)
+    rows: emits each file once, on the micro-batch where it first
+    arrives complete, with the attempt count the reference would have
+    logged on its retry path."""
+    return (
+        df.select("src_file", "value", "is_complete")
+        .groupBy("src_file")
+        .applyInPandasWithState(
+            _retry_fn,
+            RETRY_OUTPUT_SCHEMA,
+            RETRY_STATE_SCHEMA,
+            "append",
+            "NoTimeout",
+        )
+    )

@@ -1,0 +1,61 @@
+"""CSV/JSON/Parquet source-sink round-trips + bucketed-join plan check."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oraaud_kafka_spark.sources.tabular import (
+    read_csv,
+    read_jsonl,
+    read_parquet,
+    write_bucketed_table,
+    write_parquet,
+)
+from oraaud_kafka_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    nation = load(spark, SF, "nation")
+    p = str(tmp_path / "nation_csv")
+    nation.write.option("header", "true").csv(p)
+    back = read_csv(spark, p, schema=nation.schema)
+    assert sorted(back.collect()) == sorted(nation.collect())
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    region = load(spark, SF, "region")
+    p = str(tmp_path / "region_json")
+    region.write.json(p)
+    back = read_jsonl(spark, p, schema=region.schema)
+    assert sorted(back.collect()) == sorted(region.collect())
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    orders = load(spark, SF, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    p = str(tmp_path / "orders_part")
+    write_parquet(orders, p, partition_by=["o_year"])
+    back = read_parquet(spark, p).filter(F.col("o_year") == 1996)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition filter must reach the scan, not a post-filter
+    assert "PartitionFilters: [isnotnull(o_year" in plan
+    assert back.count() == orders.filter(F.col("o_year") == 1996).count()
+
+
+def test_bucketed_table_join_skips_shuffle(spark, tmp_path):
+    orders = load(spark, SF, "orders")
+    write_bucketed_table(
+        orders, "orders_b", bucket_by=["o_custkey"], n_buckets=4, mode="overwrite"
+    )
+    try:
+        t = spark.table("orders_b")
+        agg = t.groupBy("o_custkey").agg(F.count("*").alias("n"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        # grouping on the bucket key needs NO exchange before the agg
+        assert "Exchange hashpartitioning(o_custkey" not in plan
+        assert agg.count() == orders.select("o_custkey").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
