@@ -73,17 +73,32 @@ def q_dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Pipeline (classic shingle -> minhash -> band -> bucket-join):
 #   1. shingles: word 3-grams per doc
-#   2. signature: for each of 16 hash functions h_i(s) = md5(i || '|' || s),
-#      take the lexicographic min over shingles (min of a uniform hash ≈
-#      permutation minimum)
-#   3. bands: 4 bands x 4 rows; band key = md5 of its 4 signature entries
-#   4. candidates: docs sharing any band key (hash-equality join on the
-#      band bucket — NEVER an all-pairs comparison)
+#   2. base hash: ONE md5 per shingle, folded to a 48-bit integer via
+#      hex-digit arithmetic (instr/strpos — identical in both engines)
+#   3. signature: 16 affine "permutations" h_i = (a_i*h + b_i) mod P over
+#      the base hash, min per doc. a_i <= 33 and h < 2^48 keep products
+#      under 2^54 so neither engine overflows int64. One md5 per shingle —
+#      the hash is the hot loop at corpus scale.
+#   4. bands: 4 bands x 4 rows; band key = md5 of its 4 signature entries
+#   5. candidates: docs sharing any band key (hash-equality join on the
+#      band bucket — NEVER an all-pairs comparison). The groupBy in (3)
+#      partial-aggregates map-side, so the only shuffle before the band
+#      join carries one 16-long signature row per doc per partition.
 # ---------------------------------------------------------------------------
 
 N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
+_MH_P = 1_000_000_007
+
+
+def _mh_a(i: int) -> int:
+    return 2 * i + 1
+
+
+def _mh_b(i: int) -> int:
+    return 12289 * i + 1
+
 
 _SHINGLES_SQL = """
   SELECT doc_id,
@@ -93,11 +108,22 @@ _SHINGLES_SQL = """
   WHERE len(toks) >= 3
 """
 
+# 48-bit integer from the first 12 hex digits of md5 — pure
+# strpos/substring arithmetic, bit-identical across engines.
+_BASE_HASH_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substring(md5(shingle), {k + 1}, 1)) - 1) * {16 ** (11 - k)}"
+    for k in range(12)
+)
+
 _SIG_COLS_SQL = ", ".join(
-    f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(N_HASHES)
+    f"min(({_mh_a(i)} * bh + {_mh_b(i)}) % {_MH_P}) AS h{i}" for i in range(N_HASHES)
 )
 _BAND_COLS_SQL = ", ".join(
-    "md5(" + " || ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + f") AS band{b}"
+    "md5("
+    + " || '|' || ".join(
+        f"CAST(h{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+    )
+    + f") AS band{b}"
     for b in range(N_BANDS)
 )
 _BAND_UNNEST_SQL = " UNION ALL ".join(
@@ -107,11 +133,11 @@ _BAND_UNNEST_SQL = " UNION ALL ".join(
 
 _MINHASH_ORACLE = f"""
 WITH shingled AS ({_SHINGLES_SQL}),
-sigs AS (
-  SELECT doc_id, {_SIG_COLS_SQL}
+hashed AS (
+  SELECT doc_id, {_BASE_HASH_SQL} AS bh
   FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shingled)
-  GROUP BY doc_id
 ),
+sigs AS (SELECT doc_id, {_SIG_COLS_SQL} FROM hashed GROUP BY doc_id),
 bands AS (SELECT doc_id, {_BAND_COLS_SQL} FROM sigs),
 band_rows AS ({_BAND_UNNEST_SQL})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -134,13 +160,22 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(toks, i + 3),
         ),
     )
-    exploded = (
-        d.filter(F.size(toks) >= 3)
-        .select("doc_id", F.explode(shingles).alias("shingle"))
+    exploded = d.filter(F.size(toks) >= 3).select(
+        "doc_id", F.explode(shingles).alias("shingle")
     )
-    sigs = exploded.groupBy("doc_id").agg(
+    hexed = F.md5("shingle")
+    # cast BEFORE the multiply: digit * 16^k overflows int32 under ANSI
+    base_hash = sum(
+        (F.instr(F.lit("0123456789abcdef"), F.substring(hexed, k + 1, 1)) - 1).cast(
+            "long"
+        )
+        * F.lit(16 ** (11 - k))
+        for k in range(12)
+    )
+    hashed = exploded.select("doc_id", base_hash.alias("bh"))
+    sigs = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+            F.min((F.lit(_mh_a(i)) * F.col("bh") + _mh_b(i)) % _MH_P).alias(f"h{i}")
             for i in range(N_HASHES)
         ]
     )
@@ -148,7 +183,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         *[
             F.md5(
-                F.concat(*[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                )
             ).alias(f"band{b}")
             for b in range(N_BANDS)
         ],

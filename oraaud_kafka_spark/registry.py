@@ -35,6 +35,7 @@ _MODULES = (
     "oraaud_kafka_spark.queries.scalar_funcs",
     "oraaud_kafka_spark.queries.semistructured",
     "oraaud_kafka_spark.queries.event_time",
+    "oraaud_kafka_spark.queries.udf_surface",
     "oraaud_kafka_spark.llm.text",
     "oraaud_kafka_spark.llm.dedup",
     "oraaud_kafka_spark.llm.similarity",

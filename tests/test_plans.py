@@ -1,0 +1,107 @@
+"""Physical-plan assertions (the 100-TB contract): filters and column
+pruning reach the parquet scan, small dimensions broadcast, global top-k
+never fully sorts, and the hot path stays inside whole-stage codegen.
+These pin the plan SHAPE so a regression that still returns correct rows
+but would melt at scale fails CI.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from oraaud_kafka_spark import registry
+from oraaud_kafka_spark.tables import load
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _loaded():
+    registry.load_all()
+
+
+def _plan(df, execute: bool = False) -> str:
+    if execute:
+        # AQE finalizes join strategies / codegen stages only at runtime;
+        # collect() (not count(), which plans a different query) runs THIS
+        # QueryExecution so its adaptive plan mutates to final
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_pushdown_and_pruning(spark):
+    df = registry.QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    plan = _plan(df)
+    # shipdate predicate reaches the parquet reader
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: untouched wide columns (l_comment) never read
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = registry.QUERIES["q_join_5way_revenue"](spark, SF_DIR)
+    plan = _plan(df, execute=True)
+    # all three dimensions broadcast (AQE may also demote the filtered
+    # orders join to broadcast at tiny SF); never more than the one
+    # lineitem-orders shuffle join
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_global_topk_is_take_ordered(spark):
+    df = registry.QUERIES["q_sort_top10_global"](spark, SF_DIR)
+    # ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    # heap + merge), never a global Sort
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_agg_has_partial_final_split(spark):
+    df = registry.QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    plan = _plan(df)
+    # map-side combine: partial_ aggregate before the exchange
+    assert "partial_" in plan
+
+
+def test_hot_path_whole_stage_codegen(spark):
+    df = registry.QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    # '*(n)' prefixes mark WholeStageCodegen stages in the final plan
+    assert "*(1)" in _plan(df, execute=True)
+
+
+def test_semi_join_does_not_materialize_right(spark):
+    df = registry.QUERIES["q_join_left_semi"](spark, SF_DIR)
+    assert "LeftSemi" in _plan(df)
+
+
+def test_asof_join_is_single_window_no_join(spark):
+    df = registry.QUERIES["q_join_asof"](spark, SF_DIR)
+    plan = _plan(df)
+    # the as-of is union + window — any Join node means the quadratic
+    # fallback crept back in
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_minhash_signatures_partial_aggregate(spark):
+    df = registry.QUERIES["q_dedup_minhash_lsh"](spark, SF_DIR)
+    plan = _plan(df)
+    # signature min()s combine map-side; the shuffle carries one row per
+    # (doc, partition), not one per shingle
+    assert "partial_min" in plan
+
+
+def test_brute_force_knn_broadcasts_queries(spark):
+    df = registry.QUERIES["q_sim_cosine_topk_brute"](spark, SF_DIR)
+    plan = _plan(df)
+    # query side broadcast: corpus never shuffles for scoring
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_filter_pushdown_on_events_json_path(spark):
+    e = load(spark, SF_DIR, "events").filter(F.col("event_type") == "click")
+    plan = _plan(e)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in plan
