@@ -41,9 +41,11 @@ def main() -> None:
     registry.load_all()
     names = [n for n in HEADLINE if n in registry.QUERIES]
 
-    # Warm the JVM/codegen once on the flagship so timings measure the
-    # engine, not first-call classloading.
-    registry.QUERIES[names[0]](spark, sf_dir).count()
+    # Warm every headline query once so timings measure the engine in
+    # steady state (codegen compiled, classes loaded, file listings
+    # cached) rather than first-call overhead.
+    for name in names:
+        registry.QUERIES[name](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -168,6 +168,47 @@ def start_memory_sink(
     return writer.start()
 
 
+def run_from_config(
+    spark: SparkSession,
+    cfg,
+    *,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    client_factory: Callable | None = None,
+) -> StreamingQuery:
+    """R-20 bootstrap: an EngineConfig (the reference's a2.* properties)
+    becomes one running streaming query — worker count caps batch
+    admission, the lock-poll interval becomes the trigger, and the
+    broker choice dispatches Kafka sink vs foreachBatch Kinesis."""
+    df = build_ingest_stream(
+        spark,
+        cfg.watched_path,
+        max_files_per_trigger=cfg.max_files_per_trigger,
+    )
+    if cfg.target_broker == "kafka":
+        return start_kafka_sink(
+            df,
+            bootstrap_servers=cfg.kafka_servers,
+            topic=cfg.kafka_topic,
+            checkpoint_dir=checkpoint_dir,
+            trigger=cfg.trigger,
+            kafka_options=cfg.kafka_options,
+        )
+    write_batch = kinesis_batch_writer(
+        cfg.kinesis_stream,
+        cfg.kinesis_region,
+        gzip_threshold=cfg.kinesis_gzip_threshold,
+        client_factory=client_factory,
+    )
+    return start_foreach_batch_sink(
+        df,
+        write_batch,
+        checkpoint_dir=checkpoint_dir,
+        trigger=None if available_now else cfg.trigger,
+        available_now=available_now,
+    )
+
+
 @dataclass
 class IngestMetrics(StreamingQueryListener):
     """R-16: the CommonJobMgmt MBean counters (files, bytes, elapsed ms)
