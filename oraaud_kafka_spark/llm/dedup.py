@@ -108,12 +108,9 @@ _SHINGLES_SQL = """
   WHERE len(toks) >= 3
 """
 
-# 48-bit integer from the first 12 hex digits of md5 — pure
-# strpos/substring arithmetic, bit-identical across engines.
-_BASE_HASH_SQL = " + ".join(
-    f"(strpos('0123456789abcdef', substring(md5(shingle), {k + 1}, 1)) - 1) * {16 ** (11 - k)}"
-    for k in range(12)
-)
+# 48-bit integer from the first 12 hex digits of md5 — one native
+# hex-parse per engine (conv <-> '0x' cast), same unsigned value.
+_BASE_HASH_SQL = "CAST('0x' || substring(md5(shingle), 1, 12) AS BIGINT)"
 
 _SIG_COLS_SQL = ", ".join(
     f"min(({_mh_a(i)} * bh + {_mh_b(i)}) % {_MH_P}) AS h{i}" for i in range(N_HASHES)
@@ -150,28 +147,19 @@ ORDER BY doc_a, doc_b
 @query("q_dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # Materialize the token array in its own projection FIRST: an inline
+    # split() referenced from inside the transform() lambda is
+    # re-evaluated per element (O(tokens^2) per doc — measured 8x slower
+    # at sf0.1). slice+array_join builds each shingle in one pass.
+    tokenized = d.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
     shingles = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-            F.element_at(toks, i + 3),
-        ),
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.array_join(F.slice(F.col("toks"), i, 3), " "),
     )
-    exploded = d.filter(F.size(toks) >= 3).select(
-        "doc_id", F.explode(shingles).alias("shingle")
-    )
-    hexed = F.md5("shingle")
-    # cast BEFORE the multiply: digit * 16^k overflows int32 under ANSI
-    base_hash = sum(
-        (F.instr(F.lit("0123456789abcdef"), F.substring(hexed, k + 1, 1)) - 1).cast(
-            "long"
-        )
-        * F.lit(16 ** (11 - k))
-        for k in range(12)
-    )
+    exploded = tokenized.select("doc_id", F.explode(shingles).alias("shingle"))
+    base_hash = F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10).cast("long")
     hashed = exploded.select("doc_id", base_hash.alias("bh"))
     sigs = hashed.groupBy("doc_id").agg(
         *[
