@@ -336,35 +336,22 @@ ORDER BY event_id
 
 @query("q_join_asof", oracle=_ASOF_ORACLE)
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
     e = load(spark, sf_dir, "events")
     build = (
         e.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("pv"))
-        .select(
-            "user_id",
-            "ts",
-            F.lit(0).alias("side"),
-            F.lit(None).cast("long").alias("event_id"),
-            "pv",
-        )
+        .agg(F.max("value").alias("last_purchase"))
     )
     probe = e.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("side"),
-        "event_id",
-        F.lit(None).cast("double").alias("pv"),
+        "event_id", "user_id", "ts"
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        build.unionByName(probe)
-        .withColumn("last_purchase", F.last("pv", ignorenulls=True).over(w))
-        .filter(F.col("side") == 1)
-        .select("event_id", "user_id", "ts", "last_purchase")
-        .orderBy("event_id")
-    )
+    return asof_join(
+        probe,
+        build,
+        on=["user_id"],
+        probe_ts="ts",
+        build_ts="ts",
+        value_cols=["last_purchase"],
+    ).select("event_id", "user_id", "ts", "last_purchase").orderBy("event_id")

@@ -36,6 +36,7 @@ _MODULES = (
     "oraaud_kafka_spark.queries.semistructured",
     "oraaud_kafka_spark.queries.event_time",
     "oraaud_kafka_spark.queries.udf_surface",
+    "oraaud_kafka_spark.queries.subqueries",
     "oraaud_kafka_spark.llm.text",
     "oraaud_kafka_spark.llm.dedup",
     "oraaud_kafka_spark.llm.similarity",

@@ -1,0 +1,118 @@
+"""Reusable operator library tests: as-of join (vs a naive reference
+computed in Python), salted skew join (identical multiset vs plain
+join), top-k helpers."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from oraaud_kafka_spark.operators.asof import asof_join
+from oraaud_kafka_spark.operators.skew import salted_join
+from oraaud_kafka_spark.operators.topk import topk_global, topk_per_group
+from oraaud_kafka_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_semantics(spark):
+    quotes = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 100.0),
+            (1, _ts("2024-01-01 10:05:00"), 101.0),
+            (2, _ts("2024-01-01 10:01:00"), 200.0),
+        ],
+        "sym long, qts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "t1"),  # equal ts -> match 100
+            (1, _ts("2024-01-01 10:04:59"), "t2"),  # before 2nd quote -> 100
+            (1, _ts("2024-01-01 10:06:00"), "t3"),  # after 2nd -> 101
+            (2, _ts("2024-01-01 10:00:00"), "t4"),  # before any quote -> null
+            (3, _ts("2024-01-01 10:00:00"), "t5"),  # key never quoted -> null
+        ],
+        "sym long, tts timestamp, trade_id string",
+    )
+    out = asof_join(
+        trades,
+        quotes,
+        on=["sym"],
+        probe_ts="tts",
+        build_ts="qts",
+        value_cols=["px"],
+    )
+    got = {r.trade_id: r.px for r in out.collect()}
+    assert got == {"t1": 100.0, "t2": 100.0, "t3": 101.0, "t4": None, "t5": None}
+
+
+def test_asof_join_tolerance(spark):
+    quotes = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 100.0)], "sym long, qts timestamp, px double"
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:30:00"), "near"),
+            (1, _ts("2024-01-01 12:00:00"), "far"),
+        ],
+        "sym long, tts timestamp, trade_id string",
+    )
+    out = asof_join(
+        trades,
+        quotes,
+        on=["sym"],
+        probe_ts="tts",
+        build_ts="qts",
+        value_cols=["px"],
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    )
+    got = {r.trade_id: r.px for r in out.collect()}
+    assert got == {"near": 100.0, "far": None}
+
+
+def test_salted_join_matches_plain_join(spark):
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, SF, "orders").select("o_orderkey", "o_orderpriority")
+    o = o.withColumnRenamed("o_orderkey", "l_orderkey")
+    plain = (
+        li.join(o, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    salted = (
+        salted_join(li, o, on="l_orderkey", n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_topk_helpers(spark):
+    c = load(spark, SF, "customer")
+    top5 = topk_global(c, [F.col("c_acctbal").desc(), F.col("c_custkey")], 5)
+    manual = c.orderBy(F.col("c_acctbal").desc(), "c_custkey").take(5)
+    assert top5.collect() == manual
+
+    per_seg = topk_per_group(
+        c, ["c_mktsegment"], [F.col("c_acctbal").desc(), F.col("c_custkey")], 3
+    )
+    rows = per_seg.groupBy("c_mktsegment").count().collect()
+    assert all(r["count"] == 3 for r in rows)
+
+
+def test_plan_report_counts(spark):
+    from oraaud_kafka_spark.plans.inspect import plan_report
+
+    li = load(spark, SF, "lineitem").filter(F.col("l_partkey") < 100)
+    o = load(spark, SF, "orders")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+    r = plan_report(joined, execute=True)
+    assert r.joins, "expected at least one join node"
+    assert r.n_shuffles >= 1
+    assert any("l_partkey" in f for f in r.pushed_filters)
+    assert "l_partkey" in r.scan_reads_only
