@@ -55,6 +55,15 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
+    # Ingest throughput: the reference's own workload (audit files ->
+    # sink). Synthetic corpus, full pipeline, one availableNow pass.
+    from oraaud_kafka_spark.streaming.bench_ingest import run_ingest_bench
+
+    ingest = run_ingest_bench(spark)
+    print(f"# ingest: {ingest['ingest_mbps']} MB/s "
+          f"({ingest['ingest_files']} files, {ingest['ingest_sec']}s)",
+          file=sys.stderr)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -64,6 +73,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **ingest,
             }
         )
     )

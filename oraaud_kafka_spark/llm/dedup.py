@@ -144,8 +144,9 @@ ORDER BY doc_a, doc_b
 """
 
 
-@query("q_dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_a < doc_b) near-dup candidate pairs — the shared
+    front half of the LSH query and the duplicate-cluster query."""
     d = load(spark, sf_dir, "documents")
     # Materialize the token array in its own projection FIRST: an inline
     # split() referenced from inside the transform() lambda is
@@ -202,7 +203,68 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query("q_dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_candidate_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster assembly: candidate pairs -> connected components ->
+# one canonical doc per group. Iterative min-label propagation on Spark
+# (operators.components); transitive closure via recursive CTE in the
+# oracle — same fixpoint, so the hash check covers the iteration too.
+# ---------------------------------------------------------------------------
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE shingled AS ({_SHINGLES_SQL}),
+hashed AS (
+  SELECT doc_id, {_BASE_HASH_SQL} AS bh
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shingled)
+),
+sigs AS (SELECT doc_id, {_SIG_COLS_SQL} FROM hashed GROUP BY doc_id),
+bands AS (SELECT doc_id, {_BAND_COLS_SQL} FROM sigs),
+band_rows AS ({_BAND_UNNEST_SQL}),
+edges AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band_rows a JOIN band_rows b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+bi AS (
+  SELECT doc_a AS s, doc_b AS t FROM edges
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS t FROM edges
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT reach.node, bi.t FROM reach JOIN bi ON reach.r = bi.s
+)
+SELECT component, count(*) AS group_size, min(node) AS canonical_doc
+FROM (SELECT node, min(r) AS component FROM reach GROUP BY node)
+GROUP BY component
+HAVING count(*) > 1
+ORDER BY component
+"""
+
+
+@query("q_dedup_components", oracle=_COMPONENTS_ORACLE)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(spark, sf_dir)
+    labeled = connected_components(d.select("doc_id"), pairs)
+    return (
+        labeled.groupBy("component")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("group_size") > 1)
+        .orderBy("component")
     )
 
 

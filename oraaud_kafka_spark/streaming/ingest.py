@@ -158,6 +158,43 @@ def start_foreach_batch_sink(
     return writer.start()
 
 
+def start_dual_sink(
+    spark_df: DataFrame,
+    main_write: Callable[[DataFrame, int], None],
+    *,
+    reject_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    trigger: str | None = DEFAULT_TRIGGER,
+) -> StreamingQuery:
+    """R-4 side-channel in-stream: each micro-batch routes complete
+    records to ``main_write`` and withheld (incomplete) records to a
+    reject parquet dir — the reference logs these (OraaudKafka.java:
+    118-119); persisting them is the auditable upgrade. One pass over
+    the batch; the batch DataFrame is persisted so the two sinks don't
+    recompute the source."""
+    from ..sources.audit_xml import complete_only, rejects
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            main_write(complete_only(batch_df), batch_id)
+            rejected = rejects(batch_df).select("key", "src_file", "src_pid")
+            if rejected.take(1):
+                rejected.write.mode("append").parquet(reject_dir)
+        finally:
+            batch_df.unpersist()
+
+    writer = spark_df.writeStream.foreachBatch(route).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger:
+        writer = writer.trigger(processingTime=trigger)
+    return writer.start()
+
+
 def start_memory_sink(
     df: DataFrame, query_name: str, *, available_now: bool = True
 ) -> StreamingQuery:

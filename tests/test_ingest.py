@@ -271,3 +271,34 @@ def test_audit_parse_multirecord(spark, tmp_path):
     assert len(rows) == 100
     assert [r.session_id for r in rows] == list(range(100))
     assert rows[99].db_user == "U99"
+
+
+def test_dual_sink_reject_side_channel(spark, tmp_path):
+    """R-4: complete files reach the main sink, withheld files land in
+    the reject parquet dir with their provenance columns."""
+    from oraaud_kafka_spark.sources.audit_xml import read_audit_stream
+    from oraaud_kafka_spark.streaming.ingest import start_dual_sink
+
+    make_corpus(tmp_path)
+    shipped = []
+
+    def main_write(batch_df, batch_id):
+        shipped.extend(r.src_file for r in batch_df.select("src_file").collect())
+
+    reject_dir = str(tmp_path / "rejects")
+    df = read_audit_stream(spark, str(tmp_path), hostname="h")
+    q = start_dual_sink(
+        df,
+        main_write,
+        reject_dir=reject_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    assert [os.path.basename(f) for f in shipped] == ["orcl_ora_12345_0001.xml"]
+    rej = spark.read.parquet(reject_dir)
+    rows = rej.collect()
+    assert [os.path.basename(r.src_file) for r in rows] == ["orcl_ora_12346_0002.xml"]
+    assert rows[0].src_pid == "12346"
