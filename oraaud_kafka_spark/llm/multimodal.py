@@ -111,3 +111,46 @@ def q_multimodal_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_no")
     )
+
+
+# Resize plumbing: target dimensions preserving aspect ratio, computed
+# from typed metadata columns — the pure-arithmetic half of a resize
+# stage (the pixel resample itself is the stubbed decode step). Source
+# dims are deterministically derived from doc metadata in lieu of real
+# image headers.
+_RESIZE_MAX = 512
+
+_RESIZE_ORACLE = f"""
+SELECT doc_id, src_w, src_h,
+       CAST(floor(src_w * scale) AS INT) AS dst_w,
+       CAST(floor(src_h * scale) AS INT) AS dst_h
+FROM (
+  SELECT doc_id, src_w, src_h,
+         CAST({_RESIZE_MAX} AS DOUBLE) / greatest(src_w, src_h) AS scale
+  FROM (
+    SELECT doc_id,
+           640 + (n_chars % 1280) AS src_w,
+           480 + ((n_chars * 7) % 720) AS src_h
+    FROM documents WHERE doc_id < 100
+  )
+)
+ORDER BY doc_id
+"""
+
+
+@query("q_multimodal_resize_dims", oracle=_RESIZE_ORACLE)
+def q_multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    dims = d.select(
+        "doc_id",
+        (F.lit(640) + F.col("n_chars") % 1280).alias("src_w"),
+        (F.lit(480) + (F.col("n_chars") * 7) % 720).alias("src_h"),
+    )
+    scale = F.lit(float(_RESIZE_MAX)) / F.greatest("src_w", "src_h")
+    return dims.select(
+        "doc_id",
+        "src_w",
+        "src_h",
+        F.floor(F.col("src_w") * scale).cast("int").alias("dst_w"),
+        F.floor(F.col("src_h") * scale).cast("int").alias("dst_h"),
+    ).orderBy("doc_id")
