@@ -87,13 +87,17 @@ ORDER BY qid, rnk
 @query("q_sim_cosine_topk_brute", oracle=_BRUTE_ORACLE)
 def q_sim_cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
+    # Norms are hoisted to per-row columns BEFORE the cross join: inside
+    # it they'd be re-folded per (query x corpus) pair — |Q| times the
+    # work for the corpus side. Same fold, same double, same cosine.
     q = (
         e.filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+        .withColumn("qnorm", _norm(F.col("qv")))
     )
     corpus = e.select(
         F.col("vec_id").alias("nid"), "label", F.col("embedding").alias("nv")
-    )
+    ).withColumn("nnorm", _norm(F.col("nv")))
     scored = (
         F.broadcast(q)
         .crossJoin(corpus)
@@ -102,7 +106,7 @@ def q_sim_cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             "nid",
             "label",
-            (_dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))).alias(
+            (_dot(F.col("qv"), F.col("nv")) / (F.col("qnorm") * F.col("nnorm"))).alias(
                 "cosine"
             ),
         )
@@ -175,8 +179,13 @@ def q_sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket")
         )
     )
+    # norm hoisted per row before the bucket join (see brute-force note)
+    bucketed = bucketed.withColumn("nrm", _norm(F.col("embedding")))
     q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "bucket"
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnorm"),
+        "bucket",
     )
     scored = (
         q.join(bucketed.alias("c"), "bucket")
@@ -186,7 +195,7 @@ def q_sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.vec_id").alias("nid"),
             (
                 _dot(F.col("qv"), F.col("c.embedding"))
-                / (_norm(F.col("qv")) * _norm(F.col("c.embedding")))
+                / (F.col("qnorm") * F.col("c.nrm"))
             ).alias("cosine"),
         )
     )
@@ -308,7 +317,13 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids,
         NPROBE,
         "qid",
-    ).select("qid", F.col("embedding").alias("qv"), "cid")
+    ).select(
+        "qid",
+        F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qnorm"),
+        "cid",
+    )
+    lists = lists.withColumn("nnorm", _norm(F.col("embedding")))
     scored = (
         probes.join(lists, "cid")
         .filter(F.col("nid") != F.col("qid"))
@@ -317,7 +332,7 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nid",
             (
                 _dot(F.col("qv"), F.col("embedding"))
-                / (_norm(F.col("qv")) * _norm(F.col("embedding")))
+                / (F.col("qnorm") * F.col("nnorm"))
             ).alias("cosine"),
         )
         .distinct()

@@ -269,3 +269,32 @@ def q_agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# Argmin/argmax aggregates: the row-value-at-extremum surface
+# (min_by/max_by <-> DuckDB arg_min/arg_max).
+_ARG_ORACLE = """
+SELECT c_mktsegment,
+       arg_min(c_name, c_acctbal) AS poorest,
+       arg_max(c_name, c_acctbal) AS richest,
+       min(c_acctbal) AS lo,
+       max(c_acctbal) AS hi
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("q_agg_min_by_max_by", oracle=_ARG_ORACLE)
+def q_agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.min_by("c_name", "c_acctbal").alias("poorest"),
+            F.max_by("c_name", "c_acctbal").alias("richest"),
+            F.min("c_acctbal").alias("lo"),
+            F.max("c_acctbal").alias("hi"),
+        )
+        .orderBy("c_mktsegment")
+    )
