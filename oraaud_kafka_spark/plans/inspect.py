@@ -46,7 +46,11 @@ def plan_string(df: DataFrame, *, execute: bool = False) -> str:
     AQE's final (runtime-adapted) plan is reported."""
     if execute:
         df.collect()
-    return df._jdf.queryExecution().executedPlan().toString()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # an executed AdaptiveSparkPlan prints "== Final Plan ==" followed by
+    # "== Initial Plan ==" — keep only the final plan or every node
+    # double-counts
+    return plan.split("== Initial Plan ==", 1)[0]
 
 
 def plan_report(df: DataFrame, *, execute: bool = False) -> PlanReport:

@@ -1,0 +1,126 @@
+"""Property-based tests (SURVEY.md §5.2 item 3): custom operators vs
+independent pure-Python references on randomized inputs. Sizes are kept
+small (Spark job per example is expensive) but shapes are adversarial:
+duplicate timestamps, isolated nodes, self-contained cliques, empty
+sides."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_EPOCH = datetime(2024, 1, 1)
+
+
+@st.composite
+def _asof_case(draw):
+    n_keys = draw(st.integers(1, 3))
+    builds = draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, n_keys - 1),
+                st.integers(0, 50),  # minutes
+                st.integers(0, 100),  # value
+            ),
+            max_size=12,
+        )
+    )
+    probes = draw(
+        st.lists(
+            st.tuples(st.integers(0, n_keys - 1), st.integers(0, 50)),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    return builds, probes
+
+
+@given(_asof_case())
+@_slow
+def test_asof_join_matches_naive(spark, case):
+    from oraaud_kafka_spark.operators.asof import asof_join
+
+    builds, probes = case
+    # collapse build ties like the operator contract requires: one row
+    # per (key, ts) keeping max value
+    build_map: dict[tuple[int, int], int] = {}
+    for k, t, v in builds:
+        build_map[(k, t)] = max(v, build_map.get((k, t), -1))
+
+    def naive(k, t):
+        cands = [(bt, v) for (bk, bt), v in build_map.items() if bk == k and bt <= t]
+        return max(cands)[1] if cands else None
+
+    build_df = spark.createDataFrame(
+        [(k, _EPOCH + timedelta(minutes=t), float(v)) for (k, t), v in build_map.items()]
+        or [(0, _EPOCH, 0.0)],
+        "k long, bts timestamp, val double",
+    )
+    if not build_map:
+        build_df = build_df.filter(F.lit(False))
+    probe_df = spark.createDataFrame(
+        [(i, k, _EPOCH + timedelta(minutes=t)) for i, (k, t) in enumerate(probes)],
+        "pid long, k long, pts timestamp",
+    )
+    out = asof_join(
+        probe_df, build_df, on=["k"], probe_ts="pts", build_ts="bts", value_cols=["val"]
+    )
+    got = {r.pid: r.val for r in out.collect()}
+    want = {
+        i: (None if naive(k, t) is None else float(naive(k, t)))
+        for i, (k, t) in enumerate(probes)
+    }
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        max_size=20,
+    ),
+    st.integers(5, 15),
+)
+@_slow
+def test_connected_components_matches_union_find(spark, raw_edges, n_nodes):
+    from oraaud_kafka_spark.operators.components import connected_components
+
+    edges = [(a, b) for a, b in raw_edges if a != b and a < n_nodes and b < n_nodes]
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for n in range(n_nodes):
+        root = find(n)
+        # canonical label = min node in component
+        want.setdefault(root, []).append(n)
+    expect = {n: min(group) for root, group in want.items() for n in group}
+
+    nodes_df = spark.createDataFrame([(n,) for n in range(n_nodes)], "doc_id long")
+    edges_df = spark.createDataFrame(
+        edges or [(0, 0)], "doc_a long, doc_b long"
+    )
+    if not edges:
+        edges_df = edges_df.filter(F.lit(False))
+    out = connected_components(nodes_df, edges_df)
+    got = {r.doc_id: r.component for r in out.collect()}
+    assert got == expect
