@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import load, spread
 
 _EXACT_ORACLE = """
 SELECT count(*) AS n_docs,
@@ -146,27 +146,45 @@ ORDER BY doc_a, doc_b
 
 def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_a < doc_b) near-dup candidate pairs — the shared
-    front half of the LSH query and the duplicate-cluster query."""
+    front half of the LSH query and the duplicate-cluster query.
+
+    The signature is a pure per-document computation, so it's built with
+    array expressions (transform + array_min) instead of
+    explode + groupBy: zero shuffles until the band join, and the shingle
+    rows are never materialized. At corpus scale this drops an entire
+    exchange whose width is O(total shingles)."""
     d = load(spark, sf_dir, "documents")
     # Materialize the token array in its own projection FIRST: an inline
     # split() referenced from inside the transform() lambda is
     # re-evaluated per element (O(tokens^2) per doc — measured 8x slower
     # at sf0.1). slice+array_join builds each shingle in one pass.
-    tokenized = d.select("doc_id", F.split("text", " ").alias("toks")).filter(
-        F.size("toks") >= 3
+    tokenized = spread(
+        d.select("doc_id", F.split("text", " ").alias("toks")).filter(
+            F.size("toks") >= 3
+        )
     )
     shingles = F.transform(
         F.sequence(F.lit(1), F.size("toks") - 2),
         lambda i: F.array_join(F.slice(F.col("toks"), i, 3), " "),
     )
-    exploded = tokenized.select("doc_id", F.explode(shingles).alias("shingle"))
-    base_hash = F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10).cast("long")
-    hashed = exploded.select("doc_id", base_hash.alias("bh"))
-    sigs = hashed.groupBy("doc_id").agg(
+    # One md5 per shingle (the hot loop), folded to 48 bits in-array.
+    base_hashes = F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
+    )
+    hashed = tokenized.select("doc_id", base_hashes.alias("bhs"))
+
+    def _perm(i: int):
+        # one-arg closure: a two-parameter lambda would make transform()
+        # pass the ARRAY INDEX as the second argument
+        return lambda h: (F.lit(_mh_a(i)) * h + _mh_b(i)) % _MH_P
+
+    sigs = hashed.select(
+        "doc_id",
         *[
-            F.min((F.lit(_mh_a(i)) * F.col("bh") + _mh_b(i)) % _MH_P).alias(f"h{i}")
+            F.array_min(F.transform(F.col("bhs"), _perm(i))).alias(f"h{i}")
             for i in range(N_HASHES)
-        ]
+        ],
     )
     bands = sigs.select(
         "doc_id",
@@ -355,11 +373,13 @@ ORDER BY doc_a, doc_b
 @query("q_dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id",
-        "lang",
-        (F.size(F.split("text", " ")) / 10).cast("int").alias("size_bucket"),
-        F.array_distinct(F.split("text", " ")).alias("toks"),
+    t = spread(
+        d.select(
+            "doc_id",
+            "lang",
+            (F.size(F.split("text", " ")) / 10).cast("int").alias("size_bucket"),
+            F.array_distinct(F.split("text", " ")).alias("toks"),
+        )
     )
     a = t.select(
         F.col("doc_id").alias("doc_a"), "lang", "size_bucket", F.col("toks").alias("toks_a")
@@ -438,8 +458,8 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     e = load(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("va")
+    a = spread(
+        e.select(F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("va"))
     )
     b = e.select(
         F.col("vec_id").alias("vec_b"), "label", F.col("embedding").alias("vb")

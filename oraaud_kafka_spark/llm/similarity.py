@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import load, spread
 
 N_QUERIES = 10
 TOP_K = 5
@@ -95,8 +95,8 @@ def q_sim_cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
         .withColumn("qnorm", _norm(F.col("qv")))
     )
-    corpus = e.select(
-        F.col("vec_id").alias("nid"), "label", F.col("embedding").alias("nv")
+    corpus = spread(
+        e.select(F.col("vec_id").alias("nid"), "label", F.col("embedding").alias("nv"))
     ).withColumn("nnorm", _norm(F.col("nv")))
     scored = (
         F.broadcast(q)
@@ -160,7 +160,7 @@ def q_sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("aid"), F.col("embedding").alias("av"))
     )
     with_anchor = F.broadcast(anchors).crossJoin(
-        e.select("vec_id", "label", "embedding")
+        spread(e.select("vec_id", "label", "embedding"))
     )
     bucketed = (
         with_anchor.withColumn(
@@ -288,7 +288,7 @@ ORDER BY qid, rnk
 
 def _ivf_assign(e: DataFrame, centroids: DataFrame, keep: int, id_alias: str) -> DataFrame:
     ranked = (
-        e.crossJoin(F.broadcast(centroids))
+        spread(e).crossJoin(F.broadcast(centroids))
         .withColumn(
             "ccos",
             _dot(F.col("embedding"), F.col("cv"))

@@ -39,6 +39,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Widen a scan before an expression-dense map stage (md5-per-shingle,
+    per-pair cosine folds) IF it is narrower than the session parallelism.
+
+    The local fixtures are single-row-group parquet files, so a scan yields
+    exactly one partition and heavy per-row compute serializes on one core.
+    On a real cluster a large scan already has hundreds/thousands of splits
+    and this returns the input unchanged — the repartition only exists to
+    recover parallelism that the file layout withheld, never as an extra
+    shuffle at scale. Only use it where per-row expression cost dominates
+    the shuffle cost of the (small) early rows.
+    """
+    from .session import default_parallelism
+
+    target = partitions or default_parallelism()
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql queries."""
     for name in TABLES:

@@ -86,12 +86,15 @@ def test_asof_join_is_single_window_no_join(spark):
     assert "Window" in plan
 
 
-def test_minhash_signatures_partial_aggregate(spark):
+def test_minhash_signatures_computed_in_projection(spark):
     df = registry.QUERIES["q_dedup_minhash_lsh"](spark, SF_DIR)
     plan = _plan(df)
-    # signature min()s combine map-side; the shuffle carries one row per
-    # (doc, partition), not one per shingle
-    assert "partial_min" in plan
+    # signatures are array_min(transform(...)) per document — a pure
+    # projection, so there is NO min() aggregate anywhere in the plan and
+    # shingle rows are never materialized; the only aggregate left is the
+    # final pair-distinct
+    assert "partial_min" not in plan
+    assert "array_min" in plan
 
 
 def test_brute_force_knn_broadcasts_queries(spark):
