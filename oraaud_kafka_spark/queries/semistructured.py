@@ -185,6 +185,43 @@ def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# json_tuple: multi-path extraction in one parse pass (vs one
+# get_json_object call per path), plus schema_of_json inference. The
+# round-trip (to_json -> json_tuple) exercises both directions; the
+# inferred-schema string is deterministic for the fixed props shape.
+_JSONTUPLE_ORACLE = """
+SELECT event_id,
+       event_type AS jt_type,
+       CAST(user_id AS VARCHAR) AS jt_user,
+       json_extract_string(props, '$.k') AS jt_k,
+       'STRUCT<k: BIGINT>' AS props_schema
+FROM events
+WHERE event_id < 100
+ORDER BY event_id
+"""
+
+
+@query("q_json_tuple", oracle=_JSONTUPLE_ORACLE)
+def q_json_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    j = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.col("user_id").alias("u"),
+            F.get_json_object("props", "$.k").alias("k"),
+        )
+    )
+    return (
+        e.withColumn("j", j)
+        .select(
+            "event_id",
+            F.json_tuple(F.col("j"), "t", "u", "k").alias("jt_type", "jt_user", "jt_k"),
+            F.schema_of_json(F.lit('{"k": 69}')).alias("props_schema"),
+        )
+        .orderBy("event_id")
+    )
+
+
 # posexplode with position arithmetic.
 _POSEXPLODE_ORACLE = """
 SELECT doc_id, pos - 1 AS pos, word
