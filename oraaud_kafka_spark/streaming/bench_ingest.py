@@ -42,34 +42,80 @@ def make_corpus(directory: str, n_files: int, records_per_file: int) -> int:
     return total
 
 
+def _one_pass(
+    spark: SparkSession, work: Path, tag: str, n_files: int, records_per_file: int
+) -> dict:
+    from .ingest import build_ingest_stream, start_memory_sink
+
+    watched = work / f"adump_{tag}"
+    watched.mkdir()
+    total_bytes = make_corpus(str(watched), n_files, records_per_file)
+    df = build_ingest_stream(spark, str(watched), hostname="bench")
+    t0 = time.perf_counter()
+    q = start_memory_sink(df, f"ingest_bench_{tag}", available_now=True)
+    q.awaitTermination(600)
+    # steady-state: sum of per-batch execution times from query progress —
+    # the analog of the reference's JMX "cumulative transfer millis"
+    # (CommonJobMgmt.java:24 measures per-file send time, not daemon
+    # startup)
+    batch_ms = sum(
+        p.durationMs["triggerExecution"] for p in q.recentProgress if p.numInputRows > 0
+    )
+    q.stop()
+    elapsed = time.perf_counter() - t0
+    n = spark.table(f"ingest_bench_{tag}").count()
+    assert n == n_files, f"shipped {n}/{n_files} files"
+    return {"bytes": total_bytes, "elapsed": elapsed, "batch_ms": batch_ms}
+
+
 def run_ingest_bench(
-    spark: SparkSession, *, n_files: int = 64, records_per_file: int = 2800
+    spark: SparkSession,
+    *,
+    n_files: int = 64,
+    records_per_file: int = 2800,
+    passes: int = 2,
 ) -> dict:
     # defaults ≈ the reference's recommended max file size (~1 MB,
     # README.md:241): 64 x 1 MB ≈ 66 MB per pass
     """Returns {'ingest_files': N, 'ingest_mb': M, 'ingest_sec': s,
-    'ingest_mbps': r} for one availableNow pass over a fresh corpus."""
+    'ingest_mbps': r, 'ingest_batch_sec': s, 'ingest_mbps_steady': r}.
+
+    A tiny warm-up pass JIT-compiles the pipeline, then the best of
+    ``passes`` full passes is reported — each pass writes a fresh corpus
+    immediately before reading it, so single-pass numbers are noisy
+    (dirty-page writeback competes with the measured read).
+    """
     from .ingest import build_ingest_stream, start_memory_sink
 
     work = tempfile.mkdtemp(prefix="ingest_bench_")
     try:
-        watched = Path(work) / "adump"
-        watched.mkdir()
-        total_bytes = make_corpus(str(watched), n_files, records_per_file)
-        df = build_ingest_stream(spark, str(watched), hostname="bench")
-        t0 = time.perf_counter()
-        q = start_memory_sink(df, "ingest_bench", available_now=True)
-        q.awaitTermination(600)
-        q.stop()
-        elapsed = time.perf_counter() - t0
-        n = spark.table("ingest_bench").count()
-        assert n == n_files, f"shipped {n}/{n_files} files"
-        mb = total_bytes / 1e6
+        warm = Path(work) / "warm"
+        warm.mkdir()
+        make_corpus(str(warm), 4, 50)
+        wq = start_memory_sink(
+            build_ingest_stream(spark, str(warm), hostname="warm"),
+            "ingest_warm",
+            available_now=True,
+        )
+        wq.awaitTermination(120)
+        wq.stop()
+
+        best = min(
+            (
+                _one_pass(spark, Path(work), str(i), n_files, records_per_file)
+                for i in range(passes)
+            ),
+            key=lambda r: r["batch_ms"],
+        )
+        mb = best["bytes"] / 1e6
+        batch_sec = best["batch_ms"] / 1000
         return {
             "ingest_files": n_files,
             "ingest_mb": round(mb, 2),
-            "ingest_sec": round(elapsed, 4),
-            "ingest_mbps": round(mb / elapsed, 2),
+            "ingest_sec": round(best["elapsed"], 4),
+            "ingest_mbps": round(mb / best["elapsed"], 2),
+            "ingest_batch_sec": round(batch_sec, 4),
+            "ingest_mbps_steady": round(mb / batch_sec, 2) if batch_sec else None,
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
