@@ -41,19 +41,25 @@ def main() -> None:
     registry.load_all()
     names = [n for n in HEADLINE if n in registry.QUERIES]
 
+    def run_once(name: str) -> float:
+        # noop write materializes EVERY output column JVM-side — count()
+        # would let Catalyst prune the computed columns of map-only
+        # queries and under-measure them
+        t0 = time.perf_counter()
+        df = registry.QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     # Warm every headline query once so timings measure the engine in
     # steady state (codegen compiled, classes loaded, file listings
     # cached) rather than first-call overhead.
     for name in names:
-        registry.QUERIES[name](spark, sf_dir).count()
+        run_once(name)
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = registry.QUERIES[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        timings[name] = round(min(run_once(name) for _ in range(2)), 4)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     # Ingest throughput: the reference's own workload (audit files ->
     # sink). Synthetic corpus, full pipeline, one availableNow pass.

@@ -124,6 +124,7 @@ SELECT p_partkey,
        sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
        CAST(pow(p_size, 2) AS DOUBLE) AS size_sq,
        p_partkey % 7 AS key_mod,
+       ((p_partkey - 100) % 7 + 7) % 7 AS key_pmod,
        greatest(p_size, 10) AS size_floor10,
        least(p_size, 40) AS size_cap40
 FROM part
@@ -144,6 +145,8 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
         F.pow(F.col("p_size"), 2).alias("size_sq"),
         (F.col("p_partkey") % 7).alias("key_mod"),
+        # pmod = always-non-negative modulus; DuckDB spells it ((x%n)+n)%n
+        F.pmod(F.col("p_partkey") - 100, F.lit(7)).alias("key_pmod"),
         F.greatest(F.col("p_size"), F.lit(10)).alias("size_floor10"),
         F.least(F.col("p_size"), F.lit(40)).alias("size_cap40"),
     ).orderBy("p_partkey")

@@ -220,3 +220,49 @@ def q_window_lead_next(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("next_type"),
         (F.unix_micros(next_ts) - F.unix_micros(F.col("ts"))).alias("us_to_next"),
     ).orderBy("user_id", "event_id")
+
+
+# RANGE frame over a numeric order key: every order's 30-day trailing
+# revenue within its priority class. RANGE (value-based) frames include
+# all peer rows of the current order-key value, so the sum is
+# deterministic regardless of tie order — the frame semantics the judge
+# of late-arriving trailing aggregates needs. Decimal-exact prefix sums
+# keep rows bit-identical to the oracle.
+_RANGE_ORACLE = """
+SELECT o_orderkey, o_orderpriority, day_no,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (PARTITION BY o_orderpriority ORDER BY day_no
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS trailing_30d_revenue
+FROM (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day_no
+  FROM orders
+  WHERE o_custkey < 200
+)
+ORDER BY o_orderkey
+"""
+
+
+@query("q_window_range_frame", oracle=_RANGE_ORACLE)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    day_no = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day_no")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return (
+        o.withColumn("day_no", day_no)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "day_no",
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .over(w)
+            .cast("double")
+            .alias("trailing_30d_revenue"),
+        )
+        .orderBy("o_orderkey")
+    )
