@@ -124,3 +124,66 @@ def test_connected_components_matches_union_find(spark, raw_edges, n_nodes):
     out = connected_components(nodes_df, edges_df)
     got = {r.doc_id: r.component for r in out.collect()}
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# MinHash signature path: the array-expression signature
+# (array_min over transform) must equal the explode+groupBy reference
+# formulation on arbitrary documents. Regression for a silent
+# wrong-results hazard: F.transform() treats a two-parameter lambda as
+# (element, INDEX), so careless closure binding replaces the permutation
+# constant with the array position.
+# ---------------------------------------------------------------------------
+
+
+@_slow
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=5, max_size=40), min_size=1, max_size=6
+    )
+)
+def test_minhash_signature_matches_explode_reference(spark, texts):
+    from oraaud_kafka_spark.llm.dedup import N_HASHES, _MH_P, _mh_a, _mh_b
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    tokenized = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.array_join(F.slice(F.col("toks"), i, 3), " "),
+    )
+
+    # array-expression path (production shape)
+    base_hashes = F.transform(
+        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
+    )
+
+    def perm(i):
+        return lambda h: (F.lit(_mh_a(i)) * h + _mh_b(i)) % _MH_P
+
+    arr = tokenized.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(base_hashes, perm(i))).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ],
+    )
+
+    # explode + groupBy reference
+    exploded = tokenized.select("doc_id", F.explode(shingles).alias("shingle"))
+    bh = F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10).cast("long")
+    ref = (
+        exploded.select("doc_id", bh.alias("bh"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.lit(_mh_a(i)) * F.col("bh") + _mh_b(i)) % _MH_P).alias(f"h{i}")
+                for i in range(N_HASHES)
+            ]
+        )
+    )
+
+    assert sorted(arr.collect()) == sorted(ref.collect())
