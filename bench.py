@@ -56,6 +56,10 @@ def main() -> None:
     for name in names:
         run_once(name)
 
+    # settle GC debt from the warm loop so it isn't charged to the first
+    # measured query
+    spark.sparkContext._jvm.System.gc()
+
     timings: dict[str, float] = {}
     for name in names:
         timings[name] = round(min(run_once(name) for _ in range(2)), 4)
