@@ -116,3 +116,13 @@ def test_plan_report_counts(spark):
     assert r.n_shuffles >= 1
     assert any("l_partkey" in f for f in r.pushed_filters)
     assert "l_partkey" in r.scan_reads_only
+
+
+def test_spread_is_noop_on_wide_input(spark):
+    from oraaud_kafka_spark.tables import spread
+
+    df = spark.range(1000).repartition(64)
+    out = spread(df, partitions=32)
+    assert out is df  # already wider than target: no extra exchange
+    narrow = spark.range(1000).coalesce(1)
+    assert spread(narrow, partitions=8).rdd.getNumPartitions() == 8
