@@ -106,13 +106,30 @@ def kinesis_batch_writer(
     inject a fake client; the default needs boto3 (import-gated: not in
     this container)."""
 
+    def put_rows(client, rows) -> None:
+        buf = []
+        for row in rows:
+            buf.append({"Data": bytes(row.payload), "PartitionKey": row.key})
+            if len(buf) >= put_batch_size:
+                client.put_records(StreamName=stream_name, Records=buf)
+                buf.clear()
+        if buf:
+            client.put_records(StreamName=stream_name, Records=buf)
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         payloads = batch_df.withColumn(
             "payload", conditional_gzip(F.col("value"), gzip_threshold)
         ).select("key", "payload")
         if client_factory is not None:
-            client = client_factory()
-        else:  # pragma: no cover - boto3 absent in test container
+            # test/injected path: stream rows to the driver so the
+            # injected fake observes every call in-process
+            put_rows(client_factory(), payloads.toLocalIterator())
+            return
+
+        def put_partition(rows):  # pragma: no cover - boto3 absent here
+            # one client per executor partition — puts scale with the
+            # cluster instead of funnelling every record through the
+            # driver
             try:
                 import boto3
             except ImportError as e:
@@ -120,22 +137,9 @@ def kinesis_batch_writer(
                     "Kinesis sink needs boto3 (not in this container); "
                     "pass client_factory to inject a client"
                 ) from e
-            client = boto3.client("kinesis", region_name=region)
+            put_rows(boto3.client("kinesis", region_name=region), rows)
 
-        def put_partition(rows):
-            buf = []
-            for row in rows:
-                buf.append({"Data": bytes(row.payload), "PartitionKey": row.key})
-                if len(buf) >= put_batch_size:
-                    client.put_records(StreamName=stream_name, Records=buf)
-                    buf.clear()
-            if buf:
-                client.put_records(StreamName=stream_name, Records=buf)
-
-        # collect() is deliberate here only when a client factory is given
-        # (test path); production path streams partitions through the
-        # injected client per-executor.
-        put_partition(payloads.toLocalIterator())
+        payloads.rdd.foreachPartition(put_partition)
 
     return write_batch
 
