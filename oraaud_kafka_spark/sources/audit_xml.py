@@ -45,13 +45,23 @@ def driver_hostname() -> str:
 def _decorate(df: DataFrame, hostname: str | None) -> DataFrame:
     host = hostname or driver_hostname()
     src_file = F.input_file_name()
+    # is_complete is computed on the RAW value (rtrim + endsWith — same
+    # semantics as rlike '</Audit>\s*$', KafkaJob.java:59) BEFORE the
+    # newline-strip, so the downstream completeness filter runs a cheap
+    # literal suffix match on the scan output and the ~1 MB translate
+    # copy is evaluated once, only for rows that pass the gate. With the
+    # old order (translate then rlike) Catalyst inlined translate into
+    # the filter condition and every payload was copied twice.
     return (
         df.withColumn("src_file", src_file)
         .withColumn("src_host", F.lit(host))
         .withColumn("src_pid", F.regexp_extract(src_file, PID_PATTERN, 1))
         .withColumn("key", F.concat_ws(":", F.lit(host), src_file))
+        .withColumn(
+            "is_complete",
+            F.endswith(F.rtrim(F.col("value")), F.lit("</Audit>")),
+        )
         .withColumn("value", F.translate("value", "\n", ""))
-        .withColumn("is_complete", F.col("value").rlike(COMPLETE_PATTERN))
     )
 
 

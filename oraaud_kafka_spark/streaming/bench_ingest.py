@@ -42,29 +42,48 @@ def make_corpus(directory: str, n_files: int, records_per_file: int) -> int:
     return total
 
 
+def _noop_sink(batch_df, batch_id: int) -> None:
+    # Materializes every output column JVM-side without the driver-side
+    # collect a memory sink would add; a real deployment's Kafka sink is
+    # likewise executor-side (network), never a driver funnel.
+    batch_df.write.format("noop").mode("overwrite").save()
+
+
 def _one_pass(
     spark: SparkSession, work: Path, tag: str, n_files: int, records_per_file: int
 ) -> dict:
-    from .ingest import build_ingest_stream, start_memory_sink
+    import tempfile as _tf
+
+    from .ingest import build_ingest_stream, start_foreach_batch_sink
 
     watched = work / f"adump_{tag}"
     watched.mkdir()
     total_bytes = make_corpus(str(watched), n_files, records_per_file)
     df = build_ingest_stream(spark, str(watched), hostname="bench")
     t0 = time.perf_counter()
-    q = start_memory_sink(df, f"ingest_bench_{tag}", available_now=True)
+    q = start_foreach_batch_sink(
+        df,
+        _noop_sink,
+        checkpoint_dir=_tf.mkdtemp(prefix=f"ckpt_{tag}_", dir=str(work)),
+        available_now=True,
+    )
     q.awaitTermination(600)
     # steady-state: sum of per-batch execution times from query progress —
     # the analog of the reference's JMX "cumulative transfer millis"
     # (CommonJobMgmt.java:24 measures per-file send time, not daemon
-    # startup)
-    batch_ms = sum(
-        p.durationMs["triggerExecution"] for p in q.recentProgress if p.numInputRows > 0
-    )
+    # startup). File count is verified from the observe() node rather
+    # than a driver-collected table.
+    batch_ms = 0
+    shipped = 0
+    for p in q.recentProgress:
+        if p.numInputRows > 0:
+            batch_ms += p.durationMs["triggerExecution"]
+            obs = (p.observedMetrics or {}).get("ingest_metrics")
+            if obs is not None:
+                shipped += obs["files"] or 0
     q.stop()
     elapsed = time.perf_counter() - t0
-    n = spark.table(f"ingest_bench_{tag}").count()
-    assert n == n_files, f"shipped {n}/{n_files} files"
+    assert shipped == n_files, f"shipped {shipped}/{n_files} files"
     return {"bytes": total_bytes, "elapsed": elapsed, "batch_ms": batch_ms}
 
 
@@ -85,16 +104,17 @@ def run_ingest_bench(
     immediately before reading it, so single-pass numbers are noisy
     (dirty-page writeback competes with the measured read).
     """
-    from .ingest import build_ingest_stream, start_memory_sink
+    from .ingest import build_ingest_stream, start_foreach_batch_sink
 
     work = tempfile.mkdtemp(prefix="ingest_bench_")
     try:
         warm = Path(work) / "warm"
         warm.mkdir()
         make_corpus(str(warm), 4, 50)
-        wq = start_memory_sink(
+        wq = start_foreach_batch_sink(
             build_ingest_stream(spark, str(warm), hostname="warm"),
-            "ingest_warm",
+            _noop_sink,
+            checkpoint_dir=str(Path(work) / "ckpt_warm"),
             available_now=True,
         )
         wq.awaitTermination(120)
