@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import load, spread
 from . import DEC, DEC_MONEY, DEC_RATE, sql_davg, sql_dsum, sql_to_dbl, to_dbl
 
 CUTOFF = "1998-09-02 00:00:00"
@@ -39,15 +39,30 @@ ORDER BY l_returnflag, l_linestatus
 
 @query("q1_pricing_summary", oracle=_ORACLE)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    # Narrow projection + filter FIRST (both reach the parquet scan),
+    # then spread: the fixtures are single-row-group files, so without a
+    # repartition the whole decimal-heavy partial aggregation runs on one
+    # core. spread() no-ops when the scan is already wide (real cluster).
+    li = spread(
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        )
+        .filter(F.col("l_shipdate") <= F.lit(CUTOFF).cast("timestamp"))
+    )
     price = F.col("l_extendedprice").cast(DEC_MONEY)
     disc = F.col("l_discount").cast(DEC_RATE)
     tax = F.col("l_tax").cast(DEC_RATE)
     qty = F.col("l_quantity").cast(DEC)
     price18 = F.col("l_extendedprice").cast(DEC)
     return (
-        li.filter(F.col("l_shipdate") <= F.lit(CUTOFF).cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             to_dbl(F.sum(qty)).alias("sum_qty"),
             to_dbl(F.sum(price18)).alias("sum_base_price"),

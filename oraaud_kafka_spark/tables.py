@@ -22,9 +22,28 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Plan cache: spark.read.parquet costs ~100 ms of driver time per call
+# (file listing + footer schema read). DataFrames are immutable logical
+# plans, so reusing one per (session, dir, table) is safe and drops that
+# cost from every query build — which the per-round harness pays 93+
+# times. Keyed by the session object itself (identity hash) so a
+# stopped/restarted session never serves stale plans.
+_LOAD_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}")
+    key = (spark, sf_dir, name)
+    cached = _LOAD_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _read(spark, sf_dir, name)
+    _LOAD_CACHE[key] = df
+    return df
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
