@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load, register_views
-from . import DEC, sql_davg, sql_dsum, to_dbl
+from . import DEC, dsum, sql_davg, sql_dsum, to_dbl
 
 _GLOBAL_ORACLE = f"""
 SELECT count(*) AS n_rows,
@@ -297,4 +297,90 @@ def q_agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_acctbal").alias("hi"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+# Bivariate statistics via exact moments: corr and covariance are
+# computed from five order-independent decimal sums (sx, sy, sxy, sxx,
+# syy) with the closed-form arithmetic done in IEEE double identically
+# on both engines — the same discipline as q_agg_stats, extended to two
+# variables. Native corr()/covar_samp() stream doubles in partition
+# order and would hash-mismatch; the moment formulation is also the
+# shape that scales (one partial-aggregable pass, no second scan).
+_CORR_ORACLE = f"""
+SELECT l_returnflag,
+       count(*) AS n,
+       ({sql_dsum('l_quantity * l_discount')}
+        - {sql_dsum('l_quantity')} * {sql_dsum('l_discount')}
+          / CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE) AS covar_pop_qd,
+       ({sql_dsum('l_quantity * l_discount')}
+        - {sql_dsum('l_quantity')} * {sql_dsum('l_discount')}
+          / CAST(count(*) AS DOUBLE)) / (count(*) - 1) AS covar_samp_qd,
+       (CAST(count(*) AS DOUBLE) * {sql_dsum('l_quantity * l_discount')}
+        - {sql_dsum('l_quantity')} * {sql_dsum('l_discount')})
+       / (sqrt(CAST(count(*) AS DOUBLE) * {sql_dsum('l_quantity * l_quantity')}
+               - {sql_dsum('l_quantity')} * {sql_dsum('l_quantity')})
+          * sqrt(CAST(count(*) AS DOUBLE) * {sql_dsum('l_discount * l_discount')}
+                 - {sql_dsum('l_discount')} * {sql_dsum('l_discount')})) AS corr_qd
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q_agg_corr_covar", oracle=_CORR_ORACLE)
+def q_agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_discount")
+    n = F.count("*").cast("double")
+    sx = to_dbl(F.sum(x.cast(DEC)))
+    sy = to_dbl(F.sum(y.cast(DEC)))
+    sxy = to_dbl(F.sum((x * y).cast(DEC)))
+    sxx = to_dbl(F.sum((x * x).cast(DEC)))
+    syy = to_dbl(F.sum((y * y).cast(DEC)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            ((sxy - sx * sy / n) / n).alias("covar_pop_qd"),
+            ((sxy - sx * sy / n) / (F.count("*") - 1)).alias("covar_samp_qd"),
+            (
+                (n * sxy - sx * sy)
+                / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+            ).alias("corr_qd"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# Equi-width histogram: integer bucketing is exact (one IEEE division +
+# floor, identical both sides), so the whole distribution profile is
+# hash-checkable. The bucket id is computed in the grouping key — a
+# single partial-aggregable pass, no windowing.
+_HIST_ORACLE = f"""
+SELECT CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bucket,
+       count(*) AS n_items,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       min(l_extendedprice) AS lo,
+       max(l_extendedprice) AS hi
+FROM lineitem
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@query("q_agg_histogram", oracle=_HIST_ORACLE)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 10000.0).cast("bigint")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_quantity").alias("sum_qty"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .orderBy("bucket")
     )
