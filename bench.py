@@ -62,7 +62,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        timings[name] = round(min(run_once(name) for _ in range(2)), 4)
+        # min-of-3: a single GC pause or page-cache miss lands on one run,
+        # not the reported number
+        timings[name] = round(min(run_once(name) for _ in range(3)), 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     # Ingest throughput: the reference's own workload (audit files ->
