@@ -1,0 +1,108 @@
+"""Corpus-management operators for training-data pipelines: deterministic
+dataset splits and per-label embedding centroids.
+
+Both are single-pass, partial-aggregable shapes. The split assignment is
+a pure hash of the stable document id — the only split mechanism that
+stays consistent across reruns, refreshes, and engines (df.sample() is
+seed- and partitioning-dependent, so it can never be oracle-checked nor
+reproduced after a repartition). Centroids use the exact-decimal-moment
+discipline (queries.__init__) so the per-dimension means hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+# Hash-mod split: md5 of the doc id, first 6 hex digits -> 24-bit int,
+# mod 100. 80/10/10 train/val/test. Same hex-parse trick as llm.dedup
+# (conv <-> '0x' cast) so both engines agree on the bucket.
+_SPLIT_ORACLE = """
+SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM (
+  SELECT lang, n_chars,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT lang, n_chars,
+           CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+             % 100 AS bucket
+    FROM documents
+  )
+)
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
+@query("q_split_train_val_test", oracle=_SPLIT_ORACLE)
+def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split audit: per-split per-lang document and
+    character counts. At 100 TB the assignment is a map-only expression on
+    the scan (no shuffle, no state); only the tiny audit aggregate
+    shuffles."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+# Per-dimension decimal(18,8) sums: embedding components are float32
+# (unit scale), widened to double exactly, then rounded identically to
+# scale 8 by both engines; the scale-8 sums stay under 2^53 so the final
+# decimal->double cast is exact. DuckDB's zipped unnests supply the
+# (dim, component) pairs that posexplode supplies in Spark.
+_CENTROID_ORACLE = """
+SELECT label, dim, count(*) AS n,
+       CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,8))) AS DECIMAL(18,8))
+            AS DOUBLE) / count(*) AS centroid
+FROM (
+  SELECT label,
+         unnest(range(len(embedding))) AS dim,
+         unnest(embedding) AS x
+  FROM embeddings
+)
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+
+@query("q_emb_centroids", oracle=_CENTROID_ORACLE)
+def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors, one explode + one partial-aggregable
+    shuffle keyed (label, dim) — at corpus scale each task aggregates its
+    local slice of every centroid before the exchange, so shuffle width
+    is n_labels x n_dims, independent of corpus size."""
+    e = load(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    s = F.sum(F.col("x").cast("double").cast("decimal(18,8)"))
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.count("*").alias("n"),
+            (s.cast("decimal(18,8)").cast("double") / F.count("*")).alias(
+                "centroid"
+            ),
+        )
+        .orderBy("label", "dim")
+    )

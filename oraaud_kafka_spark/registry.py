@@ -41,6 +41,7 @@ _MODULES = (
     "oraaud_kafka_spark.llm.dedup",
     "oraaud_kafka_spark.llm.similarity",
     "oraaud_kafka_spark.llm.multimodal",
+    "oraaud_kafka_spark.llm.corpus",
 )
 
 _loaded = False
