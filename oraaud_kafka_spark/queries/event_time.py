@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load
-from . import DEC, sql_dsum, to_dbl
+from . import DEC, sql_dsum, sql_to_dbl, to_dbl
 
 _TUMBLE_ORACLE = f"""
 SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start,
@@ -155,4 +155,60 @@ def q_time_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("lateness_s") >= 600, 1).otherwise(0)).alias("n_late"),
         )
         .orderBy("event_type")
+    )
+
+
+# Hypertable-style hierarchical rollup: the fine (hourly) continuous
+# aggregate is computed once and the coarse (daily) level re-aggregates
+# the hourly partials instead of rescanning raw events — at 100 TB the
+# daily pass reads n_hours x n_types rows, not the event stream. Exact
+# decimal partials re-aggregate losslessly (sum of sums), which is why
+# the coarse level can be derived at all; the final to-double cast
+# happens only at each emitted level.
+_ROLLUP2_ORACLE = f"""
+WITH hourly AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h_start,
+         event_type,
+         count(*) AS n,
+         sum(CAST(value AS DECIMAL(18,4))) AS dec_value
+  FROM events
+  GROUP BY h_start, event_type
+)
+SELECT time_bucket(INTERVAL 1 DAY, h_start) AS d_start,
+       event_type,
+       count(*) AS n_hours,
+       sum(n) AS n_events,
+       {sql_to_dbl('sum(dec_value)')} AS total_value
+FROM hourly
+GROUP BY d_start, event_type
+ORDER BY d_start, event_type
+"""
+
+
+@query("q_time_hypertable_rollup", oracle=_ROLLUP2_ORACLE)
+def q_time_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.window("ts", "1 hour").alias("hw"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(DEC)).alias("dec_value"),
+    )
+    return (
+        hourly.groupBy(
+            F.window(F.col("hw.start"), "1 day").alias("dw"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum("n").alias("n_events"),
+            to_dbl(F.sum("dec_value")).alias("total_value"),
+        )
+        .select(
+            F.col("dw.start").alias("d_start"),
+            "event_type",
+            "n_hours",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("d_start", "event_type")
     )
