@@ -30,6 +30,7 @@ HEADLINE = [
     "q_dedup_minhash_lsh",     # shingle->minhash->band->bucket join
     "q_sim_cosine_topk_brute", # broadcast queries x corpus + window top-k
     "q_text_quality_score",    # text feature extraction
+    "q_emb_centroids",         # posexplode + partial agg (corpus mgmt)
 ]
 
 

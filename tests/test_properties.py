@@ -187,3 +187,36 @@ def test_minhash_signature_matches_explode_reference(spark, texts):
     )
 
     assert sorted(arr.collect()) == sorted(ref.collect())
+
+
+def test_split_assignment_deterministic_and_exhaustive(spark):
+    """q_split_train_val_test contract: every document lands in exactly one
+    split, assignment is a pure function of doc_id (stable under
+    repartitioning and re-evaluation), and the audit counts reconcile with
+    the raw table."""
+    from oraaud_kafka_spark import registry
+    from oraaud_kafka_spark.tables import load
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    audit = registry.QUERIES["q_split_train_val_test"](spark, sf).collect()
+    d = load(spark, sf, "documents")
+    total = d.count()
+    assert sum(r.n_docs for r in audit) == total
+    assert {r.split for r in audit} <= {"train", "val", "test"}
+
+    # per-doc assignment is identical when computed over a shuffled layout
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 100
+    )
+    base = d.select("doc_id", bucket.alias("b"))
+    shuffled = d.repartition(7).select("doc_id", bucket.alias("b"))
+    diffs = (
+        base.withColumnRenamed("b", "b1")
+        .join(shuffled.withColumnRenamed("b", "b2"), "doc_id")
+        .filter(F.col("b1") != F.col("b2"))
+        .count()
+    )
+    assert diffs == 0
