@@ -108,3 +108,27 @@ def test_filter_pushdown_on_events_json_path(spark):
     e = load(spark, SF_DIR, "events").filter(F.col("event_type") == "click")
     plan = _plan(e)
     assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in plan
+
+
+def test_split_assignment_is_map_only_before_audit_agg(spark):
+    # the split expression must be computed on the scan output with no
+    # exchange before the (tiny) audit aggregation's partial side, and
+    # only the bare columns it needs may be read
+    df = registry.QUERIES["q_split_train_val_test"](spark, SF_DIR)
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "text" not in read_schema  # document bodies never read
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_centroids_partial_aggregate_before_exchange(spark):
+    # per-dimension sums must combine map-side: shuffle width is then
+    # n_labels x n_dims regardless of corpus size
+    df = registry.QUERIES["q_emb_centroids"](spark, SF_DIR)
+    plan = _plan(df)
+    partial_idx = plan.find("HashAggregate")
+    exchange_idx = plan.find("Exchange")
+    assert partial_idx != -1 and exchange_idx != -1
+    # the plan string prints top-down: final agg, exchange, partial agg —
+    # a partial HashAggregate must appear BELOW (after) the exchange
+    assert "HashAggregate" in plan[exchange_idx:]
