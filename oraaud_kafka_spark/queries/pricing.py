@@ -111,3 +111,92 @@ def q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SPARK_SQL)
+
+
+# TPC-H Q3 shape (shipping priority): two selective dimension filters,
+# a broadcast customer join, one fact-fact join, revenue aggregation per
+# order, global top-10. At scale: customer broadcast (filtered segment is
+# small), orders/lineitem shuffle on orderkey once, and the top-10 plans
+# as TakeOrderedAndProject (per-partition heaps, no global sort).
+_Q3_CUT = "1998-06-15 00:00:00"
+
+_Q3_ORACLE = f"""
+SELECT l.l_orderkey,
+       {sql_to_dbl('sum(CAST(l.l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l.l_discount AS DECIMAL(6,4))))')} AS revenue,
+       o.o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '{_Q3_CUT}'
+  AND l.l_shipdate > TIMESTAMP '{_Q3_CUT}'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@query("q3_shipping_priority", oracle=_Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_Q3_CUT).cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_Q3_CUT).cast("timestamp")
+    )
+    revenue = F.sum(
+        F.col("l_extendedprice").cast(DEC_MONEY)
+        * (F.lit(1) - F.col("l_discount").cast(DEC_RATE))
+    )
+    return (
+        li.join(
+            o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(to_dbl(revenue).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey")
+        )
+        .limit(10)
+    )
+
+
+# TPC-H Q6 shape (forecast revenue): pure scan-filter-sum, zero joins —
+# the canonical predicate-pushdown measurement. All three range
+# predicates reach the parquet reader; the aggregate is one global
+# decimal sum (map-side partials, single final row).
+_Q6_ORACLE = """
+SELECT
+  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(l_discount AS DECIMAL(6,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+@query("q6_forecast_revenue", oracle=_Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.04, 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        to_dbl(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC_MONEY)
+                * F.col("l_discount").cast(DEC_RATE)
+            )
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
