@@ -244,3 +244,36 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") < 10)
         .orderBy("doc_id", "pos")
     )
+
+
+# Spark 4 VARIANT path: parse_json once into the binary variant encoding,
+# then typed variant_get extraction — the semi-structured storage model
+# that replaces per-access string re-parsing (get_json_object re-parses
+# the JSON text on every call; a variant column parses once and serves
+# every downstream extraction). The oracle extracts the same field with
+# DuckDB's JSON functions, proving value parity across representations.
+_VARIANT_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q_json_variant", oracle=_VARIANT_ORACLE)
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
