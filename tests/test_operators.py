@@ -126,3 +126,20 @@ def test_spread_is_noop_on_wide_input(spark):
     assert out is df  # already wider than target: no extra exchange
     narrow = spark.range(1000).coalesce(1)
     assert spread(narrow, partitions=8).rdd.getNumPartitions() == 8
+
+
+def test_registry_plan_cache_per_session_and_dir(spark):
+    """Registered callables memoize the built DataFrame per
+    (session, sf_dir): same key returns the identical plan object (no
+    rebuild), different sf_dir builds a distinct plan against the other
+    fixture set."""
+    from oraaud_kafka_spark import registry
+
+    registry.load_all()
+    fn = registry.QUERIES["q1_pricing_summary"]
+    a = fn(spark, "/root/testdata/sf0.001")
+    b = fn(spark, "/root/testdata/sf0.001")
+    c = fn(spark, "/root/testdata/sf0.01")
+    assert a is b
+    assert a is not c
+    assert a.count() >= 0 and c.count() >= 0  # both plans executable
