@@ -355,3 +355,41 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_ts="ts",
         value_cols=["last_purchase"],
     ).select("event_id", "user_id", "ts", "last_purchase").orderBy("event_id")
+
+
+# Salted skew join: deterministic celebrity-key mitigation
+# (operators/skew.py). The salt spreads each hot key over n tasks and
+# the small side replicates n ways, so row multiplicity — and therefore
+# any downstream aggregate — is unchanged; the oracle is the PLAIN join,
+# proving salting is a pure physical rewrite. AQE's runtime skew split
+# handles moderate skew; salting is the explicit fallback for keys so
+# hot a single split still overwhelms a task.
+_SALTED_ORACLE = f"""
+SELECT c.c_mktsegment,
+       count(*) AS n_events,
+       {sql_dsum('e.value')} AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@query("q_join_skew_salted", oracle=_SALTED_ORACLE)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    e = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("join_key"), "value"
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("join_key"), "c_mktsegment"
+    )
+    joined = salted_join(e, c, on="join_key", n_salts=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            to_dbl(F.sum(F.col("value").cast(DEC))).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
