@@ -384,3 +384,33 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# Boolean aggregates (every/some) + filtered aggregation (FILTER clause):
+# flag semantics the audit-analytics layer uses constantly ("did every
+# statement in the session succeed", "any failed login from this host").
+_BOOL_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_orderstatus = 'F') AS any_finished,
+       count(*) FILTER (WHERE o_totalprice > 150000) AS n_big
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("q_agg_bool_logic", oracle=_BOOL_ORACLE)
+def q_agg_bool_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.some(F.col("o_orderstatus") == "F").alias("any_finished"),
+            F.count(F.when(F.col("o_totalprice") > 150000, 1)).alias("n_big"),
+        )
+        .orderBy("o_orderpriority")
+    )
