@@ -266,3 +266,42 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# Event-time RANGE frame: a per-user trailing 7-day sum ordered by the
+# raw timestamp. Spark expresses interval frames over the epoch-second
+# value (rangeBetween takes longs); the oracle uses a native INTERVAL
+# frame over the timestamp — identical window membership because both
+# measure the same 604800-second lookback from each row's event time.
+_TRANGE_ORACLE = """
+SELECT event_id, user_id, ts,
+       CAST(sum(CAST(value AS DECIMAL(18,4)))
+            OVER (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS trailing_7d_value
+FROM events
+WHERE user_id < 40
+ORDER BY user_id, ts, event_id
+"""
+
+
+@query("q_window_time_range_frame", oracle=_TRANGE_ORACLE)
+def q_window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-7 * 86400, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.sum(F.col("value").cast(DEC))
+            .over(w)
+            .cast("double")
+            .alias("trailing_7d_value"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
