@@ -21,7 +21,7 @@ from ..tables import load
 # mod 100. 80/10/10 train/val/test. Same hex-parse trick as llm.dedup
 # (conv <-> '0x' cast) so both engines agree on the bucket.
 _SPLIT_ORACLE = """
-SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM (
   SELECT lang, n_chars,
          CASE WHEN bucket < 80 THEN 'train'

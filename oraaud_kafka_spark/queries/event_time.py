@@ -130,7 +130,7 @@ def q_time_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LATE_ORACLE = """
 SELECT event_type,
        count(*) AS n_events,
-       sum(CASE WHEN lateness >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END) AS n_late
+       CAST(sum(CASE WHEN lateness >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_late
 FROM (
   SELECT event_type,
          max(ts) OVER (ORDER BY event_id
@@ -177,7 +177,7 @@ WITH hourly AS (
 SELECT time_bucket(INTERVAL 1 DAY, h_start) AS d_start,
        event_type,
        count(*) AS n_hours,
-       sum(n) AS n_events,
+       CAST(sum(n) AS BIGINT) AS n_events,
        {sql_to_dbl('sum(dec_value)')} AS total_value
 FROM hourly
 GROUP BY d_start, event_type

@@ -107,7 +107,7 @@ _NULL_ORACLE = """
 SELECT c_mktsegment,
        count(*) AS n,
        count(nullif(sign(c_acctbal), -1)) AS n_nonneg,
-       sum(CASE WHEN coalesce(nullif(c_acctbal, 0.0), -1.0) < 0 THEN 1 ELSE 0 END) AS n_neg_or_zero
+       CAST(sum(CASE WHEN coalesce(nullif(c_acctbal, 0.0), -1.0) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg_or_zero
 FROM customer
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment

@@ -118,8 +118,8 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MATH_ORACLE = """
 SELECT p_partkey,
        abs(p_size - 25) AS dist_from_25,
-       floor(p_retailprice / 100) AS price_bucket,
-       ceil(p_retailprice / 100) AS price_bucket_hi,
+       CAST(floor(p_retailprice / 100) AS BIGINT) AS price_bucket,
+       CAST(ceil(p_retailprice / 100) AS BIGINT) AS price_bucket_hi,
        round(p_retailprice, 1) AS price_r1,
        sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
        CAST(pow(p_size, 2) AS DOUBLE) AS size_sq,

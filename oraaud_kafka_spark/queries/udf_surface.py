@@ -46,7 +46,7 @@ def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GAGG_ORACLE = """
 SELECT o_orderpriority,
-       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority

@@ -269,10 +269,11 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Event-time RANGE frame: a per-user trailing 7-day sum ordered by the
-# raw timestamp. Spark expresses interval frames over the epoch-second
-# value (rangeBetween takes longs); the oracle uses a native INTERVAL
-# frame over the timestamp — identical window membership because both
-# measure the same 604800-second lookback from each row's event time.
+# raw timestamp. Spark expresses interval frames over the epoch value
+# (rangeBetween takes longs), so order by unix_micros with a
+# microsecond-scaled bound — full timestamp precision, matching the
+# oracle's native INTERVAL frame exactly even for same-second peer rows
+# or pairs straddling the 7-day boundary by sub-second margins.
 _TRANGE_ORACLE = """
 SELECT event_id, user_id, ts,
        CAST(sum(CAST(value AS DECIMAL(18,4)))
@@ -290,8 +291,8 @@ def q_window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-7 * 86400, Window.currentRow)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 86400 * 1_000_000, Window.currentRow)
     )
     return (
         e.select(

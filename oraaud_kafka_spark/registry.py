@@ -24,24 +24,29 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Registration order is deliberate: the driver's correctness gate checks a
+# bounded window from the FRONT of this list, so families that have never
+# received a driver CORRECTNESS row register first (llm.*, scalar/JSON/
+# subquery/event-time/set-op tails), and families already driver-verified
+# green in round 1 (pricing/filters/joins/aggregates/windows/sorts) last.
 _MODULES = (
+    "oraaud_kafka_spark.llm.text",
+    "oraaud_kafka_spark.llm.dedup",
+    "oraaud_kafka_spark.llm.similarity",
+    "oraaud_kafka_spark.llm.multimodal",
+    "oraaud_kafka_spark.llm.corpus",
+    "oraaud_kafka_spark.queries.scalar_funcs",
+    "oraaud_kafka_spark.queries.semistructured",
+    "oraaud_kafka_spark.queries.subqueries",
+    "oraaud_kafka_spark.queries.event_time",
+    "oraaud_kafka_spark.queries.udf_surface",
+    "oraaud_kafka_spark.queries.setops",
     "oraaud_kafka_spark.queries.pricing",
     "oraaud_kafka_spark.queries.filters",
     "oraaud_kafka_spark.queries.joins",
     "oraaud_kafka_spark.queries.aggregates",
     "oraaud_kafka_spark.queries.windows",
     "oraaud_kafka_spark.queries.sorts",
-    "oraaud_kafka_spark.queries.setops",
-    "oraaud_kafka_spark.queries.scalar_funcs",
-    "oraaud_kafka_spark.queries.semistructured",
-    "oraaud_kafka_spark.queries.event_time",
-    "oraaud_kafka_spark.queries.udf_surface",
-    "oraaud_kafka_spark.queries.subqueries",
-    "oraaud_kafka_spark.llm.text",
-    "oraaud_kafka_spark.llm.dedup",
-    "oraaud_kafka_spark.llm.similarity",
-    "oraaud_kafka_spark.llm.multimodal",
-    "oraaud_kafka_spark.llm.corpus",
 )
 
 _loaded = False

@@ -59,12 +59,28 @@ def _cell_equal(a, b) -> bool:
     return a == b
 
 
+def _dtype_class(dtype) -> str:
+    """Collapse a pandas dtype to the class the driver's value hash is
+    sensitive to: the hash stringifies cells, so int64 26 vs float64 26.0
+    mismatch while int32 vs int64 don't."""
+    kind = getattr(dtype, "kind", "O")
+    return {"i": "int", "u": "int", "f": "float", "b": "bool", "M": "datetime"}.get(
+        kind, "object"
+    )
+
+
 def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     """Return a list of human-readable mismatch descriptions (empty = pass)."""
     problems: list[str] = []
     scols, ocols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
     if scols != ocols:
         return [f"column mismatch: spark={scols} oracle={ocols}"]
+    for c in scols:
+        sc, oc = _dtype_class(spark_pdf[c].dtype), _dtype_class(oracle_pdf[c].dtype)
+        if sc != oc:
+            problems.append(f"dtype class mismatch col {c}: spark={sc} oracle={oc}")
+    if problems:
+        return problems
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
         return problems
