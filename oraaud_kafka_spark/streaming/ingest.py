@@ -58,6 +58,18 @@ def build_ingest_stream(
     )
 
 
+def kafka_records(df: DataFrame) -> DataFrame:
+    """The exact (key, value) projection the Kafka sink ships — the
+    ProducerRecord contract of the reference (KafkaJob.java:60-80:
+    key=host:file, value=whole file newline-stripped). Factored out so
+    tests can drive the identical projection through foreachBatch when
+    no broker/connector JAR is available."""
+    return df.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+    )
+
+
 def start_kafka_sink(
     df: DataFrame,
     *,
@@ -75,10 +87,7 @@ def start_kafka_sink(
     ``kafka_options``. Requires the spark-sql-kafka connector JAR on the
     classpath (not bundled with pyspark)."""
     writer = (
-        df.select(
-            F.col("key").cast("string").alias("key"),
-            F.col("value").cast("string").alias("value"),
-        )
+        kafka_records(df)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)
@@ -99,22 +108,62 @@ def kinesis_batch_writer(
     gzip_threshold: int = DEFAULT_THRESHOLD,
     client_factory: Callable | None = None,
     put_batch_size: int = 500,
+    put_retries: int = 5,
+    retry_backoff_s: float = 0.2,
 ) -> Callable[[DataFrame, int], None]:
     """R-14: Kinesis has no built-in Spark sink — ship each micro-batch
     with put_records from foreachBatch. Payloads gzip above the
     threshold (KinesisJob.java:66-73). ``client_factory`` lets tests
     inject a fake client; the default needs boto3 (import-gated: not in
-    this container)."""
+    this container).
+
+    put_records is PARTIAL-failure prone: a 200 response can still carry
+    ``FailedRecordCount > 0`` with per-record ``ErrorCode`` entries
+    (throttling). Those records are retried with exponential backoff; if
+    retries exhaust, the micro-batch raises and is NOT committed, so
+    cleanSource=delete retains the source files for redelivery — the
+    same file-lives-until-ack contract the reference implements by
+    deleting only in the producer success callback (KinesisJob.java
+    onSuccess)."""
+
+    def put_with_retry(client, records: list) -> None:
+        import time
+
+        attempt = 0
+        while records:
+            resp = client.put_records(StreamName=stream_name, Records=records)
+            resp = resp or {}
+            if not (resp.get("FailedRecordCount") or 0):
+                return
+            results = resp.get("Records") or []
+            # per-record results are positional; keep only the failed ones
+            records = [
+                rec
+                for rec, res in zip(records, results)
+                if res.get("ErrorCode")
+            ]
+            if not records:
+                return
+            attempt += 1
+            if attempt > put_retries:
+                raise RuntimeError(
+                    f"Kinesis put_records: {len(records)} records still "
+                    f"failing after {put_retries} retries "
+                    f"(first ErrorCode: "
+                    f"{next(res['ErrorCode'] for res in results if res.get('ErrorCode'))}); "
+                    "failing micro-batch so source files are retained"
+                )
+            time.sleep(retry_backoff_s * (2 ** (attempt - 1)))
 
     def put_rows(client, rows) -> None:
         buf = []
         for row in rows:
             buf.append({"Data": bytes(row.payload), "PartitionKey": row.key})
             if len(buf) >= put_batch_size:
-                client.put_records(StreamName=stream_name, Records=buf)
-                buf.clear()
+                put_with_retry(client, buf)
+                buf = []
         if buf:
-            client.put_records(StreamName=stream_name, Records=buf)
+            put_with_retry(client, buf)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         payloads = batch_df.withColumn(

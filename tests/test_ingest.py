@@ -302,3 +302,112 @@ def test_dual_sink_reject_side_channel(spark, tmp_path):
     rows = rej.collect()
     assert [os.path.basename(r.src_file) for r in rows] == ["orcl_ora_12346_0002.xml"]
     assert rows[0].src_pid == "12346"
+
+
+def _payload_df(spark, n=4):
+    """Static frame with the (key, value) contract the ingest stream
+    produces — lets the Kinesis writer's foreachBatch body be driven
+    directly, no streaming machinery."""
+    return spark.createDataFrame(
+        [(f"h:/audit/f{i}.xml", f"<Audit>doc {i}</Audit>") for i in range(n)],
+        "key string, value string",
+    )
+
+
+def test_kinesis_partial_failure_retries_only_failed(spark):
+    """A 200 response with FailedRecordCount>0 (throttling) must retry
+    ONLY the records whose result carries an ErrorCode, and every record
+    must eventually be delivered exactly once per successful put."""
+    calls: list[list] = []
+
+    class ThrottlingKinesis:
+        def put_records(self, StreamName, Records):
+            calls.append(list(Records))
+            if len(calls) == 1:
+                # fail every odd-indexed record on the first attempt
+                results = [
+                    {"ErrorCode": "ProvisionedThroughputExceededException"}
+                    if i % 2
+                    else {"SequenceNumber": str(i)}
+                    for i in range(len(Records))
+                ]
+                return {
+                    "FailedRecordCount": len(Records) // 2,
+                    "Records": results,
+                }
+            return {"FailedRecordCount": 0}
+
+    writer = kinesis_batch_writer(
+        "s",
+        "us-east-1",
+        client_factory=ThrottlingKinesis,
+        retry_backoff_s=0.0,
+    )
+    writer(_payload_df(spark, 4), 0)
+
+    assert len(calls) == 2
+    # first attempt ships all 4; the retry ships exactly the 2 failed
+    assert len(calls[0]) == 4
+    assert [r["PartitionKey"] for r in calls[1]] == [
+        "h:/audit/f1.xml",
+        "h:/audit/f3.xml",
+    ]
+
+
+def test_kinesis_exhausted_retries_fail_batch(spark):
+    """If retries exhaust, the micro-batch must raise (-> not committed,
+    cleanSource keeps the files) instead of silently dropping records."""
+    n_calls = 0
+
+    class AlwaysThrottled:
+        def put_records(self, StreamName, Records):
+            nonlocal n_calls
+            n_calls += 1
+            return {
+                "FailedRecordCount": len(Records),
+                "Records": [
+                    {"ErrorCode": "InternalFailure"} for _ in Records
+                ],
+            }
+
+    writer = kinesis_batch_writer(
+        "s",
+        "us-east-1",
+        client_factory=AlwaysThrottled,
+        put_retries=2,
+        retry_backoff_s=0.0,
+    )
+    with pytest.raises(RuntimeError, match="still failing after 2 retries"):
+        writer(_payload_df(spark, 3), 0)
+    assert n_calls == 3  # initial + 2 retries
+
+
+def test_kafka_sink_record_contract(spark, tmp_path):
+    """R-13: the exact ProducerRecord projection start_kafka_sink ships
+    (kafka_records), driven through foreachBatch since no broker exists
+    in this container: key = host:absolute_file (KafkaJob.java:47),
+    value = whole file with newlines stripped (KafkaJob.java:60-80),
+    incomplete files never shipped."""
+    from oraaud_kafka_spark.streaming.ingest import kafka_records
+
+    make_corpus(tmp_path)
+    captured = []
+
+    def capture(batch_df, batch_id):
+        captured.extend(kafka_records(batch_df).collect())
+
+    stream = build_ingest_stream(
+        spark, str(tmp_path), hostname="kafkahost", clean_source=None
+    )
+    q = start_foreach_batch_sink(
+        stream, capture, checkpoint_dir=str(tmp_path / "_ckk"), available_now=True
+    )
+    q.awaitTermination(60)
+
+    assert len(captured) == 1  # only the complete file ships
+    rec = captured[0]
+    assert set(rec.asDict()) == {"key", "value"}  # the wire columns, nothing else
+    host, _, path = rec.key.partition(":")
+    assert host == "kafkahost" and path.endswith("orcl_ora_12345_0001.xml")
+    assert "\n" not in rec.value and "\r" not in rec.value
+    assert rec.value.startswith("<?xml") and rec.value.endswith("</Audit>")
