@@ -5,10 +5,17 @@ groups).
 Each iteration: every node takes the min of its own label and its
 neighbors' labels; converges in O(graph diameter) rounds. All work is
 joins + groupBy (shuffles on node id) — no driver-side graph state; the
-driver only checks the per-round convergence counter. localCheckpoint
+driver only checks the per-round convergence counter. Checkpointing
 truncates the lineage each round so plan size stays constant (the
 classic iterative-algorithm failure mode on Spark is exponential plan
 growth, not compute).
+
+Durability: ``localCheckpoint`` (the default) stores blocks on
+executors with lineage discarded — fast, but an executor loss
+mid-iteration is unrecoverable. For long cluster runs set a reliable
+checkpoint dir (``spark.sparkContext.setCheckpointDir`` or the
+``checkpoint_dir`` argument) and blocks go to fault-tolerant storage
+with full recompute-on-loss.
 """
 
 from __future__ import annotations
@@ -25,28 +32,40 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 50,
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Label each node in ``nodes`` with the min node id reachable in the
     undirected graph given by ``edges``. Returns (node_col, component).
-    Isolated nodes are their own component."""
+    Isolated nodes are their own component.
+
+    ``reliable=True`` (implied by ``checkpoint_dir``) uses
+    ``DataFrame.checkpoint()`` against the session's checkpoint dir so an
+    executor loss mid-iteration recomputes instead of aborting."""
+    if checkpoint_dir is not None:
+        nodes.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        reliable = True
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable else df.localCheckpoint()
+
     bi = edges.select(
         F.col(src_col).alias("s"), F.col(dst_col).alias("t")
     ).union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("t")))
-    bi = bi.distinct().localCheckpoint()
+    bi = ckpt(bi.distinct())
 
-    labels = nodes.select(
-        F.col(node_col).alias("node"), F.col(node_col).alias("component")
-    ).localCheckpoint()
+    labels = ckpt(
+        nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("component"))
+    )
 
     for _ in range(max_iter):
         neighbor_labels = bi.join(
             labels, bi.s == labels.node
         ).select(F.col("t").alias("node"), "component")
-        new_labels = (
+        new_labels = ckpt(
             labels.union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
         )
         changed = (
             labels.alias("old")

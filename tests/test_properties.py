@@ -220,3 +220,23 @@ def test_split_assignment_deterministic_and_exhaustive(spark):
         .count()
     )
     assert diffs == 0
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """Reliable-checkpoint path: same answers, and RDD checkpoint files
+    actually land in the configured dir (fault-tolerant storage, so an
+    executor loss recomputes instead of aborting the clustering job)."""
+    import os
+
+    from oraaud_kafka_spark.operators.components import connected_components
+
+    nodes = spark.createDataFrame([(n,) for n in range(6)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "doc_a long, doc_b long"
+    )
+    ckdir = str(tmp_path / "reliable_ck")
+    out = connected_components(nodes, edges, checkpoint_dir=ckdir)
+    got = {r.doc_id: r.component for r in out.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
+    walked = [f for _, _, fs in os.walk(ckdir) for f in fs]
+    assert walked, "no checkpoint files written to the reliable dir"
