@@ -344,3 +344,55 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "nid", "cosine", "rnk")
         .orderBy("qid", "rnk")
     )
+
+
+# rows-only: the trained centroids come out of an iterative Lloyd loop
+# (operators/kmeans.py) that plain SQL can't reproduce; recall quality
+# vs the brute-force baseline is asserted in tests/test_properties.py.
+@query("q_sim_ivf_kmeans_topk")
+def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a k-means-TRAINED coarse quantizer. Identical plan
+    shape to q_sim_ivf_topk (in-projection assign -> equi-join on list
+    id -> exact re-rank on candidates only); only the centroid constants
+    differ, so the 100 TB cost model carries over unchanged while the
+    inverted lists actually follow the data distribution."""
+    from ..operators.kmeans import train_kmeans
+
+    e = load(spark, sf_dir, "embeddings")
+    trained = train_kmeans(
+        e.select("vec_id", "embedding"), k=N_CENTROIDS, max_iter=4
+    )
+    centroids = spark.createDataFrame(trained, "cid int, cv array<double>")
+    lists = _ivf_assign(e.select("vec_id", "embedding"), centroids, 1, "nid")
+    probes = _ivf_assign(
+        e.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding"),
+        centroids,
+        NPROBE,
+        "qid",
+    ).select(
+        "qid",
+        F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qnorm"),
+        "cid",
+    )
+    lists = lists.withColumn("nnorm", _norm(F.col("embedding")))
+    scored = (
+        probes.join(lists, "cid")
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            (
+                _dot(F.col("qv"), F.col("embedding"))
+                / (F.col("qnorm") * F.col("nnorm"))
+            ).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "nid", "cosine", "rnk")
+        .orderBy("qid", "rnk")
+    )

@@ -1,0 +1,100 @@
+"""Lloyd's k-means over an embedding column — trains the coarse
+quantizer for IVF ANN (llm/similarity.py).
+
+Scale shape (the part that matters at 100 TB):
+
+- Centroids live on the DRIVER between iterations — k x dim doubles
+  (8 x 64 here), NEVER O(N) data. This is the same layout Spark MLlib
+  uses for KMeans: the model is small, the data is big.
+- Assignment is a pure in-projection argmax over k literal-array dot
+  products — zero shuffle, whole-stage-codegen'd, no UDF.
+- The only shuffle per iteration is the groupBy(cid) computing the
+  element-wise means, and every avg() is partial-aggregated map-side
+  before the exchange, so the shuffle carries k x dim partial sums per
+  map task, not rows.
+
+Determinism: init = the k lowest-id vectors, fixed iteration count,
+sequential fold order in the dot products — identical centroids on
+every run, so downstream query results are stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _lit_vec(vals: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def _dot_lit(vec: Column, vals: list[float]) -> Column:
+    """Sequential-fold dot of an array column against a driver-side
+    constant vector (same fold order as similarity._dot)."""
+    return F.aggregate(
+        F.zip_with(vec, _lit_vec(vals), lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm_sq(vec: Column) -> Column:
+    return F.aggregate(
+        F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def nearest_centroid(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Argmax-cosine centroid id as a single expression (no shuffle, no
+    UDF). Ties break to the lowest cid. Centroid norms are Python-side
+    constants — computed once, folded into the expression."""
+    import math
+
+    cands = []
+    for cid, cv in centroids:
+        cn = math.sqrt(sum(float(x) * float(x) for x in cv)) or 1.0
+        cos = _dot_lit(vec, cv) / (F.sqrt(_norm_sq(vec)) * F.lit(cn))
+        cands.append(F.struct(cos.alias("cos"), F.lit(-cid).alias("neg_cid")))
+    best = F.array_max(F.array(*cands))
+    return (-best["neg_cid"]).cast("int").alias("cid")
+
+
+def train_kmeans(
+    vectors: DataFrame,
+    *,
+    k: int,
+    dim: int | None = None,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Return [(cid, centroid_vector)] after ``max_iter`` Lloyd rounds.
+
+    Each round runs ONE Spark job: project assignment (codegen'd argmax)
+    -> groupBy(cid) with dim partial-agg'd avg()s -> collect k rows to
+    the driver. Empty clusters keep their previous centroid."""
+    init = (
+        vectors.orderBy(id_col)
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [(i, [float(x) for x in row[0]]) for i, row in enumerate(init)]
+    if dim is None:
+        dim = len(centroids[0][1])
+    for _ in range(max_iter):
+        assigned = vectors.select(
+            nearest_centroid(F.col(vec_col), centroids), F.col(vec_col).alias("v")
+        )
+        means = (
+            assigned.groupBy("cid")
+            .agg(*[F.avg(F.col("v")[i].cast("double")).alias(f"d{i}") for i in range(dim)])
+            .collect()
+        )
+        updated = dict(centroids)
+        for row in means:
+            updated[row["cid"]] = [row[f"d{i}"] for i in range(dim)]
+        centroids = sorted(updated.items())
+    return centroids

