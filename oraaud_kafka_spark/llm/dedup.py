@@ -372,6 +372,13 @@ ORDER BY doc_a, doc_b
 
 @query("q_dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise token-Jaccard within (lang, size_bucket) blocks. The
+    blocked self-join is triangle-decomposed (operators/triangle.py) so
+    one oversized block can't land w^2 comparisons on a single task —
+    per-task pair count is bounded by (w/n_sub)^2 while the pair set
+    (and therefore the oracle) is exactly the plain self-join's."""
+    from ..operators.triangle import triangle_self_join
+
     d = load(spark, sf_dir, "documents")
     t = spread(
         d.select(
@@ -381,25 +388,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.split("text", " ")).alias("toks"),
         )
     )
-    a = t.select(
-        F.col("doc_id").alias("doc_a"), "lang", "size_bucket", F.col("toks").alias("toks_a")
-    )
-    b = t.select(
-        F.col("doc_id").alias("doc_b"), "lang", "size_bucket", F.col("toks").alias("toks_b")
-    )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size(F.array_distinct(F.concat("toks_a", "toks_b")))
-    return (
-        a.join(b, ["lang", "size_bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(inter * 2 >= union)
-        .select(
-            "doc_a",
-            "doc_b",
-            (inter.cast("double") / union).alias("jaccard"),
-        )
-        .orderBy("doc_a", "doc_b")
+    pairs = triangle_self_join(
+        t,
+        block_cols=["lang", "size_bucket"],
+        id_col="doc_id",
+        n_sub=4,
+        pair_filter=inter * 2 >= union,
     )
+    return pairs.select(
+        F.col("doc_id_a").alias("doc_a"),
+        F.col("doc_id_b").alias("doc_b"),
+        (inter.cast("double") / union).alias("jaccard"),
+    ).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------

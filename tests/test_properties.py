@@ -289,3 +289,53 @@ def test_kmeans_deterministic_and_balanced(spark):
     )
     total = sum(r["count"] for r in sizes)
     assert max(r["count"] for r in sizes) < total
+
+
+def test_triangle_self_join_exact_pair_cover(spark):
+    """Triangle decomposition must produce every within-block pair
+    EXACTLY once (no loss across sub-buckets, no diagonal duplicates),
+    even when one block holds almost all rows."""
+    from itertools import combinations
+
+    from oraaud_kafka_spark.operators.triangle import triangle_self_join
+
+    # one pathological block of 40 rows plus a small second block
+    rows = [(i, "big") for i in range(40)] + [(100 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, blk string")
+    got = sorted(
+        (r.doc_id_a, r.doc_id_b)
+        for r in triangle_self_join(
+            df, block_cols=["blk"], id_col="doc_id", n_sub=4
+        ).collect()
+    )
+    want = sorted(
+        (a, b)
+        for ids in (list(range(40)), [100, 101, 102])
+        for a, b in combinations(ids, 2)
+    )
+    assert got == want
+
+
+def test_triangle_self_join_bounds_cell_width(spark):
+    """No grid cell may carry more than ~(2w/n)^2/2 of a block's pairs:
+    the whole point is that a single task never sees the full w^2."""
+    from oraaud_kafka_spark.operators.triangle import triangle_self_join
+
+    n_sub, w = 4, 200
+    df = spark.createDataFrame([(i, "hot") for i in range(w)], "doc_id long, blk string")
+    pairs = triangle_self_join(df, block_cols=["blk"], id_col="doc_id", n_sub=n_sub)
+    # re-derive each surviving pair's canonical cell and count per cell
+    sub_a = F.pmod(F.xxhash64("doc_id_a"), F.lit(n_sub))
+    sub_b = F.pmod(F.xxhash64("doc_id_b"), F.lit(n_sub))
+    per_cell = (
+        pairs.groupBy(
+            F.least(sub_a, sub_b).alias("ci"), F.greatest(sub_a, sub_b).alias("cj")
+        )
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in per_cell)
+    assert total == w * (w - 1) // 2
+    assert len(per_cell) == n_sub * (n_sub + 1) // 2
+    # xxhash64 spreads ~uniformly: worst cell well under half the block
+    assert max(r["count"] for r in per_cell) < total / 2
