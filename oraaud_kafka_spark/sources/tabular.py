@@ -84,3 +84,44 @@ def write_bucketed_table(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table, format="parquet")
+
+
+def delta_available(spark: SparkSession) -> bool:
+    """True when the delta-spark package AND its JVM extension are on
+    this session. Needs the session built with
+    ``delta.configure_spark_with_delta_pip`` (or the equivalent
+    --packages io.delta:delta-spark); not bundled in this container."""
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        return False
+    cls = "org.apache.spark.sql.delta.catalog.DeltaCatalog"
+    return cls in spark.conf.get("spark.sql.catalog.spark_catalog", "")
+
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    mode: str = "error",
+    merge_schema: bool = False,
+) -> None:
+    """Delta-format sink (SURVEY.md §2.2 "Parquet/Delta"): same layout
+    guidance as write_parquet plus ACID commits, schema enforcement and
+    time travel. Import-gated — raises a clear error when delta-spark
+    isn't installed (this container) instead of failing inside the JVM;
+    the plan shape is identical to the parquet writer either way."""
+    if not delta_available(df.sparkSession):
+        raise NotImplementedError(
+            "Delta sink needs the delta-spark package and a session built "
+            "with its SQL extension (configure_spark_with_delta_pip); "
+            "neither is available in this container - use write_parquet, "
+            "or install delta-spark on the cluster."
+        )
+    writer = df.write.format("delta").mode(mode)
+    if merge_schema:
+        writer = writer.option("mergeSchema", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)

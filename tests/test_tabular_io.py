@@ -59,3 +59,15 @@ def test_bucketed_table_join_skips_shuffle(spark, tmp_path):
         assert agg.count() == orders.select("o_custkey").distinct().count()
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
+
+def test_write_delta_gated_without_delta_spark(spark, tmp_path):
+    """Delta sink declares itself unavailable here (no delta-spark in
+    the container) with an actionable error, not a JVM classload crash."""
+    import pytest
+
+    from oraaud_kafka_spark.sources.tabular import delta_available, write_delta
+
+    df = spark.range(3)
+    assert not delta_available(spark)
+    with pytest.raises(NotImplementedError, match="delta-spark"):
+        write_delta(df, str(tmp_path / "d"))
