@@ -1,0 +1,162 @@
+"""Sequence packing + corpus sampling for LLM training pipelines.
+
+Packing: training wants fixed token budgets per sample; documents come
+in arbitrary lengths. Two variants:
+
+- chunked: pack boundary every ``BUDGET`` cumulative tokens within a
+  language, deterministic order by doc_id — one window cumsum + one
+  groupBy, fully SQL-expressible (oracle-checked). Documents can
+  straddle a boundary; downstream consumers truncate. This is the
+  shape that scales: a single pass, partial-agg'd, no iteration.
+- greedy: the classic "open a new pack when the next doc would
+  overflow" loop — inherently sequential per language, so it runs as
+  applyInPandas over lang partitions (one Python pass per group, Arrow
+  in/out). Rows-only check; the budget invariant is property-tested.
+
+Stratified sampling: per-language keep-rates from a pure hash of the
+stable doc id (md5 hex prefix -> 24-bit int, same expression both
+engines) — reproducible on reruns and insensitive to row order or
+partitioning, unlike rand()-based sampleBy.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load, spread
+
+BUDGET = 512
+
+_CHUNKED_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_toks,
+         coalesce(sum(n_toks) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_toks
+  FROM t
+)
+SELECT lang,
+       CAST(floor(prior_toks / {BUDGET}) AS BIGINT) AS pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS first_doc
+FROM c
+GROUP BY lang, pack_id
+ORDER BY lang, pack_id
+"""
+
+
+@query("q_pack_chunked", oracle=_CHUNKED_ORACLE)
+def q_pack_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn("prior_toks", F.coalesce(F.sum("n_toks").over(w), F.lit(0)))
+    return (
+        c.withColumn("pack_id", F.floor(F.col("prior_toks") / BUDGET))
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang", "pack_id")
+    )
+
+
+# rows-only: the greedy open-new-pack-on-overflow recurrence isn't a
+# window function; tests/test_properties.py proves the budget invariant
+# and exact agreement with a driver-side reference packer.
+@query("q_pack_greedy")
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit sequential packing per language via applyInPandas: each
+    language group arrives as ONE pandas frame (sorted by doc_id), the
+    greedy pass is a tight Python loop over integers, and Arrow moves
+    the batch both ways. Parallelism = number of languages; each group's
+    work is linear. For corpora where one language dominates, pre-split
+    the stratum (e.g. on a hash prefix) before packing."""
+    d = load(spark, sf_dir, "documents")
+    t = spread(
+        d.select("doc_id", "lang", F.size(F.split("text", " ")).alias("n_toks"))
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids, cur_id, cur_toks = [], 0, 0
+        for n in pdf["n_toks"]:
+            if cur_toks and cur_toks + n > BUDGET:
+                cur_id += 1
+                cur_toks = 0
+            cur_toks += int(n)
+            pack_ids.append(cur_id)
+        pdf["pack_id"] = pack_ids
+        return pdf
+
+    return (
+        t.groupBy("lang")
+        .applyInPandas(pack, "doc_id long, lang string, n_toks int, pack_id long")
+        .orderBy("lang", "doc_id")
+    )
+
+
+# 24-bit hash of the doc id: identical md5-hex-prefix expression on both
+# engines (same mechanism as corpus.q_split_train_val_test).
+_H24 = 1 << 24
+_RATES = {"en": 0.5, "zh": 0.4}
+_DEFAULT_RATE = 0.2
+
+_RATE_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN lang = '{lang}' THEN {int(rate * _H24)}" for lang, rate in _RATES.items()
+    )
+    + f" ELSE {int(_DEFAULT_RATE * _H24)} END"
+)
+
+_SAMPLE_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, lang, source,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) AS h24
+  FROM documents
+)
+SELECT doc_id, lang, source
+FROM h
+WHERE h24 < {_RATE_CASE}
+ORDER BY doc_id
+"""
+
+
+@query("q_sample_stratified", oracle=_SAMPLE_ORACLE)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling: keep iff
+    hash24(doc_id) < rate * 2^24. Map-only (no shuffle), reproducible
+    across reruns/partitionings, and the kept set only shrinks/grows
+    monotonically as rates move — the properties rand()-based sampleBy
+    can't give a training pipeline."""
+    d = load(spark, sf_dir, "documents")
+    h24 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+        "long"
+    )
+    rate_expr = F.lit(int(_DEFAULT_RATE * _H24))
+    for lang, rate in reversed(list(_RATES.items())):
+        rate_expr = F.when(F.col("lang") == lang, int(rate * _H24)).otherwise(rate_expr)
+    return (
+        d.select("doc_id", "lang", "source")
+        .filter(h24 < rate_expr)
+        .orderBy("doc_id")
+    )

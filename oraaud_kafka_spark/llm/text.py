@@ -180,3 +180,51 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(bag).alias("bag_fingerprint"),
         F.md5(F.col("text")).alias("exact_fingerprint"),
     ).orderBy("doc_id")
+
+
+# Repetition filter: flag docs whose single most frequent token exceeds
+# 1/5 of all tokens — the cheap "word-salad / boilerplate loop" signal.
+# Shape at scale: explode -> two partial-agg'd groupBys keyed on doc_id
+# (count, then max) — shuffles doc_id + token, never materializes
+# per-doc state anywhere but the agg hash table.
+_REPETITION_ORACLE = """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+counts AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+  GROUP BY doc_id, tok
+),
+top AS (SELECT doc_id, max(c) AS top_tok_count FROM counts GROUP BY doc_id)
+SELECT t.doc_id, lang,
+       len(toks) AS n_toks,
+       CAST(top_tok_count AS BIGINT) AS top_tok_count,
+       CAST(top_tok_count AS DOUBLE) / len(toks) AS top_tok_ratio,
+       CASE WHEN top_tok_count * 5 > len(toks) THEN 1 ELSE 0 END AS repetitive
+FROM t JOIN top USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@query("q_text_repetition_filter", oracle=_REPETITION_ORACLE)
+def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    exploded = t.select(
+        "doc_id", "lang", F.size("toks").alias("n_toks"), F.explode("toks").alias("tok")
+    )
+    top = (
+        exploded.groupBy("doc_id", "lang", "n_toks", "tok")
+        .count()
+        .groupBy("doc_id", "lang", "n_toks")
+        .agg(F.max("count").alias("top_tok_count"))
+    )
+    return top.select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        "top_tok_count",
+        (F.col("top_tok_count").cast("double") / F.col("n_toks")).alias("top_tok_ratio"),
+        F.when(F.col("top_tok_count") * 5 > F.col("n_toks"), 1)
+        .otherwise(0)
+        .alias("repetitive"),
+    ).orderBy("doc_id")

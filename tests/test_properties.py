@@ -339,3 +339,33 @@ def test_triangle_self_join_bounds_cell_width(spark):
     assert len(per_cell) == n_sub * (n_sub + 1) // 2
     # xxhash64 spreads ~uniformly: worst cell well under half the block
     assert max(r["count"] for r in per_cell) < total / 2
+
+
+def test_greedy_packing_budget_invariant(spark):
+    """Every pack respects the token budget (unless a single oversized
+    doc), packs are contiguous per language, and the distributed packer
+    agrees exactly with a driver-side reference implementation."""
+    from oraaud_kafka_spark.llm.packing import BUDGET, q_pack_greedy
+    from tests.conftest import SF_DIR
+
+    rows = q_pack_greedy(spark, SF_DIR).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+
+    for lang, docs in by_lang.items():
+        assert docs == sorted(docs, key=lambda r: r.doc_id)
+        # reference greedy pass over the same sorted docs
+        ref_pack, cur = 0, 0
+        for r in docs:
+            if cur and cur + r.n_toks > BUDGET:
+                ref_pack += 1
+                cur = 0
+            cur += r.n_toks
+            assert r.pack_id == ref_pack, (lang, r.doc_id)
+        # budget invariant: a multi-doc pack never exceeds BUDGET
+        packs: dict[int, list] = {}
+        for r in docs:
+            packs.setdefault(r.pack_id, []).append(r.n_toks)
+        for toks in packs.values():
+            assert sum(toks) <= BUDGET or len(toks) == 1
