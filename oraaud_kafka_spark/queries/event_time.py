@@ -212,3 +212,63 @@ def q_time_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d_start", "event_type")
     )
+
+
+# Gap-fill + forward-fill: the time-series resample op. Build each
+# user's dense hourly grid with sequence()+explode (rows = span hours,
+# bounded, no cross join), left-join the real hourly aggregates, then
+# carry the last observed sum forward with last(ignorenulls) — all
+# native expressions, one join shuffle + one window shuffle on user_id.
+_GAP_FILL_ORACLE = f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         count(*) AS n_events,
+         {sql_dsum('value')} AS hour_sum
+  FROM events WHERE user_id < 8
+  GROUP BY user_id, date_trunc('hour', ts)
+),
+spans AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM spans
+)
+SELECT g.user_id, g.h,
+       coalesce(n_events, 0) AS n_events,
+       last_value(hour_sum IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+FROM grid g LEFT JOIN hourly USING (user_id, h)
+ORDER BY user_id, h
+"""
+
+
+@query("q_time_gap_fill", oracle=_GAP_FILL_ORACLE)
+def q_time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count("*").alias("n_events"),
+        to_dbl(F.sum(F.col("value").cast(DEC))).alias("hour_sum"),
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            "h",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("hour_sum", ignorenulls=True).over(w).alias("filled_sum"),
+        )
+        .orderBy("user_id", "h")
+    )

@@ -42,6 +42,7 @@ _MODULES = (
     "oraaud_kafka_spark.queries.event_time",
     "oraaud_kafka_spark.queries.udf_surface",
     "oraaud_kafka_spark.queries.setops",
+    "oraaud_kafka_spark.queries.reshape",
     "oraaud_kafka_spark.queries.pricing",
     "oraaud_kafka_spark.queries.filters",
     "oraaud_kafka_spark.queries.joins",
