@@ -132,3 +132,48 @@ def test_centroids_partial_aggregate_before_exchange(spark):
     # the plan string prints top-down: final agg, exchange, partial agg —
     # a partial HashAggregate must appear BELOW (after) the exchange
     assert "HashAggregate" in plan[exchange_idx:]
+
+
+def test_sample_stratified_no_preorder_shuffle(spark):
+    """Hash sampling is a pure scan-filter before its output sort: exactly
+    one Exchange (the deterministic ORDER BY), nothing upstream of it."""
+    df = registry.QUERIES["q_sample_stratified"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+
+
+def test_profile_table_single_scan(spark):
+    """The n-column profile must read the table ONCE (the oracle's
+    UNION-of-scans shape is exactly what this pin forbids)."""
+    df = registry.QUERIES["q_profile_table"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+
+
+def test_pack_chunked_single_scan_single_window(spark):
+    df = registry.QUERIES["q_pack_chunked"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Window") == 1
+
+
+def test_triangle_jaccard_no_cartesian(spark):
+    """The decomposed pair join must stay an equi-join on (block, cell):
+    no BroadcastNestedLoopJoin / CartesianProduct anywhere."""
+    df = registry.QUERIES["q_dedup_ngram_jaccard"](spark, SF_DIR)
+    plan = _plan(df, execute=True)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_assignment_in_projection(spark):
+    """nearest_centroid must be a pure projection: assigning 100 TB of
+    vectors to centroids needs zero shuffles and no UDF."""
+    from oraaud_kafka_spark.operators.kmeans import nearest_centroid
+
+    e = load(spark, SF_DIR, "embeddings")
+    cents = [(0, [1.0] * 64), (1, [-1.0] * 64)]
+    df = e.select(nearest_centroid(F.col("embedding"), cents))
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no UDF eval nodes
