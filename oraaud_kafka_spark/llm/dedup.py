@@ -475,3 +475,94 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", "label", "cosine")
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup, SRP-LSH-bucketed: the honest scale path. Where
+# q_dedup_embedding_cosine blocks on `label` (a stand-in partitioner),
+# this blocks on a signed-random-projection bucket computed IN THE
+# PROJECTION from driver-held anchor constants (zero shuffle, no UDF,
+# same trick as operators/kmeans.nearest_centroid), then runs the pair
+# join triangle-decomposed so a dense bucket can't pile w^2 comparisons
+# onto one task. 2^n_anchors buckets x (w/n_sub)^2 per-task pairs.
+# ---------------------------------------------------------------------------
+
+_SRP_N_ANCHORS = 6
+_SRP_THRESHOLD = 0.35
+
+_SRP_BUCKET_SQL = f"""
+  SELECT e.vec_id, e.embedding,
+         string_agg(CASE WHEN {_EMB_DOT.format(a='e.embedding', b='a.av')} >= 0
+                         THEN '1' ELSE '0' END, '' ORDER BY a.aid) AS bucket
+  FROM embeddings e,
+       (SELECT vec_id AS aid, embedding AS av FROM embeddings
+        WHERE vec_id < {_SRP_N_ANCHORS}) a
+  GROUP BY e.vec_id, e.embedding
+"""
+
+_EMB_LSH_ORACLE = f"""
+WITH bucketed AS ({_SRP_BUCKET_SQL})
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_EMB_DOT.format(a='a.embedding', b='b.embedding')}
+         / ({_emb_sql_norm('a.embedding')} * {_emb_sql_norm('b.embedding')}) AS cosine
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_EMB_DOT.format(a='a.embedding', b='b.embedding')}
+        / ({_emb_sql_norm('a.embedding')} * {_emb_sql_norm('b.embedding')}) >= {_SRP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+@query("q_dedup_embedding_lsh", oracle=_EMB_LSH_ORACLE)
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import _dot_lit
+    from ..operators.triangle import triangle_self_join
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def norm(a):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    e = load(spark, sf_dir, "embeddings")
+    anchors = [
+        [float(x) for x in row[0]]
+        for row in e.filter(F.col("vec_id") < _SRP_N_ANCHORS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    bucket = F.concat(
+        *[
+            F.when(_dot_lit(F.col("embedding"), av) >= 0, "1").otherwise("0")
+            for av in anchors
+        ]
+    ).alias("bucket")
+    bucketed = spread(e.select("vec_id", "embedding")).select(
+        "vec_id", "embedding", bucket
+    )
+    cosine = dot(F.col("embedding_a"), F.col("embedding_b")) / (
+        norm(F.col("embedding_a")) * norm(F.col("embedding_b"))
+    )
+    pairs = triangle_self_join(
+        bucketed,
+        block_cols=["bucket"],
+        id_col="vec_id",
+        n_sub=4,
+        pair_filter=cosine >= _SRP_THRESHOLD,
+    )
+    return pairs.select(
+        F.col("vec_id_a").alias("vec_a"),
+        F.col("vec_id_b").alias("vec_b"),
+        cosine.alias("cosine"),
+    ).orderBy("vec_a", "vec_b")
