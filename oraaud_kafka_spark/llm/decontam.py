@@ -1,0 +1,109 @@
+"""Benchmark decontamination: flag training documents sharing n-gram
+shingles with an evaluation/benchmark set — the standard pre-training
+hygiene pass (the reference corpus here uses source='src0' as the
+stand-in benchmark).
+
+Scale shape: the benchmark side is small by construction (eval sets are
+thousands of docs, the corpus is billions), so its DISTINCT shingle set
+broadcasts; the corpus side explodes its distinct shingles once and hash-
+joins against the broadcast — cost is O(corpus shingles), zero corpus
+shuffle beyond the per-doc match count groupBy (partial-agg'd). Matched
+counts left-join back so clean documents keep an explicit 0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load, spread
+
+BENCH_SOURCE = "src0"
+# contaminated when >= 1/5 of a doc's distinct shingles appear in the bench set
+_FLAG_NUM, _FLAG_DEN = 1, 5
+
+_DECONTAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
+  FROM toks WHERE len(toks) >= 3
+),
+bench AS (
+  SELECT DISTINCT unnest(shs) AS s FROM sh WHERE source = '{BENCH_SOURCE}'
+),
+cand AS (
+  SELECT doc_id, lang, len(shs) AS n_shingles, shs FROM sh
+  WHERE source <> '{BENCH_SOURCE}'
+),
+m AS (
+  SELECT doc_id, count(*) AS n_matched
+  FROM (SELECT doc_id, unnest(shs) AS s FROM cand) c JOIN bench USING (s)
+  GROUP BY doc_id
+)
+SELECT c.doc_id, lang,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(n_matched, 0) AS BIGINT) AS n_matched,
+       CAST(coalesce(n_matched, 0) AS DOUBLE) / n_shingles AS contamination_ratio,
+       CASE WHEN coalesce(n_matched, 0) * {_FLAG_DEN} >= n_shingles * {_FLAG_NUM}
+            THEN 1 ELSE 0 END AS contaminated
+FROM cand c LEFT JOIN m USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@query("q_decontaminate", oracle=_DECONTAM_ORACLE)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tokenized = d.select(
+        "doc_id", "lang", "source", F.split("text", " ").alias("toks")
+    ).filter(F.size("toks") >= 3)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.array_join(F.slice(F.col("toks"), i, 3), " "),
+        )
+    )
+    sh = tokenized.select("doc_id", "lang", "source", shingles.alias("shs"))
+    bench = (
+        sh.filter(F.col("source") == BENCH_SOURCE)
+        .select(F.explode("shs").alias("s"))
+        .distinct()
+    )
+    cand = spread(
+        sh.filter(F.col("source") != BENCH_SOURCE).select(
+            "doc_id", "lang", F.size("shs").alias("n_shingles"), "shs"
+        )
+    )
+    matched = (
+        cand.select("doc_id", F.explode("shs").alias("s"))
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    return (
+        cand.select("doc_id", "lang", "n_shingles")
+        .join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_shingles",
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            (
+                F.coalesce("n_matched", F.lit(0)).cast("double")
+                / F.col("n_shingles")
+            ).alias("contamination_ratio"),
+            F.when(
+                F.coalesce("n_matched", F.lit(0)) * _FLAG_DEN
+                >= F.col("n_shingles") * _FLAG_NUM,
+                1,
+            )
+            .otherwise(0)
+            .alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )

@@ -160,3 +160,54 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(h24 < rate_expr)
         .orderBy("doc_id")
     )
+
+
+# Mixture planning: given a target per-language token share, derive the
+# deterministic keep-rate per stratum (downsample-only) and the token
+# count it yields. Two tiny aggregates (per-lang sums + global total);
+# the expensive corpus pass happens later when the rates feed
+# q_sample_stratified-style hash filters. All arithmetic is double with
+# identical operation order both sides.
+_TARGET_SHARE = 0.2  # uniform over the 5 languages
+
+_MIXTURE_ORACLE = f"""
+WITH t AS (
+  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(sum(toks) AS BIGINT) AS total FROM t)
+SELECT lang, toks,
+       CAST(toks AS DOUBLE) / total AS actual_share,
+       CAST({_TARGET_SHARE} AS DOUBLE) AS target_share,
+       least(CAST(1.0 AS DOUBLE),
+             CAST({_TARGET_SHARE} AS DOUBLE) * total / toks) AS keep_rate,
+       CAST(floor(least(CAST(1.0 AS DOUBLE),
+                        CAST({_TARGET_SHARE} AS DOUBLE) * total / toks) * toks)
+            AS BIGINT) AS expected_tokens
+FROM t, tot
+ORDER BY lang
+"""
+
+
+@query("q_mixture_weights", oracle=_MIXTURE_ORACLE)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("toks")
+    )
+    tot = t.agg(F.sum("toks").alias("total"))
+    keep = F.least(
+        F.lit(1.0), F.lit(_TARGET_SHARE) * F.col("total") / F.col("toks")
+    )
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "toks",
+            (F.col("toks").cast("double") / F.col("total")).alias("actual_share"),
+            F.lit(_TARGET_SHARE).alias("target_share"),
+            keep.alias("keep_rate"),
+            F.floor(keep * F.col("toks")).cast("long").alias("expected_tokens"),
+        )
+        .orderBy("lang")
+    )

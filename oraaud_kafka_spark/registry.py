@@ -36,6 +36,7 @@ _MODULES = (
     "oraaud_kafka_spark.llm.multimodal",
     "oraaud_kafka_spark.llm.corpus",
     "oraaud_kafka_spark.llm.packing",
+    "oraaud_kafka_spark.llm.decontam",
     "oraaud_kafka_spark.queries.scalar_funcs",
     "oraaud_kafka_spark.queries.semistructured",
     "oraaud_kafka_spark.queries.subqueries",
