@@ -137,7 +137,8 @@ def test_centroids_partial_aggregate_before_exchange(spark):
 def test_sample_stratified_no_preorder_shuffle(spark):
     """Hash sampling is a pure scan-filter before its output sort: exactly
     one Exchange (the deterministic ORDER BY), nothing upstream of it."""
-    df = registry.QUERIES["q_sample_stratified"](spark, SF_DIR)
+    # fresh plan: the memoized DataFrame may already be AQE-finalized
+    df = registry.QUERIES["q_sample_stratified"].__wrapped__(spark, SF_DIR)
     plan = _plan(df)
     assert plan.count("Exchange") == 1
 
@@ -145,13 +146,15 @@ def test_sample_stratified_no_preorder_shuffle(spark):
 def test_profile_table_single_scan(spark):
     """The n-column profile must read the table ONCE (the oracle's
     UNION-of-scans shape is exactly what this pin forbids)."""
-    df = registry.QUERIES["q_profile_table"](spark, SF_DIR)
+    # fresh plan: the memoized DataFrame may already be AQE-finalized
+    df = registry.QUERIES["q_profile_table"].__wrapped__(spark, SF_DIR)
     plan = _plan(df)
     assert plan.count("Scan parquet") == 1
 
 
 def test_pack_chunked_single_scan_single_window(spark):
-    df = registry.QUERIES["q_pack_chunked"](spark, SF_DIR)
+    # fresh plan: the memoized DataFrame may already be AQE-finalized
+    df = registry.QUERIES["q_pack_chunked"].__wrapped__(spark, SF_DIR)
     plan = _plan(df)
     assert plan.count("Scan parquet") == 1
     assert plan.count("Window") == 1
