@@ -3,10 +3,11 @@
 Images/audio/video are opaque BINARY columns plus typed metadata. The
 Spark-side machinery that matters at 100 TB — schema, partitioning, Arrow
 batch shape through mapInPandas, feature extraction signatures — is real
-and tested here; the actual codec decode is stubbed (no image/audio libs
-in this container) behind ``decode_image``/``decode_audio`` which raise
-NotImplementedError, with a deterministic byte-level feature extractor
-standing in so the pipeline is end-to-end verifiable.
+and tested here. ``decode_image`` genuinely parses a documented
+deterministic FIMG test format (and raises NotImplementedError for real
+codecs — no image/audio libs in this container); ``decode_audio`` stays
+a stub. q_multimodal_decode_stats drives the full encode -> decode ->
+featurize pipeline through that seam, oracle-checked.
 
 The fixture has no binary table, so ``documents.text`` is encoded to
 bytes — the plumbing is identical for real media payloads.
@@ -28,10 +29,39 @@ from ..tables import load
 THUMB_BYTES = 8
 
 
+# Deterministic fake image format for end-to-end pipeline tests:
+#   b"FIMG" | width (uint16 BE) | height (uint16 BE) | raw RGB bytes.
+# Real formats (JPEG/PNG/...) still raise — no codec libs in this
+# container; wire Pillow/opencv into the same decode seam in production.
+FIMG_MAGIC = b"FIMG"
+
+
+def encode_fake_image(doc_id: int, width: int, height: int) -> bytes:
+    """Build a FIMG payload whose pixel bytes are a pure function of
+    (doc_id, index) — reproducible on both engines for the oracle."""
+    n = width * height * 3
+    pixels = bytes((doc_id * 31 + i * 7) % 256 for i in range(n))
+    return (
+        FIMG_MAGIC
+        + width.to_bytes(2, "big")
+        + height.to_bytes(2, "big")
+        + pixels
+    )
+
+
 def decode_image(payload: bytes) -> "object":
-    """Decode an image payload to HxWxC pixels. STUB: the container has no
-    image codec libraries; wire Pillow/opencv here in production."""
-    raise NotImplementedError("image decode requires a codec library")
+    """Decode an image payload to an HxWx3 uint8 array. Parses the FIMG
+    test format for real; any other codec (JPEG/PNG/...) raises — the
+    container has no image libraries. The decode seam, batch shape and
+    schema are identical for production codecs."""
+    import numpy as np
+
+    if payload[:4] != FIMG_MAGIC:
+        raise NotImplementedError("non-FIMG image decode requires a codec library")
+    w = int.from_bytes(payload[4:6], "big")
+    h = int.from_bytes(payload[6:8], "big")
+    arr = np.frombuffer(payload[8 : 8 + w * h * 3], dtype=np.uint8)
+    return arr.reshape(h, w, 3)
 
 
 def decode_audio(payload: bytes) -> "object":
@@ -154,3 +184,79 @@ def q_multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("src_w") * scale).cast("int").alias("dst_w"),
         F.floor(F.col("src_h") * scale).cast("int").alias("dst_h"),
     ).orderBy("doc_id")
+
+
+# Full encode -> decode -> featurize pipeline over the fake codec: the
+# payload is BUILT as real bytes in one Arrow batch stage, DECODED back
+# to pixel arrays in the next, and the stats are computed from the
+# decoded array — exercising exactly the seams a production image
+# pipeline has (binary col in, mapInPandas decode, numeric features
+# out). Pixel bytes are a pure function of (doc_id, index), so DuckDB
+# reproduces the stats without ever seeing the bytes.
+def _dims(d: DataFrame) -> DataFrame:
+    return d.select(
+        "doc_id",
+        (F.lit(8) + F.col("n_chars") % 8).alias("w"),
+        (F.lit(6) + F.col("n_chars") % 6).alias("h"),
+    )
+
+
+def _build_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    encode_fake_image(int(i), int(w), int(h))
+                    for i, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"])
+                ],
+            }
+        )
+
+
+def _decode_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    rows: dict[str, list] = {"doc_id": [], "w": [], "h": [], "mean_pixel": [], "max_pixel": []}
+    for pdf in batches:
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = decode_image(bytes(payload))
+            h, w, _ = arr.shape
+            rows["doc_id"].append(doc_id)
+            rows["w"].append(w)
+            rows["h"].append(h)
+            # exact integer sum, ONE double division — bit-identical to SQL
+            rows["mean_pixel"].append(int(arr.sum(dtype="int64")) / arr.size)
+            rows["max_pixel"].append(int(arr.max()))
+    yield pd.DataFrame(rows)
+
+
+_DECODE_ORACLE = """
+SELECT doc_id, w, h,
+       CAST(psum AS DOUBLE) / (w * h * 3) AS mean_pixel,
+       pmax AS max_pixel
+FROM (
+  SELECT doc_id, w, h,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(w * h * 3), i -> (doc_id * 31 + i * 7) % 256)),
+           (a, x) -> a + x) AS psum,
+         list_max(list_transform(range(w * h * 3),
+                                 i -> (doc_id * 31 + i * 7) % 256)) AS pmax
+  FROM (
+    SELECT doc_id, 8 + (n_chars % 8) AS w, 6 + (n_chars % 6) AS h
+    FROM documents WHERE doc_id < 100
+  )
+)
+ORDER BY doc_id
+"""
+
+
+@query("q_multimodal_decode_stats", oracle=_DECODE_ORACLE)
+def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    payloads = _dims(d).mapInPandas(
+        _build_payloads, "doc_id long, payload binary"
+    )
+    stats = payloads.mapInPandas(
+        _decode_stats,
+        "doc_id long, w long, h long, mean_pixel double, max_pixel long",
+    )
+    return stats.orderBy("doc_id")

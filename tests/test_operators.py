@@ -143,3 +143,21 @@ def test_registry_plan_cache_per_session_and_dir(spark):
     assert a is b
     assert a is not c
     assert a.count() >= 0 and c.count() >= 0  # both plans executable
+
+
+def test_fimg_decode_round_trip_and_codec_gate():
+    """decode_image inverts encode_fake_image exactly; foreign payloads
+    (real codecs) raise the documented NotImplementedError."""
+    import numpy as np
+    import pytest
+
+    from oraaud_kafka_spark.llm.multimodal import decode_image, encode_fake_image
+
+    payload = encode_fake_image(7, 5, 4)
+    arr = decode_image(payload)
+    assert arr.shape == (4, 5, 3)
+    assert arr.dtype == np.uint8
+    assert int(arr.flat[0]) == (7 * 31) % 256
+    assert int(arr.flat[59]) == (7 * 31 + 59 * 7) % 256
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
