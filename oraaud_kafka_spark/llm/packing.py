@@ -211,3 +211,69 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# Upsampling counterpart to q_sample_stratified: when a stratum's target
+# share EXCEEDS its actual share, emit repeat_factor copies per doc —
+# floor(r) guaranteed epochs plus one extra when the doc-id hash lands
+# under the fractional part, so the expected copy count is exactly r and
+# the realized multiset is a pure function of doc_id. Explode of
+# sequence() keeps it one map-side pass: no shuffle, no rand(), and the
+# blow-up is bounded by the configured factor, never data-dependent.
+_UP_FACTORS = {"fr": 2.5, "de": 1.25}  # epochs per under-represented lang
+
+_UP_CASE_FLOOR = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{lang}' THEN {int(r)}" for lang, r in _UP_FACTORS.items())
+    + " ELSE 1 END"
+)
+_UP_CASE_FRAC = (
+    "CASE "
+    + " ".join(
+        f"WHEN lang = '{lang}' THEN {int((r - int(r)) * _H24)}"
+        for lang, r in _UP_FACTORS.items()
+    )
+    + " ELSE 0 END"
+)
+
+_UPSAMPLE_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) AS h24
+  FROM documents
+),
+n AS (
+  SELECT doc_id, lang,
+         ({_UP_CASE_FLOOR}) + (CASE WHEN h24 < ({_UP_CASE_FRAC}) THEN 1 ELSE 0 END)
+           AS n_copies
+  FROM h
+)
+SELECT doc_id, lang, CAST(unnest(range(n_copies)) AS BIGINT) AS epoch
+FROM n
+ORDER BY doc_id, epoch
+"""
+
+
+@query("q_sample_upsampled", oracle=_UPSAMPLE_ORACLE)
+def q_sample_upsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    h24 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+        "long"
+    )
+    floor_expr = F.lit(1)
+    frac_expr = F.lit(0)
+    for lang, r in reversed(list(_UP_FACTORS.items())):
+        floor_expr = F.when(F.col("lang") == lang, int(r)).otherwise(floor_expr)
+        frac_expr = F.when(F.col("lang") == lang, int((r - int(r)) * _H24)).otherwise(
+            frac_expr
+        )
+    n_copies = floor_expr + F.when(h24 < frac_expr, 1).otherwise(0)
+    return (
+        d.select("doc_id", "lang", n_copies.alias("n_copies"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)).alias("epoch"),
+        )
+        .orderBy("doc_id", "epoch")
+    )

@@ -25,3 +25,23 @@ def test_coverage_doc_counts_match_registry():
     assert m, "counts line not found"
     assert int(m.group(1)) == len(registry.QUERIES)
     assert int(m.group(2)) == len(registry.ORACLES)
+
+
+def test_llm_families_register_inside_driver_window():
+    """The driver's correctness gate checks a bounded prefix of the
+    registration order (50 in round 1). Every LLM-pipeline query must sit
+    inside that window, and the round-1-verified families must come last —
+    pins the _MODULES ordering that closes round 1's verification hole."""
+    from oraaud_kafka_spark import registry
+
+    names = list(registry.all_queries())
+    first_50 = set(names[:50])
+    llm = {
+        n
+        for n, fn in registry.all_queries().items()
+        if "llm" in getattr(fn, "__wrapped__", fn).__module__
+    }
+    missing = llm - first_50
+    assert not missing, f"LLM queries outside the 50-query window: {sorted(missing)}"
+    # the already-verified families bring up the rear
+    assert names[-1].startswith("q_sort") or names[-1].startswith("q_window")
