@@ -263,3 +263,69 @@ def test_checkpoint_restart_no_loss_no_dup(spark, tmp_path):
     second = shipped[len(first):]
     # only the new file — no duplicates of the committed ones
     assert [f.rsplit("/", 1)[-1] for f in second] == ["orcl_ora_3_0003.xml"]
+
+
+def test_streaming_document_pipeline(spark, tmp_path):
+    """The LLM training-data ops run unchanged under Structured
+    Streaming: stream-read the documents table, exact-dedup on the
+    16-byte md5 fingerprint (shuffles fingerprints, not bodies),
+    token-count + quality-flag in the projection, and aggregate per
+    language — results must match the identical batch computation."""
+    from tests.conftest import SF_DIR
+
+    batch = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def enrich(df):
+        toks = F.split("text", " ")
+        return (
+            df.withColumn("fp", F.md5("text"))
+            .dropDuplicates(["fp"])
+            .select(
+                "lang",
+                F.size(toks).alias("n_toks"),
+                (F.size(F.array_distinct(toks)) * 2 >= F.size(toks)).alias(
+                    "quality_pass"
+                ),
+            )
+        )
+
+    # the file stream source wants a directory, and /root/testdata is
+    # read-only — stage a copy
+    import shutil
+
+    src_dir = tmp_path / "docs_in"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", src_dir / "documents.parquet")
+    stream = spark.readStream.schema(batch.schema).parquet(str(src_dir))
+    agg = enrich(stream).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("total_toks"),
+        F.sum(F.col("quality_pass").cast("int")).alias("n_quality"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("doc_pipeline")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "_ck_docs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got = {
+        r.lang: (r.n_docs, r.total_toks, r.n_quality)
+        for r in spark.sql("SELECT * FROM doc_pipeline").collect()
+    }
+    want = {
+        r.lang: (r.n_docs, r.total_toks, r.n_quality)
+        for r in enrich(batch)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_toks"),
+            F.sum(F.col("quality_pass").cast("int")).alias("n_quality"),
+        )
+        .collect()
+    }
+    assert got == want and got
