@@ -17,7 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from oraaud_kafka_spark import registry
 from oraaud_kafka_spark.session import get_spark
 
-# Headline set: one (heavy) representative per operator family.
+# Headline set: one (heavy) representative per operator family. Fixed
+# since round 1 — the driver's round-over-round regression baseline;
+# never add here, add to EXTRAS.
 HEADLINE = [
     "q1_pricing_summary",      # scan + filter + groupBy agg
     "q_join_5way_revenue",     # star join (broadcast dims + 1 shuffle join)
@@ -31,6 +33,19 @@ HEADLINE = [
     "q_sim_cosine_topk_brute", # broadcast queries x corpus + window top-k
     "q_text_quality_score",    # text feature extraction
     "q_emb_centroids",         # posexplode + partial agg (corpus mgmt)
+]
+
+# Round-2 operators, timed identically but reported under queries_extra
+# and EXCLUDED from the headline total so "value" stays comparable to
+# BENCH_r01.
+EXTRAS = [
+    "q_dedup_ngram_jaccard",     # triangle-decomposed blocked self-join
+    "q_dedup_embedding_lsh",     # SRP-bucketed near-dup
+    "q_sim_ivf_kmeans_topk",     # trained-quantizer ANN (incl. training)
+    "q_pack_chunked",            # budgeted sequence chunking
+    "q_decontaminate",           # benchmark n-gram overlap
+    "q_time_gap_fill",           # dense grid + forward fill
+    "q_profile_table",           # one-scan column profiling
 ]
 
 
@@ -68,6 +83,12 @@ def main() -> None:
         timings[name] = round(min(run_once(name) for _ in range(3)), 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    extras: dict[str, float] = {}
+    for name in (n for n in EXTRAS if n in registry.QUERIES):
+        run_once(name)  # warm
+        extras[name] = round(min(run_once(name) for _ in range(3)), 4)
+        print(f"# extra {name}: {extras[name]:.3f}s", file=sys.stderr)
+
     # Ingest throughput: the reference's own workload (audit files ->
     # sink). Synthetic corpus, full pipeline, one availableNow pass.
     from oraaud_kafka_spark.streaming.bench_ingest import run_ingest_bench
@@ -85,6 +106,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_extra": extras,
+                "queries_extra_total_sec": round(sum(extras.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 **ingest,
             }

@@ -73,37 +73,34 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.filter(F.col("source") == BENCH_SOURCE)
         .select(F.explode("shs").alias("s"))
         .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    cand = spread(
+    # ONE pass over candidate shingles: metadata rides the explode, the
+    # broadcast join marks hits, and the per-doc groupBy re-assembles
+    # counts — no second shingle computation, no join back (a left join
+    # keeps zero-match docs because every exploded row survives).
+    exploded = spread(
         sh.filter(F.col("source") != BENCH_SOURCE).select(
-            "doc_id", "lang", F.size("shs").alias("n_shingles"), "shs"
+            "doc_id", "lang", F.size("shs").alias("n_shingles"),
+            F.explode("shs").alias("s"),
         )
     )
-    matched = (
-        cand.select("doc_id", F.explode("shs").alias("s"))
-        .join(F.broadcast(bench), "s")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_matched"))
+    counted = (
+        exploded.join(F.broadcast(bench), "s", "left")
+        .groupBy("doc_id", "lang", "n_shingles")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_matched"))
     )
-    return (
-        cand.select("doc_id", "lang", "n_shingles")
-        .join(matched, "doc_id", "left")
-        .select(
-            "doc_id",
-            "lang",
-            "n_shingles",
-            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
-            (
-                F.coalesce("n_matched", F.lit(0)).cast("double")
-                / F.col("n_shingles")
-            ).alias("contamination_ratio"),
-            F.when(
-                F.coalesce("n_matched", F.lit(0)) * _FLAG_DEN
-                >= F.col("n_shingles") * _FLAG_NUM,
-                1,
-            )
-            .otherwise(0)
-            .alias("contaminated"),
+    return counted.select(
+        "doc_id",
+        "lang",
+        "n_shingles",
+        "n_matched",
+        (F.col("n_matched").cast("double") / F.col("n_shingles")).alias(
+            "contamination_ratio"
+        ),
+        F.when(
+            F.col("n_matched") * _FLAG_DEN >= F.col("n_shingles") * _FLAG_NUM, 1
         )
-        .orderBy("doc_id")
-    )
+        .otherwise(0)
+        .alias("contaminated"),
+    ).orderBy("doc_id")
