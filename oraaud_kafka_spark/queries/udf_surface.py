@@ -141,3 +141,30 @@ def q_udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY p.p_partkey, t.pos
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Row-at-a-time udf(), Arrow-optimized (useArrow=True): the modern form
+# of the classic scalar UDF — per-row Python semantics, Arrow transport.
+# Registered to complete the UDF surface; engine operators still prefer
+# pandas_udf (whole-batch vectorization beats per-row calls even over
+# Arrow). Integer arithmetic only, so the oracle hash-matches.
+# ---------------------------------------------------------------------------
+
+_ARROW_UDF_ORACLE = """
+SELECT s_suppkey,
+       (s_suppkey * 37 + length(s_name)) % 1000 AS bucket37
+FROM supplier ORDER BY s_suppkey
+"""
+
+
+@query("q_udf_arrow_scalar", oracle=_ARROW_UDF_ORACLE)
+def q_udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf("long", useArrow=True)
+    def _bucket37(k: int, name: str) -> int:
+        return (k * 37 + len(name)) % 1000
+
+    s = load(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey", _bucket37("s_suppkey", "s_name").alias("bucket37")
+    ).orderBy("s_suppkey")
