@@ -6,7 +6,7 @@ whole-stage codegen over billions of documents without Python in the loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -228,3 +228,162 @@ def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("repetitive"),
     ).orderBy("doc_id")
+
+
+# TF-IDF top terms per document, log-free variant: score = tf * (N / df)
+# with the idf ratio computed in ONE IEEE division (ln() is not
+# correctly-rounded identically across engines, so the hash-checked
+# variant avoids transcendentals; the ranking it induces is the same
+# monotone ordering for a fixed corpus). Shape at scale: two partial-agg
+# groupBys (doc_id x tok, tok), a shuffle join on tok, and a
+# broadcast of the single-row corpus count — the doc_id < 100 output
+# filter prunes through the window partition key before the join.
+_TFIDF_ORACLE = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS tfidf_score
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok, tf, df, tfidf_score, rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_score DESC, tok) AS rk
+  FROM scored
+)
+WHERE rk <= 3 AND doc_id < 100
+ORDER BY doc_id, rk
+"""
+
+
+@query("q_text_tfidf_topk", oracle=_TFIDF_ORACLE)
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.groupBy().agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf_score",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_score"), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= 3) & (F.col("doc_id") < 100))
+        .select("doc_id", "tok", "tf", "df", "tfidf_score", "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+# Corpus vocabulary heavy hitters: global top-20 tokens with corpus share.
+# One explode -> partial-agg'd groupBy(tok) -> TakeOrderedAndProject;
+# the total-token count rides along as a broadcast single row, so the
+# only wide exchange carries (tok, partial_count) pairs.
+_HEAVY_ORACLE = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+tot AS (SELECT count(*) AS n_total FROM toks)
+SELECT tok, count(*) AS n, CAST(count(*) * 1000000 AS DOUBLE) / max(tot.n_total) AS ppm
+FROM toks CROSS JOIN tot
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 20
+"""
+
+
+@query("q_text_heavy_hitters", oracle=_HEAVY_ORACLE)
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    tot = toks.groupBy().agg(F.count("*").alias("n_total"))
+    return (
+        toks.crossJoin(F.broadcast(tot))
+        .groupBy("tok")
+        .agg(
+            F.count("*").alias("n"),
+            ((F.count("*") * 1000000).cast("double") / F.max("n_total")).alias("ppm"),
+        )
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )
+
+
+# Per-language quantile gate: keep documents at or above their language's
+# median unique-token ratio. percent_rank is (rank-1)/(n-1) on BOTH
+# engines and the ordering key includes doc_id, so ranks are tie-free and
+# the double division is a single identical IEEE op. At 100 TB the window
+# partitions on lang (bounded cardinality) — for a truly skewed corpus
+# the same gate is computable from an approx-quantile broadcast instead.
+_QUANTILE_ORACLE = """
+WITH s AS (
+  SELECT doc_id, lang,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS uniq_ratio
+  FROM documents
+)
+SELECT doc_id, lang, uniq_ratio,
+       percent_rank() OVER (PARTITION BY lang ORDER BY uniq_ratio, doc_id) AS pr,
+       CASE WHEN percent_rank() OVER (PARTITION BY lang ORDER BY uniq_ratio, doc_id) >= 0.5
+            THEN 1 ELSE 0 END AS kept
+FROM s
+ORDER BY doc_id
+"""
+
+
+@query("q_text_quality_quantile", oracle=_QUANTILE_ORACLE)
+def q_text_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    s = d.select(
+        "doc_id",
+        "lang",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "uniq_ratio"
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy("uniq_ratio", "doc_id")
+    pr = F.percent_rank().over(w)
+    return s.select(
+        "doc_id",
+        "lang",
+        "uniq_ratio",
+        pr.alias("pr"),
+        F.when(pr >= 0.5, 1).otherwise(0).alias("kept"),
+    ).orderBy("doc_id")
+
+
+# PII-style scrubbing: mask every digit in a free-text column and count
+# what was masked — the shape of redaction passes (SSNs, phone numbers,
+# emails) over petabyte text columns. Pure JVM regexp expressions; note
+# DuckDB's regexp_replace needs the 'g' flag to match Spark's
+# replace-all semantics.
+_PII_ORACLE = """
+SELECT event_id,
+       regexp_replace(props, '[0-9]', '#', 'g') AS masked_props,
+       length(props) - length(regexp_replace(props, '[0-9]', '', 'g')) AS n_digits,
+       CASE WHEN regexp_matches(props, '[0-9]{3,}') THEN 1 ELSE 0 END AS has_long_number
+FROM events
+WHERE event_id < 500
+ORDER BY event_id
+"""
+
+
+@query("q_text_pii_mask", oracle=_PII_ORACLE)
+def q_text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return e.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]", "#").alias("masked_props"),
+        (
+            F.length("props") - F.length(F.regexp_replace("props", "[0-9]", ""))
+        ).alias("n_digits"),
+        F.when(F.col("props").rlike("[0-9]{3,}"), 1)
+        .otherwise(0)
+        .alias("has_long_number"),
+    ).orderBy("event_id")
