@@ -566,3 +566,71 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id_b").alias("vec_b"),
         cosine.alias("cosine"),
     ).orderBy("vec_a", "vec_b")
+
+
+# C4-style cross-document span dedup: split every document into fixed
+# 10-token spans, find spans whose md5 occurs in more than one document,
+# and re-emit each document with its duplicated spans removed. The join
+# and the frequency groupBy both key on the 16-byte span hash — bodies
+# never shuffle twice — and reassembly is one groupBy(doc_id) with an
+# order-preserving sorted collect. At 100 TB this is the canonical
+# "remove boilerplate repeated across pages" pass: linear, all
+# hash-partitioned, no pairwise comparison anywhere.
+_SPAN_W = 10
+
+_SPAN_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+chunks AS (
+  SELECT doc_id, chunk_idx, chunk, md5(chunk) AS chunk_hash
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(CAST(ceil(len(toks) / {_SPAN_W}.0) AS BIGINT)),
+             i -> {{'chunk_idx': i,
+                    'chunk': array_to_string(toks[i*{_SPAN_W}+1 : i*{_SPAN_W}+{_SPAN_W}], ' ')}}),
+             recursive := true)
+    FROM t
+  )
+),
+freq AS (SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs_with FROM chunks GROUP BY chunk_hash)
+SELECT doc_id,
+       count(*) AS n_spans,
+       count(*) FILTER (WHERE n_docs_with > 1) AS n_dup_spans,
+       coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE n_docs_with = 1), '') AS cleaned_text
+FROM chunks JOIN freq USING (chunk_hash)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("q_dedup_span_c4", oracle=_SPAN_ORACLE)
+def q_dedup_span_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    n_spans = F.ceil(F.size("toks") / F.lit(float(_SPAN_W))).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(F.slice("toks", i * _SPAN_W + 1, _SPAN_W), " "),
+    )
+    chunks = (
+        t.select("doc_id", F.posexplode(spans).alias("chunk_idx", "chunk"))
+        .withColumn("chunk_hash", F.md5("chunk"))
+    )
+    freq = chunks.groupBy("chunk_hash").agg(
+        F.count_distinct("doc_id").alias("n_docs_with")
+    )
+    joined = chunks.join(freq, "chunk_hash")
+    kept = F.when(F.col("n_docs_with") == 1, F.struct("chunk_idx", "chunk"))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count(F.when(F.col("n_docs_with") > 1, 1)).alias("n_dup_spans"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda x: x["chunk"]
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )

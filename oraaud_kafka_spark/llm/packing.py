@@ -277,3 +277,61 @@ def q_sample_upsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "epoch")
     )
+
+
+# Strided context windows: the training-sample shape for long-document
+# corpora — overlapping windows of W tokens advancing by stride S, so
+# every token appears in ceil(W/S) windows and context is never cut at
+# a hard boundary. Pure per-row array arithmetic (sequence + slice)
+# followed by ONE explode: map-side only, no shuffle at all until a
+# downstream consumer groups the windows. Window count per doc is
+# 1 + max(0, ceil((n-W)/S)) — always >= 1 so short docs emit one
+# (possibly shorter-than-W) window.
+_WIN_W = 16
+_WIN_S = 8
+
+_STRIDED_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 200
+),
+w AS (
+  SELECT doc_id, lang, len(toks) AS n_toks, win_id,
+         win_id * {_WIN_S} AS start_tok,
+         least({_WIN_W}, len(toks) - win_id * {_WIN_S}) AS win_len,
+         array_to_string(toks[win_id*{_WIN_S}+1 : win_id*{_WIN_S}+{_WIN_W}], ' ') AS win_text
+  FROM (
+    SELECT doc_id, lang, toks,
+           unnest(range(1 + greatest(0, CAST(ceil((len(toks) - {_WIN_W}) / {_WIN_S}.0) AS BIGINT)))) AS win_id
+    FROM t
+  )
+)
+SELECT doc_id, lang, n_toks, win_id, start_tok, win_len, win_text
+FROM w
+ORDER BY doc_id, win_id
+"""
+
+
+@query("q_pack_strided", oracle=_STRIDED_ORACLE)
+def q_pack_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    t = d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    n_toks = F.size("toks")
+    n_wins = F.lit(1) + F.greatest(
+        F.lit(0),
+        F.ceil((n_toks - F.lit(_WIN_W)) / F.lit(float(_WIN_S))).cast("int"),
+    )
+    win_ids = F.sequence(F.lit(0), n_wins - 1)
+    exploded = t.select(
+        "doc_id", "lang", n_toks.alias("n_toks"), "toks",
+        F.explode(win_ids).alias("win_id"),
+    )
+    start = F.col("win_id") * _WIN_S
+    return exploded.select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        F.col("win_id").cast("bigint").alias("win_id"),
+        start.cast("bigint").alias("start_tok"),
+        F.least(F.lit(_WIN_W), F.col("n_toks") - start).cast("bigint").alias("win_len"),
+        F.array_join(F.slice("toks", start + 1, _WIN_W), " ").alias("win_text"),
+    ).orderBy("doc_id", "win_id")
