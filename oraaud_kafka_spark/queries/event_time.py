@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load
-from . import DEC, sql_dsum, sql_to_dbl, to_dbl
+from . import DEC, dsum, sql_dsum, sql_to_dbl, to_dbl
 
 _TUMBLE_ORACLE = f"""
 SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start,
@@ -271,4 +271,138 @@ def q_time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("hour_sum", ignorenulls=True).over(w).alias("filled_sum"),
         )
         .orderBy("user_id", "h")
+    )
+
+
+# Ordered funnel: how many users progressed signup -> view -> click ->
+# purchase, where each stage must happen strictly AFTER the user's
+# earliest qualifying event of the previous stage. Each stage is a
+# groupBy(user_id) min + an equi-join on user_id against a strictly
+# shrinking user set — at scale every stage join keys on user_id and the
+# later stages are broadcast-able once the funnel narrows.
+_FUNNEL_ORACLE = """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE event_type = 'view' AND ts > t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE event_type = 'click' AND ts > t2 GROUP BY e.user_id),
+s4 AS (SELECT e.user_id, min(ts) AS t4 FROM events e JOIN s3 USING (user_id)
+       WHERE event_type = 'purchase' AND ts > t3 GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM s1) AS n_signup,
+       (SELECT count(*) FROM s2) AS n_view,
+       (SELECT count(*) FROM s3) AS n_click,
+       (SELECT count(*) FROM s4) AS n_purchase
+"""
+
+
+@query("q_events_funnel", oracle=_FUNNEL_ORACLE)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+
+    def stage(prev: DataFrame, prev_t: str, etype: str, out_t: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_t))
+        )
+
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = stage(s1, "t1", "view", "t2")
+    s3 = stage(s2, "t2", "click", "t3")
+    s4 = stage(s3, "t3", "purchase", "t4")
+    counts = [
+        df.groupBy().agg(F.count("*").alias(name))
+        for df, name in ((s1, "n_signup"), (s2, "n_view"), (s3, "n_click"), (s4, "n_purchase"))
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(F.broadcast(c))
+    return out
+
+
+# Cohort retention: bucket users by the calendar day of their first
+# event, then count distinct users active at each day offset. Two
+# aggregations on user_id + one equi-join — the first-touch table is a
+# fraction of the event volume, so at scale it broadcasts or
+# hash-co-locates with the big side on user_id.
+_COHORT_ORACLE = """
+WITH first_touch AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day FROM events GROUP BY user_id
+)
+SELECT cohort_day,
+       date_diff('day', cohort_day, date_trunc('day', ts)) AS day_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN first_touch USING (user_id)
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+"""
+
+
+@query("q_events_cohort_retention", oracle=_COHORT_ORACLE)
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    first_touch = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    return (
+        e.join(first_touch, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+# Z-score outliers: per-type mean/std from EXACT decimal moments (value
+# carries <= 2 decimals, so DECIMAL(18,4) sums of value and value^2 are
+# exact and order-independent), then one broadcast join back and two IEEE
+# ops per row for the score. The stats side is 5 rows — a broadcast —
+# so the big side never shuffles at all.
+_ZSCORE_ORACLE = f"""
+WITH stats AS (
+  SELECT event_type,
+         count(*) AS n,
+         {sql_dsum('value')} / count(*) AS mean_v,
+         sqrt({sql_dsum('value * value')} / count(*)
+              - ({sql_dsum('value')} / count(*)) * ({sql_dsum('value')} / count(*))) AS std_v
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, value,
+       (value - mean_v) / std_v AS zscore
+FROM events e JOIN stats USING (event_type)
+WHERE abs((value - mean_v) / std_v) > 2.5
+ORDER BY event_id
+"""
+
+
+@query("q_events_zscore_outliers", oracle=_ZSCORE_ORACLE)
+def q_events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    n = F.count("*")
+    mean_v = dsum("value") / n
+    std_v = F.sqrt(
+        to_dbl(F.sum((F.col("value") * F.col("value")).cast(DEC))) / n
+        - mean_v * mean_v
+    )
+    stats = e.groupBy("event_type").agg(
+        n.alias("n"), mean_v.alias("mean_v"), std_v.alias("std_v")
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+        .orderBy("event_id")
     )
