@@ -393,3 +393,97 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match each
+# other instead of dropping out — the semantics audit pipelines need when
+# "unknown" is itself a join category. The fixtures carry no NULLs, so a
+# nullable key is derived (every 7th customer / 3rd supplier loses its
+# nation). Still a hash join: Spark plans eqNullSafe as an equi-join on
+# the null-wrapped key, not a nested loop.
+_NULLSAFE_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
+  FROM customer WHERE c_custkey < 100
+),
+s AS (
+  SELECT s_suppkey,
+         CASE WHEN s_suppkey % 3 = 0 THEN NULL ELSE s_nationkey END AS nk
+  FROM supplier WHERE s_suppkey < 50
+)
+SELECT c_custkey, s_suppkey, c.nk AS nk
+FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+ORDER BY c_custkey, s_suppkey
+"""
+
+
+@query("q_join_null_safe", oracle=_NULLSAFE_ORACLE)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(F.col("c_custkey") % 7 == 0, None)
+            .otherwise(F.col("c_nationkey"))
+            .alias("nk"),
+        )
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 50)
+        .select(
+            "s_suppkey",
+            F.when(F.col("s_suppkey") % 3 == 0, None)
+            .otherwise(F.col("s_nationkey"))
+            .alias("nk_s"),
+        )
+    )
+    return (
+        c.join(s, c["nk"].eqNullSafe(s["nk_s"]))
+        .select("c_custkey", "s_suppkey", "nk")
+        .orderBy("c_custkey", "s_suppkey")
+    )
+
+
+# Blocked fuzzy match: Levenshtein edit distance <= 2 between customer
+# names, candidate pairs generated ONLY within a nation block (equi-join
+# on c_nationkey) — the record-linkage shape: hash-partition on the
+# blocking key, run the quadratic matcher inside bounded blocks, never
+# across the full corpus. Both engines implement the standard
+# Wagner-Fischer distance, so the scores hash-compare exactly.
+_FUZZY_ORACLE = """
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       a.c_name AS name_a, b.c_name AS name_b,
+       levenshtein(a.c_name, b.c_name) AS edit_dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE a.c_custkey < 300 AND b.c_custkey < 300
+  AND levenshtein(a.c_name, b.c_name) <= 2
+ORDER BY custkey_a, custkey_b
+"""
+
+
+@query("q_join_fuzzy_levenshtein", oracle=_FUZZY_ORACLE)
+def q_join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    a = cust.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    return (
+        a.join(b, ["nk"])
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 2)
+        .select("custkey_a", "custkey_b", "name_a", "name_b", "edit_dist")
+        .orderBy("custkey_a", "custkey_b")
+    )
