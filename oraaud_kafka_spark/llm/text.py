@@ -236,12 +236,17 @@ def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # variant avoids transcendentals; the ranking it induces is the same
 # monotone ordering for a fixed corpus). Shape at scale: two partial-agg
 # groupBys (doc_id x tok, tok), a shuffle join on tok, and a
-# broadcast of the single-row corpus count — the doc_id < 100 output
-# filter prunes through the window partition key before the join.
+# broadcast of the single-row corpus count. Document frequency derives
+# from the (doc_id, tok) aggregate, not a second raw tokenization —
+# and because of that Catalyst pushes the doc_id < 100 output filter
+# THROUGH the window and join into the tf branch's parquet scan
+# (PushedFilters: LessThan(doc_id,100)) while the df branch stays
+# corpus-global as the statistic requires: the expensive side reads
+# only the requested documents.
 _TFIDF_ORACLE = """
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
-dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
 n AS (SELECT count(*) AS n_docs FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
@@ -263,7 +268,7 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    dfreq = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n_docs = d.groupBy().agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(dfreq, "tok")
@@ -283,15 +288,19 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Corpus vocabulary heavy hitters: global top-20 tokens with corpus share.
-# One explode -> partial-agg'd groupBy(tok) -> TakeOrderedAndProject;
-# the total-token count rides along as a broadcast single row, so the
-# only wide exchange carries (tok, partial_count) pairs.
+# One explode -> partial-agg'd groupBy(tok) -> TakeOrderedAndProject.
+# The corpus-total denominator is the SUM of the per-token counts — a
+# second tiny aggregate over the vocabulary, not a second pass over the
+# corpus — broadcast back as a single row.
 _HEAVY_ORACLE = """
-WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-tot AS (SELECT count(*) AS n_total FROM toks)
-SELECT tok, count(*) AS n, CAST(count(*) * 1000000 AS DOUBLE) / max(tot.n_total) AS ppm
-FROM toks CROSS JOIN tot
-GROUP BY tok
+WITH counts AS (
+  SELECT tok, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+),
+tot AS (SELECT sum(n) AS n_total FROM counts)
+SELECT tok, n, CAST(n * 1000000 AS DOUBLE) / n_total AS ppm
+FROM counts CROSS JOIN tot
 ORDER BY n DESC, tok
 LIMIT 20
 """
@@ -300,14 +309,16 @@ LIMIT 20
 @query("q_text_heavy_hitters", oracle=_HEAVY_ORACLE)
 def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
-    tot = toks.groupBy().agg(F.count("*").alias("n_total"))
-    return (
-        toks.crossJoin(F.broadcast(tot))
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok")
-        .agg(
-            F.count("*").alias("n"),
-            ((F.count("*") * 1000000).cast("double") / F.max("n_total")).alias("ppm"),
+        .agg(F.count("*").alias("n"))
+    )
+    tot = counts.groupBy().agg(F.sum("n").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "tok", "n", ((F.col("n") * 1000000).cast("double") / F.col("n_total")).alias("ppm")
         )
         .orderBy(F.desc("n"), "tok")
         .limit(20)

@@ -180,3 +180,71 @@ def test_kmeans_assignment_in_projection(spark):
     plan = _plan(df)
     assert "Exchange" not in plan
     assert "Python" not in plan  # no UDF eval nodes
+
+
+def _final(plan: str) -> str:
+    """AQE prints Final + Initial; scale assertions bind to the FINAL plan."""
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_tfidf_output_filter_pushed_into_tf_branch(spark):
+    """The doc_id < 100 output filter must prune through window + join
+    into the tf branch's parquet scan, while the document-frequency
+    branch stays corpus-global — the tf side reads only requested docs."""
+    df = registry.QUERIES["q_text_tfidf_topk"].__wrapped__(spark, SF_DIR)
+    plan = _final(_plan(df, execute=True))
+    assert "LessThan(doc_id,100)" in plan
+    assert plan.count("Generate explode") == 2  # filtered tf + global df
+    assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_single_pass_topk(spark):
+    df = registry.QUERIES["q_text_heavy_hitters"].__wrapped__(spark, SF_DIR)
+    plan = _final(_plan(df, execute=True))
+    assert plan.count("Generate explode") == 1
+    assert "ReusedExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pack_strided_map_side_only(spark):
+    """Window generation is pure per-row array math: no hash exchange, no
+    join, no aggregate anywhere before the output sort."""
+    df = registry.QUERIES["q_pack_strided"].__wrapped__(spark, SF_DIR)
+    plan = _final(_plan(df, execute=True))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_zscore_stats_broadcast_back(spark):
+    """The 5-row per-type stats table broadcasts; the event scan never
+    shuffles on the join key."""
+    df = registry.QUERIES["q_events_zscore_outliers"].__wrapped__(spark, SF_DIR)
+    plan = _final(_plan(df, execute=True))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_span_dedup_hash_keyed_no_cartesian(spark):
+    df = registry.QUERIES["q_dedup_span_c4"].__wrapped__(spark, SF_DIR)
+    plan = _final(_plan(df, execute=True))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_null_safe_join_is_hash_join(spark):
+    """eqNullSafe must plan as an equi hash join on the null-wrapped key,
+    never a nested loop."""
+    df = registry.QUERIES["q_join_null_safe"].__wrapped__(spark, SF_DIR)
+    plan = _final(_plan(df, execute=True))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_match_blocked_not_cartesian(spark):
+    """Levenshtein candidates come from the nation-block equi-join; the
+    quadratic matcher never sees an unblocked cross product."""
+    df = registry.QUERIES["q_join_fuzzy_levenshtein"].__wrapped__(spark, SF_DIR)
+    plan = _final(_plan(df, execute=True))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
