@@ -59,9 +59,14 @@ ORDER BY doc_id
 @query("q_decontaminate", oracle=_DECONTAM_ORACLE)
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    tokenized = d.select(
-        "doc_id", "lang", "source", F.split("text", " ").alias("toks")
-    ).filter(F.size("toks") >= 3)
+    # spread BEFORE the shingle projection: the per-doc shingle transform
+    # is the expensive stage, so parallelism must be recovered ahead of
+    # it, not after the explode (no-op on a well-split scan at scale).
+    tokenized = spread(
+        d.select(
+            "doc_id", "lang", "source", F.split("text", " ").alias("toks")
+        ).filter(F.size("toks") >= 3)
+    )
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size("toks") - 2),
@@ -71,7 +76,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = tokenized.select("doc_id", "lang", "source", shingles.alias("shs"))
     bench = (
         sh.filter(F.col("source") == BENCH_SOURCE)
-        .select(F.explode("shs").alias("s"))
+        .select(F.explode_outer("shs").alias("s"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
@@ -79,11 +84,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast join marks hits, and the per-doc groupBy re-assembles
     # counts — no second shingle computation, no join back (a left join
     # keeps zero-match docs because every exploded row survives).
-    exploded = spread(
-        sh.filter(F.col("source") != BENCH_SOURCE).select(
-            "doc_id", "lang", F.size("shs").alias("n_shingles"),
-            F.explode("shs").alias("s"),
-        )
+    exploded = sh.filter(F.col("source") != BENCH_SOURCE).select(
+        "doc_id", "lang", F.size("shs").alias("n_shingles"),
+        F.explode_outer("shs").alias("s"),
     )
     counted = (
         exploded.join(F.broadcast(bench), "s", "left")

@@ -319,7 +319,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     tok = d.select(
         "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+        F.explode_outer(F.array_distinct(F.split("text", " "))).alias("tok"),
     ).withColumn("h", F.md5("tok"))
     bit_idx = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
     tok_bits = tok.select("doc_id", "h", bit_idx)
@@ -612,7 +612,7 @@ def q_dedup_span_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.array_join(F.slice("toks", i * _SPAN_W + 1, _SPAN_W), " "),
     )
     chunks = (
-        t.select("doc_id", F.posexplode(spans).alias("chunk_idx", "chunk"))
+        t.select("doc_id", F.posexplode_outer(spans).alias("chunk_idx", "chunk"))
         .withColumn("chunk_hash", F.md5("chunk"))
     )
     freq = chunks.groupBy("chunk_hash").agg(

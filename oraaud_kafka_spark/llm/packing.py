@@ -323,7 +323,7 @@ def q_pack_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
     win_ids = F.sequence(F.lit(0), n_wins - 1)
     exploded = t.select(
         "doc_id", "lang", n_toks.alias("n_toks"), "toks",
-        F.explode(win_ids).alias("win_id"),
+        F.explode_outer(win_ids).alias("win_id"),
     )
     start = F.col("win_id") * _WIN_S
     return exploded.select(

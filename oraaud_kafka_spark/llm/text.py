@@ -210,7 +210,7 @@ def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     t = d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
     exploded = t.select(
-        "doc_id", "lang", F.size("toks").alias("n_toks"), F.explode("toks").alias("tok")
+        "doc_id", "lang", F.size("toks").alias("n_toks"), F.explode_outer("toks").alias("tok")
     )
     top = (
         exploded.groupBy("doc_id", "lang", "n_toks", "tok")
@@ -266,7 +266,7 @@ ORDER BY doc_id, rk
 @query("q_text_tfidf_topk", oracle=_TFIDF_ORACLE)
 def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    toks = d.select("doc_id", F.explode_outer(F.split("text", " ")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n_docs = d.groupBy().agg(F.count("*").alias("n_docs"))
@@ -310,7 +310,7 @@ LIMIT 20
 def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     counts = (
-        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        d.select(F.explode_outer(F.split("text", " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("n"))
     )

@@ -255,7 +255,7 @@ def q_time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid = spans.select(
         "user_id",
-        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"),
+        F.explode_outer(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"),
     )
     w = (
         Window.partitionBy("user_id")

@@ -96,7 +96,7 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return (
-        one.select(F.explode(per_col).alias("p"))
+        one.select(F.explode_outer(per_col).alias("p"))
         .select("p.*")
         .orderBy("col_name")
     )

@@ -152,7 +152,7 @@ LIMIT 20
 def q_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return (
-        d.select(F.explode(F.split("text", " ")).alias("word"))
+        d.select(F.explode_outer(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("n"))
@@ -240,7 +240,7 @@ ORDER BY doc_id, pos
 def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
     return (
-        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        d.select("doc_id", F.posexplode_outer(F.split("text", " ")).alias("pos", "word"))
         .filter(F.col("pos") < 10)
         .orderBy("doc_id", "pos")
     )
