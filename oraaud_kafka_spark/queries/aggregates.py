@@ -414,3 +414,37 @@ def q_agg_bool_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# Exact median (interpolated percentile 0.5) over an integer column:
+# the midpoint of two int64s is exactly representable in double, so
+# Spark's median() and DuckDB's median() agree bitwise. (Median over
+# float columns is NOT hash-stable across engines — interpolation order
+# differs — so the engine's contract is median-over-integers; for
+# doubles use percentile_approx.) Exact median sorts within groups —
+# at 100 TB prefer approx_percentile; this is the exact small-group path.
+_MEDIAN_ORACLE = """
+SELECT lang,
+       count(*) AS n_docs,
+       median(n_chars) AS med_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("q_agg_median", oracle=_MEDIAN_ORACLE)
+def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.median("n_chars").alias("med_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )

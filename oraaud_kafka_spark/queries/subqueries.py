@@ -113,3 +113,27 @@ ORDER BY p_brand
 def q_subquery_corr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir)
     return spark.sql(_CORR_AGG_SQL)
+
+
+# Correlated LATERAL subquery with LIMIT — "top-2 per outer row" written
+# the way a SQL-first user writes it. Catalyst decorrelates the lateral
+# into a ranked window join (no per-row re-execution), so the shape that
+# reaches the executor is the same partitioned top-k as
+# q_window_topk_per_group — usable at 100 TB, unlike a nested-loop
+# interpretation.
+_LATERAL_SQL = """
+SELECT n.n_name, c.c_custkey, c.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) c
+ORDER BY n_name, c_acctbal DESC, c_custkey
+"""
+
+
+@query("q_subquery_lateral_topk", oracle=_LATERAL_SQL)
+def q_subquery_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

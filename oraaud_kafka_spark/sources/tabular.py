@@ -125,3 +125,31 @@ def write_delta(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — Spark-native columnar alternative to parquet, with the
+    same pushdown/pruning behavior (PushedFilters reach the ORC reader)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    mode: str = "error",
+    compression: str = "zstd",
+) -> None:
+    """ORC sink with the same partitioning guidance as write_parquet."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def write_jsonl(df: DataFrame, path: str, *, mode: str = "error") -> None:
+    """JSON-lines sink — the interchange format for downstream tooling
+    that can't read columnar files. Compression left to the caller via
+    spark.conf (text codecs apply); never the hot-path analytic format."""
+    df.write.mode(mode).json(path)

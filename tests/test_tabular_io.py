@@ -71,3 +71,40 @@ def test_write_delta_gated_without_delta_spark(spark, tmp_path):
     assert not delta_available(spark)
     with pytest.raises(NotImplementedError, match="delta-spark"):
         write_delta(df, str(tmp_path / "d"))
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from oraaud_kafka_spark.sources.tabular import read_orc, write_orc
+    from oraaud_kafka_spark.tables import load
+
+    from .conftest import SF_DIR
+
+    src = load(spark, SF_DIR, "customer")
+    path = str(tmp_path / "cust_orc")
+    write_orc(src, path, partition_by=["c_mktsegment"])
+    back = read_orc(spark, path)
+    assert back.count() == src.count()
+    assert set(back.columns) == set(src.columns)
+    # partition pruning: a segment filter must reach PartitionFilters
+    seg = back.filter(back.c_mktsegment == "AUTOMOBILE")
+    plan = seg._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(c_mktsegment" in plan
+    # predicate pushdown on a data column reaches the ORC reader
+    pred = back.filter(back.c_custkey < 10)
+    pplan = pred._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(c_custkey), LessThan(c_custkey,10)]" in pplan
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from oraaud_kafka_spark.sources.tabular import read_jsonl, write_jsonl
+    from oraaud_kafka_spark.tables import load
+
+    from .conftest import SF_DIR
+
+    src = load(spark, SF_DIR, "nation")
+    path = str(tmp_path / "nation_jsonl")
+    write_jsonl(src, path)
+    back = read_jsonl(spark, path, schema=src.schema)
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in src.collect()
+    )
