@@ -46,6 +46,12 @@ EXTRAS = [
     "q_decontaminate",           # benchmark n-gram overlap
     "q_time_gap_fill",           # dense grid + forward fill
     "q_profile_table",           # one-scan column profiling
+    "q_dedup_span_c4",           # cross-doc span removal + reassembly
+    "q_text_tfidf_topk",         # two-level term stats + ranked window
+    "q_join_fuzzy_levenshtein",  # blocked edit-distance linkage
+    "q_events_funnel",           # staged shrinking-set joins
+    "q_events_zscore_outliers",  # exact-moment stats broadcast back
+    "q_pack_strided",            # map-only overlapping windows
 ]
 
 

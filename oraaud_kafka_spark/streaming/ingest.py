@@ -248,6 +248,26 @@ def start_dual_sink(
     return writer.start()
 
 
+def idempotent_parquet_writer(base_dir: str):
+    """Exactly-once file output over an at-least-once stream: each
+    micro-batch OVERWRITES its own ``batch_id=<n>`` directory, so a
+    batch replayed after a failure (foreachBatch's documented
+    at-least-once contract) rewrites the same files instead of
+    appending duplicates. Downstream readers see exactly-once data;
+    the batch id in the path doubles as the commit marker. This is the
+    standard idempotent-sink pattern for sinks without transactions
+    (reference parallel: the ack-then-delete commit in KafkaJob.java
+    60-94 makes redelivery, not duplication, the failure mode).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{base_dir}/batch_id={batch_id}"
+        )
+
+    return write_batch
+
+
 def start_memory_sink(
     df: DataFrame, query_name: str, *, available_now: bool = True
 ) -> StreamingQuery:

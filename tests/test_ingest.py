@@ -411,3 +411,46 @@ def test_kafka_sink_record_contract(spark, tmp_path):
     assert host == "kafkahost" and path.endswith("orcl_ora_12345_0001.xml")
     assert "\n" not in rec.value and "\r" not in rec.value
     assert rec.value.startswith("<?xml") and rec.value.endswith("</Audit>")
+
+
+def test_idempotent_sink_replay_does_not_duplicate(spark, tmp_path):
+    """Replaying a micro-batch (the at-least-once failure mode of
+    foreachBatch) must overwrite, not append — exactly-once output."""
+    from oraaud_kafka_spark.streaming.ingest import idempotent_parquet_writer
+
+    out = str(tmp_path / "out")
+    writer = idempotent_parquet_writer(out)
+    batch = spark.range(10).withColumnRenamed("id", "v")
+    writer(batch, 0)
+    writer(batch, 1)
+    assert spark.read.parquet(out).count() == 20
+    # simulate post-failure replay of batch 1
+    writer(batch, 1)
+    back = spark.read.parquet(out)
+    assert back.count() == 20
+    assert back.select("batch_id").distinct().count() == 2
+
+
+def test_idempotent_sink_under_streaming(spark, tmp_path):
+    from oraaud_kafka_spark.sources.audit_xml import read_audit_stream
+    from oraaud_kafka_spark.streaming.ingest import (
+        idempotent_parquet_writer,
+        start_foreach_batch_sink,
+    )
+
+    audit_dir = tmp_path / "audit"
+    audit_dir.mkdir()
+    (audit_dir / "host1_ora_123_1.xml").write_text(
+        _fix_ts(AUDIT_DOC.format(sid=9, eid=3, user="SYS"))
+    )
+    stream = read_audit_stream(spark, str(audit_dir))
+    q = start_foreach_batch_sink(
+        stream,
+        idempotent_parquet_writer(str(tmp_path / "sink")),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(60)
+    back = spark.read.parquet(str(tmp_path / "sink"))
+    assert back.count() == 1
+    assert "batch_id" in back.columns
