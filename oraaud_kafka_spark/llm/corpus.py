@@ -106,3 +106,56 @@ def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+# Int8 scalar quantization of embeddings — the storage/bandwidth op for
+# billion-vector corpora: per-vector absmax scale, symmetric round to
+# [-127, 127], reconstruction MSE reported per vector. 4x smaller than
+# float32 on the wire and in the ANN index; everything is per-row array
+# math (zero shuffle, codegen'd), and both engines round half-away-from-
+# zero with identical IEEE division so the quantized codes hash-compare
+# exactly. Dequantize is q * scale — the downstream ANN paths can probe
+# quantized codes and re-rank exact on the candidate set.
+_QUANT_ORACLE = """
+SELECT vec_id, label, scale,
+       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT)) AS q,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         list_transform(embedding,
+           x -> (CAST(x AS DOUBLE) - CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT) * scale)
+              * (CAST(x AS DOUBLE) - CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT) * scale))),
+         (acc, e) -> acc + e) / len(embedding) AS mse
+FROM (
+  SELECT vec_id, label, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings
+  WHERE vec_id < 200
+)
+ORDER BY vec_id
+"""
+
+
+@query("q_emb_quantize_int8", oracle=_QUANT_ORACLE)
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    emb = F.col("embedding")
+    scale = (
+        F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double")))) / 127.0
+    )
+    with_scale = e.select("vec_id", "label", "embedding", scale.alias("scale"))
+    s = F.col("scale")
+    qcode = lambda x: F.round(x.cast("double") / s, 0).cast("int")  # noqa: E731
+    err = lambda x: (x.cast("double") - qcode(x) * s) * (  # noqa: E731
+        x.cast("double") - qcode(x) * s
+    )
+    return with_scale.select(
+        "vec_id",
+        "label",
+        "scale",
+        F.transform(emb, qcode).alias("q"),
+        (
+            F.aggregate(
+                F.transform(emb, err), F.lit(0.0), lambda acc, x: acc + x
+            )
+            / F.size(emb)
+        ).alias("mse"),
+    ).orderBy("vec_id")
