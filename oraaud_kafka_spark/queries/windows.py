@@ -306,3 +306,67 @@ def q_window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+# Rolling correlation over a trailing 100-row frame — the time-series
+# co-movement operator (value vs payload size per event type). All five
+# moments are EXACT decimal window sums (order-independent at any
+# parallelism), with the correlation assembled in identical double
+# arithmetic on both engines, so even this windowed float statistic
+# hash-compares. The frame orders on the UNIQUE event_id (the fixture
+# lineitem PK is not unique, which would make frame contents
+# order-dependent); one shuffle on event_type, and the frame is
+# incremental state inside the window operator, not a per-row rescan.
+_ROLLCORR_ORACLE = """
+SELECT event_type, event_id, n_w,
+       CASE WHEN n_w > 1 AND n_w * sxx - sx * sx > 0 AND n_w * syy - sy * sy > 0 THEN
+         (n_w * sxy - sx * sy)
+           / (sqrt(n_w * sxx - sx * sx) * sqrt(n_w * syy - sy * sy))
+       END AS roll_corr
+FROM (
+  SELECT event_type, event_id,
+         CAST(count(*) OVER w AS DOUBLE) AS n_w,
+         CAST(CAST(round(sum(CAST(value AS DECIMAL(18,4))) OVER w, 4) AS DECIMAL(18,4)) AS DOUBLE) AS sx,
+         CAST(CAST(round(sum(CAST(length(props) AS DECIMAL(18,4))) OVER w, 4) AS DECIMAL(18,4)) AS DOUBLE) AS sy,
+         CAST(CAST(round(sum(CAST(value * length(props) AS DECIMAL(18,4))) OVER w, 4) AS DECIMAL(18,4)) AS DOUBLE) AS sxy,
+         CAST(CAST(round(sum(CAST(value * value AS DECIMAL(18,4))) OVER w, 4) AS DECIMAL(18,4)) AS DOUBLE) AS sxx,
+         CAST(CAST(round(sum(CAST(length(props) * length(props) AS DECIMAL(18,4))) OVER w, 4) AS DECIMAL(18,4)) AS DOUBLE) AS syy
+  FROM events
+  WHERE event_id < 5000
+  WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+)
+ORDER BY event_type, event_id
+"""
+
+
+@query("q_window_rolling_corr", oracle=_ROLLCORR_ORACLE)
+def q_window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(-99, Window.currentRow)
+    )
+    x = F.col("value")
+    y = F.length("props")
+    n_w = F.count("*").over(w).cast("double")
+    sx = to_dbl(F.sum(x.cast(DEC)).over(w))
+    sy = to_dbl(F.sum(y.cast(DEC)).over(w))
+    sxy = to_dbl(F.sum((x * y).cast(DEC)).over(w))
+    sxx = to_dbl(F.sum((x * x).cast(DEC)).over(w))
+    syy = to_dbl(F.sum((y * y).cast(DEC)).over(w))
+    corr = (n_w * sxy - sx * sy) / (
+        F.sqrt(n_w * sxx - sx * sx) * F.sqrt(n_w * syy - sy * sy)
+    )
+    defined = (
+        (n_w > 1)
+        & (n_w * sxx - sx * sx > 0)
+        & (n_w * syy - sy * sy > 0)
+    )
+    return e.select(
+        "event_type",
+        "event_id",
+        n_w.alias("n_w"),
+        F.when(defined, corr).alias("roll_corr"),
+    ).orderBy("event_type", "event_id")

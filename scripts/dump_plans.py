@@ -10,7 +10,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import HEADLINE  # noqa: E402
+from bench import EXTRAS, HEADLINE  # noqa: E402
 from oraaud_kafka_spark import registry  # noqa: E402
 from oraaud_kafka_spark.plans.inspect import plan_report  # noqa: E402
 from oraaud_kafka_spark.session import get_spark  # noqa: E402
@@ -31,7 +31,7 @@ def main() -> None:
         "| query | shuffles | joins | codegen stages | pushed filters | notes |",
         "|---|---|---|---|---|---|",
     ]
-    for name in HEADLINE:
+    for name in [*HEADLINE, *EXTRAS]:
         df = registry.QUERIES[name](spark, SF_DIR)
         r = plan_report(df, execute=True)
         joins = ", ".join(sorted(set(r.joins))) or "—"
