@@ -369,3 +369,92 @@ def test_greedy_packing_budget_invariant(spark):
             packs.setdefault(r.pack_id, []).append(r.n_toks)
         for toks in packs.values():
             assert sum(toks) <= BUDGET or len(toks) == 1
+
+
+def test_strided_windows_cover_all_tokens(spark):
+    """Every token of every doc appears in at least one window; window
+    starts advance by exactly the stride; last window reaches the end."""
+    from oraaud_kafka_spark.llm.packing import _WIN_S, _WIN_W
+    from oraaud_kafka_spark import registry
+
+    from .conftest import SF_DIR
+
+    rows = (
+        registry.QUERIES["q_pack_strided"](spark, SF_DIR)
+        .select("doc_id", "n_toks", "win_id", "start_tok", "win_len")
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc_id, wins in by_doc.items():
+        wins.sort(key=lambda r: r.win_id)
+        n = wins[0].n_toks
+        # starts advance by stride from 0
+        assert [w.start_tok for w in wins] == [i * _WIN_S for i in range(len(wins))]
+        # full coverage: union of [start, start+len) == [0, n)
+        covered = set()
+        for w in wins:
+            assert 1 <= w.win_len <= _WIN_W
+            covered.update(range(w.start_tok, w.start_tok + w.win_len))
+        assert covered == set(range(n))
+        # consecutive windows overlap by W - S when both are full
+        for a, b in zip(wins, wins[1:]):
+            if a.win_len == _WIN_W:
+                assert b.start_tok < a.start_tok + a.win_len
+
+
+def test_span_dedup_cleaned_text_is_subsequence(spark):
+    """Cleaned text is the original with whole spans dropped: token
+    counts bounded, and kept spans appear in original order."""
+    from oraaud_kafka_spark import registry
+
+    from .conftest import SF_DIR
+
+    registry.load_all()
+    out = {
+        r.doc_id: r
+        for r in registry.QUERIES["q_dedup_span_c4"](spark, SF_DIR).collect()
+    }
+    src = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    assert set(out) == set(src)
+    changed = 0
+    for doc_id, r in out.items():
+        assert 0 <= r.n_dup_spans <= r.n_spans
+        if r.n_dup_spans:
+            changed += 1
+        orig = src[doc_id].split(" ")
+        kept = r.cleaned_text.split(" ") if r.cleaned_text else []
+        # kept tokens are a subsequence of the original tokens
+        it = iter(orig)
+        assert all(tok in it for tok in kept), doc_id
+    assert changed > 0  # fixture corpus contains cross-doc duplicate spans
+
+
+def test_quantize_int8_codes_bounded(spark):
+    from oraaud_kafka_spark import registry
+
+    from .conftest import SF_DIR
+
+    registry.load_all()
+    rows = registry.QUERIES["q_emb_quantize_int8"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert all(-127 <= q <= 127 for q in r.q)
+        assert r.scale > 0
+        assert 0 <= r.mse < (r.scale * r.scale) / 4 + 1e-12  # max err = scale/2
+
+
+def test_funnel_counts_monotone_decreasing(spark):
+    from oraaud_kafka_spark import registry
+
+    from .conftest import SF_DIR
+
+    registry.load_all()
+    row = registry.QUERIES["q_events_funnel"](spark, SF_DIR).collect()[0]
+    assert row.n_signup >= row.n_view >= row.n_click >= row.n_purchase >= 0
+    assert row.n_signup > 0
