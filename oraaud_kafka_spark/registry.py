@@ -37,10 +37,10 @@ _MODULES = (
     "oraaud_kafka_spark.llm.corpus",
     "oraaud_kafka_spark.llm.packing",
     "oraaud_kafka_spark.llm.decontam",
+    "oraaud_kafka_spark.queries.event_time",
     "oraaud_kafka_spark.queries.scalar_funcs",
     "oraaud_kafka_spark.queries.semistructured",
     "oraaud_kafka_spark.queries.subqueries",
-    "oraaud_kafka_spark.queries.event_time",
     "oraaud_kafka_spark.queries.udf_surface",
     "oraaud_kafka_spark.queries.setops",
     "oraaud_kafka_spark.queries.reshape",
