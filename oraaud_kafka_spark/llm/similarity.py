@@ -396,3 +396,69 @@ def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "nid", "cosine", "rnk")
         .orderBy("qid", "rnk")
     )
+
+
+# Retrieve-then-enrich (the RAG serving shape): ANN top-3 per query
+# vector over the corpus, then an equi-join back to the documents table
+# for the payload the consumer actually wants (language, source, size).
+# The two halves compose without a new primitive: broadcast-query brute
+# scoring (swap in the LSH/IVF path at scale) feeding a doc_id hash
+# join — the retrieval result is k x |Q| rows, so the enrich join
+# broadcasts IT, and the documents table is probed, never shuffled.
+_RAG_K = 3
+
+_RAG_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid, e.vec_id AS doc_id,
+         {_sql_dot('q.qv', 'e.embedding')} / ({_sql_norm('q.qv')} * {_sql_norm('e.embedding')}) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.qid
+),
+hits AS (
+  SELECT qid, doc_id, cosine, rnk
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS rnk
+        FROM scored)
+  WHERE rnk <= {_RAG_K}
+)
+SELECT h.qid, h.rnk, h.doc_id, h.cosine, d.lang, d.source, d.n_chars
+FROM hits h JOIN documents d USING (doc_id)
+ORDER BY qid, rnk
+"""
+
+
+@query("q_rag_retrieve_enrich", oracle=_RAG_ORACLE)
+def q_rag_retrieve_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+        .withColumn("qnorm", _norm(F.col("qv")))
+    )
+    corpus = spread(
+        e.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("nv"))
+    ).withColumn("nnorm", _norm(F.col("nv")))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .filter(F.col("doc_id") != F.col("qid"))
+        .select(
+            "qid",
+            "doc_id",
+            (_dot(F.col("qv"), F.col("nv")) / (F.col("qnorm") * F.col("nnorm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "doc_id")
+    hits = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _RAG_K
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return (
+        F.broadcast(hits)
+        .join(docs, "doc_id")
+        .select("qid", "rnk", "doc_id", "cosine", "lang", "source", "n_chars")
+        .orderBy("qid", "rnk")
+    )
