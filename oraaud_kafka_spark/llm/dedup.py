@@ -352,20 +352,24 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Jaccard over distinct-token sets is integer set arithmetic.
 # ---------------------------------------------------------------------------
 
+# Union size is |A| + |B| - |A n B| (sets are already distinct), so the
+# per-pair work is ONE list_intersect — never a per-pair concat+distinct
+# rebuild of the union array.
 _JACCARD_ORACLE = """
 WITH t AS (
   SELECT doc_id, lang,
          len(string_split(text, ' ')) // 10 AS size_bucket,
-         list_distinct(string_split(text, ' ')) AS toks
+         list_distinct(string_split(text, ' ')) AS toks,
+         len(list_distinct(string_split(text, ' '))) AS n_toks
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-         / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+         / (a.n_toks + b.n_toks - len(list_intersect(a.toks, b.toks))) AS jaccard
 FROM t a JOIN t b
   ON a.lang = b.lang AND a.size_bucket = b.size_bucket AND a.doc_id < b.doc_id
 WHERE len(list_intersect(a.toks, b.toks)) * 2
-      >= len(list_distinct(list_concat(a.toks, b.toks)))
+      >= a.n_toks + b.n_toks - len(list_intersect(a.toks, b.toks))
 ORDER BY doc_a, doc_b
 """
 
@@ -386,22 +390,32 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             (F.size(F.split("text", " ")) / 10).cast("int").alias("size_bucket"),
             F.array_distinct(F.split("text", " ")).alias("toks"),
+            F.size(F.array_distinct(F.split("text", " "))).alias("n_toks"),
         )
     )
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    union = F.size(F.array_distinct(F.concat("toks_a", "toks_b")))
     pairs = triangle_self_join(
         t,
         block_cols=["lang", "size_bucket"],
         id_col="doc_id",
         n_sub=4,
-        pair_filter=inter * 2 >= union,
     )
-    return pairs.select(
-        F.col("doc_id_a").alias("doc_a"),
-        F.col("doc_id_b").alias("doc_b"),
-        (inter.cast("double") / union).alias("jaccard"),
-    ).orderBy("doc_a", "doc_b")
+    # materialize the intersection size ONCE per pair — referencing the
+    # expression from the threshold filter AND the score would re-run
+    # the set intersection up to 4x per pair (no cross-operator CSE)
+    inter = F.col("inter")
+    union = F.col("n_toks_a") + F.col("n_toks_b") - inter
+    return (
+        pairs.withColumn(
+            "inter", F.size(F.array_intersect("toks_a", "toks_b"))
+        )
+        .filter(inter * 2 >= union)
+        .select(
+            F.col("doc_id_a").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 # ---------------------------------------------------------------------------
