@@ -648,3 +648,45 @@ def q_dedup_span_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Duplicate-cluster size distribution — the dedup QA report: how many
+# exact-duplicate clusters exist at each multiplicity, and how many
+# documents deduplication would remove. Two cascaded partial-agg'd
+# groupBys over 16-byte fingerprints; the report is O(max cluster size)
+# rows no matter the corpus size.
+_CLUSTER_SIZES_ORACLE = """
+WITH clusters AS (
+  SELECT md5(text) AS fp, count(*) AS cluster_size
+  FROM documents
+  GROUP BY md5(text)
+)
+SELECT cluster_size,
+       count(*) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removable
+FROM clusters
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
+@query("q_dedup_cluster_sizes", oracle=_CLUSTER_SIZES_ORACLE)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    clusters = d.groupBy(F.md5("text").alias("fp")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias(
+                "n_removable"
+            ),
+        )
+        .orderBy("cluster_size")
+    )
