@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -168,5 +169,98 @@ def retry_until_complete(df: DataFrame) -> DataFrame:
             RETRY_STATE_SCHEMA,
             "append",
             "NoTimeout",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state API): running
+# per-key statistics with an explicit ValueState cell. Complements the
+# applyInPandasWithState retry gate above — this is the successor API
+# (typed state handles, timers, TTL) the engine standardizes on for new
+# custom stateful operators. State per key is O(1) (count / sum / max),
+# emitted in Update mode every batch the key appears in.
+# ---------------------------------------------------------------------------
+
+RUNNING_STATS_OUTPUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+
+def transform_with_state_available() -> bool:
+    """transformWithStateInPandas speaks a protobuf-based state protocol;
+    the API exists in Spark 4.1 but its Python worker needs
+    google.protobuf, which this container does not ship (and installs
+    are disallowed). On a real cluster with protobuf present the
+    operator below runs unchanged."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_type_stats(df: DataFrame) -> DataFrame:
+    """Cumulative per-type stats via transformWithStateInPandas.
+
+    The processor class is defined INSIDE this function on purpose:
+    Spark's transform-with-state driver worker runs under the system
+    Spark's Python (not this venv) and unpickles the processor there —
+    a module-level class would pickle by reference and fail to import.
+    A closure-local class makes cloudpickle serialize it BY VALUE, so
+    the only import the worker needs is pyspark itself.
+    """
+    if not transform_with_state_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf in the worker "
+            "environment; not installable in this container. Use "
+            "retry_until_complete (applyInPandasWithState) locally, or run "
+            "on a cluster with protobuf to use this operator unchanged."
+        )
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class RunningTypeStatsProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._stats = handle.getValueState(
+                "stats", "n BIGINT, total DOUBLE, vmax DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            prev = self._stats.get() if self._stats.exists() else (0, 0.0, None)
+            n, total, vmax = prev
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                batch_max = float(pdf["value"].max())
+                vmax = batch_max if vmax is None else max(vmax, batch_max)
+            self._stats.update((n, total, vmax))
+            yield _pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "max_value": [vmax],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        df.select("event_type", "value")
+        .groupBy("event_type")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTypeStatsProcessor(),
+            outputStructType=RUNNING_STATS_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
         )
     )

@@ -329,3 +329,61 @@ def test_streaming_document_pipeline(spark, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_running_type_stats_accumulates_across_batches(spark, tmp_path):
+    """transformWithStateInPandas ValueState carries cumulative stats
+    across micro-batches (Update mode re-emits running totals). The
+    container lacks google.protobuf (the API's state-protocol
+    dependency), so locally the import gate must raise the documented
+    actionable error; with protobuf present the full stream runs."""
+    import pytest
+    from pyspark.sql.types import DoubleType
+
+    from oraaud_kafka_spark.streaming.analytics import (
+        running_type_stats,
+        transform_with_state_available,
+    )
+
+    d = tmp_path / "twspi"
+    d.mkdir()
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    _write_jsonl(
+        d / "b1.json",
+        [
+            {"event_type": "view", "value": 1.0},
+            {"event_type": "view", "value": 2.0},
+            {"event_type": "click", "value": 10.0},
+        ],
+    )
+    _write_jsonl(d / "b2.json", [{"event_type": "view", "value": 4.0}])
+    stream = _stream_json(spark, d, schema, latestFirst="false")
+
+    if not transform_with_state_available():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            running_type_stats(stream)
+        return
+
+    q = (
+        running_type_stats(stream)
+        .writeStream.format("memory")
+        .queryName("twspi")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        last = {r.event_type: r for r in spark.table("twspi").collect()}
+        assert last["view"].n_events == 3
+        assert last["view"].total_value == 7.0
+        assert last["view"].max_value == 4.0
+        assert last["click"].n_events == 1
+    finally:
+        q.stop()
