@@ -3,11 +3,12 @@
 Images/audio/video are opaque BINARY columns plus typed metadata. The
 Spark-side machinery that matters at 100 TB — schema, partitioning, Arrow
 batch shape through mapInPandas, feature extraction signatures — is real
-and tested here. ``decode_image`` genuinely parses a documented
-deterministic FIMG test format (and raises NotImplementedError for real
-codecs — no image/audio libs in this container); ``decode_audio`` stays
-a stub. q_multimodal_decode_stats drives the full encode -> decode ->
-featurize pipeline through that seam, oracle-checked.
+and tested here. ``decode_image`` / ``decode_audio`` genuinely parse
+documented deterministic test formats (FIMG / FWAV) and raise
+NotImplementedError for real codecs — no image/audio libs in this
+container. q_multimodal_decode_stats and q_multimodal_audio_stats drive
+the full encode -> decode -> featurize pipelines through those seams,
+oracle-checked.
 
 The fixture has no binary table, so ``documents.text`` is encoded to
 bytes — the plumbing is identical for real media payloads.
@@ -64,9 +65,39 @@ def decode_image(payload: bytes) -> "object":
     return arr.reshape(h, w, 3)
 
 
-def decode_audio(payload: bytes) -> "object":
-    """Decode audio to PCM samples. STUB (no audio libs in container)."""
-    raise NotImplementedError("audio decode requires a codec library")
+# Deterministic fake audio format, the FIMG analog for the audio path:
+#   b"FWAV" | sample_rate (uint32 BE) | n_samples (uint32 BE) | int16 LE PCM.
+# Samples are a pure function of (doc_id, index) so DuckDB reproduces
+# every decoded statistic without seeing the bytes.
+FWAV_MAGIC = b"FWAV"
+
+
+def encode_fake_audio(doc_id: int, sample_rate: int, n_samples: int) -> bytes:
+    import numpy as np
+
+    i = np.arange(n_samples, dtype=np.int64)
+    samples = ((doc_id * 13 + i * 5) % 4096 - 2048).astype("<i2")
+    return (
+        FWAV_MAGIC
+        + sample_rate.to_bytes(4, "big")
+        + n_samples.to_bytes(4, "big")
+        + samples.tobytes()
+    )
+
+
+def decode_audio(payload: bytes) -> tuple[int, "object"]:
+    """Decode audio to (sample_rate, int16 PCM array). Parses the FWAV
+    test format for real; any other codec (MP3/FLAC/...) raises — the
+    container has no audio libraries. The decode seam, batch shape and
+    schema are identical for production codecs."""
+    import numpy as np
+
+    if payload[:4] != FWAV_MAGIC:
+        raise NotImplementedError("non-FWAV audio decode requires a codec library")
+    rate = int.from_bytes(payload[4:8], "big")
+    n = int.from_bytes(payload[8:12], "big")
+    samples = np.frombuffer(payload[12 : 12 + 2 * n], dtype="<i2")
+    return rate, samples
 
 
 def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -258,5 +289,85 @@ def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = payloads.mapInPandas(
         _decode_stats,
         "doc_id long, w long, h long, mean_pixel double, max_pixel long",
+    )
+    return stats.orderBy("doc_id")
+
+
+# Audio twin of q_multimodal_decode_stats: build FWAV payloads in one
+# Arrow stage, decode in the next, report duration / peak / RMS — the
+# exact seams of a speech-corpus pipeline (binary in, mapInPandas
+# decode, numeric features out). Sum of squares is exact int64, the
+# mean and sqrt are single IEEE ops, so even RMS hash-compares.
+def _audio_dims(d: DataFrame) -> DataFrame:
+    return d.select(
+        "doc_id",
+        (F.lit(8000) + (F.col("n_chars") % 3) * F.lit(4000)).alias("rate"),
+        (F.lit(64) + F.col("n_chars") % 64).alias("n_samples"),
+    )
+
+
+def _build_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    encode_fake_audio(int(i), int(r), int(n))
+                    for i, r, n in zip(pdf["doc_id"], pdf["rate"], pdf["n_samples"])
+                ],
+            }
+        )
+
+
+def _audio_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import math
+
+    rows: dict[str, list] = {
+        "doc_id": [], "rate": [], "n_samples": [],
+        "duration_s": [], "peak": [], "rms": [],
+    }
+    for pdf in batches:
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rate, samples = decode_audio(bytes(payload))
+            sumsq = int((samples.astype("int64") ** 2).sum())
+            rows["doc_id"].append(doc_id)
+            rows["rate"].append(rate)
+            rows["n_samples"].append(len(samples))
+            rows["duration_s"].append(len(samples) / rate)
+            rows["peak"].append(int(abs(samples.astype("int64")).max()))
+            rows["rms"].append(math.sqrt(sumsq / len(samples)))
+    yield pd.DataFrame(rows)
+
+
+_AUDIO_ORACLE = """
+SELECT doc_id, rate, n_samples,
+       CAST(n_samples AS DOUBLE) / rate AS duration_s,
+       list_max(list_transform(range(n_samples),
+                               i -> abs((doc_id * 13 + i * 5) % 4096 - 2048))) AS peak,
+       sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(n_samples),
+                i -> ((doc_id * 13 + i * 5) % 4096 - 2048)
+                   * ((doc_id * 13 + i * 5) % 4096 - 2048))),
+              (a, x) -> a + x) AS DOUBLE) / n_samples) AS rms
+FROM (
+  SELECT doc_id,
+         8000 + (n_chars % 3) * 4000 AS rate,
+         64 + n_chars % 64 AS n_samples
+  FROM documents WHERE doc_id < 100
+)
+ORDER BY doc_id
+"""
+
+
+@query("q_multimodal_audio_stats", oracle=_AUDIO_ORACLE)
+def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    payloads = _audio_dims(d).mapInPandas(
+        _build_audio, "doc_id long, payload binary"
+    )
+    stats = payloads.mapInPandas(
+        _audio_stats,
+        "doc_id long, rate long, n_samples long, duration_s double, "
+        "peak long, rms double",
     )
     return stats.orderBy("doc_id")
