@@ -153,3 +153,39 @@ def write_jsonl(df: DataFrame, path: str, *, mode: str = "error") -> None:
     that can't read columnar files. Compression left to the caller via
     spark.conf (text codecs apply); never the hot-path analytic format."""
     df.write.mode(mode).json(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    *,
+    target_file_mb: int = 128,
+    compression: str = "zstd",
+) -> int:
+    """Small-files compaction — the table-maintenance pass every
+    streaming-ingested lakehouse needs: streaming sinks and frequent
+    appends leave thousands of KB-scale files whose per-file open/footer
+    cost dominates scans and floods the file listing. Rewrite the
+    dataset into ~``target_file_mb`` files sized from the ACTUAL on-disk
+    bytes (not a guessed partition count). Returns the file count
+    written. At scale, run per partition-directory so compaction
+    parallelizes and commits independently."""
+    import math
+    import os
+
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_dir)
+    (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(dst_dir)
+    )
+    return n_files

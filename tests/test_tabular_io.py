@@ -108,3 +108,24 @@ def test_jsonl_roundtrip(spark, tmp_path):
     assert sorted(r.n_name for r in back.collect()) == sorted(
         r.n_name for r in src.collect()
     )
+
+
+def test_compact_parquet_collapses_small_files(spark, tmp_path):
+    from oraaud_kafka_spark.sources.tabular import compact_parquet
+    from oraaud_kafka_spark.tables import load
+
+    from .conftest import SF_DIR
+
+    src = load(spark, SF_DIR, "orders")
+    frag_dir = str(tmp_path / "fragmented")
+    # simulate a streaming sink's many tiny appends
+    src.repartition(64).write.parquet(frag_dir)
+    n_small = len(list((tmp_path / "fragmented").glob("*.parquet")))
+    assert n_small >= 32
+    out_dir = str(tmp_path / "compacted")
+    n_target = compact_parquet(spark, frag_dir, out_dir, target_file_mb=128)
+    n_out = len(list((tmp_path / "compacted").glob("*.parquet")))
+    assert n_out == n_target < n_small
+    back = spark.read.parquet(out_dir)
+    assert back.count() == src.count()
+    assert set(back.columns) == set(src.columns)
