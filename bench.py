@@ -52,6 +52,8 @@ EXTRAS = [
     "q_events_funnel",           # staged shrinking-set joins
     "q_events_zscore_outliers",  # exact-moment stats broadcast back
     "q_pack_strided",            # map-only overlapping windows
+    "q_window_rolling_corr",     # decimal window moments
+    "q_rag_retrieve_enrich",     # ANN top-k + broadcast enrich join
 ]
 
 

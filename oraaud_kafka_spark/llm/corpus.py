@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import load, spread
 
 # Hash-mod split: md5 of the doc id, first 6 hex digits -> 24-bit int,
 # mod 100. 80/10/10 train/val/test. Same hex-parse trick as llm.dedup
@@ -159,3 +159,57 @@ def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size(emb)
         ).alias("mse"),
     ).orderBy("vec_id")
+
+
+# Corpus-overlap audit: how much 10-token-span content each pair of
+# sources shares — the governance report behind "is source B a scrape
+# of source A". Spans hash in-projection (same chunking as the C4 span
+# dedup); the pair counts come from a self-join on the 16-byte span
+# hash over the (hash, source) DISTINCT projection, so the widest
+# shuffle carries one row per distinct span per source, never document
+# bodies. Output is O(n_sources^2) rows.
+_OVERLAP_W = 10
+
+_OVERLAP_ORACLE = f"""
+WITH spans AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(toks[i*{_OVERLAP_W}+1 : i*{_OVERLAP_W}+{_OVERLAP_W}], ' ')) AS span_hash
+  FROM (
+    SELECT source, string_split(text, ' ') AS toks,
+           unnest(range(CAST(ceil(len(string_split(text, ' ')) / {_OVERLAP_W}.0) AS BIGINT))) AS i
+    FROM documents
+  )
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*) AS n_shared_spans
+FROM spans a JOIN spans b
+  ON a.span_hash = b.span_hash AND a.source < b.source
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+
+@query("q_corpus_overlap_matrix", oracle=_OVERLAP_ORACLE)
+def q_corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = spread(d.select("source", F.split("text", " ").alias("toks")))
+    n_spans = F.ceil(F.size("toks") / F.lit(float(_OVERLAP_W))).cast("int")
+    span_hashes = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.md5(
+            F.array_join(F.slice("toks", i * _OVERLAP_W + 1, _OVERLAP_W), " ")
+        ),
+    )
+    spans = (
+        t.select("source", F.explode_outer(span_hashes).alias("span_hash"))
+        .distinct()
+    )
+    a = spans.select(F.col("source").alias("source_a"), "span_hash")
+    b = spans.select(F.col("source").alias("source_b"), "span_hash")
+    return (
+        a.join(b, "span_hash")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared_spans"))
+        .orderBy("source_a", "source_b")
+    )
