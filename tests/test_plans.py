@@ -248,3 +248,30 @@ def test_fuzzy_match_blocked_not_cartesian(spark):
     plan = _final(_plan(df, execute=True))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rag_enrich_broadcasts_hit_set(spark):
+    """The k x |Q| retrieval result broadcasts into the documents join —
+    the corpus/doc tables are probed, never shuffled."""
+    df = registry.QUERIES["q_rag_retrieve_enrich"].__wrapped__(spark, SF_DIR)
+    plan = _final(_plan(df, execute=True))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_corpus_overlap_joins_on_span_hash(spark):
+    """Overlap matrix self-join keys on the 16-byte span hash with a
+    distinct projection below it — no cartesian, no doc bodies in the
+    join input."""
+    df = registry.QUERIES["q_corpus_overlap_matrix"].__wrapped__(spark, SF_DIR)
+    plan = _final(_plan(df, execute=True))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "span_hash" in plan
+
+
+def test_cluster_sizes_two_partial_aggs(spark):
+    df = registry.QUERIES["q_dedup_cluster_sizes"].__wrapped__(spark, SF_DIR)
+    plan = _final(_plan(df, execute=True))
+    assert plan.count("partial_count") >= 2  # both groupBys map-side combine
+    assert "Join" not in plan
