@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load, register_views
-from . import DEC, dsum, sql_davg, sql_dsum, to_dbl
+from . import DEC, dsum, sql_davg, sql_dsum, sql_to_dbl, to_dbl
 
 _GLOBAL_ORACLE = f"""
 SELECT count(*) AS n_rows,
@@ -447,4 +447,34 @@ def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
         .orderBy("lang")
+    )
+
+
+# Weighted mean — sum(w*x)/sum(w) with both sums exact decimal, one
+# IEEE division at the end: the form every revenue-per-unit /
+# quality-weighted metric takes. Fully partial-aggregable: the shuffle
+# carries two decimal partials per group.
+_WAVG_ORACLE = f"""
+SELECT l_returnflag,
+       {sql_dsum('l_quantity')} AS total_qty,
+       {sql_to_dbl('sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4)))')}
+         / {sql_to_dbl('sum(CAST(l_quantity AS DECIMAL(18,4)))')} AS wavg_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q_agg_weighted_avg", oracle=_WAVG_ORACLE)
+def q_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    wx = (F.col("l_extendedprice") * F.col("l_quantity")).cast(DEC)
+    w = F.col("l_quantity").cast(DEC)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            dsum("l_quantity").alias("total_qty"),
+            (to_dbl(F.sum(wx)) / to_dbl(F.sum(w))).alias("wavg_price"),
+        )
+        .orderBy("l_returnflag")
     )
