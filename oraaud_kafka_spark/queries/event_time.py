@@ -406,3 +406,54 @@ def q_events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", z.alias("zscore"))
         .orderBy("event_id")
     )
+
+
+# Single-pass funnel: same semantics as q_events_funnel (each stage
+# strictly after the user's previous-stage timestamp), but ONE shuffle —
+# events collect per user, sort once, and a sequential fold walks the
+# timeline carrying (t1..t4) stage timestamps as a struct accumulator.
+# The staged variant scans events 4x and shuffles per stage; this shape
+# scans once and shuffles once, at the cost of a per-user event list
+# (bounded by per-user activity — cap or fall back to the staged form
+# for pathological power users). The oracle is the SAME staged SQL:
+# different plan, provably identical answer.
+_STAGES = ("signup", "view", "click", "purchase")
+
+
+@query("q_events_funnel_single_pass", oracle=_FUNNEL_ORACLE)
+def q_events_funnel_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_type").isin(*_STAGES))
+    per_user = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("seq")
+    )
+    acc0 = F.struct(
+        *[F.lit(None).cast("timestamp").alias(f"t{i}") for i in range(1, 5)]
+    )
+
+    def step(acc, ev):
+        def advance(prev_t, own_t, etype):
+            cond = (
+                own_t.isNull()
+                & (ev["event_type"] == etype)
+                & (prev_t.isNotNull() if etype != "signup" else F.lit(True))
+            )
+            if etype != "signup":
+                cond = cond & (ev["ts"] > prev_t)
+            return F.when(cond, ev["ts"]).otherwise(own_t)
+
+        return F.struct(
+            advance(F.lit(None), acc["t1"], "signup").alias("t1"),
+            advance(acc["t1"], acc["t2"], "view").alias("t2"),
+            advance(acc["t2"], acc["t3"], "click").alias("t3"),
+            advance(acc["t3"], acc["t4"], "purchase").alias("t4"),
+        )
+
+    folded = per_user.select(F.aggregate("seq", acc0, step).alias("f"))
+    return folded.agg(
+        F.count("f.t1").alias("n_signup"),
+        F.count("f.t2").alias("n_view"),
+        F.count("f.t3").alias("n_click"),
+        F.count("f.t4").alias("n_purchase"),
+    )

@@ -275,3 +275,14 @@ def test_cluster_sizes_two_partial_aggs(spark):
     plan = _final(_plan(df, execute=True))
     assert plan.count("partial_count") >= 2  # both groupBys map-side combine
     assert "Join" not in plan
+
+
+def test_funnel_single_pass_one_shuffle_one_scan(spark):
+    """The fold-based funnel must keep its defining property: one event
+    scan, one hash exchange — versus the staged variant's per-stage
+    scans and shuffles."""
+    df = registry.QUERIES["q_events_funnel_single_pass"].__wrapped__(spark, SF_DIR)
+    plan = _final(_plan(df, execute=True))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
