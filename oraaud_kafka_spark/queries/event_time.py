@@ -457,3 +457,54 @@ def q_events_funnel_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("f.t3").alias("n_click"),
         F.count("f.t4").alias("n_purchase"),
     )
+
+
+# Session stats: gap-sessionization with duration and single-event
+# (bounce) flag per session — the engagement metrics layer over the
+# session_window operator. Duration is an exact integer microsecond
+# difference; the oracle rebuilds identical sessions with the classic
+# lag/cumsum island technique.
+_SESSION_STATS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       count(*) AS n_events,
+       CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS duration_us,
+       CASE WHEN count(*) = 1 THEN 1 ELSE 0 END AS bounce
+FROM numbered
+GROUP BY user_id, session_no
+ORDER BY user_id, session_start
+"""
+
+
+@query("q_time_session_stats", oracle=_SESSION_STATS_ORACLE)
+def q_time_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
+        )
+        .select(
+            "user_id",
+            "session_start",
+            "n_events",
+            "duration_us",
+            F.when(F.col("n_events") == 1, 1).otherwise(0).alias("bounce"),
+        )
+        .orderBy("user_id", "session_start")
+    )

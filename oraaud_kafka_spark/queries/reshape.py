@@ -100,3 +100,31 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.*")
         .orderBy("col_name")
     )
+
+
+# Contingency table with margins: lang x source counts pivoted wide,
+# plus a row total — the crosstab every corpus-composition review
+# starts from. One partial-agg'd groupBy + a width-5 conditional-count
+# pivot; margins are plain sums over the pivoted columns (no second
+# scan, no rollup pass).
+_SOURCES = tuple(f"src{i}" for i in range(5))
+_XTAB_COLS = ", ".join(
+    f"count(*) FILTER (WHERE source = '{s}') AS n_{s}" for s in _SOURCES
+)
+
+_CROSSTAB_ORACLE = f"""
+SELECT lang, {_XTAB_COLS}, count(*) FILTER (WHERE source IN ({", ".join(f"'{s}'" for s in _SOURCES)})) AS n_total
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("q_crosstab_margins", oracle=_CROSSTAB_ORACLE)
+def q_crosstab_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counts = [
+        F.count(F.when(F.col("source") == s, 1)).alias(f"n_{s}") for s in _SOURCES
+    ]
+    total = F.count(F.when(F.col("source").isin(*_SOURCES), 1)).alias("n_total")
+    return d.groupBy("lang").agg(*counts, total).orderBy("lang")
