@@ -508,3 +508,66 @@ def q_time_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# Funnel with a bounded conversion window: each stage must land strictly
+# after the previous stage AND within 24h of it — the form product
+# analytics actually ships ("converted within a day"). Same single-pass
+# sorted-sequence fold as q_events_funnel_single_pass, one extra bound
+# in the step predicate; the oracle is the staged SQL with the same
+# bound per stage.
+_FUNNEL_WINDOW_ORACLE = """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE event_type = 'view' AND ts > t1 AND ts <= t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE event_type = 'click' AND ts > t2 AND ts <= t2 + INTERVAL 24 HOUR GROUP BY e.user_id),
+s4 AS (SELECT e.user_id, min(ts) AS t4 FROM events e JOIN s3 USING (user_id)
+       WHERE event_type = 'purchase' AND ts > t3 AND ts <= t3 + INTERVAL 24 HOUR GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM s1) AS n_signup,
+       (SELECT count(*) FROM s2) AS n_view,
+       (SELECT count(*) FROM s3) AS n_click,
+       (SELECT count(*) FROM s4) AS n_purchase
+"""
+
+
+@query("q_events_funnel_window", oracle=_FUNNEL_WINDOW_ORACLE)
+def q_events_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_type").isin(*_STAGES))
+    per_user = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("seq")
+    )
+    acc0 = F.struct(
+        *[F.lit(None).cast("timestamp").alias(f"t{i}") for i in range(1, 5)]
+    )
+    bound = F.expr("INTERVAL 24 HOURS")
+
+    def step(acc, ev):
+        def advance(prev_t, own_t, etype):
+            cond = own_t.isNull() & (ev["event_type"] == etype)
+            if etype == "signup":
+                return F.when(cond, ev["ts"]).otherwise(own_t)
+            cond = (
+                cond
+                & prev_t.isNotNull()
+                & (ev["ts"] > prev_t)
+                & (ev["ts"] <= prev_t + bound)
+            )
+            return F.when(cond, ev["ts"]).otherwise(own_t)
+
+        return F.struct(
+            advance(F.lit(None), acc["t1"], "signup").alias("t1"),
+            advance(acc["t1"], acc["t2"], "view").alias("t2"),
+            advance(acc["t2"], acc["t3"], "click").alias("t3"),
+            advance(acc["t3"], acc["t4"], "purchase").alias("t4"),
+        )
+
+    folded = per_user.select(F.aggregate("seq", acc0, step).alias("f"))
+    return folded.agg(
+        F.count("f.t1").alias("n_signup"),
+        F.count("f.t2").alias("n_view"),
+        F.count("f.t3").alias("n_click"),
+        F.count("f.t4").alias("n_purchase"),
+    )

@@ -286,3 +286,26 @@ def test_funnel_single_pass_one_shuffle_one_scan(spark):
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_crosstab_margins_single_scan(spark):
+    df = registry.QUERIES["q_crosstab_margins"].__wrapped__(spark, SF_DIR)
+    plan = _final(_plan(df, execute=True))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "partial_count" in plan
+
+
+def test_session_stats_native_session_window(spark):
+    df = registry.QUERIES["q_time_session_stats"].__wrapped__(spark, SF_DIR)
+    plan = _final(_plan(df, execute=True))
+    assert "SessionWindow" in plan or "session_window" in plan
+    assert "Join" not in plan
+
+
+def test_funnel_window_one_shuffle_one_scan(spark):
+    df = registry.QUERIES["q_events_funnel_window"].__wrapped__(spark, SF_DIR)
+    plan = _final(_plan(df, execute=True))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
