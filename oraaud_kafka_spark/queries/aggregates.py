@@ -478,3 +478,44 @@ def q_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# Share-of-total (ratio_to_report): each segment's revenue share.
+# Deliberately NOT a window-over-empty-partition (sum() OVER () puts
+# every row in one window partition — a single-task funnel at scale):
+# aggregate per group, then broadcast the single-row total back. Both
+# sums are exact decimal; the share is one IEEE division.
+_SHARE_ORACLE = f"""
+WITH per_seg AS (
+  SELECT c_mktsegment, {sql_dsum('o_totalprice')} AS revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+),
+tot AS (SELECT CAST(CAST(round(sum(CAST(revenue AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS total FROM per_seg)
+SELECT c_mktsegment, revenue, revenue / total AS revenue_share
+FROM per_seg CROSS JOIN tot
+ORDER BY c_mktsegment
+"""
+
+
+@query("q_agg_share_of_total", oracle=_SHARE_ORACLE)
+def q_agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    per_seg = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    tot = per_seg.groupBy().agg(
+        to_dbl(F.sum(F.col("revenue").cast(DEC))).alias("total")
+    )
+    return (
+        per_seg.crossJoin(F.broadcast(tot))
+        .select(
+            "c_mktsegment",
+            "revenue",
+            (F.col("revenue") / F.col("total")).alias("revenue_share"),
+        )
+        .orderBy("c_mktsegment")
+    )
