@@ -571,3 +571,63 @@ def q_events_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("f.t3").alias("n_click"),
         F.count("f.t4").alias("n_purchase"),
     )
+
+
+# Normalized cohort retention: the day-offset activity counts as a SHARE
+# of each cohort's size — the heat-map product analytics actually plots.
+# Adds one broadcast-able cohort-size aggregate and one IEEE division to
+# q_events_cohort_retention; day-0 share is 1.0 by construction.
+_COHORT_SHARE_ORACLE = """
+WITH first_touch AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day FROM events GROUP BY user_id
+),
+sizes AS (SELECT cohort_day, count(*) AS cohort_size FROM first_touch GROUP BY cohort_day),
+activity AS (
+  SELECT cohort_day,
+         date_diff('day', cohort_day, date_trunc('day', ts)) AS day_offset,
+         count(DISTINCT e.user_id) AS n_users
+  FROM events e JOIN first_touch USING (user_id)
+  GROUP BY cohort_day, day_offset
+)
+SELECT a.cohort_day, a.day_offset, a.n_users,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(a.n_users AS DOUBLE) / s.cohort_size AS retention
+FROM activity a JOIN sizes s USING (cohort_day)
+ORDER BY cohort_day, day_offset
+"""
+
+
+@query("q_events_cohort_share", oracle=_COHORT_SHARE_ORACLE)
+def q_events_cohort_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    first_touch = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    sizes = first_touch.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    activity = (
+        e.join(first_touch, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+    return (
+        activity.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_users",
+            "cohort_size",
+            (F.col("n_users").cast("double") / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
