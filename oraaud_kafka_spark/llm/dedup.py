@@ -690,3 +690,122 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# MinHash quality evaluation: for every LSH candidate pair, compare the
+# signature-estimated similarity (fraction of equal minhash components)
+# against the exact shingle-set Jaccard — the calibration report that
+# answers "are 16 permutations and 4x4 banding enough for this corpus".
+# The candidate set is the (small) LSH output, so the signature and
+# shingle-set joins probe it; nothing quadratic runs over the corpus.
+_EQ_SUM_SQL = " + ".join(
+    f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+)
+
+_MINHASH_EVAL_ORACLE = f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+hashed AS (
+  SELECT doc_id, {_BASE_HASH_SQL} AS bh
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shingled)
+),
+sigs AS (SELECT doc_id, {_SIG_COLS_SQL} FROM hashed GROUP BY doc_id),
+bands AS (SELECT doc_id, {_BAND_COLS_SQL} FROM sigs),
+band_rows AS ({_BAND_UNNEST_SQL}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band_rows a JOIN band_rows b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sets AS (
+  SELECT doc_id, list_distinct(shingles) AS sh,
+         len(list_distinct(shingles)) AS n
+  FROM shingled
+)
+SELECT doc_a, doc_b, est_sim, true_jaccard,
+       abs(est_sim - true_jaccard) AS abs_err
+FROM (
+  SELECT p.doc_a, p.doc_b,
+         CAST({_EQ_SUM_SQL} AS DOUBLE) / {N_HASHES} AS est_sim,
+         CAST(len(list_intersect(xa.sh, xb.sh)) AS DOUBLE)
+           / (xa.n + xb.n - len(list_intersect(xa.sh, xb.sh))) AS true_jaccard
+  FROM pairs p
+  JOIN sigs sa ON sa.doc_id = p.doc_a
+  JOIN sigs sb ON sb.doc_id = p.doc_b
+  JOIN sets xa ON xa.doc_id = p.doc_a
+  JOIN sets xb ON xb.doc_id = p.doc_b
+)
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("q_dedup_minhash_eval", oracle=_MINHASH_EVAL_ORACLE)
+def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tokenized = spread(
+        d.select("doc_id", F.split("text", " ").alias("toks")).filter(
+            F.size("toks") >= 3
+        )
+    )
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.array_join(F.slice(F.col("toks"), i, 3), " "),
+    )
+    base_hashes = F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
+    )
+    hashed = tokenized.select(
+        "doc_id", shingles.alias("shs"), base_hashes.alias("bhs")
+    )
+
+    def _perm(i: int):
+        return lambda h: (F.lit(_mh_a(i)) * h + _mh_b(i)) % _MH_P
+
+    sigs = hashed.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(F.col("bhs"), _perm(i))).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ],
+    )
+    sets = hashed.select(
+        "doc_id",
+        F.array_distinct("shs").alias("sh"),
+        F.size(F.array_distinct("shs")).alias("n"),
+    )
+    pairs = minhash_candidate_pairs(spark, sf_dir)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"ha{i}") for i in range(N_HASHES)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"hb{i}") for i in range(N_HASHES)]
+    )
+    xa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")
+    )
+    xb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b")
+    )
+    eq_sum = sum(
+        F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    joined = (
+        pairs.join(sa, "doc_a").join(sb, "doc_b").join(xa, "doc_a").join(xb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (eq_sum.cast("double") / N_HASHES).alias("est_sim"),
+            (inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)).alias(
+                "true_jaccard"
+            ),
+        )
+    )
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        "est_sim",
+        "true_jaccard",
+        F.abs(F.col("est_sim") - F.col("true_jaccard")).alias("abs_err"),
+    ).orderBy("doc_a", "doc_b")
