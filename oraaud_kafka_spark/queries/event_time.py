@@ -631,3 +631,46 @@ def q_events_cohort_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# DAU / WAU: daily active users plus the 7-day trailing distinct count.
+# Sliding DISTINCT can't partial-aggregate directly, so the WAU side
+# expands each distinct (user, day) pair into the 7 trailing report days
+# it contributes to — a BOUNDED 7x blow-up of the deduplicated pair set
+# (tiny next to raw events), then an ordinary count_distinct per day.
+# This is the scale-correct rewrite of count(DISTINCT) OVER (RANGE 7
+# DAYS), which Spark (rightly) refuses to plan.
+_ACTIVE_ORACLE = """
+WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+expanded AS (
+  SELECT user_id, d + INTERVAL (off) DAY AS wd
+  FROM ud, unnest(range(7)) AS u(off)
+),
+dau AS (SELECT d, count(DISTINCT user_id) AS dau FROM ud GROUP BY d),
+wau AS (SELECT wd AS d, count(DISTINCT user_id) AS wau FROM expanded GROUP BY wd)
+SELECT dau.d AS day, dau.dau, wau.wau
+FROM dau JOIN wau ON dau.d = wau.d
+ORDER BY day
+"""
+
+
+@query("q_events_active_users", oracle=_ACTIVE_ORACLE)
+def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    expanded = ud.select(
+        "user_id",
+        F.explode_outer(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "d",
+    ).select(
+        "user_id", F.expr("d + make_interval(0, 0, 0, off, 0, 0, 0)").alias("wd")
+    )
+    dau = ud.groupBy(F.col("d").alias("day")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    wau = expanded.groupBy(F.col("wd").alias("day")).agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    return dau.join(wau, "day").orderBy("day")
