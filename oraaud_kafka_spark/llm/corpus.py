@@ -116,9 +116,12 @@ def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # zero with identical IEEE division so the quantized codes hash-compare
 # exactly. Dequantize is q * scale — the downstream ANN paths can probe
 # quantized codes and re-rank exact on the candidate set.
+# The checked projection serializes the codes as a comma-joined string
+# (q_codes): the external driver canonicalizes results with pandas
+# sort_values, which cannot hash a raw list column.
 _QUANT_ORACLE = """
 SELECT vec_id, label, scale,
-       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT)) AS q,
+       array_to_string(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT)), ',') AS q_codes,
        list_reduce(list_prepend(CAST(0 AS DOUBLE),
          list_transform(embedding,
            x -> (CAST(x AS DOUBLE) - CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT) * scale)
@@ -151,7 +154,9 @@ def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "scale",
-        F.transform(emb, qcode).alias("q"),
+        F.array_join(F.transform(emb, qcode).cast("array<string>"), ",").alias(
+            "q_codes"
+        ),
         (
             F.aggregate(
                 F.transform(emb, err), F.lit(0.0), lambda acc, x: acc + x

@@ -399,9 +399,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         n_sub=4,
     )
-    # materialize the intersection size ONCE per pair — referencing the
-    # expression from the threshold filter AND the score would re-run
-    # the set intersection up to 4x per pair (no cross-operator CSE)
+    # The intersection size is written once here, but Catalyst collapses
+    # the withColumn into the downstream filter+project and inlines the
+    # array_intersect into each reference (no cross-operator CSE), so
+    # the set intersection may run up to 4x per pair. Acceptable:
+    # candidate pairs are already block-bounded, and whole-stage codegen
+    # subexpression elimination recovers the duplicates within the fused
+    # stage where it applies.
     inter = F.col("inter")
     union = F.col("n_toks_a") + F.col("n_toks_b") - inter
     return (

@@ -174,9 +174,22 @@ def compact_parquet(
     import math
     import os
 
+    # The sizing pass walks the LOCAL filesystem; a remote URI
+    # (hdfs://, s3a://, ...) would silently measure 0 bytes and
+    # collapse the dataset into a single file — reject it instead.
+    # (Remote stores need the Hadoop FileSystem API for sizing.)
+    scheme, sep, rest = src_dir.partition("://")
+    if sep and scheme != "file":
+        raise ValueError(
+            f"compact_parquet sizes files via the local filesystem; got "
+            f"non-local path {src_dir!r} (scheme {scheme!r}). Compute "
+            "sizes with the Hadoop FileSystem API for remote stores."
+        )
+    walk_dir = rest if sep else src_dir
+
     total_bytes = sum(
         os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(src_dir)
+        for root, _, files in os.walk(walk_dir)
         for f in files
         if f.endswith(".parquet")
     )

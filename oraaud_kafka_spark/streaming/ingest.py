@@ -137,13 +137,25 @@ def kinesis_batch_writer(
                 return
             results = resp.get("Records") or []
             # per-record results are positional; keep only the failed ones
-            records = [
+            failed = [
                 rec
                 for rec, res in zip(records, results)
                 if res.get("ErrorCode")
             ]
-            if not records:
-                return
+            if not failed:
+                # FailedRecordCount > 0 but no identifiable failed
+                # records (missing/short Records list): we cannot tell
+                # WHICH records were dropped, so treating this as
+                # success would silently lose data — fail the
+                # micro-batch and keep the source files.
+                raise RuntimeError(
+                    "Kinesis put_records reported FailedRecordCount="
+                    f"{resp.get('FailedRecordCount')} but returned no "
+                    f"per-record ErrorCode entries ({len(results)} "
+                    f"results for {len(records)} records); failing "
+                    "micro-batch so source files are retained"
+                )
+            records = failed
             attempt += 1
             if attempt > put_retries:
                 raise RuntimeError(

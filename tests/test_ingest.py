@@ -382,6 +382,25 @@ def test_kinesis_exhausted_retries_fail_batch(spark):
     assert n_calls == 3  # initial + 2 retries
 
 
+def test_kinesis_malformed_failure_response_fails_batch(spark):
+    """FailedRecordCount>0 with a missing/short per-record Records list
+    means we cannot identify WHICH records were dropped — the batch must
+    raise rather than silently report success (lost records)."""
+
+    class MalformedKinesis:
+        def put_records(self, StreamName, Records):
+            return {"FailedRecordCount": 1}  # no Records list at all
+
+    writer = kinesis_batch_writer(
+        "s",
+        "us-east-1",
+        client_factory=MalformedKinesis,
+        retry_backoff_s=0.0,
+    )
+    with pytest.raises(RuntimeError, match="no per-record ErrorCode"):
+        writer(_payload_df(spark, 3), 0)
+
+
 def test_kafka_sink_record_contract(spark, tmp_path):
     """R-13: the exact ProducerRecord projection start_kafka_sink ships
     (kafka_records), driven through foreachBatch since no broker exists

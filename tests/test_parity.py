@@ -33,3 +33,21 @@ def test_rows_only_smoke(spark, name):
     df = registry.QUERIES[name](spark, SF_DIR)
     assert df.columns, f"{name}: empty schema"
     assert df.count() >= 0
+
+
+def test_oracle_queries_emit_only_hashable_columns(spark):
+    """The external driver canonicalizes oracle-checked results with
+    pandas sort_values over EVERY column, which crashes on unhashable
+    cells (list/dict). Any array/map/struct column in an oracle-checked
+    projection is therefore unverifiable — serialize it (array_join,
+    to_json, md5) instead. Guards the q_emb_quantize_int8 regression."""
+    from pyspark.sql import types as T
+
+    bad = []
+    for name in _PAIRS:
+        for f in registry.QUERIES[name](spark, SF_DIR).schema.fields:
+            if isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType)
+            ):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, "unhashable driver-checked columns: " + "; ".join(bad)

@@ -444,7 +444,8 @@ def test_quantize_int8_codes_bounded(spark):
     rows = registry.QUERIES["q_emb_quantize_int8"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
-        assert all(-127 <= q <= 127 for q in r.q)
+        codes = [int(c) for c in r.q_codes.split(",")]
+        assert all(-127 <= q <= 127 for q in codes)
         assert r.scale > 0
         assert 0 <= r.mse < (r.scale * r.scale) / 4 + 1e-12  # max err = scale/2
 

@@ -129,3 +129,16 @@ def test_compact_parquet_collapses_small_files(spark, tmp_path):
     back = spark.read.parquet(out_dir)
     assert back.count() == src.count()
     assert set(back.columns) == set(src.columns)
+
+
+def test_compact_parquet_rejects_remote_paths(spark, tmp_path):
+    """os.walk sizing only works locally; a remote URI would silently
+    measure 0 bytes and collapse everything into one file — reject it."""
+    import pytest
+
+    from oraaud_kafka_spark.sources.tabular import compact_parquet
+
+    with pytest.raises(ValueError, match="non-local path"):
+        compact_parquet(
+            spark, "s3a://bucket/table", str(tmp_path / "out")
+        )
