@@ -46,15 +46,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-        # outright. Read the raw int64 nanos and truncate to microseconds
-        # — exactly what DuckDB's read_parquet does, keeping oracles
-        # comparable without any cast on the SQL side.
+        # Fixture generations have shipped events.ts as either parquet
+        # TIMESTAMP(MICROS) (reads natively as timestamp_ntz) or
+        # TIMESTAMP(NANOS) (Spark 4 rejects unless nanosAsLong maps it to
+        # int64). Read first, inspect what actually loaded, and only
+        # apply the nanos→micros truncation when ts arrived as bigint —
+        # DuckDB's read_parquet truncates nanos the same way, keeping
+        # oracles comparable without any cast on the SQL side.
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        loaded = dict(df.dtypes).get("ts")
+        if loaded == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif loaded == "timestamp_ntz":
+            # Downstream queries (and rounds 1-3 driver verification) assume
+            # plain TIMESTAMP — e.g. casts to BIGINT epoch seconds that
+            # Spark 4 forbids on TIMESTAMP_NTZ. Session timezone is pinned
+            # to UTC (session.py), so this cast is value-preserving.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 
