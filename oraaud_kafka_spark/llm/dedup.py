@@ -399,18 +399,24 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         n_sub=4,
     )
-    # The intersection size is written once here, but Catalyst collapses
-    # the withColumn into the downstream filter+project and inlines the
-    # array_intersect into each reference (no cross-operator CSE), so
-    # the set intersection may run up to 4x per pair. Acceptable:
-    # candidate pairs are already block-bounded, and whole-stage codegen
-    # subexpression elimination recovers the duplicates within the fused
-    # stage where it applies.
+    # A plain withColumn("inter", ...) gets collapsed into the
+    # downstream filter+project and the array_intersect inlined into
+    # each reference — verified on the generated code (explain
+    # "codegen", AQE off): 3 separate arrayIntersect call sites, zero
+    # subexpression-elimination functions. The intersection is the
+    # dominant per-pair cost, so force single evaluation with a
+    # 1-element explode: Generate is an optimizer barrier (predicates
+    # referencing its output don't get substituted through it), and
+    # row multiplicity is unchanged since the array is always exactly
+    # one non-null element.
     inter = F.col("inter")
     union = F.col("n_toks_a") + F.col("n_toks_b") - inter
     return (
-        pairs.withColumn(
-            "inter", F.size(F.array_intersect("toks_a", "toks_b"))
+        pairs.select(
+            "*",
+            F.explode(
+                F.array(F.size(F.array_intersect("toks_a", "toks_b")))
+            ).alias("inter"),
         )
         .filter(inter * 2 >= union)
         .select(

@@ -173,19 +173,22 @@ def compact_parquet(
     parallelizes and commits independently."""
     import math
     import os
+    from urllib.parse import urlsplit
 
     # The sizing pass walks the LOCAL filesystem; a remote URI
     # (hdfs://, s3a://, ...) would silently measure 0 bytes and
     # collapse the dataset into a single file — reject it instead.
-    # (Remote stores need the Hadoop FileSystem API for sizing.)
-    scheme, sep, rest = src_dir.partition("://")
-    if sep and scheme != "file":
+    # urlsplit (not a "://" scan) so single-slash URI forms Hadoop
+    # accepts — file:/tmp/x, hdfs:/x — are classified too.
+    parts = urlsplit(src_dir)
+    if parts.scheme and parts.scheme != "file":
         raise ValueError(
             f"compact_parquet sizes files via the local filesystem; got "
-            f"non-local path {src_dir!r} (scheme {scheme!r}). Compute "
-            "sizes with the Hadoop FileSystem API for remote stores."
+            f"non-local path {src_dir!r} (scheme {parts.scheme!r}). "
+            "Compute sizes with the Hadoop FileSystem API for remote "
+            "stores."
         )
-    walk_dir = rest if sep else src_dir
+    walk_dir = parts.path if parts.scheme else src_dir
 
     total_bytes = sum(
         os.path.getsize(os.path.join(root, f))

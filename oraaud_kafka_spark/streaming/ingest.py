@@ -70,6 +70,33 @@ def kafka_records(df: DataFrame) -> DataFrame:
     )
 
 
+def kafka_sink_options(
+    *,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    compression: str = "gzip",
+    kafka_options: dict | None = None,
+) -> dict[str, str]:
+    """The full option map the Kafka sink runs with — pure so the
+    producer-config contract (KafkaSingleton.java:86-144) is testable
+    without a broker or the connector JAR. Producer tunables pass
+    through ``kafka.``-prefixed (prefix added when missing, matching how
+    the reference forwards every ``a2.kafka.*`` property verbatim into
+    ProducerConfig); ``topic`` and ``checkpointLocation`` are sink-level
+    options and stay unprefixed."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "kafka.compression.type": compression,
+        "checkpointLocation": checkpoint_dir,
+    }
+    for k, v in (kafka_options or {}).items():
+        key = k if k.startswith("kafka.") else f"kafka.{k}"
+        opts[key] = str(v)
+    return opts
+
+
 def start_kafka_sink(
     df: DataFrame,
     *,
@@ -89,15 +116,17 @@ def start_kafka_sink(
     writer = (
         kafka_records(df)
         .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("kafka.compression.type", compression)
-        .option("checkpointLocation", checkpoint_dir)
+        .options(
+            **kafka_sink_options(
+                bootstrap_servers=bootstrap_servers,
+                topic=topic,
+                checkpoint_dir=checkpoint_dir,
+                compression=compression,
+                kafka_options=kafka_options,
+            )
+        )
         .trigger(processingTime=trigger)
     )
-    for k, v in (kafka_options or {}).items():
-        key = k if k.startswith("kafka.") else f"kafka.{k}"
-        writer = writer.option(key, v)
     return writer.start()
 
 
@@ -136,24 +165,37 @@ def kinesis_batch_writer(
             if not (resp.get("FailedRecordCount") or 0):
                 return
             results = resp.get("Records") or []
-            # per-record results are positional; keep only the failed ones
+            # Per-record results are positional, so the contract only
+            # holds when the response covers every sent record. A short
+            # Records list would make zip() silently skip the tail —
+            # records neither checked nor retried while the micro-batch
+            # commits. Fail closed instead; the source files survive for
+            # redelivery.
+            if len(results) != len(records):
+                raise RuntimeError(
+                    "Kinesis put_records returned a malformed response: "
+                    f"{len(results)} per-record results for "
+                    f"{len(records)} sent records (FailedRecordCount="
+                    f"{resp.get('FailedRecordCount')}); positional "
+                    "error attribution is impossible, failing "
+                    "micro-batch so source files are retained"
+                )
             failed = [
                 rec
                 for rec, res in zip(records, results)
                 if res.get("ErrorCode")
             ]
             if not failed:
-                # FailedRecordCount > 0 but no identifiable failed
-                # records (missing/short Records list): we cannot tell
-                # WHICH records were dropped, so treating this as
-                # success would silently lose data — fail the
+                # FailedRecordCount > 0 but no per-record ErrorCode: we
+                # cannot tell WHICH records were dropped, so treating
+                # this as success would silently lose data — fail the
                 # micro-batch and keep the source files.
                 raise RuntimeError(
                     "Kinesis put_records reported FailedRecordCount="
                     f"{resp.get('FailedRecordCount')} but returned no "
-                    f"per-record ErrorCode entries ({len(results)} "
-                    f"results for {len(records)} records); failing "
-                    "micro-batch so source files are retained"
+                    f"per-record ErrorCode entries for "
+                    f"{len(records)} records; failing micro-batch so "
+                    "source files are retained"
                 )
             records = failed
             attempt += 1

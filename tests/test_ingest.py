@@ -383,9 +383,9 @@ def test_kinesis_exhausted_retries_fail_batch(spark):
 
 
 def test_kinesis_malformed_failure_response_fails_batch(spark):
-    """FailedRecordCount>0 with a missing/short per-record Records list
-    means we cannot identify WHICH records were dropped — the batch must
-    raise rather than silently report success (lost records)."""
+    """FailedRecordCount>0 with a missing Records list means we cannot
+    identify WHICH records were dropped — the batch must raise (length
+    guard) rather than silently report success (lost records)."""
 
     class MalformedKinesis:
         def put_records(self, StreamName, Records):
@@ -397,8 +397,92 @@ def test_kinesis_malformed_failure_response_fails_batch(spark):
         client_factory=MalformedKinesis,
         retry_backoff_s=0.0,
     )
+    with pytest.raises(RuntimeError, match="malformed response: 0 per-record"):
+        writer(_payload_df(spark, 3), 0)
+
+
+def test_kinesis_failed_count_without_error_codes_fails_batch(spark):
+    """A full-length Records list with FailedRecordCount>0 but zero
+    ErrorCode entries is self-contradictory — failing records exist but
+    none are identifiable. Must raise, not loop or commit."""
+
+    class NoErrorCodeKinesis:
+        def put_records(self, StreamName, Records):
+            return {
+                "FailedRecordCount": 1,
+                "Records": [{"SequenceNumber": str(i)} for i in range(len(Records))],
+            }
+
+    writer = kinesis_batch_writer(
+        "s",
+        "us-east-1",
+        client_factory=NoErrorCodeKinesis,
+        retry_backoff_s=0.0,
+    )
     with pytest.raises(RuntimeError, match="no per-record ErrorCode"):
         writer(_payload_df(spark, 3), 0)
+
+
+def test_kinesis_short_records_list_fails_batch(spark):
+    """A response whose Records list is SHORTER than the sent batch but
+    still contains an ErrorCode must fail the batch: the tail records
+    beyond the truncated list were never checked, so positional error
+    attribution is impossible — zip()-ing would retry the covered
+    failures yet silently commit the unchecked tail (data loss)."""
+    calls = 0
+
+    class ShortRecordsKinesis:
+        def put_records(self, StreamName, Records):
+            nonlocal calls
+            calls += 1
+            # 2 results for 3 records, one identifiable failure
+            return {
+                "FailedRecordCount": 1,
+                "Records": [
+                    {"SequenceNumber": "0"},
+                    {"ErrorCode": "InternalFailure"},
+                ],
+            }
+
+    writer = kinesis_batch_writer(
+        "s",
+        "us-east-1",
+        client_factory=ShortRecordsKinesis,
+        retry_backoff_s=0.0,
+    )
+    with pytest.raises(RuntimeError, match="malformed response: 2 per-record"):
+        writer(_payload_df(spark, 3), 0)
+    assert calls == 1  # fail immediately, no blind retry loop
+
+
+def test_kafka_sink_option_mapping():
+    """R-13: producer tunables (KafkaSingleton.java:107-139) must reach
+    the sink kafka.-prefixed whether or not the caller prefixed them;
+    topic/checkpointLocation stay sink-level (unprefixed)."""
+    from oraaud_kafka_spark.streaming.ingest import kafka_sink_options
+
+    opts = kafka_sink_options(
+        bootstrap_servers="b1:9092,b2:9092",
+        topic="audit",
+        checkpoint_dir="/ckpt",
+        kafka_options={
+            "acks": "all",
+            "batch.size": 262144,
+            "kafka.linger.ms": "100",
+            "security.protocol": "SASL_SSL",
+        },
+    )
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["topic"] == "audit"
+    assert opts["checkpointLocation"] == "/ckpt"
+    assert opts["kafka.compression.type"] == "gzip"  # KafkaSingleton default
+    assert opts["kafka.acks"] == "all"
+    assert opts["kafka.batch.size"] == "262144"
+    assert opts["kafka.linger.ms"] == "100"  # already-prefixed: untouched
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+    # nothing leaks in unprefixed (a bare "acks" would be silently
+    # ignored by the sink instead of configuring the producer)
+    assert "acks" not in opts and "batch.size" not in opts
 
 
 def test_kafka_sink_record_contract(spark, tmp_path):

@@ -142,3 +142,24 @@ def test_compact_parquet_rejects_remote_paths(spark, tmp_path):
         compact_parquet(
             spark, "s3a://bucket/table", str(tmp_path / "out")
         )
+
+
+def test_compact_parquet_single_slash_uris(spark, tmp_path):
+    """Hadoop accepts single-slash URI forms (hdfs:/x, file:/tmp/x) that
+    a naive '://' scan misclassifies as local paths — hdfs:/x would then
+    os.walk a literal 'hdfs:/x' string, measure 0 bytes, and collapse
+    the dataset to one file. hdfs:/ must be rejected; file:/ must strip
+    the scheme and size the real directory."""
+    import pytest
+
+    from oraaud_kafka_spark.sources.tabular import compact_parquet
+
+    with pytest.raises(ValueError, match="non-local path"):
+        compact_parquet(spark, "hdfs:/warehouse/table", str(tmp_path / "o1"))
+
+    frag_dir = tmp_path / "frag"
+    spark.range(1000).repartition(8).write.parquet(str(frag_dir))
+    out_dir = str(tmp_path / "compacted")
+    n = compact_parquet(spark, f"file:{frag_dir}", out_dir, target_file_mb=128)
+    assert n == 1  # tiny dataset: sized from REAL bytes, not zero
+    assert spark.read.parquet(out_dir).count() == 1000
