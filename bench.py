@@ -84,17 +84,27 @@ def main() -> None:
     # measured query
     spark.sparkContext._jvm.System.gc()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        # min-of-3: a single GC pause or page-cache miss lands on one run,
-        # not the reported number
-        timings[name] = round(min(run_once(name) for _ in range(3)), 4)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+    # Two full passes over the suite with min-of-2 inside each, reported
+    # value = min across all 4 samples. Back-to-back min-of-3 turned out
+    # not to be noise-proof: a sustained interference window (noisy
+    # neighbor, GC thrash) covers all consecutive samples of one query
+    # and inflates its "min" 5-10x. Separating sample groups by a whole
+    # suite pass (~minutes) makes that failure mode require the
+    # interference to span the entire bench.
+    samples: dict[str, list[float]] = {}
+    extras_names = [n for n in EXTRAS if n in registry.QUERIES]
+    for name in extras_names:
+        run_once(name)  # warm (headliners were warmed above)
+    for _pass in range(2):
+        for name in (*names, *extras_names):
+            best = min(run_once(name) for _ in range(2))
+            samples.setdefault(name, []).append(best)
 
-    extras: dict[str, float] = {}
-    for name in (n for n in EXTRAS if n in registry.QUERIES):
-        run_once(name)  # warm
-        extras[name] = round(min(run_once(name) for _ in range(3)), 4)
+    timings = {n: round(min(samples[n]), 4) for n in names}
+    for name in names:
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+    extras = {n: round(min(samples[n]), 4) for n in extras_names}
+    for name in extras_names:
         print(f"# extra {name}: {extras[name]:.3f}s", file=sys.stderr)
 
     # Ingest throughput: the reference's own workload (audit files ->

@@ -27,21 +27,17 @@ def test_coverage_doc_counts_match_registry():
     assert int(m.group(2)) == len(registry.ORACLES)
 
 
-def test_llm_families_register_inside_driver_window():
-    """The driver's correctness gate checks a bounded prefix of the
-    registration order (50 in round 1). Every LLM-pipeline query must sit
-    inside that window, and the round-1-verified families must come last —
-    pins the _MODULES ordering that closes round 1's verification hole."""
+def test_driver_window_is_front_list():
+    """The driver's correctness gate checks a bounded prefix (~50) of
+    queries(). registry._FRONT pins exactly which queries occupy it;
+    this asserts the pin actually works and stays well-formed: 50 unique
+    registered names leading the dict, every one oracle-backed so the
+    round yields full hash-checked rows, never weaker rows-only ones."""
     from oraaud_kafka_spark import registry
 
     names = list(registry.all_queries())
-    first_50 = set(names[:50])
-    llm = {
-        n
-        for n, fn in registry.all_queries().items()
-        if "llm" in getattr(fn, "__wrapped__", fn).__module__
-    }
-    missing = llm - first_50
-    assert not missing, f"LLM queries outside the 50-query window: {sorted(missing)}"
-    # the already-verified families bring up the rear
-    assert names[-1].startswith("q_sort") or names[-1].startswith("q_window")
+    assert len(registry._FRONT) == 50
+    assert len(set(registry._FRONT)) == 50, "duplicate names in _FRONT"
+    assert tuple(names[:50]) == registry._FRONT
+    no_oracle = [n for n in registry._FRONT if n not in registry.ORACLES]
+    assert not no_oracle, f"front-window queries without oracle: {no_oracle}"
