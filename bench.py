@@ -54,6 +54,8 @@ EXTRAS = [
     "q_pack_strided",            # map-only overlapping windows
     "q_window_rolling_corr",     # decimal window moments
     "q_rag_retrieve_enrich",     # ANN top-k + broadcast enrich join
+    "q_dedup_semantic",          # SemDeDup: cluster-blocked near-dup drop
+    "q_text_gopher_rules",       # map-only quality gates at scan speed
 ]
 
 

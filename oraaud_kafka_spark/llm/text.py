@@ -398,3 +398,103 @@ def q_text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("has_long_number"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, arXiv:2112.11446, Table A1 —
+# the MassiveText filter): per-document heuristic gates applied before
+# training. Implemented rules: word-count bounds [50, 100k], mean word
+# length in [3, 10], >=80% of words contain an alphabetic character,
+# and >=2 hits from the stop-word set {the,be,to,of,and,that,have,with}.
+# The symbol-ratio (#/ellipsis) and bullet/line rules are omitted: the
+# fixture corpus is single-line and symbol-free, so they degenerate to
+# constant-true — the four implemented rules are the ones the corpus
+# can actually exercise. Everything is integer counts plus one exact
+# double division, evaluated in-projection (map-only, no shuffle, no
+# UDF): at 100 TB this filter runs at scan speed.
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_SW_SQL = "[" + ", ".join(f"'{w}'" for w in _GOPHER_STOPS) + "]"
+
+_GOPHER_ORACLE = f"""
+SELECT doc_id, n_words,
+       CAST(total_chars AS DOUBLE) / n_words AS mean_word_len,
+       CAST(n_alpha AS DOUBLE) / n_words AS alpha_ratio,
+       n_stop_hits,
+       r_word_count, r_mean_len, r_alpha, r_stop,
+       CASE WHEN r_word_count = 1 AND r_mean_len = 1
+             AND r_alpha = 1 AND r_stop = 1 THEN 1 ELSE 0 END AS gopher_pass
+FROM (
+  SELECT doc_id, n_words, total_chars, n_alpha, n_stop_hits,
+         CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_word_count,
+         CASE WHEN total_chars >= 3 * n_words
+               AND total_chars <= 10 * n_words THEN 1 ELSE 0 END AS r_mean_len,
+         CASE WHEN n_alpha * 5 >= n_words * 4 THEN 1 ELSE 0 END AS r_alpha,
+         CASE WHEN n_stop_hits >= 2 THEN 1 ELSE 0 END AS r_stop
+  FROM (
+    SELECT doc_id,
+           len(toks) AS n_words,
+           list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+                       (a, x) -> a + x) AS total_chars,
+           len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+           len(list_filter(toks, x -> list_contains({_GOPHER_SW_SQL}, x))) AS n_stop_hits
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  )
+)
+ORDER BY doc_id
+"""
+
+
+@query("q_text_gopher_rules", oracle=_GOPHER_ORACLE)
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(w) for w in _GOPHER_STOPS])
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)).alias(
+            "total_chars"
+        ),
+        F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))).alias("n_alpha"),
+        F.size(
+            F.filter(toks, lambda x: F.array_contains(stop_arr, x))
+        ).alias("n_stop_hits"),
+    )
+    n, chars, alpha = F.col("n_words"), F.col("total_chars"), F.col("n_alpha")
+    # integer-comparison forms (chars >= 3*n, alpha*5 >= n*4) so the
+    # rule bits never depend on float rounding in either engine
+    flagged = base.select(
+        "doc_id",
+        "n_words",
+        "total_chars",
+        "n_alpha",
+        "n_stop_hits",
+        F.when(n.between(50, 100000), 1).otherwise(0).alias("r_word_count"),
+        F.when((chars >= 3 * n) & (chars <= 10 * n), 1)
+        .otherwise(0)
+        .alias("r_mean_len"),
+        F.when(alpha * 5 >= n * 4, 1).otherwise(0).alias("r_alpha"),
+        F.when(F.col("n_stop_hits") >= 2, 1).otherwise(0).alias("r_stop"),
+    )
+    all_pass = (
+        (F.col("r_word_count") == 1)
+        & (F.col("r_mean_len") == 1)
+        & (F.col("r_alpha") == 1)
+        & (F.col("r_stop") == 1)
+    )
+    return flagged.select(
+        "doc_id",
+        "n_words",
+        (F.col("total_chars").cast("double") / F.col("n_words")).alias(
+            "mean_word_len"
+        ),
+        (F.col("n_alpha").cast("double") / F.col("n_words")).alias("alpha_ratio"),
+        "n_stop_hits",
+        "r_word_count",
+        "r_mean_len",
+        "r_alpha",
+        "r_stop",
+        F.when(all_pass, 1).otherwise(0).alias("gopher_pass"),
+    ).orderBy("doc_id")
