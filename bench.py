@@ -56,6 +56,7 @@ EXTRAS = [
     "q_rag_retrieve_enrich",     # ANN top-k + broadcast enrich join
     "q_dedup_semantic",          # SemDeDup: cluster-blocked near-dup drop
     "q_text_gopher_rules",       # map-only quality gates at scan speed
+    "q_sample_importance_dsir",  # hashed-feature domain affinity top-K
 ]
 
 

@@ -218,3 +218,108 @@ def q_corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared_spans"))
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Importance-weighted domain selection (DSIR, Xie et al. 2023,
+# arXiv:2302.03169): score every raw document by how much it resembles a
+# target domain, using hashed unigram bag-of-words features and counts
+# from the target vs. raw distributions — then keep the top-K. DSIR's
+# scoring is the log-likelihood ratio sum; here the ratio is linearized
+# to the exact-integer form
+#     score(doc) = sum_tok cnt_doc(b(tok)) * (cnt_t(b)*N_r - cnt_r(b)*N_t)
+# (the sign-preserving cross-multiplied numerator of p_target - p_raw
+# over a common denominator N_t*N_r, which is constant and dropped) so
+# the whole computation is int64 arithmetic — bit-identical across
+# engines, no log() whose last-ulp rounding differs between libm
+# implementations. Feature hashing (md5 -> 24-bit -> mod 64 buckets)
+# is the same engine-portable trick as the split/minhash operators.
+#
+# Scale shape: the bucket-stats table has n_buckets rows (64 here, 10k
+# in the paper) — broadcast; the doc-score aggregation is one explode +
+# one partial-agg'd groupBy(doc_id); selection is orderBy+limit, which
+# Spark plans as TakeOrderedAndProject (per-partition top-K + driver
+# merge, never a global sort).
+# ---------------------------------------------------------------------------
+
+_DSIR_N_BUCKETS = 64
+_DSIR_TARGET_SOURCE = "src0"
+_DSIR_TOP_K = 100
+
+_DSIR_BUCKET_SQL = (
+    "CAST('0x' || substring(md5(tok), 1, 6) AS BIGINT) % " + str(_DSIR_N_BUCKETS)
+)
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+feats AS (SELECT doc_id, source, {_DSIR_BUCKET_SQL} AS bucket FROM toks),
+stats AS (
+  SELECT bucket,
+         sum(CASE WHEN source = '{_DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END) AS cnt_t,
+         sum(CASE WHEN source <> '{_DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END) AS cnt_r
+  FROM feats GROUP BY bucket
+),
+totals AS (
+  SELECT sum(cnt_t) AS n_t, sum(cnt_r) AS n_r FROM stats
+),
+scored AS (
+  SELECT f.doc_id,
+         CAST(sum(s.cnt_t * t.n_r - s.cnt_r * t.n_t) AS BIGINT) AS affinity_score
+  FROM feats f JOIN stats s ON f.bucket = s.bucket CROSS JOIN totals t
+  WHERE f.source <> '{_DSIR_TARGET_SOURCE}'
+  GROUP BY f.doc_id
+)
+SELECT doc_id, affinity_score,
+       row_number() OVER (ORDER BY affinity_score DESC, doc_id) AS rnk
+FROM scored
+ORDER BY affinity_score DESC, doc_id
+LIMIT {_DSIR_TOP_K}
+"""
+
+
+@query("q_sample_importance_dsir", oracle=_DSIR_ORACLE)
+def q_sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    feats = spread(d.select("doc_id", "source", F.split("text", " ").alias("toks"))).select(
+        "doc_id",
+        "source",
+        F.explode("toks").alias("tok"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 6), 16, 10).cast("long")
+            % _DSIR_N_BUCKETS
+        ).alias("bucket"),
+    )
+    is_target = F.col("source") == _DSIR_TARGET_SOURCE
+    stats = feats.groupBy("bucket").agg(
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("cnt_t"),
+        F.sum(F.when(~is_target, 1).otherwise(0)).alias("cnt_r"),
+    )
+    totals = stats.agg(
+        F.sum("cnt_t").alias("n_t"), F.sum("cnt_r").alias("n_r")
+    )
+    scored = (
+        feats.filter(~is_target)
+        .join(F.broadcast(stats), "bucket")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("cnt_t") * F.col("n_r") - F.col("cnt_r") * F.col("n_t")
+            ).alias("affinity_score")
+        )
+    )
+    top = scored.orderBy(F.col("affinity_score").desc(), "doc_id").limit(
+        _DSIR_TOP_K
+    )
+    # rank assigned AFTER the top-K cut: the window sees K rows, not the
+    # corpus, so no global-sort stage exists ahead of the limit
+    w = Window.orderBy(F.col("affinity_score").desc(), "doc_id")
+    return top.withColumn("rnk", F.row_number().over(w)).orderBy("rnk")
