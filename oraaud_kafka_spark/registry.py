@@ -129,14 +129,34 @@ _FRONT = (
 )
 
 
+# Immediately behind the window: every remaining query that has never
+# received a driver row (the round-6 rotation candidates). If the
+# driver's window is ever wider than 50, these are checked first; if
+# not, nothing changes.
+_NEXT = (
+    "q_udf_pandas_scalar",
+    "q_udf_pandas_grouped_agg",
+    "q_udf_apply_in_pandas",
+    "q_udf_python_udtf",
+    "q_udf_arrow_scalar",
+    "q_set_except_all",
+    "q_dedup_semantic",
+    "q_text_gopher_rules",
+    "q_sample_importance_dsir",
+)
+
+
 def _front_ordered(mapping: dict) -> dict:
     """Return ``mapping`` reordered so _FRONT names lead (driver window),
-    followed by the remaining names in registration order."""
-    missing = [n for n in _FRONT if n not in QUERIES]
-    if missing:
-        raise RuntimeError(f"_FRONT names not registered: {missing}")
-    front = [n for n in _FRONT if n in mapping]
-    rest = [n for n in mapping if n not in set(_FRONT)]
+    then _NEXT (never-driver-checked overflow), then the remaining names
+    in registration order."""
+    for group, names in (("_FRONT", _FRONT), ("_NEXT", _NEXT)):
+        missing = [n for n in names if n not in QUERIES]
+        if missing:
+            raise RuntimeError(f"{group} names not registered: {missing}")
+    pinned = (*_FRONT, *_NEXT)
+    front = [n for n in pinned if n in mapping]
+    rest = [n for n in mapping if n not in set(pinned)]
     return {n: mapping[n] for n in (*front, *rest)}
 
 
