@@ -280,12 +280,14 @@ LIMIT {_DSIR_TOP_K}
 """
 
 
-@query("q_sample_importance_dsir", oracle=_DSIR_ORACLE)
-def q_sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    d = load(spark, sf_dir, "documents")
-    feats = spread(d.select("doc_id", "source", F.split("text", " ").alias("toks"))).select(
+def importance_scores(
+    d: DataFrame, target_source: str, n_buckets: int
+) -> DataFrame:
+    """DSIR affinity scores over any (doc_id, source, text) frame ->
+    (doc_id, affinity_score) for every non-target doc. Reused by
+    q_sample_importance_dsir and property-tested against a pure-Python
+    reference in tests/test_properties.py."""
+    feats = d.select("doc_id", "source", F.split("text", " ").alias("toks")).select(
         "doc_id",
         "source",
         F.explode("toks").alias("tok"),
@@ -294,10 +296,10 @@ def q_sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (
             F.conv(F.substring(F.md5("tok"), 1, 6), 16, 10).cast("long")
-            % _DSIR_N_BUCKETS
+            % n_buckets
         ).alias("bucket"),
     )
-    is_target = F.col("source") == _DSIR_TARGET_SOURCE
+    is_target = F.col("source") == target_source
     stats = feats.groupBy("bucket").agg(
         F.sum(F.when(is_target, 1).otherwise(0)).alias("cnt_t"),
         F.sum(F.when(~is_target, 1).otherwise(0)).alias("cnt_r"),
@@ -305,7 +307,7 @@ def q_sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = stats.agg(
         F.sum("cnt_t").alias("n_t"), F.sum("cnt_r").alias("n_r")
     )
-    scored = (
+    return (
         feats.filter(~is_target)
         .join(F.broadcast(stats), "bucket")
         .crossJoin(F.broadcast(totals))
@@ -316,6 +318,14 @@ def q_sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("affinity_score")
         )
     )
+
+
+@query("q_sample_importance_dsir", oracle=_DSIR_ORACLE)
+def q_sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spread(load(spark, sf_dir, "documents"))
+    scored = importance_scores(d, _DSIR_TARGET_SOURCE, _DSIR_N_BUCKETS)
     top = scored.orderBy(F.col("affinity_score").desc(), "doc_id").limit(
         _DSIR_TOP_K
     )

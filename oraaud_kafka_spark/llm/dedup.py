@@ -467,6 +467,13 @@ ORDER BY vec_a, vec_b
 
 @query("q_dedup_embedding_cosine", oracle=_EMB_ORACLE)
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-cosine near-dup over label-blocked candidate pairs. The
+    `label` block is a STAND-IN partitioner kept for its teaching
+    clarity; the production ANN paths with data-derived blocking are
+    q_dedup_embedding_lsh (SRP buckets + triangle decomposition) and
+    q_dedup_semantic (SemDeDup quantizer clusters) — same pair-predicate
+    discipline, honest candidate generation."""
+
     def dot(a, b):
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -875,8 +882,14 @@ ORDER BY vec_id
 """
 
 
-@query("q_dedup_semantic", oracle=_SEM_ORACLE)
-def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_dedup(
+    e: DataFrame, centroids: DataFrame, threshold: float
+) -> DataFrame:
+    """SemDeDup core over any (vec_id, embedding) frame and (cid, cv)
+    centroid frame -> (vec_id, cid, dropped). Reused by q_dedup_semantic
+    and property-tested against a pure-Python reference on random
+    vectors in tests/test_properties.py."""
+
     def dot(a, b):
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -893,14 +906,9 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    e = load(spark, sf_dir, "embeddings")
-    centroids = F.broadcast(
-        e.filter(F.col("vec_id") < _SEM_N_CLUSTERS).select(
-            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-        )
-    )
+    centroids = F.broadcast(centroids)
     ranked = (
-        spread(e.select("vec_id", "embedding"))
+        e.select("vec_id", "embedding")
         .crossJoin(centroids)
         .withColumn(
             "ccos",
@@ -931,7 +939,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vb") < F.col("va"))
         .filter(
             dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-            >= _SEM_THRESHOLD
+            >= threshold
         )
         .select(F.col("va").alias("vec_id"))
         .distinct()
@@ -944,4 +952,15 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "cid", F.coalesce("dropped", F.lit(False)).alias("dropped")
         )
         .orderBy("vec_id")
+    )
+
+
+@query("q_dedup_semantic", oracle=_SEM_ORACLE)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < _SEM_N_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    return semantic_dedup(
+        spread(e.select("vec_id", "embedding")), centroids, _SEM_THRESHOLD
     )

@@ -446,9 +446,10 @@ ORDER BY doc_id
 """
 
 
-@query("q_text_gopher_rules", oracle=_GOPHER_ORACLE)
-def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+def gopher_quality_flags(d: DataFrame) -> DataFrame:
+    """Apply the Gopher rule gates to any frame with (doc_id, text) —
+    the reusable core of q_text_gopher_rules, directly property-tested
+    against a pure-Python reference in tests/test_properties.py."""
     toks = F.split("text", " ")
     stop_arr = F.array(*[F.lit(w) for w in _GOPHER_STOPS])
     base = d.select(
@@ -498,3 +499,8 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_stop",
         F.when(all_pass, 1).otherwise(0).alias("gopher_pass"),
     ).orderBy("doc_id")
+
+
+@query("q_text_gopher_rules", oracle=_GOPHER_ORACLE)
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_quality_flags(load(spark, sf_dir, "documents"))

@@ -459,3 +459,138 @@ def test_funnel_counts_monotone_decreasing(spark):
     row = registry.QUERIES["q_events_funnel"](spark, SF_DIR).collect()[0]
     assert row.n_signup >= row.n_view >= row.n_click >= row.n_purchase >= 0
     assert row.n_signup > 0
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operators vs pure-Python references
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["the", "of", "data", "xx", "q1", "zzz", "be"]),
+            min_size=1,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_slow
+def test_gopher_flags_match_python_reference(spark, docs):
+    from oraaud_kafka_spark.llm.text import _GOPHER_STOPS, gopher_quality_flags
+
+    d = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_quality_flags(d).collect()}
+    for i, toks in enumerate(docs):
+        n = len(toks)
+        chars = sum(len(t) for t in toks)
+        alpha = sum(1 for t in toks if any(c.isalpha() for c in t))
+        stops = sum(1 for t in toks if t in _GOPHER_STOPS)
+        r = got[i]
+        assert r.n_words == n
+        assert r.n_stop_hits == stops
+        assert r.r_word_count == int(50 <= n <= 100000)
+        assert r.r_mean_len == int(3 * n <= chars <= 10 * n)
+        assert r.r_alpha == int(alpha * 5 >= n * 4)
+        assert r.r_stop == int(stops >= 2)
+        assert r.gopher_pass == int(
+            r.r_word_count and r.r_mean_len and r.r_alpha and r.r_stop
+        )
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(-3, 3), min_size=4, max_size=4),
+        min_size=3,
+        max_size=14,
+    ).filter(lambda vs: all(any(x != 0 for x in v) for v in vs))
+)
+@_slow
+def test_semantic_dedup_matches_python_reference(spark, vecs):
+    """Drop rule: vector i is dropped iff some lower-id member of its
+    cluster has cosine >= threshold. Clusters = nearest of the first 2
+    vectors (ties -> lower cid), mirroring the fixed-anchor quantizer."""
+    import math
+
+    from oraaud_kafka_spark.llm.dedup import semantic_dedup
+
+    threshold = 0.35
+    e = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs[:2])],
+        "cid long, cv array<float>",
+    )
+    got = {r.vec_id: r for r in semantic_dedup(e, cents, threshold).collect()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    assign = {}
+    for i, v in enumerate(vecs):
+        best = max(range(2), key=lambda c: (cos(v, vecs[c]), -c))
+        assign[i] = best
+    for i, v in enumerate(vecs):
+        expect_drop = any(
+            assign[j] == assign[i] and cos(vecs[j], v) >= threshold
+            for j in range(i)
+        )
+        assert got[i].cid == assign[i], f"vec {i} cluster"
+        assert got[i].dropped == expect_drop, f"vec {i} drop flag"
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["t", "r1", "r2"]),
+            st.lists(
+                st.sampled_from(["a", "bb", "ccc", "dd", "e", "ff"]),
+                min_size=1,
+                max_size=12,
+            ),
+        ),
+        min_size=2,
+        max_size=8,
+    ).filter(lambda rows: any(s == "t" for s, _ in rows) and any(s != "t" for s, _ in rows))
+)
+@_slow
+def test_dsir_scores_match_python_reference(spark, rows):
+    import hashlib
+
+    from oraaud_kafka_spark.llm.corpus import importance_scores
+
+    n_buckets = 8
+    d = spark.createDataFrame(
+        [(i, src, " ".join(toks)) for i, (src, toks) in enumerate(rows)],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r.doc_id: r.affinity_score
+        for r in importance_scores(d, "t", n_buckets).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:6], 16) % n_buckets
+
+    cnt_t = [0] * n_buckets
+    cnt_r = [0] * n_buckets
+    for src, toks in rows:
+        for tok in toks:
+            (cnt_t if src == "t" else cnt_r)[bucket(tok)] += 1
+    n_t, n_r = sum(cnt_t), sum(cnt_r)
+    for i, (src, toks) in enumerate(rows):
+        if src == "t":
+            assert i not in got
+            continue
+        score = sum(cnt_t[bucket(tok)] * n_r - cnt_r[bucket(tok)] * n_t for tok in toks)
+        assert got[i] == score, f"doc {i}"
