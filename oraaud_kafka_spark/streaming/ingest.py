@@ -139,12 +139,23 @@ def kinesis_batch_writer(
     put_batch_size: int = 500,
     put_retries: int = 5,
     retry_backoff_s: float = 0.2,
+    max_connections: int = 1,
+    request_timeout_ms: int = 30000,
+    record_max_buffered_ms: int = 5000,
 ) -> Callable[[DataFrame, int], None]:
     """R-14: Kinesis has no built-in Spark sink — ship each micro-batch
     with put_records from foreachBatch. Payloads gzip above the
     threshold (KinesisJob.java:66-73). ``client_factory`` lets tests
     inject a fake client; the default needs boto3 (import-gated: not in
     this container).
+
+    The reference's KPL tunables (KinesisSingleton.java:106-142) map to
+    their batched-put equivalents: ``max_connections`` -> botocore
+    connection-pool size, ``request_timeout_ms`` -> botocore
+    connect/read timeouts, ``record_max_buffered_ms`` -> maximum age of
+    a partially-filled put buffer before it flushes even though
+    ``put_batch_size`` wasn't reached (bounds delivery latency when
+    upstream rows trickle).
 
     put_records is PARTIAL-failure prone: a 200 response can still carry
     ``FailedRecordCount > 0`` with per-record ``ErrorCode`` entries
@@ -210,10 +221,19 @@ def kinesis_batch_writer(
             time.sleep(retry_backoff_s * (2 ** (attempt - 1)))
 
     def put_rows(client, rows) -> None:
-        buf = []
+        import time
+
+        buf: list = []
+        buf_born = None
         for row in rows:
+            if not buf:
+                buf_born = time.monotonic()
             buf.append({"Data": bytes(row.payload), "PartitionKey": row.key})
-            if len(buf) >= put_batch_size:
+            # flush on size OR age: a slow upstream must not hold records
+            # hostage past the buffered-time bound
+            if len(buf) >= put_batch_size or (
+                time.monotonic() - buf_born
+            ) * 1000.0 >= record_max_buffered_ms:
                 put_with_retry(client, buf)
                 buf = []
         if buf:
@@ -235,12 +255,22 @@ def kinesis_batch_writer(
             # driver
             try:
                 import boto3
+                from botocore.config import Config
             except ImportError as e:
                 raise NotImplementedError(
                     "Kinesis sink needs boto3 (not in this container); "
                     "pass client_factory to inject a client"
                 ) from e
-            put_rows(boto3.client("kinesis", region_name=region), rows)
+            client = boto3.client(
+                "kinesis",
+                region_name=region,
+                config=Config(
+                    max_pool_connections=max_connections,
+                    connect_timeout=request_timeout_ms / 1000.0,
+                    read_timeout=request_timeout_ms / 1000.0,
+                ),
+            )
+            put_rows(client, rows)
 
         payloads.rdd.foreachPartition(put_partition)
 
@@ -363,6 +393,9 @@ def run_from_config(
         cfg.kinesis_region,
         gzip_threshold=cfg.kinesis_gzip_threshold,
         client_factory=client_factory,
+        max_connections=cfg.kinesis_max_connections,
+        request_timeout_ms=cfg.kinesis_request_timeout_ms,
+        record_max_buffered_ms=cfg.kinesis_record_max_buffered_ms,
     )
     return start_foreach_batch_sink(
         df,

@@ -455,6 +455,32 @@ def test_kinesis_short_records_list_fails_batch(spark):
     assert calls == 1  # fail immediately, no blind retry loop
 
 
+def test_kinesis_buffered_time_flushes_partial_batch(spark):
+    """a2.kinesis.request.record.max.buffered.time
+    (KinesisSingleton.java:132-142): a partially-filled put buffer must
+    flush once it exceeds the buffered-time bound instead of waiting for
+    put_batch_size rows."""
+    calls: list[int] = []
+
+    class CountingKinesis:
+        def put_records(self, StreamName, Records):
+            calls.append(len(Records))
+            return {"FailedRecordCount": 0}
+
+    writer = kinesis_batch_writer(
+        "s",
+        "us-east-1",
+        client_factory=CountingKinesis,
+        put_batch_size=500,  # never reached by 4 rows
+        record_max_buffered_ms=0,  # every row is instantly "too old"
+        retry_backoff_s=0.0,
+    )
+    writer(_payload_df(spark, 4), 0)
+    # age bound 0 ms -> each row flushes alone; size bound would have
+    # produced a single 4-record call
+    assert calls == [1, 1, 1, 1]
+
+
 def test_kafka_sink_option_mapping():
     """R-13: producer tunables (KafkaSingleton.java:107-139) must reach
     the sink kafka.-prefixed whether or not the caller prefixed them;
