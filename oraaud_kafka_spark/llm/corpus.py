@@ -365,3 +365,84 @@ def q_sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus, so no global-sort stage exists ahead of the limit
     w = Window.orderBy(F.col("affinity_score").desc(), "doc_id")
     return top.withColumn("rnk", F.row_number().over(w)).orderBy("rnk")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pipeline composition: the "corpus card" a training run
+# starts from. Stage 1 applies the Gopher quality gate (llm.text),
+# stage 2 drops exact duplicates among survivors (keep lowest doc_id
+# per content hash), stage 3 reports per-language document/token
+# volumes. One oracle-checked query proving the operators COMPOSE: the
+# gate is a semi-join on a map-only flag projection, dedup is one
+# window over md5(text), and the card is a partial-agg'd groupBy — the
+# document bodies are scanned once per stage input, never shuffled
+# (only 16-byte hashes and counts cross the wire).
+# ---------------------------------------------------------------------------
+
+_PIPELINE_ORACLE = """
+WITH flagged AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) BETWEEN 50 AND 100000
+               AND chars >= 3 * len(toks) AND chars <= 10 * len(toks)
+               AND alpha * 5 >= len(toks) * 4
+               AND stops >= 2
+              THEN 1 ELSE 0 END AS ok
+  FROM (
+    SELECT doc_id, toks,
+           list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+                       (a, x) -> a + x) AS chars,
+           len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha,
+           len(list_filter(toks, x -> list_contains(
+             ['the','be','to','of','and','that','have','with'], x))) AS stops
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  )
+),
+survivors AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM documents d JOIN flagged f ON d.doc_id = f.doc_id AND f.ok = 1
+),
+deduped AS (
+  SELECT doc_id, lang, text
+  FROM (
+    SELECT doc_id, lang, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM survivors
+  ) WHERE rn = 1
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM deduped
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("q_corpus_pipeline_card", oracle=_PIPELINE_ORACLE)
+def q_corpus_pipeline_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .text import gopher_quality_flags
+
+    d = load(spark, sf_dir, "documents")
+    passing = (
+        gopher_quality_flags(d)
+        .filter(F.col("gopher_pass") == 1)
+        .select("doc_id")
+    )
+    survivors = d.join(passing, "doc_id", "left_semi").select(
+        "doc_id", "lang", "text"
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        survivors.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -143,6 +143,7 @@ _NEXT = (
     "q_dedup_semantic",
     "q_text_gopher_rules",
     "q_sample_importance_dsir",
+    "q_corpus_pipeline_card",
 )
 
 
