@@ -57,6 +57,7 @@ EXTRAS = [
     "q_dedup_semantic",          # SemDeDup: cluster-blocked near-dup drop
     "q_text_gopher_rules",       # map-only quality gates at scan speed
     "q_sample_importance_dsir",  # hashed-feature domain affinity top-K
+    "q_corpus_pipeline_card",    # composed gate -> dedup -> corpus card
 ]
 
 
