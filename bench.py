@@ -58,6 +58,8 @@ EXTRAS = [
     "q_text_gopher_rules",       # map-only quality gates at scan speed
     "q_sample_importance_dsir",  # hashed-feature domain affinity top-K
     "q_corpus_pipeline_card",    # composed gate -> dedup -> corpus card
+    "q_text_bpe_pair_counts",    # BPE merge-candidate counting
+    "q_events_top_paths",        # session path frequency ranking
 ]
 
 

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import load, spread
 
 # BPE-ish pre-tokenizer: runs of alphanumerics OR single non-space symbols.
 # Kept to a regex subset (character classes, +) that Java regex and RE2
@@ -504,3 +504,57 @@ def gopher_quality_flags(d: DataFrame) -> DataFrame:
 @query("q_text_gopher_rules", oracle=_GOPHER_ORACLE)
 def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_flags(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# BPE-style pair counting (Sennrich et al. 2016, arXiv:1508.07909 — the
+# inner loop of vocabulary induction): count adjacent token pairs across
+# the corpus and rank the merge candidates. One round of the merge loop
+# is pure data processing — pairs are built in-array (same zero-shuffle
+# projection pattern as the MinHash shingles), exploded once, and
+# partial-agg'd on the pair key, so each map task pre-counts its slice
+# of every candidate before the single shuffle. Selection is
+# orderBy+limit -> TakeOrderedAndProject. At 100 TB the full BPE loop
+# re-runs this query per merge with the previous merges applied
+# map-side; the per-round plan shape is exactly this one.
+# ---------------------------------------------------------------------------
+
+_BPE_TOP_K = 30
+
+_BPE_ORACLE = f"""
+SELECT pair, n
+FROM (
+  SELECT pair, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                  i -> toks[i] || '+' || toks[i+1])) AS pair
+    FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+    WHERE len(toks) >= 2
+  )
+  GROUP BY pair
+)
+ORDER BY n DESC, pair
+LIMIT {_BPE_TOP_K}
+"""
+
+
+@query("q_text_bpe_pair_counts", oracle=_BPE_ORACLE)
+def q_text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tokenized = spread(
+        d.select(F.split("text", " ").alias("toks")).filter(F.size("toks") >= 2)
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(
+            "+", F.element_at(F.col("toks"), i.cast("int")),
+            F.element_at(F.col("toks"), (i + 1).cast("int")),
+        ),
+    )
+    return (
+        tokenized.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(_BPE_TOP_K)
+    )

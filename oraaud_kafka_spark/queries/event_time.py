@@ -674,3 +674,65 @@ def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("wau")
     )
     return dau.join(wau, "day").orderBy("day")
+
+
+# Session path analysis: the ordered event-type sequence of every
+# gap-session, frequency-ranked — "what do users actually do in a
+# visit". The path string is assembled from a SORTED collect inside the
+# session aggregate (per-group state bounded by session length, same
+# discipline as the C4 reassembly), counted with one partial-agg'd
+# groupBy(path), and ranked via orderBy+limit (TakeOrderedAndProject).
+# Ties inside a session break on (ts, event_id) so both engines emit
+# the identical sequence; the oracle rebuilds the sessions with the
+# lag/cumsum island technique and string_agg ORDER BY.
+_TOP_PATHS_K = 20
+
+_TOP_PATHS_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged
+), paths AS (
+  SELECT user_id, session_no,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM numbered
+  GROUP BY user_id, session_no
+)
+SELECT path, n_sessions
+FROM (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM paths GROUP BY path)
+ORDER BY n_sessions DESC, path
+LIMIT {_TOP_PATHS_K}
+"""
+
+
+@query("q_events_top_paths", oracle=_TOP_PATHS_ORACLE)
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    paths = (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(_TOP_PATHS_K)
+    )

@@ -144,6 +144,8 @@ _NEXT = (
     "q_text_gopher_rules",
     "q_sample_importance_dsir",
     "q_corpus_pipeline_card",
+    "q_text_bpe_pair_counts",
+    "q_events_top_paths",
 )
 
 
