@@ -60,6 +60,7 @@ EXTRAS = [
     "q_corpus_pipeline_card",    # composed gate -> dedup -> corpus card
     "q_text_bpe_pair_counts",    # BPE merge-candidate counting
     "q_events_top_paths",        # session path frequency ranking
+    "q_pack_length_buckets",     # per-bucket padding-waste plan
 ]
 
 

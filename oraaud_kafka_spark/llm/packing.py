@@ -335,3 +335,59 @@ def q_pack_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(_WIN_W), F.col("n_toks") - start).cast("bigint").alias("win_len"),
         F.array_join(F.slice("toks", start + 1, _WIN_W), " ").alias("win_text"),
     ).orderBy("doc_id", "win_id")
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching plan: group documents into token-length
+# buckets and report the padding waste of batching each bucket to its
+# max length — the planning report behind length-grouped batch samplers
+# (padding cost is the gap between sum(len) and n_docs * bucket_max).
+# Pure integer arithmetic: one map-only bucket projection, one
+# partial-agg'd groupBy. At 100 TB this is a single scan; the output is
+# O(n_buckets) rows.
+# ---------------------------------------------------------------------------
+
+_LEN_BUCKET_W = 16
+
+_LEN_BUCKET_ORACLE = f"""
+SELECT bucket,
+       CAST(bucket * {_LEN_BUCKET_W} AS BIGINT) AS min_len,
+       CAST((bucket + 1) * {_LEN_BUCKET_W} - 1 AS BIGINT) AS max_len_bound,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       CAST(max(n_toks) AS BIGINT) AS bucket_max,
+       CAST(count(*) * max(n_toks) - sum(n_toks) AS BIGINT) AS padding_waste
+FROM (
+  SELECT len(string_split(text, ' ')) AS n_toks,
+         len(string_split(text, ' ')) // {_LEN_BUCKET_W} AS bucket
+  FROM documents
+)
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@query("q_pack_length_buckets", oracle=_LEN_BUCKET_ORACLE)
+def q_pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_toks = F.size(F.split("text", " "))
+    base = d.select(
+        n_toks.alias("n_toks"),
+        (n_toks / _LEN_BUCKET_W).cast("long").alias("bucket"),
+    )
+    return (
+        base.groupBy("bucket")
+        .agg(
+            (F.col("bucket") * _LEN_BUCKET_W).cast("long").alias("min_len"),
+            ((F.col("bucket") + 1) * _LEN_BUCKET_W - 1)
+            .cast("long")
+            .alias("max_len_bound"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.max("n_toks").cast("long").alias("bucket_max"),
+            (F.count("*") * F.max("n_toks") - F.sum("n_toks"))
+            .cast("long")
+            .alias("padding_waste"),
+        )
+        .orderBy("bucket")
+    )

@@ -146,6 +146,7 @@ _NEXT = (
     "q_corpus_pipeline_card",
     "q_text_bpe_pair_counts",
     "q_events_top_paths",
+    "q_pack_length_buckets",
 )
 
 
