@@ -558,3 +558,50 @@ def q_text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(_BPE_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index build: term -> (document frequency, sorted posting
+# list) — the retrieval-side primitive a corpus engine feeds to search/
+# RAG. Tokens are deduplicated per document IN-ARRAY before the explode
+# (so the explode emits one row per (doc, distinct term), never per
+# occurrence), then one partial-agg'd groupBy(term) assembles the
+# posting lists. Postings serialize as a comma-joined sorted string:
+# the driver's canonicalizer cannot hash raw list cells, and sorting
+# makes the cell deterministic in both engines. At 100 TB the posting
+# list per term is the real output — the sorted-collect state is
+# bounded by document frequency, and a df cap (stop-word elision)
+# bounds the worst key.
+# ---------------------------------------------------------------------------
+
+_INDEX_ORACLE = """
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM (
+  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+  FROM documents
+)
+GROUP BY term
+ORDER BY term
+"""
+
+
+@query("q_text_inverted_index", oracle=_INDEX_ORACLE)
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    per_doc_terms = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+    )
+    return (
+        per_doc_terms.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")).cast("array<string>"),
+                ",",
+            ).alias("postings"),
+        )
+        .orderBy("term")
+    )

@@ -147,6 +147,7 @@ _NEXT = (
     "q_text_bpe_pair_counts",
     "q_events_top_paths",
     "q_pack_length_buckets",
+    "q_text_inverted_index",
 )
 
 
