@@ -61,6 +61,7 @@ EXTRAS = [
     "q_text_bpe_pair_counts",    # BPE merge-candidate counting
     "q_events_top_paths",        # session path frequency ranking
     "q_pack_length_buckets",     # per-bucket padding-waste plan
+    "q_profile_table_approx",    # sketch-based profile + certification
 ]
 
 

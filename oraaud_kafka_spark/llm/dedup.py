@@ -12,9 +12,12 @@ speed; the plan shape is unchanged.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.triangle import triangle_self_join
 from ..registry import query
 from ..tables import load, spread
 
@@ -408,7 +411,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-element explode: Generate is an optimizer barrier (predicates
     # referencing its output don't get substituted through it), and
     # row multiplicity is unchanged since the array is always exactly
-    # one non-null element.
+    # one non-null element. Generate-as-barrier is undocumented
+    # Catalyst behavior — codegen inspection done on Spark 4.1.2;
+    # re-check on engine upgrades (a future optimizer could substitute
+    # through it, silently reverting to 3x evaluation — perf only,
+    # correctness unaffected).
     inter = F.col("inter")
     union = F.col("n_toks_a") + F.col("n_toks_b") - inter
     return (
@@ -840,18 +847,21 @@ def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Centroids here are the first K corpus vectors (the fixed-anchor trick
 # from q_sim_ivf_topk) so DuckDB can reproduce the assignment exactly;
-# K follows the IVF sizing rule K ~ sqrt(N) (measured on the fixture:
-# K=8 -> 250-member clusters and 3.3s of pair work at sf0.1, K=32 ->
-# 1.8s with near-identical drop coverage);
-# the k-means-trained variant of the same plan shape lives in
-# q_sim_ivf_kmeans_topk. At 100 TB: assignment is a broadcast cross
-# join evaluated in-projection (no shuffle), the pair join shuffles on
-# cluster id, and an oversized cluster degrades gracefully via the same
-# triangle decomposition used by q_dedup_ngram_jaccard.
+# K follows the IVF sizing rule K = ceil(sqrt(N)) computed from the
+# corpus count on BOTH engines (Spark: one cheap count() at plan-build;
+# oracle: a scalar subquery), so cluster width stays ~sqrt(N) and total
+# pair work is N^1.5, not N^2, as the corpus grows. The k-means-trained
+# variant of the same plan shape lives in q_sim_ivf_kmeans_topk. At
+# 100 TB: assignment is a broadcast cross join evaluated in-projection
+# (no shuffle), the pair join shuffles on cluster id, and each cluster's
+# pair-space is additionally triangle-decomposed (operators/triangle.py,
+# same as q_dedup_ngram_jaccard / q_dedup_embedding_lsh) so one
+# oversized cluster cannot land w^2 comparisons on a single task.
 # ---------------------------------------------------------------------------
 
-_SEM_N_CLUSTERS = 32
 _SEM_THRESHOLD = 0.35
+
+_SEM_K_SQL = "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)"
 
 _SEM_ASSIGN_SQL = f"""
   SELECT vec_id, embedding, cid FROM (
@@ -863,7 +873,7 @@ _SEM_ASSIGN_SQL = f"""
                       c.cid) AS crnk
     FROM embeddings e,
          (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-          WHERE vec_id < {_SEM_N_CLUSTERS}) c
+          WHERE vec_id < {_SEM_K_SQL}) c
   ) WHERE crnk = 1
 """
 
@@ -924,24 +934,27 @@ def semantic_dedup(
         .filter(F.col("crnk") == 1)
         .select("vec_id", "embedding", "cid")
     )
-    # hoist norms once per member; the pair predicate then reuses them
+    # hoist norms once per member; the pair predicate then reuses them.
+    # The within-cluster pair join goes through the 4-way triangle
+    # decomposition: per-task pair width is bounded by (|cluster|/4)^2
+    # even when one cluster is pathologically popular, and every
+    # unordered pair is still formed exactly once (vec_id_a < vec_id_b).
     members = ranked.withColumn("nrm", norm(F.col("embedding")))
-    a = members.select(
-        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"), "cid",
-    )
-    b = members.select(
-        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"), "cid",
-    )
-    dropped_ids = (
-        a.join(b, "cid")
-        .filter(F.col("vb") < F.col("va"))
-        .filter(
-            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    pairs = triangle_self_join(
+        members,
+        block_cols=["cid"],
+        id_col="vec_id",
+        n_sub=4,
+        pair_filter=(
+            dot(F.col("embedding_a"), F.col("embedding_b"))
+            / (F.col("nrm_a") * F.col("nrm_b"))
             >= threshold
-        )
-        .select(F.col("va").alias("vec_id"))
+        ),
+    )
+    # pairs are (a < b); the higher id has a lower-id near-duplicate
+    # neighbor, so it is the one dropped
+    dropped_ids = (
+        pairs.select(F.col("vec_id_b").alias("vec_id"))
         .distinct()
         .withColumn("dropped", F.lit(True))
     )
@@ -958,7 +971,11 @@ def semantic_dedup(
 @query("q_dedup_semantic", oracle=_SEM_ORACLE)
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    centroids = e.filter(F.col("vec_id") < _SEM_N_CLUSTERS).select(
+    # K = ceil(sqrt(N)): one metadata-cheap count at plan-build keeps
+    # cluster width ~sqrt(N) at any corpus size (the oracle computes the
+    # identical K via a scalar subquery)
+    k = math.ceil(math.sqrt(e.count()))
+    centroids = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
     return semantic_dedup(

@@ -11,7 +11,9 @@ in arbitrary lengths. Two variants:
 - greedy: the classic "open a new pack when the next doc would
   overflow" loop — inherently sequential per language, so it runs as
   applyInPandas over lang partitions (one Python pass per group, Arrow
-  in/out). Rows-only check; the budget invariant is property-tested.
+  in/out). Oracle-checked exactly via a DuckDB recursive CTE that
+  replays the same recurrence; the budget invariant is also
+  property-tested.
 
 Stratified sampling: per-language keep-rates from a pure hash of the
 stable doc id (md5 hex prefix -> 24-bit int, same expression both
@@ -79,10 +81,44 @@ def q_pack_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# rows-only: the greedy open-new-pack-on-overflow recurrence isn't a
-# window function; tests/test_properties.py proves the budget invariant
-# and exact agreement with a driver-side reference packer.
-@query("q_pack_greedy")
+# The greedy open-new-pack-on-overflow recurrence isn't a window
+# function, but it IS a sequential scan per language — which DuckDB
+# expresses exactly as a recursive CTE stepping row_number-by-
+# row_number within each lang (state = (pack_id, cur_toks), one row
+# per lang per step). Iteration count = max docs per language (~200 at
+# the gate's sf0.01), trivially cheap for the oracle while the Spark
+# side stays the Arrow-batched applyInPandas pass. Exact per-row
+# pack_id agreement is therefore driver-hash-checked;
+# tests/test_properties.py additionally proves the budget invariant
+# against a driver-side reference packer.
+_GREEDY_ORACLE = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+),
+g AS (
+  SELECT doc_id, lang, n_toks, rn,
+         CAST(0 AS BIGINT) AS pack_id,
+         CAST(n_toks AS BIGINT) AS cur_toks
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.doc_id, t.lang, t.n_toks, t.rn,
+         CASE WHEN g.cur_toks + t.n_toks > {BUDGET}
+              THEN g.pack_id + 1 ELSE g.pack_id END,
+         CASE WHEN g.cur_toks + t.n_toks > {BUDGET}
+              THEN CAST(t.n_toks AS BIGINT)
+              ELSE g.cur_toks + t.n_toks END
+  FROM g JOIN t ON t.lang = g.lang AND t.rn = g.rn + 1
+)
+SELECT doc_id, lang, n_toks, pack_id
+FROM g
+ORDER BY lang, doc_id
+"""
+
+
+@query("q_pack_greedy", oracle=_GREEDY_ORACLE)
 def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit sequential packing per language via applyInPandas: each
     language group arrives as ONE pandas frame (sorted by doc_id), the

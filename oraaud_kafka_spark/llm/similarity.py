@@ -7,8 +7,9 @@
   dots against fixed anchor vectors, candidates share the bucket — the
   sublinear scale path.
 - A vectorized pandas-UDF scorer (Arrow-batched numpy) as the
-  escape-hatch pattern for metrics SQL can't express (rows-only check:
-  numpy's summation order differs from the JVM's).
+  escape-hatch pattern for metrics SQL can't express (oracle-checked on
+  scores rounded to 6 decimals — numpy's summation order differs from a
+  sequential SQL fold by ~1e-15, which rounding swamps).
 
 Float determinism: elements are cast float->double (exact) BEFORE any
 arithmetic, and dot products fold sequentially in array order on both
@@ -208,7 +209,26 @@ def q_sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sim_pandas_udf_cosine")  # numpy sum order != JVM: rows-only check
+# numpy's pairwise/BLAS summation order differs from a sequential SQL
+# fold by ~1e-15 relative, so raw doubles would hash-mismatch. Rounding
+# the score to 6 decimals on BOTH engines swamps that noise (boundary
+# collision needs a value within 1e-15 of a 5e-7 rounding edge) while
+# still pinning the math to 6 significant digits; ordering and the
+# top-k cut use the ROUNDED value with vec_id tiebreak so the selected
+# row set is identical on both sides.
+_PANDAS_COS_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round({_sql_dot('e.embedding', 'q.qv')}
+             / ({_sql_norm('e.embedding')} * {_sql_norm('q.qv')}), 6) AS cosine_r
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY cosine_r DESC, e.vec_id
+LIMIT {TOP_K}
+"""
+
+
+@query("q_sim_pandas_udf_cosine", oracle=_PANDAS_COS_ORACLE)
 def q_sim_pandas_udf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched numpy scorer via mapInPandas — the pattern for
     metrics that built-ins can't express. Each batch is vectorized
@@ -233,7 +253,8 @@ def q_sim_pandas_udf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         out.filter(F.col("vec_id") != 0)
-        .orderBy(F.col("cosine").desc(), "vec_id")
+        .select("vec_id", F.round("cosine", 6).alias("cosine_r"))
+        .orderBy(F.col("cosine_r").desc(), "vec_id")
         .limit(TOP_K)
     )
 
@@ -346,16 +367,39 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# rows-only: the trained centroids come out of an iterative Lloyd loop
-# (operators/kmeans.py) that plain SQL can't reproduce; recall quality
-# vs the brute-force baseline is asserted in tests/test_properties.py.
-@query("q_sim_ivf_kmeans_topk")
+# The trained centroids come out of an iterative Lloyd loop
+# (operators/kmeans.py) that plain SQL can't reproduce, so the raw ANN
+# hit list is inherently oracle-opaque. The driver-hashable surface is
+# therefore the EVAL SUMMARY derived from it, all computed in-plan:
+# result completeness (every query returns exactly TOP_K rows), score
+# sanity (|cosine| <= 1), and recall against the in-plan brute-force
+# exact top-k. The oracle asserts the same invariants as literals; any
+# ANN regression (empty lists, broken assignment, recall collapse)
+# flips a boolean and hash-mismatches. Recall threshold 0.3 is well
+# under the floor observed across sf0.001-0.1 (0.74-0.84) — generous to
+# data regeneration, tight against real breakage (random lists give
+# ~nprobe/k = 0.25 expected overlap only by luck of list sizes).
+_MIN_RECALL = 0.3
+
+_KMEANS_EVAL_ORACLE = f"""
+SELECT CAST({N_QUERIES} AS BIGINT) AS n_queries,
+       CAST({N_QUERIES * TOP_K} AS BIGINT) AS total_rows,
+       TRUE AS per_query_complete,
+       TRUE AS cosine_in_bounds,
+       TRUE AS recall_ok
+"""
+
+
+@query("q_sim_ivf_kmeans_topk", oracle=_KMEANS_EVAL_ORACLE)
 def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a k-means-TRAINED coarse quantizer. Identical plan
     shape to q_sim_ivf_topk (in-projection assign -> equi-join on list
     id -> exact re-rank on candidates only); only the centroid constants
     differ, so the 100 TB cost model carries over unchanged while the
-    inverted lists actually follow the data distribution."""
+    inverted lists actually follow the data distribution. Returns the
+    driver-checkable eval summary (see _KMEANS_EVAL_ORACLE note); the
+    underlying top-k DataFrame is the same plan as before, now feeding
+    three single-row aggregates instead of being returned raw."""
     from ..operators.kmeans import train_kmeans
 
     e = load(spark, sf_dir, "embeddings")
@@ -390,11 +434,64 @@ def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
-    return (
+    ann = (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
-        .select("qid", "nid", "cosine", "rnk")
-        .orderBy("qid", "rnk")
+        .select("qid", "nid", "cosine")
+    )
+    # in-plan exact ground truth: broadcast the N_QUERIES query vectors
+    # against the corpus — linear, same shape as q_sim_cosine_topk_brute
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            _norm(F.col("embedding")).alias("qnorm"),
+        )
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("nid"),
+        "embedding",
+        _norm(F.col("embedding")).alias("nnorm"),
+    )
+    exact = (
+        qv.join(corpus, F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            (
+                _dot(F.col("qv"), F.col("embedding"))
+                / (F.col("qnorm") * F.col("nnorm"))
+            ).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "nid")
+    )
+    per_q = ann.groupBy("qid").agg(F.count("*").alias("n"))
+    shape = per_q.agg(
+        F.count("*").alias("nq"),
+        F.sum("n").alias("tot"),
+        F.min("n").alias("mn"),
+        F.max("n").alias("mx"),
+    )
+    bounds = ann.agg(F.max(F.abs("cosine")).alias("max_abs"))
+    hits = ann.join(exact, ["qid", "nid"], "left_semi").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        shape.crossJoin(bounds)
+        .crossJoin(hits)
+        .select(
+            F.col("nq").alias("n_queries"),
+            F.col("tot").alias("total_rows"),
+            ((F.col("mn") == TOP_K) & (F.col("mx") == TOP_K)).alias(
+                "per_query_complete"
+            ),
+            (F.col("max_abs") <= 1.0 + 1e-9).alias("cosine_in_bounds"),
+            (
+                F.col("n_hits") >= F.lit(float(_MIN_RECALL * N_QUERIES * TOP_K))
+            ).alias("recall_ok"),
+        )
     )
 
 

@@ -258,7 +258,24 @@ def q_agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx_count_distinct")  # HLL sketch ≠ DuckDB's: rows-only check
+# Spark's HLL++ sketch value can't be reproduced by DuckDB's approx
+# sketch, so the driver-hashable surface is the exact count plus a
+# within-tolerance assertion on the sketch: |approx-exact| <= 10% of
+# exact (rsd=0.02, so 10% is a 5-sigma envelope — a sketch outside it
+# is a real bug, not noise). The oracle asserts the same shape with a
+# literal TRUE; a broken sketch turns the boolean FALSE and the row
+# hash-mismatches.
+_APPROX_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       TRUE AS within_rel_error
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q_agg_approx_count_distinct", oracle=_APPROX_ORACLE)
 def q_agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (
@@ -266,6 +283,14 @@ def q_agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
             F.count_distinct("l_orderkey").alias("exact_orders"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("approx_orders") - F.col("exact_orders"))
+                <= 0.1 * F.col("exact_orders")
+            ).alias("within_rel_error"),
         )
         .orderBy("l_returnflag")
     )

@@ -72,7 +72,15 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unions per-column scans — DuckDB at sf0.01 doesn't care, but
     at 100 TB the single-scan shape is the difference between one pass
     and n_cols passes), then the 1-row result explodes into a row per
-    column. min/max/count are exact, no float summation anywhere."""
+    column. min/max/count are exact, no float summation anywhere.
+
+    100 TB cost note: n_cols EXACT count_distinct in one agg makes
+    Catalyst plan the multi-distinct via Expand — every input row is
+    replicated (n_cols + 1)x before the shuffle. Exact is the right
+    call only when the distinct cardinality must be authoritative; the
+    first-pass profile a 100 TB user actually runs is
+    q_profile_table_approx / profile_approx() below, whose plan has no
+    Expand at all."""
     li = load(spark, sf_dir, "lineitem")
     aggs = []
     for c in _PROFILE_COLS:
@@ -97,6 +105,75 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         one.select(F.explode_outer(per_col).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    )
+
+
+def profile_approx(df: DataFrame, cols: tuple[str, ...], rsd: float = 0.02):
+    """Production-shape approximate profile: ONE scan, ONE ordinary
+    hash aggregate — count/min/max exact, distinct via HLL++ sketches.
+    No Expand anywhere in the plan (pinned in tests/test_plans.py), so
+    input rows are never replicated; this is the profile you run first
+    on 100 TB. Returns the single wide row (pre-explode)."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            F.approx_count_distinct(c, rsd=rsd).alias(f"{c}__ad"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    return df.agg(*aggs)
+
+
+# Certification harness for profile_approx: the sketch value itself is
+# engine-specific (Spark HLL++ != DuckDB approx), so the driver-hashable
+# surface is the exact profile plus a per-column within-tolerance
+# boolean on the sketch (10% = 5 sigma at rsd=0.02). The exact distinct
+# needed for that bound means THIS query still pays the Expand; the
+# production path (profile_approx alone) does not.
+_PROFILE_APPROX_ORACLE = (
+    "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name,
+       count({c}) AS n_nonnull,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS DOUBLE) AS min_val,
+       CAST(max({c}) AS DOUBLE) AS max_val,
+       TRUE AS distinct_within_tol
+FROM lineitem"""
+        for c in _PROFILE_COLS
+    )
+    + "\nORDER BY col_name"
+)
+
+
+@query("q_profile_table_approx", oracle=_PROFILE_APPROX_ORACLE)
+def q_profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    one = profile_approx(li, _PROFILE_COLS)
+    exact = li.agg(
+        *[F.count_distinct(F.col(c)).alias(f"{c}__d") for c in _PROFILE_COLS]
+    )
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__n").alias("n_nonnull"),
+                F.col(f"{c}__d").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+                (
+                    F.abs(F.col(f"{c}__ad") - F.col(f"{c}__d"))
+                    <= 0.1 * F.col(f"{c}__d")
+                ).alias("distinct_within_tol"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return (
+        one.crossJoin(exact)
+        .select(F.explode_outer(per_col).alias("p"))
         .select("p.*")
         .orderBy("col_name")
     )

@@ -179,16 +179,26 @@ def compact_parquet(
     # (hdfs://, s3a://, ...) would silently measure 0 bytes and
     # collapse the dataset into a single file — reject it instead.
     # urlsplit (not a "://" scan) so single-slash URI forms Hadoop
-    # accepts — file:/tmp/x, hdfs:/x — are classified too.
-    parts = urlsplit(src_dir)
-    if parts.scheme and parts.scheme != "file":
-        raise ValueError(
-            f"compact_parquet sizes files via the local filesystem; got "
-            f"non-local path {src_dir!r} (scheme {parts.scheme!r}). "
-            "Compute sizes with the Hadoop FileSystem API for remote "
-            "stores."
-        )
-    walk_dir = parts.path if parts.scheme else src_dir
+    # accepts — file:/tmp/x, hdfs:/x — are classified too. A local
+    # relative path whose first segment contains a colon (urlsplit
+    # would call that a scheme) short-circuits on existence.
+    if os.path.exists(src_dir):
+        walk_dir = src_dir
+    else:
+        parts = urlsplit(src_dir)
+        if parts.scheme and parts.scheme != "file":
+            raise ValueError(
+                f"compact_parquet sizes files via the local filesystem; "
+                f"got non-local path {src_dir!r} (scheme "
+                f"{parts.scheme!r}). Compute sizes with the Hadoop "
+                "FileSystem API for remote stores."
+            )
+        if parts.scheme == "file" and parts.netloc:
+            raise ValueError(
+                f"file: URI with a non-empty host {parts.netloc!r} is "
+                f"not a local path: {src_dir!r}"
+            )
+        walk_dir = parts.path if parts.scheme else src_dir
 
     total_bytes = sum(
         os.path.getsize(os.path.join(root, f))

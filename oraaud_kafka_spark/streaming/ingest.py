@@ -229,8 +229,13 @@ def kinesis_batch_writer(
             if not buf:
                 buf_born = time.monotonic()
             buf.append({"Data": bytes(row.payload), "PartitionKey": row.key})
-            # flush on size OR age: a slow upstream must not hold records
-            # hostage past the buffered-time bound
+            # flush on size OR age. The age bound is best-effort: it is
+            # only evaluated when the NEXT row arrives, so a stalled
+            # upstream leaves an aged buffer unflushed until the
+            # iterator ends — unlike the KPL tunable this mirrors,
+            # which flushes on a background timer. foreachBatch
+            # partition iterators are finite, so the end-of-iterator
+            # flush below still bounds latency per micro-batch.
             if len(buf) >= put_batch_size or (
                 time.monotonic() - buf_born
             ) * 1000.0 >= record_max_buffered_ms:

@@ -38,3 +38,37 @@ def test_bench_emits_single_json_line_contract():
     assert set(d["queries_extra"]) == set(EXTRAS)
     assert all(v > 0 for v in d["queries"].values())
     assert d["ingest_mbps"] > 0
+
+
+def test_no_per_query_regression_between_recorded_rounds():
+    """Artifact-level regression gate: compare the two most recent
+    driver-recorded BENCH_r*.json (same sf, completed runs only) and
+    fail on any shared query slowing more than 2x. DNF rounds (rc != 0
+    or parsed null, e.g. round 4) are not scores and are skipped, per
+    round-4 ADVICE. Sub-200 ms timings are exempt — at that size the
+    2x threshold is inside shared-infra noise."""
+    import glob
+
+    import pytest
+
+    runs = []
+    for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+        with open(path) as f:
+            d = json.load(f)
+        if d.get("rc") == 0 and d.get("parsed"):
+            runs.append((os.path.basename(path), d))
+    if len(runs) < 2:
+        pytest.skip("fewer than two completed bench artifacts")
+    (prev_name, prev), (cur_name, cur) = runs[-2], runs[-1]
+    if prev.get("sf") != cur.get("sf"):
+        pytest.skip("scale factor changed between recorded rounds")
+    prev_q = {**prev["parsed"]["queries"], **prev["parsed"].get("queries_extra", {})}
+    cur_q = {**cur["parsed"]["queries"], **cur["parsed"].get("queries_extra", {})}
+    slow = {
+        q: (prev_q[q], cur_q[q])
+        for q in prev_q.keys() & cur_q.keys()
+        if cur_q[q] > 2.0 * prev_q[q] and cur_q[q] > 0.2
+    }
+    assert not slow, (
+        f"{cur_name} regressed >2x vs {prev_name} on: {slow}"
+    )

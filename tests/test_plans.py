@@ -169,6 +169,42 @@ def test_triangle_jaccard_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_profile_approx_has_no_expand(spark):
+    """The production approximate profile must be one plain hash
+    aggregate: HLL++ sketches instead of exact multi-distinct, so no
+    Expand node (which would replicate every input row n_cols+1 times
+    pre-shuffle on a 100 TB scan)."""
+    from oraaud_kafka_spark.queries.reshape import _PROFILE_COLS, profile_approx
+
+    li = load(spark, SF_DIR, "lineitem")
+    plan = _plan(profile_approx(li, _PROFILE_COLS))
+    assert "Expand" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_semantic_dedup_pair_join_triangle_blocked(spark):
+    """q_dedup_semantic's within-cluster pair join must be sub-blocked
+    via the triangle decomposition (join key carries the __cell grid
+    cell next to cid), so one oversized cluster cannot concentrate
+    w^2 pair comparisons on a single task. The only nested-loop join
+    allowed is the broadcast centroid-assignment cross join."""
+    import re
+
+    df = registry.QUERIES["q_dedup_semantic"].__wrapped__(spark, SF_DIR)
+    plan = _plan(df, execute=True)
+    assert "CartesianProduct" not in plan
+    # the pair join must be an equi-join keyed on (cid, __cell)
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[cid#\d+L?, __cell#\d+",
+        plan,
+    ), plan
+    # nested-loop joins may appear ONLY as the broadcast centroid
+    # assignment (a Cross build); the pair join must never be one
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line
+
+
 def test_kmeans_assignment_in_projection(spark):
     """nearest_centroid must be a pure projection: assigning 100 TB of
     vectors to centroids needs zero shuffles and no UDF."""
