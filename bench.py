@@ -62,6 +62,11 @@ EXTRAS = [
     "q_events_top_paths",        # session path frequency ranking
     "q_pack_length_buckets",     # per-bucket padding-waste plan
     "q_profile_table_approx",    # sketch-based profile + certification
+    "q_text_unigram_logprob",    # corpus-unigram LM doc scoring
+    "q_text_ccnet_tiers",        # per-lang quality tier planning
+    "q_dedup_simhash_eval",      # hamming vs exact-jaccard calibration
+    "q_emb_dim_stats",           # per-dim whitening stats
+    "q_time_ohlc_bars",          # hourly OHLC downsampling
 ]
 
 

@@ -446,3 +446,67 @@ def q_corpus_pipeline_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding distribution stats — the pass that feeds
+# whitening / standardization (subtract mean, divide std per dim) and
+# sanity checks an embedding pipeline (dead dims, scale drift). Same
+# plan shape as q_emb_centroids: one posexplode + one partial-agg'd
+# shuffle keyed by dim, shuffle width = n_dims regardless of corpus
+# size. Float discipline: sums and sums-of-squares go through exact
+# DECIMAL(18,8) (the q_agg_stats pattern), the final mean/std are one
+# identical double expression on both engines — bitwise-equal, no
+# rounding needed.
+# ---------------------------------------------------------------------------
+
+_DIM_STATS_ORACLE = """
+SELECT dim, count(*) AS n,
+       CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,8))) AS DECIMAL(18,8))
+            AS DOUBLE) / count(*) AS mean_val,
+       sqrt((CAST(count(*) AS DOUBLE)
+             * CAST(CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                               AS DECIMAL(18,8))) AS DECIMAL(18,8)) AS DOUBLE)
+             - CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,8)))
+                         AS DECIMAL(18,8)) AS DOUBLE)
+               * CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,8)))
+                           AS DECIMAL(18,8)) AS DOUBLE))
+            / (CAST(count(*) AS DOUBLE) * (count(*) - 1))) AS std_val,
+       min(CAST(x AS DOUBLE)) AS lo,
+       max(CAST(x AS DOUBLE)) AS hi
+FROM (
+  SELECT unnest(range(len(embedding))) AS dim,
+         unnest(embedding) AS x
+  FROM embeddings
+)
+GROUP BY dim
+ORDER BY dim
+"""
+
+
+@query("q_emb_dim_stats", oracle=_DIM_STATS_ORACLE)
+def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    exploded = e.select(F.posexplode("embedding").alias("dim", "xf")).select(
+        "dim", F.col("xf").cast("double").alias("x")
+    )
+    n = F.count("*").cast("double")
+    s1 = F.sum(F.col("x").cast("decimal(18,8)")).cast("decimal(18,8)").cast("double")
+    s2 = (
+        F.sum((F.col("x") * F.col("x")).cast("decimal(18,8)"))
+        .cast("decimal(18,8)")
+        .cast("double")
+    )
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            (s1 / F.count("*")).alias("mean_val"),
+            F.sqrt(
+                (n * s2 - s1 * s1) / (n * (F.count("*") - 1))
+            ).alias("std_val"),
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+        )
+        .orderBy("dim")
+    )

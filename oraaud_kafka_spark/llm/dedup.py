@@ -317,9 +317,10 @@ ORDER BY doc_id
 """
 
 
-@query("q_dedup_simhash", oracle=_SIMHASH_ORACLE)
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+def simhash_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash_bits) — 32-bit SimHash over distinct tokens,
+    bit b = sign of the per-bit vote sum across token md5 hashes.
+    Shared by q_dedup_simhash and q_dedup_simhash_eval."""
     tok = d.select(
         "doc_id",
         F.explode_outer(F.array_distinct(F.split("text", " "))).alias("tok"),
@@ -342,10 +343,124 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "",
     )
+    return bits.groupBy("doc_id").agg(fingerprint.alias("simhash_bits"))
+
+
+@query("q_dedup_simhash", oracle=_SIMHASH_ORACLE)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return simhash_signatures(d).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SimHash calibration (the q_dedup_minhash_eval twin): for candidate
+# pairs sharing an 8-bit signature prefix (the production blocking
+# key), relate signature Hamming distance to EXACT token-set Jaccard —
+# the report that tells you which Hamming cutoff to deploy. Per-bucket
+# stats are integer-exact (summed intersection/union sizes, one final
+# IEEE division for the pooled Jaccard), so the whole report is
+# driver-hashable with no float-summation hazard. Scale shape: the
+# pair join is a hash equi-join on the prefix block (at corpus scale,
+# route it through triangle_self_join exactly as the Jaccard/LSH dedup
+# paths do); this calibration probe runs on the same doc_id<100 sample
+# as q_dedup_simhash.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_PREFIX = 8
+
+_HAMMING_SQL = (
+    "list_reduce(list_prepend(0, list_transform(range(1, 33), "
+    "i -> CASE WHEN substr(a.simhash_bits, i, 1) <> substr(b.simhash_bits, i, 1) "
+    "THEN 1 ELSE 0 END)), (acc, x) -> acc + x)"
+)
+
+_SIMHASH_EVAL_ORACLE = f"""
+WITH sig AS ({_SIMHASH_ORACLE.replace("ORDER BY doc_id", "")}),
+toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+         len(list_distinct(string_split(text, ' '))) AS n_toks
+  FROM documents WHERE doc_id < 100
+),
+pairs AS (
+  SELECT {_HAMMING_SQL} AS hamming,
+         len(list_intersect(ta.toks, tb.toks)) AS inter,
+         ta.n_toks + tb.n_toks - len(list_intersect(ta.toks, tb.toks)) AS uni
+  FROM sig a JOIN sig b
+    ON substr(a.simhash_bits, 1, {_SIMHASH_PREFIX})
+       = substr(b.simhash_bits, 1, {_SIMHASH_PREFIX})
+   AND a.doc_id < b.doc_id
+  JOIN toks ta ON ta.doc_id = a.doc_id
+  JOIN toks tb ON tb.doc_id = b.doc_id
+)
+SELECT hamming,
+       count(*) AS n_pairs,
+       CAST(sum(inter) AS BIGINT) AS sum_inter,
+       CAST(sum(uni) AS BIGINT) AS sum_union,
+       CAST(sum(inter) AS DOUBLE) / sum(uni) AS pooled_jaccard,
+       min(CAST(inter AS DOUBLE) / uni) AS min_jaccard,
+       max(CAST(inter AS DOUBLE) / uni) AS max_jaccard
+FROM pairs
+GROUP BY hamming
+ORDER BY hamming
+"""
+
+
+@query("q_dedup_simhash_eval", oracle=_SIMHASH_EVAL_ORACLE)
+def q_dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sig = simhash_signatures(d)
+    toks = d.select(
+        "doc_id",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    ).withColumn("n_toks", F.size("toks"))
+    st = sig.join(toks, "doc_id").select(
+        "doc_id",
+        "simhash_bits",
+        F.substring("simhash_bits", 1, _SIMHASH_PREFIX).alias("prefix"),
+        "toks",
+        "n_toks",
+    )
+    a = st.select(*[F.col(c).alias(f"{c}_a") for c in st.columns], "prefix").drop(
+        "prefix_a"
+    )
+    b = st.select(*[F.col(c).alias(f"{c}_b") for c in st.columns], "prefix").drop(
+        "prefix_b"
+    )
+    hamming = sum(
+        F.when(
+            F.substring("simhash_bits_a", i, 1)
+            != F.substring("simhash_bits_b", i, 1),
+            1,
+        ).otherwise(0)
+        for i in range(1, 33)
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    pairs = (
+        a.join(b, "prefix")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select(
+            hamming.alias("hamming"),
+            inter.alias("inter"),
+            (F.col("n_toks_a") + F.col("n_toks_b") - inter).alias("uni"),
+        )
+    )
     return (
-        bits.groupBy("doc_id")
-        .agg(fingerprint.alias("simhash_bits"))
-        .orderBy("doc_id")
+        pairs.groupBy("hamming")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("inter").alias("sum_inter"),
+            F.sum("uni").alias("sum_union"),
+            (
+                F.sum("inter").cast("double") / F.sum("uni")
+            ).alias("pooled_jaccard"),
+            F.min(F.col("inter").cast("double") / F.col("uni")).alias(
+                "min_jaccard"
+            ),
+            F.max(F.col("inter").cast("double") / F.col("uni")).alias(
+                "max_jaccard"
+            ),
+        )
+        .orderBy("hamming")
     )
 
 

@@ -427,3 +427,73 @@ def q_pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature / alpha sampling weights (the multilingual mixture rule
+# from XLM / mT5: w_l ∝ p_l^alpha with alpha < 1 upweighting low-
+# resource languages). One tiny groupBy(lang) + two single-row
+# broadcasts — the output is the sampling-rate plan a 100 TB epoch
+# builder feeds into q_sample_upsampled / q_mixture_weights. Float
+# discipline: natural shares are one exact int/int division; pow()
+# can differ by an ulp between libm and the JVM, so the normalizing
+# denominator folds the per-lang pow terms sequentially in lang order
+# on BOTH engines and the final weight is rounded to 6 decimals.
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.3
+
+_TEMP_ORACLE = f"""
+WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+total AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM counts),
+pa AS (
+  SELECT lang, n_docs,
+         CAST(n_docs AS DOUBLE) / (SELECT n FROM total) AS natural_share,
+         pow(CAST(n_docs AS DOUBLE) / (SELECT n FROM total), {_TEMP_ALPHA}) AS p_alpha
+  FROM counts
+),
+denom AS (
+  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(p_alpha ORDER BY lang)), (acc, x) -> acc + x) AS d
+  FROM pa
+)
+SELECT lang, n_docs, natural_share,
+       round(p_alpha / (SELECT d FROM denom), 6) AS weight
+FROM pa
+ORDER BY lang
+"""
+
+
+@query("q_sample_temperature", oracle=_TEMP_ORACLE)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("n"))
+    pa = counts.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("n")).alias("natural_share"),
+        F.pow(
+            F.col("n_docs").cast("double") / F.col("n"), _TEMP_ALPHA
+        ).alias("p_alpha"),
+    )
+    denom = pa.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lang", "p_alpha"))),
+                lambda x: x.p_alpha,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d")
+    )
+    return (
+        pa.crossJoin(F.broadcast(denom))
+        .select(
+            "lang",
+            "n_docs",
+            "natural_share",
+            F.round(F.col("p_alpha") / F.col("d"), 6).alias("weight"),
+        )
+        .orderBy("lang")
+    )

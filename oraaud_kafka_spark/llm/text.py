@@ -605,3 +605,138 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-unigram LM document scoring — the KenLM-lite shape of the
+# CCNet perplexity filter (Wenzek et al. 2020, arXiv:1911.00359): build
+# the corpus's own unigram distribution, then score every document by
+# its mean token log-probability. High (less negative) = made of common
+# tokens; low = rare/garbled. At 100 TB: the vocabulary table is
+# bounded by language (not corpus size) so it BROADCASTS, scoring is a
+# map-side join + one groupBy(doc_id), and the token-count pass is one
+# partial-agg'd shuffle over (token) — three linear passes, nothing
+# quadratic. Float determinism: ln() differs by <=1 ulp between libm
+# and the JVM, so per-doc sums fold sequentially in token-position
+# order on BOTH engines (array_sort(collect_list(struct(pos,...)))) <->
+# list(... ORDER BY pos)) and the mean is rounded to 6 decimals, which
+# swamps the ulp noise.
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_TOK_SQL = """
+  SELECT doc_id, lang,
+         unnest(list_transform(range(len(toks)),
+           i -> {'pos': i, 'tok': toks[i + 1]}), recursive := true)
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+"""
+
+_UNIGRAM_SCORED_SQL = f"""
+WITH tok AS ({_UNIGRAM_TOK_SQL}),
+vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+total AS (SELECT count(*) AS n FROM tok),
+lp AS (
+  SELECT t.doc_id, t.lang, t.pos,
+         ln(CAST(v.cnt AS DOUBLE) / (SELECT n FROM total)) AS lp
+  FROM tok t JOIN vocab v USING (tok)
+),
+doc AS (
+  SELECT doc_id, lang,
+         count(*) AS n_toks,
+         round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list(lp ORDER BY pos)), (acc, x) -> acc + x)
+               / count(*), 6) AS avg_logprob
+  FROM lp GROUP BY doc_id, lang
+)
+"""
+
+_UNIGRAM_ORACLE = f"""
+{_UNIGRAM_SCORED_SQL}
+SELECT doc_id, lang, CAST(n_toks AS BIGINT) AS n_toks, avg_logprob
+FROM doc
+ORDER BY doc_id
+"""
+
+
+def unigram_logprob_scores(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, n_toks, avg_logprob) for every document, scored
+    under the corpus's own unigram LM. Shared by q_text_unigram_logprob
+    and q_text_ccnet_tiers."""
+    tok = d.select(
+        "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = tok.agg(F.count("*").alias("n"))
+    scored = (
+        tok.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "lang",
+            "pos",
+            F.log(F.col("cnt").cast("double") / F.col("n")).alias("lp"),
+        )
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "lp"))), lambda x: x.lp
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_toks"),
+        F.round(
+            F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x)
+            / F.count("*"),
+            6,
+        ).alias("avg_logprob"),
+    )
+
+
+@query("q_text_unigram_logprob", oracle=_UNIGRAM_ORACLE)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    return unigram_logprob_scores(d).orderBy("doc_id")
+
+
+# CCNet-style quality tiers: within each language, rank documents by
+# their unigram-LM score and cut into head / middle / tail thirds
+# (CCNet keeps "head" for LM training, uses "middle" with caution,
+# drops "tail"). ntile(3) over a TOTAL order (rounded score desc,
+# doc_id) is deterministic on both engines and both use the
+# front-loaded bucket-size rule. Output is the per-(lang, tier)
+# planning report: volumes and score ranges. One extra shuffle over
+# the scoring pass (the per-lang window), then a tiny aggregate.
+_CCNET_ORACLE = f"""
+{_UNIGRAM_SCORED_SQL},
+tiers AS (
+  SELECT lang, avg_logprob, n_toks,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY avg_logprob DESC, doc_id) AS tier
+  FROM doc
+)
+SELECT lang, tier,
+       count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       min(avg_logprob) AS lo_logprob,
+       max(avg_logprob) AS hi_logprob
+FROM tiers
+GROUP BY lang, tier
+ORDER BY lang, tier
+"""
+
+
+@query("q_text_ccnet_tiers", oracle=_CCNET_ORACLE)
+def q_text_ccnet_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    scores = unigram_logprob_scores(d)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id")
+    )
+    return (
+        scores.withColumn("tier", F.ntile(3).over(w))
+        .groupBy("lang", "tier")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.min("avg_logprob").alias("lo_logprob"),
+            F.max("avg_logprob").alias("hi_logprob"),
+        )
+        .orderBy("lang", "tier")
+    )

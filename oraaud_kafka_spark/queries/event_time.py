@@ -736,3 +736,57 @@ def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(_TOP_PATHS_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars — the classic time-series downsampling: per (event_type,
+# hour), open = value at the earliest event, close = at the latest,
+# high/low = extremes, plus count and an exact-decimal volume sum. One
+# partial-aggregable groupBy (min_by/max_by combine like min/max), so a
+# 100 TB event stream rolls up in a single shuffle of width
+# n_types x n_hours. Determinism: the open/close ordering key is
+# (ts, event_id) encoded as a zero-padded string — DuckDB's
+# arg_min/arg_max take scalar keys only, and the string encoding makes
+# the composite tiebreak identical on both engines even when two
+# events share a timestamp.
+# ---------------------------------------------------------------------------
+
+_OHLC_KEY_SQL = (
+    "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || "
+    "lpad(CAST(event_id AS VARCHAR), 12, '0')"
+)
+
+_OHLC_ORACLE = f"""
+SELECT event_type,
+       date_trunc('hour', ts) AS bar_hour,
+       arg_min(value, {_OHLC_KEY_SQL}) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, {_OHLC_KEY_SQL}) AS close,
+       count(*) AS n_events,
+       {sql_dsum('value')} AS volume
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+ORDER BY event_type, bar_hour
+"""
+
+
+@query("q_time_ohlc_bars", oracle=_OHLC_ORACLE)
+def q_time_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bar_hour"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("n_events"),
+            dsum("value").alias("volume"),
+        )
+        .orderBy("event_type", "bar_hour")
+    )

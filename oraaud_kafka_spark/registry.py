@@ -64,11 +64,15 @@ _loaded = False
 #       rounded scores, recursive-CTE-replayable packing) — each needs
 #       its first-ever green row;
 #   (c) q_profile_table_approx, new this round;
-#   (d) 31 of the 46 stalest r1-green queries (pricing, filters, joins,
-#       sorts, set-ops, windows head) so no green row ages >5 rounds.
-# Deferred to round-7 (all locally parity-green every round): the
-# aggregates r1 family, the 4 remaining r1 windows, then the r4-green
-# LLM families cycle oldest-first.
+#   (d) 25 of the 46 stalest r1-green queries (pricing, filters, joins,
+#       sorts, set-op head) so no green row ages >5 rounds;
+#   (e) the 6 other operators added this round (unigram-LM scoring,
+#       CCNet tiers, SimHash calibration, embedding dim stats,
+#       temperature sampling, OHLC bars) — new ops get their driver row
+#       the same round they ship, not a round later.
+# Deferred to round-7 (all locally parity-green every round): set-op/
+# window r1 tail, the aggregates r1 family, then the r4-green LLM
+# families cycle oldest-first.
 _FRONT = (
     # (a) never driver-checked: UDF surface
     "q_udf_pandas_scalar",
@@ -124,13 +128,13 @@ _FRONT = (
     # stalest r1-green: set ops
     "q_set_union_all",
     "q_set_union_distinct",
-    "q_set_intersect",
-    # stalest r1-green: windows head
-    "q_window_topk_per_group",
-    "q_window_ranks",
-    "q_window_lag_delta",
-    "q_window_running_total",
-    "q_window_moving_avg",
+    # (e) new round-6 operators — verified the round they ship
+    "q_text_unigram_logprob",
+    "q_text_ccnet_tiers",
+    "q_dedup_simhash_eval",
+    "q_emb_dim_stats",
+    "q_sample_temperature",
+    "q_time_ohlc_bars",
 )
 
 
@@ -139,6 +143,12 @@ _FRONT = (
 # If the driver's window is ever wider than 50, these are checked
 # first; if not, nothing changes.
 _NEXT = (
+    "q_set_intersect",
+    "q_window_topk_per_group",
+    "q_window_ranks",
+    "q_window_lag_delta",
+    "q_window_running_total",
+    "q_window_moving_avg",
     "q_agg_global",
     "q_agg_stats",
     "q_agg_count_distinct",

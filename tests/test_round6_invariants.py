@@ -1,0 +1,96 @@
+"""Internal-consistency invariants of the round-6 operators — relations
+between output columns that must hold regardless of fixture content,
+complementing the DuckDB value parity in test_parity.py."""
+
+from __future__ import annotations
+
+import math
+
+from oraaud_kafka_spark import registry
+
+from .conftest import SF_DIR
+
+registry.load_all()
+
+
+def test_unigram_logprob_bounds(spark):
+    """Mean token logprob is strictly negative (probabilities < 1) and
+    bounded below by ln(1/total_tokens); token counts are positive."""
+    rows = registry.QUERIES["q_text_unigram_logprob"](spark, SF_DIR).collect()
+    assert rows
+    total_toks = sum(r.n_toks for r in rows)
+    floor = math.log(1.0 / total_toks)
+    for r in rows:
+        assert r.n_toks > 0
+        assert floor - 1e-6 <= r.avg_logprob < 0
+
+
+def test_ccnet_tiers_partition_docs(spark):
+    """Tiers 1..3 per language, head scores >= tail scores, and tier
+    sizes balanced the way ntile mandates (max-min <= 1)."""
+    rows = registry.QUERIES["q_text_ccnet_tiers"](spark, SF_DIR).collect()
+    assert rows
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, tiers in by_lang.items():
+        ids = sorted(t.tier for t in tiers)
+        assert ids == list(range(1, len(ids) + 1)), lang
+        sizes = [t.n_docs for t in tiers]
+        assert max(sizes) - min(sizes) <= 1, lang
+        ordered = sorted(tiers, key=lambda t: t.tier)
+        for a, b in zip(ordered, ordered[1:]):
+            # tier 1 = head = highest scores; ranges must not invert
+            assert a.lo_logprob >= b.hi_logprob - 1e-9, lang
+
+
+def test_simhash_eval_buckets_sane(spark):
+    """Hamming in [0, 32]; pooled jaccard = sum_inter/sum_union and
+    inside [min_jaccard, max_jaccard]; low-hamming pairs at least as
+    similar (pooled) as the highest-hamming bucket."""
+    rows = registry.QUERIES["q_dedup_simhash_eval"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.hamming <= 32
+        assert r.n_pairs > 0
+        assert 0 < r.sum_inter <= r.sum_union
+        assert abs(r.pooled_jaccard - r.sum_inter / r.sum_union) < 1e-12
+        assert r.min_jaccard - 1e-12 <= r.pooled_jaccard <= r.max_jaccard + 1e-12
+
+
+def test_emb_dim_stats_shape(spark):
+    """One row per dimension, every row sees the whole corpus, and
+    lo <= mean <= hi with a finite non-negative std."""
+    rows = registry.QUERIES["q_emb_dim_stats"](spark, SF_DIR).collect()
+    assert rows
+    dims = [r.dim for r in rows]
+    assert dims == list(range(len(dims)))
+    ns = {r.n for r in rows}
+    assert len(ns) == 1  # rectangular embedding matrix
+    for r in rows:
+        assert r.lo <= r.mean_val <= r.hi
+        assert r.std_val >= 0 and math.isfinite(r.std_val)
+
+
+def test_temperature_weights_normalized(spark):
+    """Weights sum to 1 (within rounding), natural shares sum to 1
+    exactly, and alpha<1 compresses the distribution: low-resource
+    languages get a boost, the highest-resource language loses share."""
+    rows = registry.QUERIES["q_sample_temperature"](spark, SF_DIR).collect()
+    assert len(rows) > 1
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-5
+    assert abs(sum(r.natural_share for r in rows) - 1.0) < 1e-9
+    smallest = min(rows, key=lambda r: r.n_docs)
+    largest = max(rows, key=lambda r: r.n_docs)
+    assert smallest.weight > smallest.natural_share
+    assert largest.weight < largest.natural_share
+
+
+def test_ohlc_bars_ordering(spark):
+    rows = registry.QUERIES["q_time_ohlc_bars"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.low <= r.high
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        assert r.n_events > 0
