@@ -67,6 +67,8 @@ EXTRAS = [
     "q_dedup_simhash_eval",      # hamming vs exact-jaccard calibration
     "q_emb_dim_stats",           # per-dim whitening stats
     "q_time_ohlc_bars",          # hourly OHLC downsampling
+    "q_text_dup_ngram_chars",    # dup-ngram char-fraction gate
+    "q_events_markov_transitions",  # event transition matrix
 ]
 
 

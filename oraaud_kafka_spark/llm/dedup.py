@@ -1031,14 +1031,18 @@ def semantic_dedup(
             )
         )
 
-    centroids = F.broadcast(centroids)
+    # norms hoisted to per-row columns BEFORE the cross join (identical
+    # doubles, K-fold less fold work in the assignment projection); the
+    # vector norm then rides along into the pair stage for free.
+    centroids = F.broadcast(centroids.withColumn("cnrm", norm(F.col("cv"))))
     ranked = (
         e.select("vec_id", "embedding")
+        .withColumn("nrm", norm(F.col("embedding")))
         .crossJoin(centroids)
         .withColumn(
             "ccos",
             dot(F.col("embedding"), F.col("cv"))
-            / (norm(F.col("embedding")) * norm(F.col("cv"))),
+            / (F.col("nrm") * F.col("cnrm")),
         )
         .withColumn(
             "crnk",
@@ -1047,14 +1051,14 @@ def semantic_dedup(
             ),
         )
         .filter(F.col("crnk") == 1)
-        .select("vec_id", "embedding", "cid")
+        .select("vec_id", "embedding", "cid", "nrm")
     )
-    # hoist norms once per member; the pair predicate then reuses them.
+    # norms arrive pre-hoisted; the pair predicate reuses them.
     # The within-cluster pair join goes through the 4-way triangle
     # decomposition: per-task pair width is bounded by (|cluster|/4)^2
     # even when one cluster is pathologically popular, and every
     # unordered pair is still formed exactly once (vec_id_a < vec_id_b).
-    members = ranked.withColumn("nrm", norm(F.col("embedding")))
+    members = ranked
     pairs = triangle_self_join(
         members,
         block_cols=["cid"],

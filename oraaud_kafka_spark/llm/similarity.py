@@ -308,12 +308,19 @@ ORDER BY qid, rnk
 
 
 def _ivf_assign(e: DataFrame, centroids: DataFrame, keep: int, id_alias: str) -> DataFrame:
+    # norms hoisted to per-row columns BEFORE the cross join: inside the
+    # pair projection each would be re-evaluated once per (vector,
+    # centroid) — k-fold redundant work. The hoisted expression computes
+    # the identical doubles, so ranking (and the oracle hash) is
+    # unchanged.
+    cents = F.broadcast(centroids.withColumn("cnorm", _norm(F.col("cv"))))
     ranked = (
-        spread(e).crossJoin(F.broadcast(centroids))
+        spread(e).withColumn("enorm", _norm(F.col("embedding")))
+        .crossJoin(cents)
         .withColumn(
             "ccos",
             _dot(F.col("embedding"), F.col("cv"))
-            / (_norm(F.col("embedding")) * _norm(F.col("cv"))),
+            / (F.col("enorm") * F.col("cnorm")),
         )
         .withColumn(
             "crnk",

@@ -740,3 +740,108 @@ def q_text_ccnet_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "tier")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition metric #2 (Rae et al. 2021, arXiv:2112.11446,
+# Table A1): fraction of CHARACTERS inside duplicated word n-grams.
+# Complements q_text_repetition_filter (top-token share) with the
+# duplicate-n-gram family. Entirely in-array and map-only: build the
+# doc's n-gram list, sort it, flag every occurrence whose sorted
+# neighbor equals it (any member of a >=2 group has an equal neighbor
+# after sorting), and take the integer char ratio — one scan, zero
+# shuffles until the final ORDER BY, integer-exact so the driver hash
+# has no float hazard beyond one int/int division.
+# ---------------------------------------------------------------------------
+
+_DUP_W = 2  # n-gram width
+_DUP_FRAC_GATE = 0.2
+
+_DUP_NGRAM_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, lang,
+         list_sort(list_transform(range(len(toks) - {_DUP_W - 1}),
+           i -> array_to_string(toks[i+1:i+{_DUP_W}], ' '))) AS grams
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+),
+m AS (
+  SELECT doc_id, lang,
+         len(grams) AS n_grams,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(grams, x -> len(x))),
+                     (acc, x) -> acc + x) AS total_chars,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(len(grams)),
+           i -> CASE WHEN (i > 0 AND grams[i+1] = grams[i])
+                       OR (i < len(grams) - 1 AND grams[i+1] = grams[i+2])
+                     THEN len(grams[i+1]) ELSE 0 END)),
+                     (acc, x) -> acc + x) AS dup_chars
+  FROM g
+)
+SELECT doc_id, lang, CAST(n_grams AS INT) AS n_grams,
+       CAST(total_chars AS BIGINT) AS total_chars,
+       CAST(dup_chars AS BIGINT) AS dup_chars,
+       CASE WHEN total_chars = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(dup_chars AS DOUBLE) / total_chars END AS dup_frac,
+       CASE WHEN total_chars = 0 THEN FALSE
+            ELSE CAST(dup_chars AS DOUBLE) / total_chars > {_DUP_FRAC_GATE} END
+         AS would_drop
+FROM m
+ORDER BY doc_id
+"""
+
+
+@query("q_text_dup_ngram_chars", oracle=_DUP_NGRAM_ORACLE)
+def q_text_dup_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    grams = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - _DUP_W),
+            lambda i: F.array_join(F.slice(toks, i + 1, _DUP_W), " "),
+        )
+    )
+    g = d.select("doc_id", "lang", grams.alias("grams"))
+    n = F.size("grams")
+    total_chars = F.aggregate(
+        F.transform(F.col("grams"), F.length),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    dup_chars = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.when(
+                ((i > 0) & (F.element_at("grams", i + 1) == F.element_at("grams", i)))
+                | (
+                    (i < n - 1)
+                    & (F.element_at("grams", i + 1) == F.element_at("grams", i + 2))
+                ),
+                F.length(F.element_at("grams", i + 1)),
+            ).otherwise(0),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    m = g.select(
+        "doc_id",
+        "lang",
+        n.alias("n_grams"),
+        total_chars.alias("total_chars"),
+        dup_chars.alias("dup_chars"),
+    )
+    frac = F.when(F.col("total_chars") == 0, F.lit(0.0)).otherwise(
+        F.col("dup_chars").cast("double") / F.col("total_chars")
+    )
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_grams",
+        "total_chars",
+        "dup_chars",
+        frac.alias("dup_frac"),
+        F.when(F.col("total_chars") == 0, F.lit(False))
+        .otherwise(
+            (F.col("dup_chars").cast("double") / F.col("total_chars"))
+            > _DUP_FRAC_GATE
+        )
+        .alias("would_drop"),
+    ).orderBy("doc_id")

@@ -790,3 +790,55 @@ def q_time_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bar_hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix — first-order Markov view of user
+# behavior (which event follows which): lag(event_type) per user in
+# (ts, event_id) order, then count each (prev -> next) edge and its
+# row-conditional probability. One window pass partitioned by user_id
+# (the same shuffle any per-user sequence op pays) + one partial-agg'd
+# groupBy of width n_types^2; the row-share denominator is an integer
+# window sum, so the probability is one exact int/int division — no
+# float summation anywhere.
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+edges AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / sum(n_transitions) OVER (PARTITION BY prev_type) AS row_share
+FROM edges
+ORDER BY prev_type, next_type
+"""
+
+
+@query("q_events_markov_transitions", oracle=_MARKOV_ORACLE)
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    edges = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n_transitions")
+    )
+    row_total = F.sum("n_transitions").over(Window.partitionBy("prev_type"))
+    return edges.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (F.col("n_transitions").cast("double") / row_total).alias("row_share"),
+    ).orderBy("prev_type", "next_type")

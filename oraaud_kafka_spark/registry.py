@@ -138,11 +138,14 @@ _FRONT = (
 )
 
 
-# Immediately behind the window: the round-7 rotation queue — the
-# remaining stale r1-green queries (aggregates family + windows tail).
-# If the driver's window is ever wider than 50, these are checked
-# first; if not, nothing changes.
+# Immediately behind the window: the round-7 rotation queue — first the
+# two operators added after this round's window filled (they take the
+# first slots next rotation), then the remaining stale r1-green queries
+# (set-op/window tail + aggregates family). If the driver's window is
+# ever wider than 50, these are checked first; if not, nothing changes.
 _NEXT = (
+    "q_text_dup_ngram_chars",
+    "q_events_markov_transitions",
     "q_set_intersect",
     "q_window_topk_per_group",
     "q_window_ranks",

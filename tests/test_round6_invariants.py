@@ -94,3 +94,30 @@ def test_ohlc_bars_ordering(spark):
         assert r.low <= r.open <= r.high
         assert r.low <= r.close <= r.high
         assert r.n_events > 0
+
+
+def test_dup_ngram_chars_bounds(spark):
+    """dup_chars <= total_chars, fraction in [0,1] and consistent with
+    the gate flag; n_grams = n_tokens - (W-1)."""
+    rows = registry.QUERIES["q_text_dup_ngram_chars"](spark, SF_DIR).collect()
+    assert rows
+    assert any(r.dup_chars > 0 for r in rows)  # metric is non-degenerate
+    for r in rows:
+        assert 0 <= r.dup_chars <= r.total_chars
+        assert 0.0 <= r.dup_frac <= 1.0
+        assert r.would_drop == (r.dup_frac > 0.2)
+
+
+def test_markov_transitions_rows_normalize(spark):
+    """Per prev_type, row shares sum to 1 and counts are positive."""
+    rows = registry.QUERIES["q_events_markov_transitions"](
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        assert r.n_transitions > 0
+        assert 0.0 < r.row_share <= 1.0
+        by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + r.row_share
+    for prev, s in by_prev.items():
+        assert abs(s - 1.0) < 1e-9, prev
