@@ -69,6 +69,14 @@ EXTRAS = [
     "q_time_ohlc_bars",          # hourly OHLC downsampling
     "q_text_dup_ngram_chars",    # dup-ngram char-fraction gate
     "q_events_markov_transitions",  # event transition matrix
+    "q_agg_approx_percentile",   # certified KLL-style quantile sketch
+    "q_agg_hll_union",           # mergeable HLL sketch rollup
+    "q_agg_promo_share",         # Q14-shape conditional revenue share
+    "q_filter_disjunctive",      # Q19-shape OR-of-ANDs pushdown
+    "q_join_priority_counts",    # Q12-shape conditional counts
+    "q_subquery_dormant_customers",  # Q22-shape scalar + anti join
+    "q_events_anomaly_mad",      # robust median/MAD outliers
+    "q_sql_cte_chain",           # WITH-pipeline above-average filter
 ]
 
 

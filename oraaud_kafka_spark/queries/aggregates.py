@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load, register_views
-from . import DEC, dsum, sql_davg, sql_dsum, sql_to_dbl, to_dbl
+from . import DEC, DEC_MONEY, DEC_RATE, dsum, sql_davg, sql_dsum, sql_to_dbl, to_dbl
 
 _GLOBAL_ORACLE = f"""
 SELECT count(*) AS n_rows,
@@ -544,3 +544,141 @@ def q_agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# Approximate percentile certified against the exact answer — the same
+# exact+tolerance driver surface as q_agg_approx_count_distinct. At
+# 100 TB percentile_approx (a mergeable KLL/GK-style sketch with
+# partial aggregation) is the only sane quantile plan: exact
+# percentile_cont needs a full sort per group. Prices are cast to
+# integer cents so the EXACT side is bit-identical across engines
+# (interpolated midpoints are exact halves in double). The registered
+# query certifies the sketch lands within 2% relative error.
+_APPROX_PCT_ORACLE = """
+SELECT l_returnflag,
+       median(CAST(round(l_extendedprice * 100) AS BIGINT)) AS exact_p50_cents,
+       TRUE AS within_rel_error
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q_agg_approx_percentile", oracle=_APPROX_PCT_ORACLE)
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "cents", F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.median("cents").alias("exact_p50_cents"),
+            F.percentile_approx("cents", 0.5, 10000).alias("approx_p50_cents"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_p50_cents",
+            (
+                F.abs(F.col("approx_p50_cents") - F.col("exact_p50_cents"))
+                <= 0.02 * F.abs(F.col("exact_p50_cents"))
+            ).alias("within_rel_error"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# Mergeable-sketch rollup: Apache DataSketches HLL via
+# hll_sketch_agg/hll_union_agg (Spark 3.5+). The scale story is the
+# merge: per-(flag,status) sketches are built in ONE partial-agg'd pass,
+# then the flag-level distinct count comes from unioning the tiny
+# binary sketches — never rescanning the fact table. That is the
+# pre-aggregated-rollup pattern a 100 TB deployment uses for
+# distinct-count dashboards (store sketches per partition, union on
+# read). Certified against the exact distinct within HLL's error bound.
+_HLL_ORACLE = """
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS within_rel_error
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q_agg_hll_union", oracle=_HLL_ORACLE)
+def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    per_cell = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_orderkey", 14).alias("sketch"),
+        F.count_distinct("l_orderkey").alias("cell_exact"),
+    )
+    return (
+        per_cell.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_orders"),
+        )
+        .join(
+            li.groupBy("l_returnflag").agg(
+                F.count_distinct("l_orderkey").alias("exact_orders")
+            ),
+            "l_returnflag",
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("approx_orders") - F.col("exact_orders"))
+                <= 0.05 * F.col("exact_orders")
+            ).alias("within_rel_error"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# TPC-H Q14 shape: promo revenue share per ship month — conditional
+# decimal-exact sums in ONE pass over the join, one IEEE division at
+# the end. The part side is broadcast (dim table); no second scan for
+# the denominator.
+_PROMO_ORACLE = f"""
+SELECT date_trunc('month', l_shipdate) AS ship_month,
+       {sql_to_dbl("sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l_discount AS DECIMAL(6,4))) ELSE CAST(0 AS DECIMAL(21,8)) END)")}
+         AS promo_revenue,
+       {sql_to_dbl("sum(CAST(l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l_discount AS DECIMAL(6,4))))")}
+         AS total_revenue,
+       {sql_to_dbl("sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l_discount AS DECIMAL(6,4))) ELSE CAST(0 AS DECIMAL(21,8)) END)")}
+         / {sql_to_dbl("sum(CAST(l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l_discount AS DECIMAL(6,4))))")}
+         AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q_agg_promo_share", oracle=_PROMO_ORACLE)
+def q_agg_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(DEC_MONEY) * (
+        F.lit(1) - F.col("l_discount").cast(DEC_RATE)
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(21,8)")
+    )
+    out = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            to_dbl(F.sum(promo)).alias("promo_revenue"),
+            to_dbl(F.sum(rev)).alias("total_revenue"),
+        )
+    )
+    return out.select(
+        "ship_month",
+        "promo_revenue",
+        "total_revenue",
+        (F.col("promo_revenue") / F.col("total_revenue")).alias("promo_share"),
+    ).orderBy("ship_month")

@@ -842,3 +842,72 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_transitions",
         (F.col("n_transitions").cast("double") / row_total).alias("row_share"),
     ).orderBy("prev_type", "next_type")
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection: median / MAD (median absolute deviation)
+# per event type — the robust twin of q_events_zscore_outliers, immune
+# to the outliers it hunts. Values are scaled to integer cents so both
+# engines' interpolated medians are exact halves in double. Two
+# aggregate passes (median, then median of deviations) with the tiny
+# per-type stats broadcast back — the exact shape that scales: the
+# fact table is scanned twice but never re-shuffled by a wide key, and
+# at 100 TB the second pass can run on the same cached scan.
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH cents AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+med AS (
+  SELECT event_type, median(v) AS med_cents FROM cents GROUP BY event_type
+),
+dev AS (
+  SELECT c.event_type, abs(c.v - m.med_cents) AS adev
+  FROM cents c JOIN med m ON c.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, median(adev) AS mad_cents FROM dev GROUP BY event_type
+)
+SELECT c.event_type,
+       count(*) AS n,
+       min(m.med_cents) AS med_cents,
+       min(d.mad_cents) AS mad_cents,
+       CAST(sum(CASE WHEN abs(c.v - m.med_cents) > 3 * d.mad_cents
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM cents c
+JOIN med m ON c.event_type = m.event_type
+JOIN mad d ON c.event_type = d.event_type
+GROUP BY c.event_type
+ORDER BY c.event_type
+"""
+
+
+@query("q_events_anomaly_mad", oracle=_MAD_ORACLE)
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("v")
+    )
+    med = ev.groupBy("event_type").agg(F.median("v").alias("med_cents"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("v") - F.col("med_cents"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad_cents"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("med_cents").alias("med_cents"),
+            F.min("mad_cents").alias("mad_cents"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("v") - F.col("med_cents"))
+                    > 3 * F.col("mad_cents"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

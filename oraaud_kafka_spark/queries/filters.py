@@ -129,3 +129,50 @@ def q_filter_null_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# TPC-H Q19 shape: OR-of-ANDs disjunctive predicate across a
+# fact×dim join. The scale-relevant Catalyst behavior: the common
+# conjuncts (quantity/size bounds) are extracted from the disjunction
+# (CNF conversion) and pushed into BOTH parquet scans, and the part
+# side broadcasts — so the disjunction is evaluated only on the
+# pre-filtered joined rows, never as a post-join residual over the
+# full fact table.
+_DISJ_ORACLE = f"""
+SELECT count(*) AS n_lines,
+       {sql_dsum('l_extendedprice')} AS gross_revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 20 AND 40)
+   OR (p_brand = 'Brand#5' AND p_size BETWEEN 25 AND 50
+       AND l_quantity BETWEEN 35 AND 50)
+"""
+
+
+@query("q_filter_disjunctive", oracle=_DISJ_ORACLE)
+def q_filter_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    arm = [
+        ("Brand#1", (1, 15), (1, 20)),
+        ("Brand#3", (10, 30), (20, 40)),
+        ("Brand#5", (25, 50), (35, 50)),
+    ]
+    disj = None
+    for brand, (slo, shi), (qlo, qhi) in arm:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        disj = c if disj is None else (disj | c)
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(disj)
+        .agg(
+            F.count("*").alias("n_lines"),
+            to_dbl(F.sum(F.col("l_extendedprice").cast(DEC))).alias("gross_revenue"),
+        )
+    )

@@ -487,3 +487,40 @@ def q_join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("custkey_a", "custkey_b", "name_a", "name_b", "edit_dist")
         .orderBy("custkey_a", "custkey_b")
     )
+
+
+# TPC-H Q12 shape: join then conditional counts — "how many
+# high-priority vs low-priority orders landed in each lineitem status".
+# One shuffle (the o-l join keys), partial-agg'd conditional sums; the
+# CASE folds into the aggregate so no extra pass.
+_PRIORITY_ORACLE = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count,
+       count(*) AS n_lines
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+@query("q_join_priority_counts", oracle=_PRIORITY_ORACLE)
+def q_join_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("l_linestatus")
+    )

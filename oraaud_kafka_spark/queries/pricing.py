@@ -200,3 +200,39 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count("*").alias("n_items"),
     )
+
+
+# Multi-stage CTE chain — the WITH-pipeline shape SQL-first users
+# migrate in: per-nation revenue -> global average of that -> only
+# above-average nations. Catalyst inlines the CTEs and collapses the
+# chain into one star-join + aggregate with a broadcast scalar
+# threshold; avg_rev is NOT re-evaluated per row. The same SQL text is
+# the DuckDB oracle (common dialect, shared decimal discipline).
+_CTE_SQL = f"""
+WITH nation_rev AS (
+  SELECT n_name,
+         {sql_to_dbl("sum(CAST(l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l_discount AS DECIMAL(6,4))))")} AS revenue,
+         count(DISTINCT o_orderkey) AS n_orders
+  FROM nation
+  JOIN customer ON c_nationkey = n_nationkey
+  JOIN orders   ON o_custkey = c_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY n_name
+),
+threshold AS (
+  SELECT {sql_to_dbl("avg(CAST(revenue AS DECIMAL(18,4)))")} AS avg_rev
+  FROM nation_rev
+)
+SELECT n_name, revenue, n_orders
+FROM nation_rev CROSS JOIN threshold
+WHERE revenue > avg_rev
+ORDER BY revenue DESC, n_name
+"""
+
+
+@query("q_sql_cte_chain", oracle=_CTE_SQL)
+def q_sql_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CTE_SQL)

@@ -137,3 +137,33 @@ ORDER BY n_name, c_acctbal DESC, c_custkey
 def q_subquery_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+# TPC-H Q22 shape: scalar subquery threshold + anti join + aggregate.
+# "Well-funded customers with no recent order, by market segment."
+# Catalyst plans this as: one broadcast scalar (the avg), one
+# left-anti hash join against the date-filtered orders (never a
+# per-row probe), one partial-agg'd groupBy — three operators that
+# all scale linearly.
+_Q22_SQL = f"""
+SELECT c_mktsegment,
+       count(*) AS n_dormant,
+       {sql_dsum('c_acctbal')} AS dormant_balance
+FROM customer c
+WHERE c_acctbal > (
+    SELECT {sql_davg('c_acctbal')} FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+  )
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("q_subquery_dormant_customers", oracle=_Q22_SQL)
+def q_subquery_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir)
+    return spark.sql(_Q22_SQL)

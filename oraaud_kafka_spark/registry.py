@@ -146,6 +146,14 @@ _FRONT = (
 _NEXT = (
     "q_text_dup_ngram_chars",
     "q_events_markov_transitions",
+    "q_agg_approx_percentile",
+    "q_agg_hll_union",
+    "q_agg_promo_share",
+    "q_filter_disjunctive",
+    "q_join_priority_counts",
+    "q_subquery_dormant_customers",
+    "q_events_anomaly_mad",
+    "q_sql_cte_chain",
     "q_set_intersect",
     "q_window_topk_per_group",
     "q_window_ranks",

