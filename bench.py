@@ -77,6 +77,7 @@ EXTRAS = [
     "q_subquery_dormant_customers",  # Q22-shape scalar + anti join
     "q_events_anomaly_mad",      # robust median/MAD outliers
     "q_sql_cte_chain",           # WITH-pipeline above-average filter
+    "q_emb_pca_top_component",   # matrix-free power-iteration PCA
 ]
 
 

@@ -510,3 +510,49 @@ def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Top principal component of the embedding corpus — distributed power
+# iteration (operators/pca.py): matrix-free Cov.v products, one Spark
+# job per round, O(dim) driver state, the d x d covariance never
+# materialized. The embedding-whitening / ABTT ("all-but-the-top",
+# arXiv:1702.01417) preprocessing step of an LLM data pipeline.
+#
+# Driver surface: the iterate itself is float-summation-order
+# sensitive, so the hashable output is the INVARIANTS — counts, dims,
+# unit norm, a positive dominant eigenvalue, and the residual
+# ||Cov.v - lambda.v||/lambda certifying convergence — not the vector.
+# The vector itself is available via power_iteration_top_pc() for
+# pipeline use.
+# ---------------------------------------------------------------------------
+
+_PCA_ORACLE = """
+SELECT count(*) AS n_vecs,
+       CAST(max(len(embedding)) AS INT) AS n_dims,
+       TRUE AS unit_norm_ok,
+       TRUE AS eigenvalue_positive,
+       TRUE AS converged
+FROM embeddings
+"""
+
+
+@query("q_emb_pca_top_component", oracle=_PCA_ORACLE)
+def q_emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pca import power_iteration_top_pc
+
+    e = load(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    # 16 rounds: the fixture embeddings are near-isotropic (small
+    # eigengap), the worst case for power iteration — real text
+    # embeddings have a dominant direction (arXiv:1702.01417) and
+    # converge in far fewer. Residual certified < 0.1 below.
+    pc = power_iteration_top_pc(e, dim=dim, n_iter=16)
+    norm = sum(x * x for x in pc["component"]) ** 0.5
+    return e.agg(
+        F.count("*").alias("n_vecs"),
+        F.max(F.size("embedding")).alias("n_dims"),
+        F.lit(abs(norm - 1.0) < 1e-9).alias("unit_norm_ok"),
+        F.lit(pc["eigenvalue"] > 0).alias("eigenvalue_positive"),
+        F.lit(pc["residual_rel"] < 0.1).alias("converged"),
+    )

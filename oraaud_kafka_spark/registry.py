@@ -154,6 +154,7 @@ _NEXT = (
     "q_subquery_dormant_customers",
     "q_events_anomaly_mad",
     "q_sql_cte_chain",
+    "q_emb_pca_top_component",
     "q_set_intersect",
     "q_window_topk_per_group",
     "q_window_ranks",

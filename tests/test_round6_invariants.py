@@ -179,3 +179,27 @@ def test_cte_chain_above_average(spark):
     # revenues strictly descending (ORDER BY revenue DESC, n_name)
     revs = [r.revenue for r in rows]
     assert revs == sorted(revs, reverse=True)
+
+
+def test_pca_power_iteration_properties(spark):
+    """The operator itself (not just the registered certification):
+    unit-norm component, positive eigenvalue bounded by total variance,
+    residual certifying Cov.v ~ lambda.v."""
+    from oraaud_kafka_spark.operators.pca import power_iteration_top_pc
+    from oraaud_kafka_spark.tables import load
+
+    e = load(spark, SF_DIR, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    pc = power_iteration_top_pc(e, dim=dim, n_iter=16)
+    assert abs(sum(x * x for x in pc["component"]) - 1.0) < 1e-9
+    assert pc["eigenvalue"] > 0
+    assert pc["residual_rel"] < 0.1
+    assert len(pc["mean"]) == dim
+
+
+def test_pca_query_certified(spark):
+    rows = registry.QUERIES["q_emb_pca_top_component"](spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.unit_norm_ok and r.eigenvalue_positive and r.converged
+    assert r.n_vecs > 0 and r.n_dims > 0
