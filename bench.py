@@ -78,6 +78,12 @@ EXTRAS = [
     "q_events_anomaly_mad",      # robust median/MAD outliers
     "q_sql_cte_chain",           # WITH-pipeline above-average filter
     "q_emb_pca_top_component",   # matrix-free power-iteration PCA
+    "q_dedup_containment",       # minhash-blocked shingle containment
+    "q_text_bpe_apply_merge",    # positional BPE merge rewrite
+    "q_time_interpolate_linear", # dense-grid linear interpolation
+    "q_corpus_shuffle_deterministic",  # seeded reproducible shard+order
+    "q_time_ewma_level",         # per-user exponential smoothing fold
+    "q_text_bigram_logprob",     # add-one bigram LM doc scoring
 ]
 
 

@@ -556,3 +556,58 @@ def q_emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(pc["eigenvalue"] > 0).alias("eigenvalue_positive"),
         F.lit(pc["residual_rel"] < 0.1).alias("converged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle + sharding: the write-side primitive every
+# training-data pipeline ends with. A training run needs the corpus in a
+# RANDOM but REPRODUCIBLE order, split into fixed shards — rand() gives
+# neither (non-deterministic across retries, partitionings, engines), so
+# the shuffle key is a seeded cryptographic hash of the stable doc key:
+# order = md5(seed || doc_id). Shard = key mod n (balanced by hash
+# uniformity), position = rank within shard by key. Scale shape: ONE hash
+# shuffle on the shard id and a per-shard sort — no global sort, no
+# driver state; shards write independently (partitionBy(shard)), and the
+# same (seed, doc_id) always lands in the same (shard, pos) on any
+# cluster size, which is what makes checkpoint-resume byte-stable.
+# ---------------------------------------------------------------------------
+
+_SHUF_SEED = "epoch0"
+_SHUF_N_SHARDS = 8
+
+_SHUF_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5('{_SHUF_SEED}:' || CAST(doc_id AS VARCHAR)) AS skey,
+         CAST('0x' || substring(md5('{_SHUF_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+           % {_SHUF_N_SHARDS} AS shard
+  FROM documents
+)
+SELECT shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos,
+       doc_id
+FROM keyed
+ORDER BY shard, pos
+"""
+
+
+@query("q_corpus_shuffle_deterministic", oracle=_SHUF_ORACLE)
+def q_corpus_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    skey = F.md5(F.concat(F.lit(f"{_SHUF_SEED}:"), F.col("doc_id").cast("string")))
+    keyed = d.select(
+        "doc_id",
+        skey.alias("skey"),
+        (F.conv(F.substring(skey, 1, 6), 16, 10).cast("long") % _SHUF_N_SHARDS)
+        .alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return (
+        keyed.select(
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+            "doc_id",
+        )
+        .orderBy("shard", "pos")
+    )

@@ -1100,3 +1100,104 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         spread(e.select("vec_id", "embedding")), centroids, _SEM_THRESHOLD
     )
+
+
+# ---------------------------------------------------------------------------
+# Shingle-containment near-dup (Broder 1997, "On the resemblance and
+# containment of documents"): C(A,B) = |A n B| / min(|A|, |B|) over
+# distinct 3-token shingle sets. Containment catches the pair Jaccard
+# misses — a short document swallowed whole by a longer one (quote
+# farms, wrapper boilerplate, excerpt pages), where the size imbalance
+# caps Jaccard at |A|/|B| but containment is ~1. Candidates are blocked
+# on (lang, 1-permutation MinHash of the shingle set): md5 is the
+# permutation on both engines, a contained pair shares its min-hash
+# shingle with probability J(A,B) >= C/(C + |B|/|A|), and at corpus
+# scale recall is raised by running b independent hash bands exactly as
+# q_dedup_minhash_lsh does — this operator demonstrates the containment
+# METRIC on the cheapest (single-band) blocking. The blocked self-join
+# is triangle-decomposed so a hot min-shingle block cannot land w^2
+# comparisons on one task, and the threshold test is integer-exact
+# (inter * DEN >= NUM * min) with one final IEEE division for the
+# reported score.
+# ---------------------------------------------------------------------------
+
+_CONTAIN_NUM, _CONTAIN_DEN = 1, 2  # flag when containment >= 1/2
+
+_CONTAIN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+keyed AS (
+  SELECT doc_id, lang, shs, len(shs) AS n_sh,
+         list_min(list_transform(shs, s -> md5(s))) AS mh1
+  FROM (
+    SELECT doc_id, lang,
+           list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
+    FROM t WHERE len(toks) >= 3
+  )
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(a.n_sh AS BIGINT) AS n_a, CAST(b.n_sh AS BIGINT) AS n_b,
+       CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS n_inter,
+       CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+         / least(a.n_sh, b.n_sh) AS containment,
+       CASE WHEN a.n_sh <= b.n_sh THEN a.doc_id ELSE b.doc_id END AS contained_doc
+FROM keyed a JOIN keyed b
+  ON a.lang = b.lang AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shs, b.shs)) * {_CONTAIN_DEN}
+      >= {_CONTAIN_NUM} * least(a.n_sh, b.n_sh)
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("q_dedup_containment", oracle=_CONTAIN_ORACLE)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.array_join(F.slice(F.col("toks"), i, 3), " "),
+        )
+    )
+    keyed = spread(
+        d.select("doc_id", "lang", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", "lang", shingles.alias("shs"))
+        .select(
+            "doc_id",
+            "lang",
+            "shs",
+            F.size("shs").alias("n_sh"),
+            F.array_min(F.transform("shs", F.md5)).alias("mh1"),
+        )
+    )
+    pairs = triangle_self_join(
+        keyed, block_cols=["lang", "mh1"], id_col="doc_id", n_sub=4
+    )
+    # single-eval explode barrier for the dominant per-pair intersection
+    # (same Generate trick as q_dedup_ngram_jaccard, see comment there)
+    inter = F.col("n_inter")
+    min_sh = F.least("n_sh_a", "n_sh_b")
+    return (
+        pairs.select(
+            "*",
+            F.explode(
+                F.array(F.size(F.array_intersect("shs_a", "shs_b")))
+            ).alias("n_inter"),
+        )
+        .filter(inter * _CONTAIN_DEN >= _CONTAIN_NUM * min_sh)
+        .select(
+            F.col("doc_id_a").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
+            F.col("n_sh_a").cast("long").alias("n_a"),
+            F.col("n_sh_b").cast("long").alias("n_b"),
+            inter.cast("long").alias("n_inter"),
+            (inter.cast("double") / min_sh).alias("containment"),
+            F.when(F.col("n_sh_a") <= F.col("n_sh_b"), F.col("doc_id_a"))
+            .otherwise(F.col("doc_id_b"))
+            .alias("contained_doc"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -845,3 +845,206 @@ def q_text_dup_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("would_drop"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge application (Sennrich et al. 2016, arXiv:1508.07909 — the
+# vocabulary-induction OUTER loop's mutation step): q_text_bpe_pair_counts
+# ranks merge candidates; this operator applies the winning merge to
+# every document. The winner is chosen among pairs whose two tokens
+# DIFFER (a <> b), which makes matches non-overlapping by construction —
+# match(i) needs tok[i]=a and match(i+1) would need tok[i+1]=a, but
+# tok[i+1]=b <> a — so the rewrite is purely positional (merge every
+# matched i, drop every i+1), a single in-array pass with no sequential
+# scan state. The top-1 pair stays a DataFrame: orderBy+limit(1) ->
+# TakeOrderedAndProject, broadcast cross join into the map stage — no
+# collect, so the full merge loop composes as Spark jobs end to end.
+# Token reads use F.get (0-based, null out-of-bounds) so the lambda is
+# ANSI-safe without guard-ordering assumptions.
+# ---------------------------------------------------------------------------
+
+_BPE_MERGE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+top1 AS (
+  SELECT p.a, p.b
+  FROM (
+    SELECT a, b, count(*) AS n
+    FROM (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> {'a': toks[i], 'b': toks[i+1]}), recursive := true)
+      FROM t WHERE len(toks) >= 2
+    )
+    WHERE a <> b
+    GROUP BY a, b
+  ) p
+  ORDER BY p.n DESC, p.a, p.b
+  LIMIT 1
+),
+rewritten AS (
+  SELECT doc_id, toks,
+    list_filter(
+      list_transform(range(len(toks)), i ->
+        CASE WHEN i < len(toks) - 1 AND toks[i+1] = top1.a AND toks[i+2] = top1.b
+               THEN top1.a || '+' || top1.b
+             WHEN i > 0 AND toks[i] = top1.a AND toks[i+1] = top1.b
+               THEN NULL
+             ELSE toks[i+1] END),
+      x -> x IS NOT NULL) AS merged
+  FROM t, top1
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_toks_before,
+       CAST(len(merged) AS BIGINT) AS n_toks_after,
+       CAST(len(toks) - len(merged) AS BIGINT) AS n_merges,
+       array_to_string(merged, ' ') AS merged_text
+FROM rewritten
+ORDER BY doc_id
+"""
+
+
+@query("q_text_bpe_apply_merge", oracle=_BPE_MERGE_ORACLE)
+def q_text_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    pair_struct = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.struct(
+            F.get("toks", i).alias("a"), F.get("toks", i + 1).alias("b")
+        ),
+    )
+    top1 = (
+        spread(t.filter(F.size("toks") >= 2))
+        .select(F.explode(pair_struct).alias("p"))
+        .filter(F.col("p.a") != F.col("p.b"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "a", "b")
+        .limit(1)
+        .select("a", "b")
+    )
+    # 0-based positional rewrite; a/b come from the broadcast 1-row side
+    tok_at = lambda i: F.get("toks", i)  # noqa: E731
+    rewrite = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 1),
+            lambda i: F.when(
+                (i < F.size("toks") - 1)
+                & (tok_at(i) == F.col("a"))
+                & (tok_at(i + 1) == F.col("b")),
+                F.concat_ws("+", F.col("a"), F.col("b")),
+            )
+            .when(
+                (i > 0) & (tok_at(i - 1) == F.col("a")) & (tok_at(i) == F.col("b")),
+                F.lit(None),
+            )
+            .otherwise(tok_at(i)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        spread(t)
+        .crossJoin(F.broadcast(top1))
+        .select("doc_id", "toks", rewrite.alias("merged"))
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_toks_before"),
+            F.size("merged").cast("long").alias("n_toks_after"),
+            (F.size("toks") - F.size("merged")).cast("long").alias("n_merges"),
+            F.array_join("merged", " ").alias("merged_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-bigram LM document scoring with add-one smoothing — the
+# next-order refinement of q_text_unigram_logprob toward the actual
+# KenLM 5-gram the CCNet pipeline ships (Wenzek et al. 2020,
+# arXiv:1911.00359): P(t_i | t_{i-1}) = (c2(t_{i-1}, t_i) + 1) /
+# (c1(t_{i-1}) + V). Captures word-ORDER garbling that any unigram
+# model is blind to. Scale shape: the bigram count table is bounded by
+# observed vocab^2 (far below it in practice — Heaps' law) and joins
+# the per-doc transition stream on its (prev, cur) hash key; the
+# unigram context table and the scalar V broadcast. Per-doc sums fold
+# sequentially in position order on both engines and the mean rounds
+# to 6 dp — same float discipline as the unigram scorer.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_ORACLE = """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+tok AS (SELECT unnest(toks) AS tok FROM t),
+uni AS (SELECT tok, count(*) AS c1 FROM tok GROUP BY tok),
+v AS (SELECT count(*) AS vocab FROM uni),
+bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(toks)),
+                i -> {'pos': i, 'prev': toks[i], 'cur': toks[i+1]}),
+                recursive := true)
+  FROM t WHERE len(toks) >= 2
+),
+c2 AS (SELECT prev, cur, count(*) AS n2 FROM bg GROUP BY prev, cur),
+lp AS (
+  SELECT b.doc_id, b.lang, b.pos,
+         ln(CAST(c2.n2 + 1 AS DOUBLE) / (uni.c1 + v.vocab)) AS lp
+  FROM bg b
+  JOIN c2 USING (prev, cur)
+  JOIN uni ON uni.tok = b.prev
+  CROSS JOIN v
+)
+SELECT doc_id, lang,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lp ORDER BY pos)),
+                         (acc, x) -> acc + x) / count(*), 6) AS avg_logprob
+FROM lp
+GROUP BY doc_id, lang
+ORDER BY doc_id
+"""
+
+
+@query("q_text_bigram_logprob", oracle=_BIGRAM_ORACLE)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    t = d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    tok = t.select(F.explode("toks").alias("tok"))
+    uni = tok.groupBy("tok").agg(F.count("*").alias("c1"))
+    v = uni.agg(F.count("*").alias("vocab"))
+    bigram_structs = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.get("toks", i - 1).alias("prev"), F.get("toks", i).alias("cur")
+        ),
+    )
+    bg = t.filter(F.size("toks") >= 2).select(
+        "doc_id", "lang", F.posexplode(bigram_structs).alias("pos", "b")
+    ).select("doc_id", "lang", "pos", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+    c2 = bg.groupBy("prev", "cur").agg(F.count("*").alias("n2"))
+    lp = (
+        bg.join(c2, ["prev", "cur"])
+        .join(F.broadcast(uni.withColumnRenamed("tok", "prev")), "prev")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "lang",
+            "pos",
+            F.log(
+                (F.col("n2") + 1).cast("double") / (F.col("c1") + F.col("vocab"))
+            ).alias("lp"),
+        )
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "lp"))), lambda x: x.lp
+    )
+    return (
+        lp.groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_transitions"),
+            F.round(
+                F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x)
+                / F.count("*"),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

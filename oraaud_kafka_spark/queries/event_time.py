@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load
-from . import DEC, dsum, sql_dsum, sql_to_dbl, to_dbl
+from . import DEC, dsum, sql_davg, sql_dsum, sql_to_dbl, to_dbl
 
 _TUMBLE_ORACLE = f"""
 SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start,
@@ -910,4 +910,184 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
         .orderBy("event_type")
+    )
+
+
+# Linear-interpolation resample: the other half of the TimescaleDB-style
+# gap-fill kit (q_time_gap_fill carries the LAST observation forward;
+# `interpolate()` draws the line between the bracketing observations).
+# Same dense-grid construction (sequence per user span — rows bounded by
+# span hours, no cross join), then BOTH bracketing neighbors come from
+# two frame-bounded window passes over the same user_id partitioning:
+# last(ignorenulls) looking back, first(ignorenulls) looking forward —
+# Spark evaluates both in ONE physical Window exchange because the
+# partition key is shared. The interpolation arithmetic is a single
+# fixed-shape IEEE expression (pv + (nv - pv) * frac) over
+# decimal-derived endpoints and an integer hour fraction, so both
+# engines produce bit-identical doubles with no rounding tolerance.
+_INTERP_ORACLE = f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         count(*) AS n_events,
+         {sql_davg('value')} AS hour_avg
+  FROM events WHERE user_id < 8
+  GROUP BY user_id, date_trunc('hour', ts)
+),
+spans AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM spans
+),
+j AS (
+  SELECT g.user_id, g.h, hour_avg,
+         CAST(epoch(g.h) AS BIGINT) AS eh,
+         coalesce(n_events, 0) AS n_events
+  FROM grid g LEFT JOIN hourly USING (user_id, h)
+),
+f AS (
+  SELECT user_id, h, n_events, hour_avg, eh,
+         last_value(hour_avg IGNORE NULLS) OVER wb AS pv,
+         last_value(CASE WHEN hour_avg IS NOT NULL THEN eh END IGNORE NULLS)
+           OVER wb AS ph,
+         first_value(hour_avg IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN hour_avg IS NOT NULL THEN eh END IGNORE NULLS)
+           OVER wf AS nh
+  FROM j
+  WINDOW wb AS (PARTITION BY user_id ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, h, n_events,
+       CASE WHEN hour_avg IS NOT NULL THEN 'observed'
+            ELSE 'interpolated' END AS status,
+       CASE WHEN hour_avg IS NOT NULL THEN hour_avg
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE pv + (nv - pv) * (CAST(eh - ph AS DOUBLE) / (nh - ph))
+       END AS interp_value
+FROM f
+ORDER BY user_id, h
+"""
+
+
+@query("q_time_interpolate_linear", oracle=_INTERP_ORACLE)
+def q_time_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count("*").alias("n_events"),
+        (to_dbl(F.sum(F.col("value").cast(DEC))) / F.count("value")).alias(
+            "hour_avg"
+        ),
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode_outer(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    j = (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            "h",
+            "hour_avg",
+            F.unix_timestamp("h").alias("eh"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_eh = F.when(F.col("hour_avg").isNotNull(), F.col("eh"))
+    f = j.select(
+        "user_id",
+        "h",
+        "n_events",
+        "hour_avg",
+        "eh",
+        F.last("hour_avg", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_eh, ignorenulls=True).over(wb).alias("ph"),
+        F.first("hour_avg", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_eh, ignorenulls=True).over(wf).alias("nh"),
+    )
+    frac = (F.col("eh") - F.col("ph")).cast("double") / (
+        F.col("nh") - F.col("ph")
+    )
+    interp = (
+        F.when(F.col("hour_avg").isNotNull(), F.col("hour_avg"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return f.select(
+        "user_id",
+        "h",
+        "n_events",
+        F.when(F.col("hour_avg").isNotNull(), "observed")
+        .otherwise("interpolated")
+        .alias("status"),
+        interp.alias("interp_value"),
+    ).orderBy("user_id", "h")
+
+
+# Exponential smoothing (zero-seeded EWMA level) per user: the online
+# metric-smoothing op (Hyndman & Athanasopoulos, "Forecasting:
+# Principles and Practice", simple exponential smoothing) that a
+# monitoring/forecasting surface keeps per key. level_n = a*x_n +
+# (1-a)*level_{n-1}, level_0 = 0 — zero seeding makes the recurrence a
+# pure fold, and both engines run the SAME sequential IEEE op sequence
+# (F.aggregate over a position-sorted collect <-> list_reduce over
+# list(... ORDER BY ...)), so the 6-dp round only swallows cross-libm
+# noise, not reordering. One groupBy(user_id) with a sorted collect:
+# state per task is bounded by the user's event count (same discipline
+# as the unigram-LM scorer); no window, no second shuffle.
+_EWMA_ALPHA = 0.3
+
+_EWMA_ORACLE = f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(value ORDER BY ts, event_id)),
+             (acc, x) -> {_EWMA_ALPHA} * x + {1 - _EWMA_ALPHA} * acc), 6)
+         AS ewma_level
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("q_time_ewma_level", oracle=_EWMA_ORACLE)
+def q_time_ewma_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda x: x.value,
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(
+                F.aggregate(
+                    ordered,
+                    F.lit(0.0),
+                    lambda acc, x: F.lit(_EWMA_ALPHA) * x
+                    + F.lit(1 - _EWMA_ALPHA) * acc,
+                ),
+                6,
+            ).alias("ewma_level"),
+        )
+        .orderBy("user_id")
     )

@@ -155,6 +155,12 @@ _NEXT = (
     "q_events_anomaly_mad",
     "q_sql_cte_chain",
     "q_emb_pca_top_component",
+    "q_dedup_containment",
+    "q_text_bpe_apply_merge",
+    "q_time_interpolate_linear",
+    "q_corpus_shuffle_deterministic",
+    "q_time_ewma_level",
+    "q_text_bigram_logprob",
     "q_set_intersect",
     "q_window_topk_per_group",
     "q_window_ranks",

