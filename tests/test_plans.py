@@ -345,3 +345,44 @@ def test_funnel_window_one_shuffle_one_scan(spark):
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_containment_pair_join_triangle_blocked(spark):
+    """q_dedup_containment's pair join must be an equi-join keyed on the
+    (lang, mh1, __cell) blocking triple — never a cartesian — so one hot
+    min-shingle block cannot land w^2 comparisons on a single task."""
+    import re
+
+    df = registry.QUERIES["q_dedup_containment"].__wrapped__(spark, SF_DIR)
+    plan = _plan(df, execute=True)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[lang#\d+, mh1#\d+, __cell#\d+",
+        plan,
+    ), plan
+
+
+def test_bpe_apply_merge_top1_broadcast_no_collect(spark):
+    """The winning merge pair must enter the rewrite as a broadcast
+    (1-row side of a BroadcastNestedLoopJoin Cross) and the candidate
+    ranking as TakeOrderedAndProject — no global sort, no driver-side
+    collect baked into the plan."""
+    df = registry.QUERIES["q_text_bpe_apply_merge"].__wrapped__(spark, SF_DIR)
+    plan = _plan(df, execute=True)
+    assert "TakeOrderedAndProject" in plan
+    nested = [
+        line for line in plan.splitlines() if "BroadcastNestedLoopJoin" in line
+    ]
+    assert nested and all("Cross" in line for line in nested), plan
+
+
+def test_shuffle_deterministic_single_hash_shuffle(spark):
+    """Sharding must be ONE hash exchange on shard + per-shard sort;
+    the only range exchange allowed is the final presentation ORDER BY."""
+    df = registry.QUERIES["q_corpus_shuffle_deterministic"].__wrapped__(
+        spark, SF_DIR
+    )
+    plan = _final(_plan(df))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange rangepartitioning") <= 1
