@@ -616,17 +616,17 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bounded by language (not corpus size) so it BROADCASTS, scoring is a
 # map-side join + one groupBy(doc_id), and the token-count pass is one
 # partial-agg'd shuffle over (token) — three linear passes, nothing
-# quadratic. Float determinism: ln() differs by <=1 ulp between libm
-# and the JVM, so per-doc sums fold sequentially in token-position
-# order on BOTH engines (array_sort(collect_list(struct(pos,...)))) <->
-# list(... ORDER BY pos)) and the mean is rounded to 6 decimals, which
-# swamps the ulp noise.
+# quadratic. Float determinism: each token's ln() is rounded to 12
+# decimals and converted to an EXACT decimal before the per-doc sum, so
+# the sum is order-independent (plain partial-agg'd SUM — no per-doc
+# sorted collect, no fold) and the 6-dp mean rounding swamps any
+# sub-12-dp ln() noise. This replaced a position-sorted
+# collect_list+fold: same values at both test scales, one less
+# per-group sort, and the aggregation stays map-side partial.
 # ---------------------------------------------------------------------------
 
 _UNIGRAM_TOK_SQL = """
-  SELECT doc_id, lang,
-         unnest(list_transform(range(len(toks)),
-           i -> {'pos': i, 'tok': toks[i + 1]}), recursive := true)
+  SELECT doc_id, lang, unnest(toks) AS tok
   FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
 """
 
@@ -635,15 +635,15 @@ WITH tok AS ({_UNIGRAM_TOK_SQL}),
 vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
 total AS (SELECT count(*) AS n FROM tok),
 lp AS (
-  SELECT t.doc_id, t.lang, t.pos,
-         ln(CAST(v.cnt AS DOUBLE) / (SELECT n FROM total)) AS lp
+  SELECT t.doc_id, t.lang,
+         CAST(round(ln(CAST(v.cnt AS DOUBLE) / (SELECT n FROM total)), 12)
+              AS DECIMAL(20,12)) AS lp_dec
   FROM tok t JOIN vocab v USING (tok)
 ),
 doc AS (
   SELECT doc_id, lang,
          count(*) AS n_toks,
-         round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                 list(lp ORDER BY pos)), (acc, x) -> acc + x)
+         round(CAST(CAST(sum(lp_dec) AS DECIMAL(18,12)) AS DOUBLE)
                / count(*), 6) AS avg_logprob
   FROM lp GROUP BY doc_id, lang
 )
@@ -662,7 +662,7 @@ def unigram_logprob_scores(d: DataFrame) -> DataFrame:
     under the corpus's own unigram LM. Shared by q_text_unigram_logprob
     and q_text_ccnet_tiers."""
     tok = d.select(
-        "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
     )
     vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = tok.agg(F.count("*").alias("n"))
@@ -672,17 +672,15 @@ def unigram_logprob_scores(d: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             "lang",
-            "pos",
-            F.log(F.col("cnt").cast("double") / F.col("n")).alias("lp"),
+            F.round(F.log(F.col("cnt").cast("double") / F.col("n")), 12)
+            .cast("decimal(20,12)")
+            .alias("lp_dec"),
         )
-    )
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("pos", "lp"))), lambda x: x.lp
     )
     return scored.groupBy("doc_id", "lang").agg(
         F.count("*").alias("n_toks"),
         F.round(
-            F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x)
+            F.sum("lp_dec").cast("decimal(18,12)").cast("double")
             / F.count("*"),
             6,
         ).alias("avg_logprob"),
@@ -967,9 +965,11 @@ def q_text_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # model is blind to. Scale shape: the bigram count table is bounded by
 # observed vocab^2 (far below it in practice — Heaps' law) and joins
 # the per-doc transition stream on its (prev, cur) hash key; the
-# unigram context table and the scalar V broadcast. Per-doc sums fold
-# sequentially in position order on both engines and the mean rounds
-# to 6 dp — same float discipline as the unigram scorer.
+# unigram context table and the scalar V broadcast. Per-transition
+# logprobs round to 12 decimals and convert to EXACT decimals before
+# the per-doc sum, so the aggregation is an order-independent
+# partial-agg'd SUM (no per-doc sorted collect) — same float
+# discipline as the unigram scorer.
 # ---------------------------------------------------------------------------
 
 _BIGRAM_ORACLE = """
@@ -980,14 +980,15 @@ v AS (SELECT count(*) AS vocab FROM uni),
 bg AS (
   SELECT doc_id, lang,
          unnest(list_transform(range(1, len(toks)),
-                i -> {'pos': i, 'prev': toks[i], 'cur': toks[i+1]}),
+                i -> {'prev': toks[i], 'cur': toks[i+1]}),
                 recursive := true)
   FROM t WHERE len(toks) >= 2
 ),
 c2 AS (SELECT prev, cur, count(*) AS n2 FROM bg GROUP BY prev, cur),
 lp AS (
-  SELECT b.doc_id, b.lang, b.pos,
-         ln(CAST(c2.n2 + 1 AS DOUBLE) / (uni.c1 + v.vocab)) AS lp
+  SELECT b.doc_id, b.lang,
+         CAST(round(ln(CAST(c2.n2 + 1 AS DOUBLE) / (uni.c1 + v.vocab)), 12)
+              AS DECIMAL(20,12)) AS lp_dec
   FROM bg b
   JOIN c2 USING (prev, cur)
   JOIN uni ON uni.tok = b.prev
@@ -995,8 +996,8 @@ lp AS (
 )
 SELECT doc_id, lang,
        CAST(count(*) AS BIGINT) AS n_transitions,
-       round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lp ORDER BY pos)),
-                         (acc, x) -> acc + x) / count(*), 6) AS avg_logprob
+       round(CAST(CAST(sum(lp_dec) AS DECIMAL(18,12)) AS DOUBLE)
+             / count(*), 6) AS avg_logprob
 FROM lp
 GROUP BY doc_id, lang
 ORDER BY doc_id
@@ -1017,8 +1018,8 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     bg = t.filter(F.size("toks") >= 2).select(
-        "doc_id", "lang", F.posexplode(bigram_structs).alias("pos", "b")
-    ).select("doc_id", "lang", "pos", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+        "doc_id", "lang", F.explode(bigram_structs).alias("b")
+    ).select("doc_id", "lang", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
     c2 = bg.groupBy("prev", "cur").agg(F.count("*").alias("n2"))
     lp = (
         bg.join(c2, ["prev", "cur"])
@@ -1027,21 +1028,23 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "lang",
-            "pos",
-            F.log(
-                (F.col("n2") + 1).cast("double") / (F.col("c1") + F.col("vocab"))
-            ).alias("lp"),
+            F.round(
+                F.log(
+                    (F.col("n2") + 1).cast("double")
+                    / (F.col("c1") + F.col("vocab"))
+                ),
+                12,
+            )
+            .cast("decimal(20,12)")
+            .alias("lp_dec"),
         )
-    )
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("pos", "lp"))), lambda x: x.lp
     )
     return (
         lp.groupBy("doc_id", "lang")
         .agg(
             F.count("*").cast("long").alias("n_transitions"),
             F.round(
-                F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x)
+                F.sum("lp_dec").cast("decimal(18,12)").cast("double")
                 / F.count("*"),
                 6,
             ).alias("avg_logprob"),
