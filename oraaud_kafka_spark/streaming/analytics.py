@@ -264,3 +264,62 @@ def running_type_stats(df: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA: the live counterpart of the batch q_time_ewma_level
+# operator (queries/event_time.py) — per-key simple exponential
+# smoothing whose level survives micro-batch boundaries in keyed state.
+# Within a batch, rows fold in (ts, event_id) order; across batches the
+# state cell carries (level, n) forward, so feeding the same rows in
+# the same order through any batch slicing yields the level the batch
+# fold computes (asserted by tests/test_streaming.py). Scale: state is
+# two scalars per key, grouped state partitioning is the engine's
+# normal HDFSBackedStateStore/RocksDB path, and each batch's work is
+# one shuffle on the key — the shape monitoring pipelines run per
+# metric key.
+# ---------------------------------------------------------------------------
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ewma_level", DoubleType()),
+    ]
+)
+EWMA_STATE_SCHEMA = StructType(
+    [StructField("level", DoubleType()), StructField("n", LongType())]
+)
+
+EWMA_ALPHA = 0.3
+
+
+def _ewma_fn(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    level, n = state.get if state.exists else (0.0, 0)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"])
+    for v in rows["value"]:
+        level = EWMA_ALPHA * float(v) + (1 - EWMA_ALPHA) * level
+        n += 1
+    state.update((level, n))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "ewma_level": [level]}
+    )
+
+
+def ewma_levels(df: DataFrame) -> DataFrame:
+    """Per-user zero-seeded EWMA over (user_id, ts, event_id, value)
+    rows; emits the updated (n_events, ewma_level) each micro-batch the
+    key appears in. Update-mode sinks keep the latest row per key."""
+    return (
+        df.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ewma_fn,
+            EWMA_OUTPUT_SCHEMA,
+            EWMA_STATE_SCHEMA,
+            "update",
+            "NoTimeout",
+        )
+    )

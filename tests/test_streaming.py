@@ -14,6 +14,7 @@ import json
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -385,5 +386,58 @@ def test_running_type_stats_accumulates_across_batches(spark, tmp_path):
         assert last["view"].total_value == 7.0
         assert last["view"].max_value == 4.0
         assert last["click"].n_events == 1
+    finally:
+        q.stop()
+
+
+EWMA_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def test_ewma_levels_match_batch_fold_across_batches(spark, tmp_path):
+    """Streaming EWMA state must carry across micro-batches: slicing the
+    same ordered rows into two batches yields exactly the single-pass
+    zero-seeded fold of the full sequence (the batch q_time_ewma_level
+    semantics)."""
+    from oraaud_kafka_spark.streaming.analytics import EWMA_ALPHA, ewma_levels
+
+    d = tmp_path / "ewma"
+    d.mkdir()
+    batch1 = [
+        {"user_id": 1, "ts": "2026-01-01T00:00:00", "event_id": 1, "value": 10.0},
+        {"user_id": 1, "ts": "2026-01-01T00:01:00", "event_id": 2, "value": 20.0},
+        {"user_id": 2, "ts": "2026-01-01T00:00:30", "event_id": 3, "value": 5.0},
+    ]
+    batch2 = [
+        {"user_id": 1, "ts": "2026-01-01T00:02:00", "event_id": 4, "value": 30.0},
+        {"user_id": 2, "ts": "2026-01-01T00:03:00", "event_id": 5, "value": 7.0},
+    ]
+    _write_jsonl(d / "b1.json", batch1)
+    _write_jsonl(d / "b2.json", batch2)
+    stream = _stream_json(spark, d, EWMA_SCHEMA, latestFirst="false")
+    q = _run_to_memory(ewma_levels(stream), "ewma", output_mode="update")
+    try:
+        rows = spark.table("ewma").collect()
+        # update mode appends one row per (key, batch) to the memory
+        # sink; the LAST row per key is the live level
+        latest = {}
+        for r in rows:
+            latest[r.user_id] = r
+        expected = {}
+        for u, vals in ((1, [10.0, 20.0, 30.0]), (2, [5.0, 7.0])):
+            lvl = 0.0
+            for v in vals:
+                lvl = EWMA_ALPHA * v + (1 - EWMA_ALPHA) * lvl
+            expected[u] = (len(vals), lvl)
+        assert set(latest) == {1, 2}
+        for u, (n, lvl) in expected.items():
+            assert latest[u].n_events == n
+            assert abs(latest[u].ewma_level - lvl) < 1e-12
     finally:
         q.stop()
