@@ -358,7 +358,7 @@ def test_containment_pair_join_triangle_blocked(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert re.search(
-        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[lang#\d+, mh1#\d+, __cell#\d+",
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[lang#\d+, mh1#\d+L?, __cell#\d+",
         plan,
     ), plan
 
