@@ -84,6 +84,10 @@ EXTRAS = [
     "q_corpus_shuffle_deterministic",  # seeded reproducible shard+order
     "q_time_ewma_level",         # per-user exponential smoothing fold
     "q_text_bigram_logprob",     # add-one bigram LM doc scoring
+    "q_text_source_entropy",     # per-source token-distribution entropy
+    "q_events_rfm",              # RFM quintile segmentation
+    "q_corpus_epochs_budget",    # token-budget epoch planning
+    "q_multimodal_dedup",        # two-level header+content payload dedup
 ]
 
 

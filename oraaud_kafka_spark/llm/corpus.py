@@ -611,3 +611,82 @@ def q_corpus_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("shard", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget epoch planning: given a training-run token budget and
+# temperature-smoothed source weights (alpha = 0.5, the sqrt rule from
+# multilingual sampling), how many EPOCHS of each source does its quota
+# imply? Sources whose quota exceeds ~4 passes over their data are
+# flagged — the repetition ceiling from data-constrained scaling work
+# (Muennighoff et al. 2023, arXiv:2305.16264) beyond which repeated
+# tokens stop helping. Scale shape: one partial-agg'd token count per
+# source, a source-cardinality aggregate for the weight normalizer
+# (broadcast back), then map-only arithmetic. Float discipline:
+# sqrt is IEEE-correctly-rounded (bit-identical on both engines),
+# per-source sqrt terms round to 6 dp into exact decimals for the
+# order-free normalizer sum, and every remaining op is fixed-shape.
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 10_000_000
+_EPOCH_CEILING = 4.0
+
+_EPOCHS_ORACLE = f"""
+WITH src AS (
+  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+sq AS (
+  SELECT source, n_tokens,
+         CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS sq
+  FROM src
+),
+tot AS (SELECT sum(sq) AS total_sq FROM sq)
+SELECT source, n_tokens,
+       round(CAST(sq AS DOUBLE) / CAST(CAST(total_sq AS DECIMAL(18,6)) AS DOUBLE), 6) AS weight,
+       CAST(round({_BUDGET_TOKENS} * (CAST(sq AS DOUBLE)
+              / CAST(CAST(total_sq AS DECIMAL(18,6)) AS DOUBLE))) AS BIGINT) AS quota_tokens,
+       round(CAST(round({_BUDGET_TOKENS} * (CAST(sq AS DOUBLE)
+              / CAST(CAST(total_sq AS DECIMAL(18,6)) AS DOUBLE))) AS DOUBLE)
+             / n_tokens, 4) AS epochs,
+       CASE WHEN CAST(round({_BUDGET_TOKENS} * (CAST(sq AS DOUBLE)
+              / CAST(CAST(total_sq AS DECIMAL(18,6)) AS DOUBLE))) AS DOUBLE)
+             / n_tokens > {_EPOCH_CEILING} THEN 1 ELSE 0 END AS over_epoch_risk
+FROM sq CROSS JOIN tot
+ORDER BY source
+"""
+
+
+@query("q_corpus_epochs_budget", oracle=_EPOCHS_ORACLE)
+def q_corpus_epochs_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")
+    )
+    sq = src.select(
+        "source",
+        "n_tokens",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("sq"),
+    )
+    tot = sq.agg(F.sum("sq").alias("total_sq"))
+    weight = F.col("sq").cast("double") / F.col("total_sq").cast(
+        "decimal(18,6)"
+    ).cast("double")
+    quota = F.round(F.lit(_BUDGET_TOKENS) * weight).cast("long")
+    epochs = quota.cast("double") / F.col("n_tokens")
+    return (
+        sq.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(weight, 6).alias("weight"),
+            quota.alias("quota_tokens"),
+            F.round(epochs, 4).alias("epochs"),
+            F.when(epochs > _EPOCH_CEILING, 1).otherwise(0).alias(
+                "over_epoch_risk"
+            ),
+        )
+        .orderBy("source")
+    )

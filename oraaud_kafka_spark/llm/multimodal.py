@@ -371,3 +371,75 @@ def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak long, rms double",
     )
     return stats.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Binary-payload dedup, two-level: the media pipeline's cheap-first
+# discipline — a HEADER fingerprint (md5 of the first 64 payload bytes:
+# magic + dimensions + first pixels for real codecs) buckets candidate
+# copies, and the full-content md5 inside each bucket separates true
+# byte-identical copies from same-header variants (re-encodes, crops
+# with shared headers). Both hashes are computed JVM-side in one
+# projection; the shuffle carries two 16-byte hashes + ids, never
+# payload bytes. Report: one row per duplicated header bucket with the
+# copy count, how many DISTINCT full payloads it still contains, the
+# lowest-doc_id keeper, and the dropped ids.
+# ---------------------------------------------------------------------------
+
+_HEADER_BYTES = 64
+
+_BINARY_DEDUP_ORACLE = f"""
+WITH k AS (
+  SELECT md5(substring(text, 1, {_HEADER_BYTES})) AS header_md5,
+         md5(text) AS payload_md5, doc_id
+  FROM documents
+),
+g AS (
+  SELECT header_md5, count(*) AS n_copies,
+         count(DISTINCT payload_md5) AS n_distinct_payloads,
+         min(doc_id) AS keeper
+  FROM k GROUP BY header_md5 HAVING count(*) > 1
+)
+SELECT g.header_md5,
+       CAST(g.n_copies AS BIGINT) AS n_copies,
+       CAST(g.n_distinct_payloads AS BIGINT) AS n_distinct_payloads,
+       g.keeper AS keeper_doc_id,
+       string_agg(CAST(k.doc_id AS VARCHAR), ',' ORDER BY k.doc_id)
+         AS dropped_doc_ids
+FROM g JOIN k USING (header_md5)
+WHERE k.doc_id <> g.keeper
+GROUP BY g.header_md5, g.n_copies, g.n_distinct_payloads, g.keeper
+ORDER BY header_md5
+"""
+
+
+@query("q_multimodal_dedup", oracle=_BINARY_DEDUP_ORACLE)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.md5(F.encode(F.substring("text", 1, _HEADER_BYTES), "UTF-8")).alias(
+            "header_md5"
+        ),
+        F.md5(F.encode("text", "UTF-8")).alias("payload_md5"),
+    )
+    return (
+        keyed.groupBy("header_md5")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.count_distinct("payload_md5").cast("long").alias(
+                "n_distinct_payloads"
+            ),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.array_join(
+                F.slice(
+                    F.sort_array(F.collect_list("doc_id")).cast("array<string>"),
+                    2,
+                    1_000_000,
+                ),
+                ",",
+            ).alias("dropped_doc_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("header_md5")
+    )

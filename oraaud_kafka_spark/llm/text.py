@@ -1051,3 +1051,69 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus diversity report: Shannon entropy of the token distribution
+# per source — the diversity axis data-curation work balances against
+# quality and size (mixture design à la DoReMi/D4 tracks exactly this
+# signal per domain). H = ln(N) - (Σ c·ln c)/N over per-source token
+# counts c. Scale shape: one explode + one partial-agg'd
+# groupBy(source, tok), then a per-source aggregate over vocab-bounded
+# rows — two linear shuffles, state bounded by vocabulary, not corpus.
+# Float discipline: each c·ln(c) term rounds to 6 decimals and converts
+# to DECIMAL(20,6) so the per-source sum is exact and order-free; the
+# two remaining IEEE ops (one division, one subtraction, plus ln(N))
+# have a fixed shape on both engines, and the output rounds to 6 dp.
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cnt AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY source, tok),
+src AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab,
+         sum(CAST(round(c * ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(20,6))) AS s
+  FROM cnt GROUP BY source
+)
+SELECT source, n_tokens, vocab,
+       round(ln(CAST(n_tokens AS DOUBLE))
+             - CAST(CAST(s AS DECIMAL(18,6)) AS DOUBLE) / n_tokens, 6)
+         AS entropy_nats,
+       round((ln(CAST(n_tokens AS DOUBLE))
+              - CAST(CAST(s AS DECIMAL(18,6)) AS DOUBLE) / n_tokens)
+             / ln(CAST(vocab AS DOUBLE)), 6) AS normalized_entropy
+FROM src
+ORDER BY source
+"""
+
+
+@query("q_text_source_entropy", oracle=_ENTROPY_ORACLE)
+def q_text_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    cnt = tok.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    term = (
+        F.round(F.col("c") * F.log(F.col("c").cast("double")), 6)
+        .cast("decimal(20,6)")
+    )
+    src = cnt.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+        F.sum(term).alias("s"),
+    )
+    h = F.log(F.col("n_tokens").cast("double")) - F.col("s").cast(
+        "decimal(18,6)"
+    ).cast("double") / F.col("n_tokens")
+    return src.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        F.round(h, 6).alias("entropy_nats"),
+        F.round(h / F.log(F.col("vocab").cast("double")), 6).alias(
+            "normalized_entropy"
+        ),
+    ).orderBy("source")

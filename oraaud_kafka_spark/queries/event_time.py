@@ -1091,3 +1091,89 @@ def q_time_ewma_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# RFM segmentation: the classic customer-analytics operator (recency /
+# frequency / monetary quintiles). Stage 1 collapses events to ONE row
+# per user (partial-agg'd groupBy — the 100 TB pass); stage 2 ranks the
+# user-cardinality table with three ntile(5) windows sharing one
+# global sort each. The global windows run over USERS, not events —
+# orders of magnitude smaller — and at extreme user counts the ntile
+# boundaries would come from approx quantile cutoffs instead (same
+# trade documented on q_profile_table_approx). "Now" is the corpus max
+# timestamp (broadcast scalar), so the query is deterministic. All
+# columns are integer/decimal-exact; ntile ties break on user_id on
+# both engines.
+_RFM_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         max(ts) AS last_ts,
+         count(*) AS frequency,
+         {sql_dsum('value')} AS monetary
+  FROM events GROUP BY user_id
+),
+now_ts AS (SELECT max(ts) AS now FROM events),
+base AS (
+  SELECT user_id,
+         datediff('day', last_ts, (SELECT now FROM now_ts)) AS recency_days,
+         frequency, monetary
+  FROM per_user
+),
+scored AS (
+  SELECT user_id, recency_days, CAST(frequency AS BIGINT) AS frequency, monetary,
+         ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+         ntile(5) OVER (ORDER BY frequency ASC, user_id) AS f_score,
+         ntile(5) OVER (ORDER BY monetary ASC, user_id) AS m_score
+  FROM base
+)
+SELECT user_id, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment
+FROM scored
+ORDER BY user_id
+"""
+
+
+@query("q_events_rfm", oracle=_RFM_ORACLE)
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").cast("long").alias("frequency"),
+        to_dbl(F.sum(F.col("value").cast(DEC))).alias("monetary"),
+    )
+    now_ts = e.agg(F.max("ts").alias("now"))
+    base = per_user.crossJoin(F.broadcast(now_ts)).select(
+        "user_id",
+        F.datediff(F.to_date("now"), F.to_date("last_ts")).alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    wr = Window.orderBy(F.col("recency_days").desc(), "user_id")
+    wf = Window.orderBy(F.col("frequency").asc(), "user_id")
+    wm = Window.orderBy(F.col("monetary").asc(), "user_id")
+    scored = base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+    )
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws(
+            "",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    ).orderBy("user_id")

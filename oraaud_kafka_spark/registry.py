@@ -161,6 +161,10 @@ _NEXT = (
     "q_corpus_shuffle_deterministic",
     "q_time_ewma_level",
     "q_text_bigram_logprob",
+    "q_text_source_entropy",
+    "q_events_rfm",
+    "q_corpus_epochs_budget",
+    "q_multimodal_dedup",
     "q_set_intersect",
     "q_window_topk_per_group",
     "q_window_ranks",

@@ -302,3 +302,53 @@ def test_bigram_logprob_below_unigram_entropy_bound(spark):
         assert r.avg_logprob < 0
         if r.doc_id in n_toks:
             assert r.n_transitions == n_toks[r.doc_id] - 1
+
+
+def test_source_entropy_bounds(spark):
+    """0 <= H <= ln(vocab); normalized entropy in [0, 1]; token counts
+    positive and vocab <= n_tokens."""
+    rows = registry.QUERIES["q_text_source_entropy"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.vocab <= r.n_tokens
+        assert -1e-9 <= r.entropy_nats <= math.log(r.vocab) + 1e-9
+        assert -1e-9 <= r.normalized_entropy <= 1.0 + 1e-9
+
+
+def test_rfm_scores_partition_users(spark):
+    """Scores are quintiles 1..5, segment concatenates them, and the
+    best-recency users hold the highest r_score."""
+    rows = registry.QUERIES["q_events_rfm"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+        assert r.segment == f"{r.r_score}{r.f_score}{r.m_score}"
+        assert r.frequency > 0
+    most_recent = min(rows, key=lambda r: (r.recency_days, -r.user_id))
+    least_recent = max(rows, key=lambda r: (r.recency_days, r.user_id))
+    assert most_recent.r_score >= least_recent.r_score
+
+
+def test_epochs_budget_conserved(spark):
+    """Weights sum to ~1, quotas sum to ~budget, epochs = quota/tokens,
+    and the risk flag matches the ceiling."""
+    rows = registry.QUERIES["q_corpus_epochs_budget"](spark, SF_DIR).collect()
+    assert rows
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.quota_tokens for r in rows) - 10_000_000) < len(rows)
+    for r in rows:
+        assert abs(r.epochs - round(r.quota_tokens / r.n_tokens, 4)) < 1e-9
+        assert r.over_epoch_risk == (r.quota_tokens / r.n_tokens > 4.0)
+
+
+def test_multimodal_dedup_groups_consistent(spark):
+    """Each reported bucket has >= 2 copies, dropped list has
+    n_copies - 1 ids, keeper is not among them, and distinct payload
+    count never exceeds copy count."""
+    rows = registry.QUERIES["q_multimodal_dedup"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r.n_copies >= 2
+        assert 1 <= r.n_distinct_payloads <= r.n_copies
+        dropped = r.dropped_doc_ids.split(",")
+        assert len(dropped) == r.n_copies - 1
+        assert str(r.keeper_doc_id) not in dropped
