@@ -589,3 +589,93 @@ def test_dsir_scores_match_python_reference(spark, rows):
             continue
         score = sum(cnt_t[bucket(tok)] * n_r - cnt_r[bucket(tok)] * n_t for tok in toks)
         assert got[i] == score, f"doc {i}"
+
+
+def test_containment_matches_python_reference(spark):
+    """Recompute the full containment pipeline (shingles, md5 min-hash
+    blocking, threshold) in pure Python from the parquet fixture and
+    compare the pair set and scores exactly."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from .conftest import SF_DIR
+
+    from oraaud_kafka_spark import registry
+
+    registry.load_all()
+    t = pq.read_table(f"{SF_DIR}/documents.parquet").to_pylist()
+    docs = {}
+    for row in t:
+        toks = row["text"].split(" ")
+        if len(toks) < 3:
+            continue
+        shs = list(dict.fromkeys(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        ))
+        mh1 = min(hashlib.md5(s.encode()).hexdigest() for s in shs)
+        docs[row["doc_id"]] = (row["lang"], set(shs), len(shs), mh1)
+    expected = {}
+    ids = sorted(docs)
+    by_block: dict[tuple, list] = {}
+    for i in ids:
+        lang, shs, n, mh1 = docs[i]
+        by_block.setdefault((lang, mh1), []).append(i)
+    for block, members in by_block.items():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                a, b = members[x], members[y]
+                inter = len(docs[a][1] & docs[b][1])
+                m = min(docs[a][2], docs[b][2])
+                if inter * 2 >= m:
+                    expected[(a, b)] = (inter, inter / m)
+    got = registry.QUERIES["q_dedup_containment"](spark, SF_DIR).collect()
+    assert {(r.doc_a, r.doc_b) for r in got} == set(expected)
+    for r in got:
+        inter, cont = expected[(r.doc_a, r.doc_b)]
+        assert r.n_inter == inter
+        assert abs(r.containment - cont) < 1e-12
+
+
+def test_bpe_apply_merge_matches_python_reference(spark):
+    """Pure-Python left-to-right merge of the corpus-top (a != b) pair
+    must reproduce every rewritten document byte-for-byte."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from .conftest import SF_DIR
+
+    from oraaud_kafka_spark import registry
+
+    registry.load_all()
+    t = pq.read_table(f"{SF_DIR}/documents.parquet").to_pylist()
+    pair_counts: Counter = Counter()
+    for row in t:
+        toks = row["text"].split(" ")
+        for x, y in zip(toks, toks[1:]):
+            if x != y:
+                pair_counts[(x, y)] += 1
+    (a, b), _ = min(
+        pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+    )
+    expected = {}
+    for row in t:
+        toks = row["text"].split(" ")
+        out = []
+        i = 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(f"{a}+{b}")
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        expected[row["doc_id"]] = (len(toks), out)
+    got = registry.QUERIES["q_text_bpe_apply_merge"](spark, SF_DIR).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        n_before, out = expected[r.doc_id]
+        assert r.n_toks_before == n_before
+        assert r.n_toks_after == len(out)
+        assert r.merged_text == " ".join(out)
