@@ -88,6 +88,12 @@ EXTRAS = [
     "q_events_rfm",              # RFM quintile segmentation
     "q_corpus_epochs_budget",    # token-budget epoch planning
     "q_multimodal_dedup",        # two-level header+content payload dedup
+    "q_tpch_q4",                 # EXISTS priority check (semi join)
+    "q_tpch_q7",                 # two-nation volume shipping
+    "q_tpch_q8",                 # national market share
+    "q_tpch_q10",                # returned-item top-20 report
+    "q_tpch_q15",                # top supplier vs decimal-exact max
+    "q_tpch_q21",                # waiting-orders multi-EXISTS
 ]
 
 

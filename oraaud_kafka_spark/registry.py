@@ -43,6 +43,7 @@ _MODULES = (
     "oraaud_kafka_spark.queries.setops",
     "oraaud_kafka_spark.queries.reshape",
     "oraaud_kafka_spark.queries.pricing",
+    "oraaud_kafka_spark.queries.tpch",
     "oraaud_kafka_spark.queries.filters",
     "oraaud_kafka_spark.queries.joins",
     "oraaud_kafka_spark.queries.aggregates",
@@ -165,6 +166,12 @@ _NEXT = (
     "q_events_rfm",
     "q_corpus_epochs_budget",
     "q_multimodal_dedup",
+    "q_tpch_q4",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q10",
+    "q_tpch_q15",
+    "q_tpch_q21",
     "q_set_intersect",
     "q_window_topk_per_group",
     "q_window_ranks",

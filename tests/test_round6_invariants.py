@@ -352,3 +352,27 @@ def test_multimodal_dedup_groups_consistent(spark):
         dropped = r.dropped_doc_ids.split(",")
         assert len(dropped) == r.n_copies - 1
         assert str(r.keeper_doc_id) not in dropped
+
+
+def test_tpch_q8_share_consistent(spark):
+    rows = registry.QUERIES["q_tpch_q8"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.nation_volume <= r.total_volume
+        assert abs(r.mkt_share - r.nation_volume / r.total_volume) < 1e-12
+
+
+def test_tpch_q15_is_argmax(spark):
+    """Every reported supplier carries the same (maximal) revenue."""
+    rows = registry.QUERIES["q_tpch_q15"](spark, SF_DIR).collect()
+    assert rows
+    revs = {r.total_revenue for r in rows}
+    assert len(revs) == 1
+
+
+def test_tpch_q21_waiting_counts_positive(spark):
+    rows = registry.QUERIES["q_tpch_q21"](spark, SF_DIR).collect()
+    assert rows
+    assert all(r.numwait > 0 for r in rows)
+    waits = [r.numwait for r in rows]
+    assert waits == sorted(waits, reverse=True)
