@@ -386,3 +386,30 @@ def test_shuffle_deterministic_single_hash_shuffle(spark):
     plan = _final(_plan(df))
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Exchange rangepartitioning") <= 1
+
+
+def test_tpch_q10_take_ordered_and_dims_broadcast(spark):
+    """Q10's top-20 must plan as TakeOrderedAndProject (per-partition
+    heaps, never a global sort) with customer/nation broadcast."""
+    df = registry.QUERIES["q_tpch_q10"].__wrapped__(spark, SF_DIR)
+    plan = _plan(df, execute=True)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange rangepartitioning" not in _final(plan)
+
+
+def test_tpch_q4_semi_join(spark):
+    """The EXISTS must be a LEFT SEMI join: lineitem can never multiply
+    order rows into the aggregate."""
+    df = registry.QUERIES["q_tpch_q4"].__wrapped__(spark, SF_DIR)
+    plan = _plan(df, execute=True)
+    assert "LeftSemi" in plan
+
+
+def test_tpch_q21_single_lineitem_flagging_pass(spark):
+    """The EXISTS/NOT-EXISTS pair must come from ONE aggregated
+    order-stats branch joined back — the plan reads lineitem at most
+    twice (flagging + stats), never the 3x of correlated rewrites."""
+    df = registry.QUERIES["q_tpch_q21"].__wrapped__(spark, SF_DIR)
+    plan = _final(_plan(df, execute=True))
+    assert plan.count("Scan parquet") <= 5  # lineitem x2, orders x2, supplier
