@@ -139,11 +139,15 @@ _FRONT = (
 )
 
 
-# Immediately behind the window: the round-7 rotation queue — first the
-# two operators added after this round's window filled (they take the
-# first slots next rotation), then the remaining stale r1-green queries
-# (set-op/window tail + aggregates family). If the driver's window is
-# ever wider than 50, these are checked first; if not, nothing changes.
+# Immediately behind the window: the round-7 rotation queue — first
+# every operator added after this round's window filled (the sketch/
+# TPC-H-shape/robust-stats batch, the PCA/CTE pair, the containment/
+# BPE-merge/interpolation/shuffle/EWMA/bigram batch, the entropy/RFM/
+# epoch-budget/binary-dedup batch, and the TPC-H completion set — all
+# take the first slots next rotation), then the remaining stale
+# r1-green queries (set-op/window tail + aggregates family). If the
+# driver's window is ever wider than 50, these are checked first; if
+# not, nothing changes.
 _NEXT = (
     "q_text_dup_ngram_chars",
     "q_events_markov_transitions",
