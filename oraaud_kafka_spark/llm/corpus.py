@@ -690,3 +690,56 @@ def q_corpus_epochs_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset fingerprint: an ORDER-INDEPENDENT content checksum per table
+# slice — the reproducibility primitive a training pipeline stamps into
+# its run manifest ("this exact corpus version"). Per-row key = 60-bit
+# md5 prefix over the canonical (doc_id|source|text) serialization;
+# the slice fingerprint folds rows with bit_xor (commutative,
+# associative → partial-aggregable map-side, any partitioning yields
+# the same value) next to the row count and a total-byte tally. Two
+# corpora match iff (n_rows, xor_fingerprint, total_bytes) match —
+# detecting any changed, added, or dropped row without ordering or
+# sorting anything at any scale.
+# ---------------------------------------------------------------------------
+
+_FP_ORACLE = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       bit_xor(CAST('0x' || substring(
+           md5(CAST(doc_id AS VARCHAR) || '|' || source || '|' || text),
+           1, 15) AS BIGINT)) AS xor_fingerprint,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("q_corpus_fingerprint", oracle=_FP_ORACLE)
+def q_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    row_key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("doc_id").cast("string"), "source", "text"
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.bit_xor(row_key).alias("xor_fingerprint"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+        .orderBy("source")
+    )

@@ -1177,3 +1177,93 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ).alias("segment"),
     ).orderBy("user_id")
+
+
+# A/B experiment analysis: Welch's two-sample t-test per event type,
+# arms assigned by the deterministic user_id parity (stand-in for the
+# experiment's assignment column). Everything reduces to six exact
+# decimal moments per (type, arm) — n, Σx, Σx² — in ONE partial-agg'd
+# groupBy over the event scan; the t statistic and Welch–Satterthwaite
+# df are then a fixed-shape IEEE expression over those bit-identical
+# moments, rounded to 6 dp. The |t| > 1.96 flag is the ~95% two-sided
+# gate. At 100 TB this is the nightly experiment readout: moment
+# aggregation is embarrassingly map-side, and the per-type final math
+# is n_types rows of scalar arithmetic.
+_AB_ORACLE = f"""
+WITH arms AS (
+  SELECT event_type, user_id % 2 AS arm,
+         count(*) AS n,
+         {sql_dsum('value')} AS s1,
+         {sql_to_dbl("sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))")} AS s2
+  FROM events GROUP BY event_type, user_id % 2
+),
+wide AS (
+  SELECT a.event_type,
+         a.n AS n_a, a.s1 AS s1_a, a.s2 AS s2_a,
+         b.n AS n_b, b.s1 AS s1_b, b.s2 AS s2_b
+  FROM arms a JOIN arms b USING (event_type)
+  WHERE a.arm = 0 AND b.arm = 1
+),
+stats AS (
+  SELECT event_type,
+         CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         s1_a / n_a AS mean_a, s1_b / n_b AS mean_b,
+         (s2_a - s1_a * s1_a / n_a) / (n_a - 1) AS var_a,
+         (s2_b - s1_b * s1_b / n_b) / (n_b - 1) AS var_b
+  FROM wide
+)
+SELECT event_type, n_a, n_b,
+       round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+       round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat,
+       round((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+             / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 2) AS welch_df,
+       CASE WHEN abs((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)) > 1.96
+            THEN 1 ELSE 0 END AS significant
+FROM stats
+ORDER BY event_type
+"""
+
+
+@query("q_events_ab_welch", oracle=_AB_ORACLE)
+def q_events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    v = F.col("value").cast(DEC)
+    arms = e.groupBy("event_type", (F.col("user_id") % 2).alias("arm")).agg(
+        F.count("*").alias("n"),
+        to_dbl(F.sum(v)).alias("s1"),
+        to_dbl(F.sum(v * v)).alias("s2"),
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"), F.col("s1").alias("s1_a"), F.col("s2").alias("s2_a"),
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"), F.col("s1").alias("s1_b"), F.col("s2").alias("s2_b"),
+    )
+    wide = a.join(b, "event_type")
+    mean_a = F.col("s1_a") / F.col("n_a")
+    mean_b = F.col("s1_b") / F.col("n_b")
+    var_a = (F.col("s2_a") - F.col("s1_a") * F.col("s1_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("s2_b") - F.col("s1_b") * F.col("s1_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    se2 = var_a / F.col("n_a") + var_b / F.col("n_b")
+    t = (mean_a - mean_b) / F.sqrt(se2)
+    df_w = (se2 * se2) / (
+        (var_a / F.col("n_a")) * (var_a / F.col("n_a")) / (F.col("n_a") - 1)
+        + (var_b / F.col("n_b")) * (var_b / F.col("n_b")) / (F.col("n_b") - 1)
+    )
+    return wide.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df_w, 2).alias("welch_df"),
+        F.when(F.abs(t) > 1.96, 1).otherwise(0).alias("significant"),
+    ).orderBy("event_type")

@@ -205,3 +205,67 @@ def q_crosstab_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     total = F.count(F.when(F.col("source").isin(*_SOURCES), 1)).alias("n_total")
     return d.groupBy("lang").agg(*counts, total).orderBy("lang")
+
+
+# Hot-key skew diagnostic: the report you run BEFORE shipping a big
+# join — per-key row counts reduced to one summary row (distinct keys,
+# max/mean width, skew ratio) plus the top-5 heaviest keys. One
+# partial-agg'd groupBy over the fact scan, then two tiny aggregates
+# over the key-cardinality table (the top-5 goes through
+# orderBy+limit -> TakeOrderedAndProject, never a full sort). The skew
+# ratio (max key width / mean width) is the number that decides
+# between a plain shuffle join, AQE skew splitting, and an explicit
+# salted join (operators/skew.py).
+_SKEW_ORACLE = """
+WITH cnts AS (
+  SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY o_custkey
+),
+summary AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(n) AS BIGINT) AS max_n,
+         CAST(sum(n) AS BIGINT) AS total_rows,
+         round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 4) AS skew_ratio
+  FROM cnts
+),
+top5 AS (
+  SELECT string_agg(CAST(key AS VARCHAR) || ':' || CAST(n AS VARCHAR), ','
+                    ORDER BY n DESC, key) AS top_keys
+  FROM (SELECT key, n FROM cnts ORDER BY n DESC, key LIMIT 5)
+)
+SELECT n_keys, max_n, total_rows, skew_ratio, top_keys
+FROM summary CROSS JOIN top5
+"""
+
+
+@query("q_profile_join_skew", oracle=_SKEW_ORACLE)
+def q_profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cnts = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    summary = cnts.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_n"),
+        F.sum("n").cast("long").alias("total_rows"),
+        F.round(
+            F.max("n").cast("double") * F.count("*") / F.sum("n"), 4
+        ).alias("skew_ratio"),
+    )
+    top5 = (
+        cnts.orderBy(F.col("n").desc(), "key")
+        .limit(5)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct((-F.col("n")).alias("neg"), "key", "n"))
+                    ),
+                    lambda x: F.concat_ws(
+                        ":", x.key.cast("string"), x.n.cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("top_keys")
+        )
+    )
+    return summary.crossJoin(F.broadcast(top5))

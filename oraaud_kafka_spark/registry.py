@@ -176,6 +176,9 @@ _NEXT = (
     "q_tpch_q10",
     "q_tpch_q15",
     "q_tpch_q21",
+    "q_events_ab_welch",
+    "q_profile_join_skew",
+    "q_corpus_fingerprint",
     "q_set_intersect",
     "q_window_topk_per_group",
     "q_window_ranks",

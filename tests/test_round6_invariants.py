@@ -376,3 +376,63 @@ def test_tpch_q21_waiting_counts_positive(spark):
     assert all(r.numwait > 0 for r in rows)
     waits = [r.numwait for r in rows]
     assert waits == sorted(waits, reverse=True)
+
+
+def test_ab_welch_moments_sane(spark):
+    """Arms are non-empty, means are positive (fixture values > 0), and
+    the significance flag matches |t| > 1.96."""
+    rows = registry.QUERIES["q_events_ab_welch"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_a > 1 and r.n_b > 1
+        assert r.mean_a > 0 and r.mean_b > 0
+        assert r.welch_df > 1
+        assert r.significant == (abs(r.t_stat) > 1.96)
+
+
+def test_join_skew_report_consistent(spark):
+    rows = registry.QUERIES["q_profile_join_skew"](spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_keys > 0 and r.max_n >= 1
+    assert r.total_rows >= r.n_keys
+    assert r.skew_ratio >= 1.0
+    pairs = [p.split(":") for p in r.top_keys.split(",")]
+    assert len(pairs) == min(5, r.n_keys)
+    ns = [int(n) for _, n in pairs]
+    assert ns == sorted(ns, reverse=True)
+    assert ns[0] == r.max_n
+
+
+def test_corpus_fingerprint_detects_any_row_change(spark):
+    """The xor fingerprint is order-independent but content-sensitive:
+    recomputing over a reordered frame matches; changing one row does
+    not."""
+    from pyspark.sql import functions as F
+
+    from oraaud_kafka_spark.tables import load
+
+    rows = registry.QUERIES["q_corpus_fingerprint"](spark, SF_DIR).collect()
+    assert rows
+    d = load(spark, SF_DIR, "documents")
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), "source", "text")),
+            1, 15,
+        ), 16, 10,
+    ).cast("long")
+    reordered = (
+        d.orderBy(F.col("doc_id").desc())
+        .groupBy("source")
+        .agg(F.bit_xor(key).alias("fp"))
+        .collect()
+    )
+    got = {r.source: r.xor_fingerprint for r in rows}
+    assert {r.source: r.fp for r in reordered} == got
+    mutated = (
+        d.withColumn("text", F.when(F.col("doc_id") == 0, F.lit("x")).otherwise(F.col("text")))
+        .groupBy("source")
+        .agg(F.bit_xor(key).alias("fp"))
+        .collect()
+    )
+    assert {r.source: r.fp for r in mutated} != got
