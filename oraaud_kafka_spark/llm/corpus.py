@@ -702,7 +702,10 @@ def q_corpus_epochs_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same value) next to the row count and a total-byte tally. Two
 # corpora match iff (n_rows, xor_fingerprint, total_bytes) match —
 # detecting any changed, added, or dropped row without ordering or
-# sorting anything at any scale.
+# sorting anything at any scale. Rows with a NULL key field are
+# excluded from the xor on BOTH engines (SQL '||' and F.concat both
+# null the key; bit_xor skips nulls) but still counted in n_rows, so a
+# corpus differing only in null rows still differs in the row count.
 # ---------------------------------------------------------------------------
 
 _FP_ORACLE = """
@@ -721,11 +724,20 @@ ORDER BY source
 @query("q_corpus_fingerprint", oracle=_FP_ORACLE)
 def q_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    # F.concat (NOT concat_ws): both engines null the key when any
+    # field is NULL, and bit_xor skips nulls identically — concat_ws
+    # would silently drop the null field on the Spark side only,
+    # diverging the fingerprints. Null rows are excluded from the
+    # checksum on both engines (documented contract).
     row_key = F.conv(
         F.substring(
             F.md5(
-                F.concat_ws(
-                    "|", F.col("doc_id").cast("string"), "source", "text"
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("|"),
+                    F.col("source"),
+                    F.lit("|"),
+                    F.col("text"),
                 )
             ),
             1,

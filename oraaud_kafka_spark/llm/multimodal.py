@@ -432,11 +432,13 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.min("doc_id").alias("keeper_doc_id"),
             F.array_join(
-                F.slice(
-                    F.sort_array(F.collect_list("doc_id")).cast("array<string>"),
-                    2,
-                    1_000_000,
-                ),
+                F.expr(
+                    # drop the first (= keeper, the min) element; a
+                    # column-length slice, so no fixed cap a giant
+                    # duplicate bucket could silently overflow
+                    "slice(sort_array(collect_list(doc_id)), 2, "
+                    "greatest(size(collect_list(doc_id)) - 1, 1))"
+                ).cast("array<string>"),
                 ",",
             ).alias("dropped_doc_ids"),
         )

@@ -619,8 +619,9 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quadratic. Float determinism: each token's ln() is rounded to 12
 # decimals and converted to an EXACT decimal before the per-doc sum, so
 # the sum is order-independent (plain partial-agg'd SUM — no per-doc
-# sorted collect, no fold) and the 6-dp mean rounding swamps any
-# sub-12-dp ln() noise. This replaced a position-sorted
+# sorted collect, no fold), the wide sum casts straight to double (no
+# narrowing decimal that could overflow on long documents), and the
+# 6-dp mean rounding swamps any sub-12-dp ln() noise. This replaced a position-sorted
 # collect_list+fold: same values at both test scales, one less
 # per-group sort, and the aggregation stays map-side partial.
 # ---------------------------------------------------------------------------
@@ -643,8 +644,7 @@ lp AS (
 doc AS (
   SELECT doc_id, lang,
          count(*) AS n_toks,
-         round(CAST(CAST(sum(lp_dec) AS DECIMAL(18,12)) AS DOUBLE)
-               / count(*), 6) AS avg_logprob
+         round(CAST(sum(lp_dec) AS DOUBLE) / count(*), 6) AS avg_logprob
   FROM lp GROUP BY doc_id, lang
 )
 """
@@ -677,11 +677,16 @@ def unigram_logprob_scores(d: DataFrame) -> DataFrame:
             .alias("lp_dec"),
         )
     )
+    # The wide decimal sum casts STRAIGHT to double: a narrowing cast
+    # (e.g. DECIMAL(18,12)) would overflow for ~1e5-token documents.
+    # DuckDB's wide-decimal->double cast drifts <=~1 ulp of the SUM, so
+    # the cross-engine divergence on the MEAN is <= 2*ulp(sum)/n =
+    # 2*|mean|*2^-52 ~ 1e-14 — swallowed by the 6-dp rounding at any
+    # document length.
     return scored.groupBy("doc_id", "lang").agg(
         F.count("*").alias("n_toks"),
         F.round(
-            F.sum("lp_dec").cast("decimal(18,12)").cast("double")
-            / F.count("*"),
+            F.sum("lp_dec").cast("double") / F.count("*"),
             6,
         ).alias("avg_logprob"),
     )
@@ -996,8 +1001,7 @@ lp AS (
 )
 SELECT doc_id, lang,
        CAST(count(*) AS BIGINT) AS n_transitions,
-       round(CAST(CAST(sum(lp_dec) AS DECIMAL(18,12)) AS DOUBLE)
-             / count(*), 6) AS avg_logprob
+       round(CAST(sum(lp_dec) AS DOUBLE) / count(*), 6) AS avg_logprob
 FROM lp
 GROUP BY doc_id, lang
 ORDER BY doc_id
@@ -1043,9 +1047,9 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         lp.groupBy("doc_id", "lang")
         .agg(
             F.count("*").cast("long").alias("n_transitions"),
+            # straight wide-decimal->double: see unigram scorer note
             F.round(
-                F.sum("lp_dec").cast("decimal(18,12)").cast("double")
-                / F.count("*"),
+                F.sum("lp_dec").cast("double") / F.count("*"),
                 6,
             ).alias("avg_logprob"),
         )
@@ -1081,10 +1085,10 @@ src AS (
 )
 SELECT source, n_tokens, vocab,
        round(ln(CAST(n_tokens AS DOUBLE))
-             - CAST(CAST(s AS DECIMAL(18,6)) AS DOUBLE) / n_tokens, 6)
+             - CAST(s AS DOUBLE) / n_tokens, 6)
          AS entropy_nats,
        round((ln(CAST(n_tokens AS DOUBLE))
-              - CAST(CAST(s AS DECIMAL(18,6)) AS DOUBLE) / n_tokens)
+              - CAST(s AS DOUBLE) / n_tokens)
              / ln(CAST(vocab AS DOUBLE)), 6) AS normalized_entropy
 FROM src
 ORDER BY source
@@ -1105,9 +1109,13 @@ def q_text_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("vocab"),
         F.sum(term).alias("s"),
     )
+    # straight wide-decimal->double: a DECIMAL(18,6) narrow would
+    # overflow once a source's sum(c*ln c) passes 1e12 (a ~1e11-token
+    # corpus slice); cast drift is <= ulp(s), i.e. <= (s/n)*2^-52 on
+    # the per-token term — swallowed by the 6-dp rounding
     h = F.log(F.col("n_tokens").cast("double")) - F.col("s").cast(
-        "decimal(18,6)"
-    ).cast("double") / F.col("n_tokens")
+        "double"
+    ) / F.col("n_tokens")
     return src.select(
         "source",
         "n_tokens",

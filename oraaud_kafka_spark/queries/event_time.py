@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load
-from . import DEC, dsum, sql_davg, sql_dsum, sql_to_dbl, to_dbl
+from . import DEC, davg, dsum, sql_davg, sql_dsum, sql_to_dbl, to_dbl
 
 _TUMBLE_ORACLE = f"""
 SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start,
@@ -977,9 +977,7 @@ def q_time_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(
         F.count("*").alias("n_events"),
-        (to_dbl(F.sum(F.col("value").cast(DEC))) / F.count("value")).alias(
-            "hour_avg"
-        ),
+        davg("value").alias("hour_avg"),
     )
     spans = hourly.groupBy("user_id").agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
@@ -1141,7 +1139,7 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = e.groupBy("user_id").agg(
         F.max("ts").alias("last_ts"),
         F.count("*").cast("long").alias("frequency"),
-        to_dbl(F.sum(F.col("value").cast(DEC))).alias("monetary"),
+        dsum("value").alias("monetary"),
     )
     now_ts = e.agg(F.max("ts").alias("now"))
     base = per_user.crossJoin(F.broadcast(now_ts)).select(
@@ -1208,8 +1206,8 @@ stats AS (
   SELECT event_type,
          CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
          s1_a / n_a AS mean_a, s1_b / n_b AS mean_b,
-         (s2_a - s1_a * s1_a / n_a) / (n_a - 1) AS var_a,
-         (s2_b - s1_b * s1_b / n_b) / (n_b - 1) AS var_b
+         greatest((s2_a - s1_a * s1_a / n_a) / (n_a - 1), 0.0) AS var_a,
+         greatest((s2_b - s1_b * s1_b / n_b) / (n_b - 1), 0.0) AS var_b
   FROM wide
 )
 SELECT event_type, n_a, n_b,
@@ -1231,7 +1229,7 @@ def q_events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("value").cast(DEC)
     arms = e.groupBy("event_type", (F.col("user_id") % 2).alias("arm")).agg(
         F.count("*").alias("n"),
-        to_dbl(F.sum(v)).alias("s1"),
+        dsum("value").alias("s1"),
         to_dbl(F.sum(v * v)).alias("s2"),
     )
     a = arms.filter(F.col("arm") == 0).select(
@@ -1245,11 +1243,19 @@ def q_events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = a.join(b, "event_type")
     mean_a = F.col("s1_a") / F.col("n_a")
     mean_b = F.col("s1_b") / F.col("n_b")
-    var_a = (F.col("s2_a") - F.col("s1_a") * F.col("s1_a") / F.col("n_a")) / (
-        F.col("n_a") - 1
+    # greatest(-, 0): the moment formula cancels catastrophically on a
+    # near-constant arm and can produce a tiny NEGATIVE variance in
+    # doubles; unclamped, sqrt(se2) is a hard error in the oracle and
+    # NaN here. Clamped identically on both engines.
+    var_a = F.greatest(
+        (F.col("s2_a") - F.col("s1_a") * F.col("s1_a") / F.col("n_a"))
+        / (F.col("n_a") - 1),
+        F.lit(0.0),
     )
-    var_b = (F.col("s2_b") - F.col("s1_b") * F.col("s1_b") / F.col("n_b")) / (
-        F.col("n_b") - 1
+    var_b = F.greatest(
+        (F.col("s2_b") - F.col("s1_b") * F.col("s1_b") / F.col("n_b"))
+        / (F.col("n_b") - 1),
+        F.lit(0.0),
     )
     se2 = var_a / F.col("n_a") + var_b / F.col("n_b")
     t = (mean_a - mean_b) / F.sqrt(se2)

@@ -282,13 +282,27 @@ def test_shuffle_deterministic_balanced_and_stable(spark):
 
 
 def test_ewma_level_bounds(spark):
-    """Zero-seeded EWMA lies strictly below the per-user max value and
-    above min(0, min value); n_events positive."""
+    """Zero-seeded EWMA of positive values is a convex combination of
+    {0} U values: 0 < level <= max(value) per user, with n_events
+    matching the user's event count."""
+    from pyspark.sql import functions as F
+
+    from oraaud_kafka_spark.tables import load
+
     rows = registry.QUERIES["q_time_ewma_level"](spark, SF_DIR).collect()
     assert rows
+    per_user = {
+        r.user_id: r
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.max("value").alias("mx"), F.count("*").alias("n"))
+        .collect()
+    }
     for r in rows:
-        assert r.n_events > 0
+        u = per_user[r.user_id]
+        assert r.n_events == u.n
         assert math.isfinite(r.ewma_level)
+        assert 0 < r.ewma_level <= u.mx + 1e-12
 
 
 def test_bigram_logprob_below_unigram_entropy_bound(spark):
