@@ -97,6 +97,7 @@ EXTRAS = [
     "q_events_ab_welch",         # Welch t-test from exact moments
     "q_profile_join_skew",       # hot-key skew diagnostic
     "q_corpus_fingerprint",      # order-free xor dataset checksum
+    "q_time_rollup_merge",       # lossless partial-aggregate merge
 ]
 
 

@@ -1273,3 +1273,68 @@ def q_events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(df_w, 2).alias("welch_df"),
         F.when(F.abs(t) > 1.96, 1).otherwise(0).alias("significant"),
     ).orderBy("event_type")
+
+
+# Incremental rollup maintenance: the lakehouse pattern where a nightly
+# job merges the NEW partition's partial aggregates into the standing
+# rollup instead of rescanning history. The Spark side deliberately
+# computes the hourly (type, hour) rollup as two DISJOINT slices (a
+# historical half and a "late-arriving" half split at the corpus
+# median-ish cutoff), aggregates each independently, and MERGES the
+# partials — counts add, exact-decimal sums add, min/max fold — while
+# the oracle computes the same rollup from scratch over all events. A
+# green hash row is the algebraic proof the merge is lossless, i.e.
+# every aggregate here is a commutative monoid the engine can maintain
+# incrementally at 100 TB (the same property that makes them
+# partial-aggregable map-side). avg is NOT merged directly — it is
+# derived sum/count at read time, the only safe way.
+_MERGE_CUTOFF = "1995-06-01"
+
+_ROLLUP_MERGE_ORACLE = f"""
+SELECT event_type, date_trunc('hour', ts) AS h,
+       CAST(count(*) AS BIGINT) AS n,
+       {sql_dsum('value')} AS total_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       {sql_dsum('value')} / count(*) AS avg_value
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+ORDER BY event_type, h
+"""
+
+
+@query("q_time_rollup_merge", oracle=_ROLLUP_MERGE_ORACLE)
+def q_time_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    cutoff = F.lit(_MERGE_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).alias("dec_sum"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+    old_half = partial(e.filter(F.col("ts") < cutoff))
+    new_half = partial(e.filter(F.col("ts") >= cutoff))
+    merged = (
+        old_half.unionByName(new_half)
+        .groupBy("event_type", "h")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("dec_sum").alias("dec_sum"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "h",
+        "n",
+        to_dbl(F.col("dec_sum")).alias("total_value"),
+        "min_value",
+        "max_value",
+        (to_dbl(F.col("dec_sum")) / F.col("n")).alias("avg_value"),
+    ).orderBy("event_type", "h")

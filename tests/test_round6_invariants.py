@@ -450,3 +450,31 @@ def test_corpus_fingerprint_detects_any_row_change(spark):
         .collect()
     )
     assert {r.source: r.fp for r in mutated} != got
+
+
+def test_rollup_merge_equals_direct(spark):
+    """The merged-partials rollup must be row-identical to a direct
+    single-pass rollup computed here."""
+    from pyspark.sql import functions as F
+
+    from oraaud_kafka_spark.queries import DEC, to_dbl
+    from oraaud_kafka_spark.tables import load
+
+    got = registry.QUERIES["q_time_rollup_merge"](spark, SF_DIR).collect()
+    direct = (
+        load(spark, SF_DIR, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            to_dbl(F.sum(F.col("value").cast(DEC))).alias("total_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type", "h")
+        .collect()
+    )
+    assert len(got) == len(direct)
+    for g, d in zip(got, direct):
+        assert (g.event_type, g.h, g.n) == (d.event_type, d.h, d.n)
+        assert g.total_value == d.total_value
+        assert g.min_value == d.min_value and g.max_value == d.max_value
