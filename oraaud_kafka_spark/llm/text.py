@@ -796,12 +796,18 @@ ORDER BY doc_id
 def q_text_dup_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
-    grams = F.array_sort(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - _DUP_W),
-            lambda i: F.array_join(F.slice(toks, i + 1, _DUP_W), " "),
-        )
-    )
+    # guard: for docs with < _DUP_W tokens, F.sequence(0, size - W)
+    # would DESCEND to [0, -1] and slice() would throw — emit an empty
+    # gram list instead (the oracle's range() is empty there already)
+    grams = F.when(
+        F.size(toks) >= _DUP_W,
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - _DUP_W),
+                lambda i: F.array_join(F.slice(toks, i + 1, _DUP_W), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     g = d.select("doc_id", "lang", grams.alias("grams"))
     n = F.size("grams")
     total_chars = F.aggregate(

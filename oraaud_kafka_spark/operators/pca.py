@@ -47,6 +47,11 @@ def _col_means(vectors: DataFrame, vec_col: str, dim: int) -> list[float]:
     )
     mu = [0.0] * dim
     for r in rows:
+        if r["j"] >= dim:
+            raise ValueError(
+                f"ragged embedding input: found dimension index {r['j']} "
+                f">= declared dim {dim}; all vectors must be rectangular"
+            )
         mu[r["j"]] = float(r["m"])
     return mu
 

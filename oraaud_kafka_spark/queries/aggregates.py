@@ -610,7 +610,6 @@ def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     per_cell = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.hll_sketch_agg("l_orderkey", 14).alias("sketch"),
-        F.count_distinct("l_orderkey").alias("cell_exact"),
     )
     return (
         per_cell.groupBy("l_returnflag")

@@ -519,7 +519,10 @@ def q_join_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+            # ~is_high (not otherwise(1)): the oracle's NOT IN yields
+            # NULL->0 for a NULL priority; when(~NULL, 1).otherwise(0)
+            # matches that, when(is_high, 0).otherwise(1) would not
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
             F.count("*").alias("n_lines"),
         )
         .orderBy("l_linestatus")

@@ -11,9 +11,12 @@ Prints one line per query and a final summary; exit code 1 on any mismatch.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
