@@ -323,3 +323,78 @@ def ewma_levels(df: DataFrame) -> DataFrame:
             "NoTimeout",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance, live: the streaming counterpart of
+# q_time_rollup_merge (queries/event_time.py). Each micro-batch
+# partial-aggregates ONLY its own rows, then merges those partials into
+# a standing parquet rollup — counts and exact-decimal sums add,
+# min/max fold — so the maintained table always equals a from-scratch
+# rollup over everything ingested (the batch operator's hash-proven
+# merge algebra, applied per trigger). History is never rescanned: per
+# trigger the engine reads the standing rollup (rollup-cardinality,
+# not event-cardinality), merges, and atomically swaps directories.
+# foreachBatch is at-least-once; the batch-id marker makes a replayed
+# batch detectable so the merge is effectively exactly-once.
+# ---------------------------------------------------------------------------
+
+
+def rollup_maintainer(base_dir: str):
+    """foreachBatch callback maintaining an hourly (event_type, h)
+    rollup under ``base_dir``: ``current/`` holds the standing rollup,
+    ``_last_batch`` the idempotency marker."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    DEC = "decimal(18,4)"
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = os.path.join(base_dir, "_last_batch")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if int(fh.read().strip()) >= batch_id:
+                    return  # replayed batch — already merged
+        partial = batch_df.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        ).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast(DEC)).alias("dec_sum"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        current = os.path.join(base_dir, "current")
+        if os.path.exists(current):
+            standing = spark.read.parquet(current)
+            merged = (
+                standing.unionByName(partial)
+                .groupBy("event_type", "h")
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.sum("dec_sum").cast(DEC).alias("dec_sum"),
+                    F.min("min_value").alias("min_value"),
+                    F.max("max_value").alias("max_value"),
+                )
+            )
+        else:
+            merged = partial
+        staged = os.path.join(base_dir, f"_stage_batch={batch_id}")
+        merged.write.mode("overwrite").parquet(staged)
+        final_swap = os.path.join(base_dir, "_swap")
+        if os.path.exists(final_swap):
+            import shutil
+
+            shutil.rmtree(final_swap)
+        if os.path.exists(current):
+            os.rename(current, final_swap)
+        os.rename(staged, current)
+        if os.path.exists(final_swap):
+            import shutil
+
+            shutil.rmtree(final_swap)
+        with open(marker, "w") as fh:
+            fh.write(str(batch_id))
+
+    return merge_batch

@@ -441,3 +441,81 @@ def test_ewma_levels_match_batch_fold_across_batches(spark, tmp_path):
             assert abs(latest[u].ewma_level - lvl) < 1e-12
     finally:
         q.stop()
+
+
+def test_rollup_maintainer_equals_batch_recompute(spark, tmp_path):
+    """Streaming incremental rollup: two micro-batches merged into the
+    standing table must equal a from-scratch rollup over all rows, and
+    a replayed batch id must be a no-op (idempotency marker)."""
+    from pyspark.sql import functions as F
+
+    from oraaud_kafka_spark.streaming.analytics import rollup_maintainer
+
+    d = tmp_path / "events"
+    d.mkdir()
+    rows1 = [
+        {"user_id": 1, "ts": "2026-01-01T00:05:00", "event_id": 1,
+         "event_type": "view", "value": 10.0},
+        {"user_id": 2, "ts": "2026-01-01T00:45:00", "event_id": 2,
+         "event_type": "view", "value": 4.0},
+        {"user_id": 1, "ts": "2026-01-01T01:10:00", "event_id": 3,
+         "event_type": "click", "value": 2.5},
+    ]
+    rows2 = [
+        {"user_id": 3, "ts": "2026-01-01T00:20:00", "event_id": 4,
+         "event_type": "view", "value": 6.0},
+        {"user_id": 1, "ts": "2026-01-01T01:30:00", "event_id": 5,
+         "event_type": "click", "value": 1.5},
+    ]
+    _write_jsonl(d / "b1.json", rows1)
+    _write_jsonl(d / "b2.json", rows2)
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    out = tmp_path / "rollup"
+    out.mkdir()
+    writer = rollup_maintainer(str(out))
+    stream = _stream_json(spark, d, schema, latestFirst="false")
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    maintained = {
+        (r.event_type, r.h): (r.n, float(r.dec_sum), r.min_value, r.max_value)
+        for r in spark.read.parquet(str(out / "current")).collect()
+    }
+    all_rows = spark.createDataFrame(
+        [tuple(r.values()) for r in rows1 + rows2],
+        "user_id long, ts string, event_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    direct = {
+        (r.event_type, r.h): (r.n, float(r.dec_sum), r.min_value, r.max_value)
+        for r in all_rows.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("dec_sum"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert maintained == direct
+    # replay the last batch id: must be a no-op
+    before = maintained
+    writer(all_rows, 1)
+    after = {
+        (r.event_type, r.h): (r.n, float(r.dec_sum), r.min_value, r.max_value)
+        for r in spark.read.parquet(str(out / "current")).collect()
+    }
+    assert after == before
