@@ -98,6 +98,7 @@ EXTRAS = [
     "q_profile_join_skew",       # hot-key skew diagnostic
     "q_corpus_fingerprint",      # order-free xor dataset checksum
     "q_time_rollup_merge",       # lossless partial-aggregate merge
+    "q_sql_recursive_paths",     # WITH RECURSIVE reachability
 ]
 
 

@@ -250,3 +250,45 @@ def q_sql_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_CTE_SQL)
+
+
+# Recursive CTE (Spark 4's WITH RECURSIVE, same text on both engines):
+# bounded reachability over the OBSERVED event-type transition graph —
+# "which behavior sequences up to 3 hops can follow a signup". The
+# seed + step + depth bound is the canonical iterate-to-fixpoint SQL
+# shape (graph reachability, org rollups, BOM explosion); the edge
+# list is derived in-query from per-user lag pairs, and the recursion
+# is bounded by the depth guard so path growth is n_types^depth, not
+# corpus-sized. Spark plans each recursive step as a fresh join against
+# the (tiny, distinct-typed) edge table — at 100 TB the event scan
+# happens ONCE to build edges; iteration touches only type-cardinality
+# rows. Depth is cast to BIGINT so both engines agree on the schema.
+_RECURSIVE_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT prev_type, event_type AS next_type
+  FROM (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+  )
+  WHERE prev_type IS NOT NULL
+),
+paths(depth, last_type, path) AS (
+  SELECT CAST(1 AS BIGINT), next_type, 'signup->' || next_type
+  FROM edges WHERE prev_type = 'signup'
+  UNION ALL
+  SELECT p.depth + 1, e.next_type, p.path || '->' || e.next_type
+  FROM paths p JOIN edges e ON e.prev_type = p.last_type
+  WHERE p.depth < 3
+)
+SELECT depth, path FROM paths ORDER BY depth, path
+"""
+
+
+@query("q_sql_recursive_paths", oracle=_RECURSIVE_SQL)
+def q_sql_recursive_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)

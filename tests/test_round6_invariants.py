@@ -478,3 +478,18 @@ def test_rollup_merge_equals_direct(spark):
         assert (g.event_type, g.h, g.n) == (d.event_type, d.h, d.n)
         assert g.total_value == d.total_value
         assert g.min_value == d.min_value and g.max_value == d.max_value
+
+
+def test_recursive_paths_well_formed(spark):
+    """Every path starts at signup, has depth hops, and each prefix of a
+    depth-k path exists as a depth-(k-1) path."""
+    rows = registry.QUERIES["q_sql_recursive_paths"](spark, SF_DIR).collect()
+    assert rows
+    paths = {(r.depth, r.path) for r in rows}
+    assert all(1 <= d <= 3 for d, _ in paths)
+    for d, p in paths:
+        hops = p.split("->")
+        assert hops[0] == "signup"
+        assert len(hops) == d + 1
+        if d > 1:
+            assert (d - 1, "->".join(hops[:-1])) in paths
