@@ -215,3 +215,64 @@ def compact_parquet(
         .parquet(dst_dir)
     )
     return n_files
+
+
+def _morton_interleave(a, b):
+    """Interleave the low 16 bits of two long columns into a 32-bit
+    Morton (Z-curve) key — pure JVM bit expressions, the classic
+    parallel bit-spread: x = (x | x<<8) & M1; (x | x<<4) & M2; ...
+    then key = spread(a) | spread(b) << 1."""
+    from pyspark.sql import functions as F
+
+    def spread(x):
+        x = x.bitwiseAND(F.lit(0xFFFF))
+        x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+        x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+        x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+        x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+        return x
+
+    return spread(a).bitwiseOR(F.shiftleft(spread(b), 1))
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    *,
+    n_files: int = 8,
+    mode: str = "error",
+) -> None:
+    """Write ``df`` as parquet laid out along a Z-curve over two numeric
+    columns — the data-skipping layout (Delta OPTIMIZE ZORDER BY /
+    Iceberg sort orders) that makes BOTH columns' per-file min/max
+    statistics selective, so point/range predicates on EITHER column
+    prune files at plan time. Each column is rank-normalized to 16 bits
+    (percent_rank — distribution-proof, skew cannot collapse buckets),
+    the Morton key interleaves them, and repartitionByRange + a
+    within-partition sort cluster the curve. At 100 TB this is the
+    difference between a scan touching every file and touching
+    ~1/n_files of them for a 2-D selective predicate; the range
+    exchange samples the key, it never globally sorts the data twice.
+
+    Scale note: percent_rank here runs one global-window pass, which
+    single-tasks at extreme row counts — on a real cluster swap the
+    rank normalization for approxQuantile-derived bucket boundaries
+    (or direct bit truncation when the columns are already uniform
+    ids); the Morton interleave and the range-partitioned write are
+    unchanged.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    c1, c2 = cols
+    b1 = (F.percent_rank().over(Window.orderBy(c1)) * 65535).cast("long")
+    b2 = (F.percent_rank().over(Window.orderBy(c2)) * 65535).cast("long")
+    keyed = df.withColumn("__z", _morton_interleave(b1, b2))
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -163,3 +163,53 @@ def test_compact_parquet_single_slash_uris(spark, tmp_path):
     n = compact_parquet(spark, f"file:{frag_dir}", out_dir, target_file_mb=128)
     assert n == 1  # tiny dataset: sized from REAL bytes, not zero
     assert spark.read.parquet(out_dir).count() == 1000
+
+
+def test_zorder_write_narrows_both_columns_stats(spark, tmp_path):
+    """Z-ordered layout must (a) preserve rows exactly and (b) make the
+    per-file min/max spans of BOTH layout columns substantially
+    narrower than the global span — the property parquet data skipping
+    prunes on. A single-column sort would narrow one column and leave
+    the other at ~full span per file."""
+    import pyarrow.parquet as pq
+
+    from oraaud_kafka_spark.sources.tabular import zorder_write
+    from oraaud_kafka_spark.tables import load
+
+    from .conftest import SF_DIR
+
+    li = load(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    out = str(tmp_path / "zorder")
+    zorder_write(li, out, ("l_orderkey", "l_partkey"), n_files=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    assert sorted(back.columns) == sorted(li.columns)
+
+    import glob
+    import os
+
+    spans = {"l_orderkey": [], "l_partkey": []}
+    globals_ = {}
+    for f in glob.glob(os.path.join(out, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if name in spans:
+                    st = col.statistics
+                    spans[name].append(st.max - st.min)
+                    lo, hi = globals_.get(name, (st.min, st.max))
+                    globals_[name] = (min(lo, st.min), max(hi, st.max))
+    for name, ss in spans.items():
+        assert len(ss) >= 4  # actually split into multiple files/groups
+        global_span = globals_[name][1] - globals_[name][0]
+        # mean per-file span must be well under the global span on BOTH
+        # dimensions (Z-curve locality); generous 0.7 bound is robust to
+        # range-partition boundary noise while a non-clustered column
+        # would sit at ~1.0
+        assert sum(ss) / len(ss) < 0.7 * global_span, name
