@@ -259,10 +259,12 @@ def q_sql_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shape (graph reachability, org rollups, BOM explosion); the edge
 # list is derived in-query from per-user lag pairs, and the recursion
 # is bounded by the depth guard so path growth is n_types^depth, not
-# corpus-sized. Spark plans each recursive step as a fresh join against
-# the (tiny, distinct-typed) edge table — at 100 TB the event scan
-# happens ONCE to build edges; iteration touches only type-cardinality
-# rows. Depth is cast to BIGINT so both engines agree on the schema.
+# corpus-sized. Each recursive step joins only type-cardinality rows;
+# whether Spark's UnionLoop re-evaluates the inlined `edges` CTE per
+# step is planner-internal, so at 100 TB materialize the (tiny) edge
+# table first (CTAS / cache) and recurse over THAT — the recursion
+# itself never touches event-cardinality data either way. Depth is
+# cast to BIGINT so both engines agree on the schema.
 _RECURSIVE_SQL = """
 WITH RECURSIVE edges AS (
   SELECT DISTINCT prev_type, event_type AS next_type
