@@ -99,6 +99,7 @@ EXTRAS = [
     "q_corpus_fingerprint",      # order-free xor dataset checksum
     "q_time_rollup_merge",       # lossless partial-aggregate merge
     "q_sql_recursive_paths",     # WITH RECURSIVE reachability
+    "q_quality_constraints",     # one-scan data-quality report
 ]
 
 

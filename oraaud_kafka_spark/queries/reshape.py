@@ -269,3 +269,71 @@ def q_profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return summary.crossJoin(F.broadcast(top5))
+
+
+# Data-quality constraint report (operators/quality.py — the Deequ/
+# Great-Expectations shape): column predicates compile into ONE
+# conditional-sum scan, uniqueness is one key-only groupBy, referential
+# integrity is one anti join against the distinct parent keys — three
+# bounded jobs unioned into an exact integer report. The constraint
+# set below is the lineitem contract a warehouse would actually pin.
+_QUALITY_ORACLE = """
+WITH pred AS (
+  SELECT
+    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS nn,
+    sum(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50)
+              OR l_quantity IS NULL THEN 1 ELSE 0 END) AS rng,
+    sum(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 0.1)
+              OR l_discount IS NULL THEN 1 ELSE 0 END) AS disc,
+    sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+              OR l_returnflag IS NULL THEN 1 ELSE 0 END) AS flag
+  FROM lineitem
+),
+uniq AS (
+  SELECT coalesce(sum(n), 0) AS v
+  FROM (SELECT count(*) AS n FROM lineitem
+        GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+),
+refi AS (
+  SELECT count(*) AS v FROM lineitem
+  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+)
+SELECT constraint_name, CAST(n_violations AS BIGINT) AS n_violations,
+       CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
+FROM (
+  SELECT 'not_null(l_orderkey)' AS constraint_name, nn AS n_violations FROM pred
+  UNION ALL SELECT 'range(l_quantity,1,50)', rng FROM pred
+  UNION ALL SELECT 'range(l_discount,0,0.1)', disc FROM pred
+  UNION ALL SELECT 'in_set(l_returnflag)', flag FROM pred
+  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', v FROM uniq
+  UNION ALL SELECT 'ref(l_orderkey->o_orderkey)', v FROM refi
+)
+ORDER BY constraint_name
+"""
+
+
+@query("q_quality_constraints", oracle=_QUALITY_ORACLE)
+def q_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import (
+        predicate_violations,
+        quality_report,
+        referential_violations,
+        uniqueness_violations,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    preds = predicate_violations(
+        li,
+        {
+            "not_null(l_orderkey)": F.col("l_orderkey").isNotNull(),
+            "range(l_quantity,1,50)": (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 50),
+            "range(l_discount,0,0.1)": (F.col("l_discount") >= 0)
+            & (F.col("l_discount") <= 0.1),
+            "in_set(l_returnflag)": F.col("l_returnflag").isin("A", "N", "R"),
+        },
+    )
+    uniq = uniqueness_violations(li, ["l_orderkey", "l_linenumber"])
+    refi = referential_violations(li, o, ("l_orderkey", "o_orderkey"))
+    return quality_report([preds, uniq, refi])

@@ -181,6 +181,7 @@ _NEXT = (
     "q_corpus_fingerprint",
     "q_time_rollup_merge",
     "q_sql_recursive_paths",
+    "q_quality_constraints",
     "q_set_intersect",
     "q_window_topk_per_group",
     "q_window_ranks",

@@ -493,3 +493,44 @@ def test_recursive_paths_well_formed(spark):
         assert len(hops) == d + 1
         if d > 1:
             assert (d - 1, "->".join(hops[:-1])) in paths
+
+
+def test_quality_constraints_clean_fixture(spark):
+    """Report is self-consistent: passed == (violations == 0), the clean
+    constraints pass, the genuinely-duplicated fixture key FIRES the
+    uniqueness detector, and the builder's null-is-violation rule is
+    exercised via a poisoned frame."""
+    rows = registry.QUERIES["q_quality_constraints"](spark, SF_DIR).collect()
+    assert len(rows) == 6
+    by_name = {r.constraint_name: r for r in rows}
+    for r in rows:
+        assert r.passed == (1 if r.n_violations == 0 else 0)
+    # the fixture is clean on nulls/ranges/membership/referential...
+    for name in (
+        "not_null(l_orderkey)",
+        "range(l_quantity,1,50)",
+        "range(l_discount,0,0.1)",
+        "in_set(l_returnflag)",
+        "ref(l_orderkey->o_orderkey)",
+    ):
+        assert by_name[name].passed == 1, name
+    # ...but its generator reuses line numbers within an order — the
+    # uniqueness detector must actually FIRE on that (and the oracle
+    # agrees on the exact count via the parity gate)
+    assert by_name["unique(l_orderkey,l_linenumber)"].n_violations > 0
+
+    from pyspark.sql import functions as F
+
+    from oraaud_kafka_spark.operators.quality import predicate_violations
+
+    bad = spark.createDataFrame(
+        [(1,), (None,), (60,)], "q int"
+    )
+    out = {
+        r.constraint_name: r.n_violations
+        for r in predicate_violations(
+            bad, {"range(q,1,50)": (F.col("q") >= 1) & (F.col("q") <= 50)}
+        ).collect()
+    }
+    # NULL counts as a violation (unknown is not satisfied), 60 out of range
+    assert out == {"range(q,1,50)": 2}
