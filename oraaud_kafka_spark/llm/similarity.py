@@ -566,3 +566,107 @@ def q_rag_retrieve_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rnk", "doc_id", "cosine", "lang", "source", "n_chars")
         .orderBy("qid", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN classification eval: the standard "are these embeddings any
+# good" harness — hold out the first N_QUERIES vectors, predict each
+# one's label by majority vote of its TOP_K cosine neighbors in the
+# rest of the corpus, and report per-label accuracy. Exactly the brute
+# top-k machinery (broadcast queries × corpus, hoisted norms, ranked
+# window) plus two integer aggregations: votes per (query, label) with
+# a deterministic (count desc, label) argmax, then exact n_correct /
+# n_queries per true label. At scale the neighbor search swaps to the
+# IVF/LSH paths unchanged — the eval only consumes (qid, label) pairs.
+# ---------------------------------------------------------------------------
+
+_KNN_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS true_label
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.qid, q.true_label, e.label,
+         {_sql_dot('q.qv', 'e.embedding')} / ({_sql_norm('q.qv')} * {_sql_norm('e.embedding')}) AS cosine,
+         e.vec_id AS nid
+  FROM q JOIN embeddings e ON e.vec_id >= {N_QUERIES}
+),
+topk AS (
+  SELECT qid, true_label, label
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+        FROM scored)
+  WHERE rnk <= {TOP_K}
+),
+votes AS (
+  SELECT qid, true_label, label, count(*) AS n_votes
+  FROM topk GROUP BY qid, true_label, label
+),
+pred AS (
+  SELECT qid, true_label, label AS predicted
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY n_votes DESC, label) AS vr
+        FROM votes)
+  WHERE vr = 1
+)
+SELECT true_label,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN predicted = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(sum(CASE WHEN predicted = true_label THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS accuracy
+FROM pred
+GROUP BY true_label
+ORDER BY true_label
+"""
+
+
+@query("q_sim_knn_eval", oracle=_KNN_ORACLE)
+def q_sim_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("true_label"),
+        )
+        .withColumn("qnorm", _norm(F.col("qv")))
+    )
+    corpus = spread(
+        e.filter(F.col("vec_id") >= N_QUERIES).select(
+            F.col("vec_id").alias("nid"), "label", F.col("embedding").alias("nv")
+        )
+    ).withColumn("nnorm", _norm(F.col("nv")))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .select(
+            "qid",
+            "true_label",
+            "label",
+            "nid",
+            (_dot(F.col("qv"), F.col("nv")) / (F.col("qnorm") * F.col("nnorm")))
+            .alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    topk = scored.withColumn("rnk", F.row_number().over(wk)).filter(
+        F.col("rnk") <= TOP_K
+    )
+    votes = topk.groupBy("qid", "true_label", "label").agg(
+        F.count("*").alias("n_votes")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.col("n_votes").desc(), F.col("label"))
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("qid", "true_label", F.col("label").alias("predicted"))
+    )
+    correct = F.sum(
+        F.when(F.col("predicted") == F.col("true_label"), 1).otherwise(0)
+    )
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            correct.cast("long").alias("n_correct"),
+            (correct.cast("double") / F.count("*")).alias("accuracy"),
+        )
+        .orderBy("true_label")
+    )

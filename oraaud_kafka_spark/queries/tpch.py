@@ -2,13 +2,14 @@
 the family modules — Q4 (priority checking via EXISTS), Q7 (two-nation
 volume shipping), Q8 (national market share), Q10 (returned-item
 reporting), Q15 (top supplier vs a scalar max), Q21 (waiting-orders
-multi-EXISTS). Together with Q1/Q3/Q5/Q6/Q12/Q13/Q14/Q17/Q18/Q19/Q22
+multi-EXISTS), Q9 (profit by nation/year, supply cost proxied from
+p_retailprice). Together with Q1/Q3/Q5/Q6/Q12/Q13/Q14/Q17/Q18/Q19/Q22
 in pricing/joins/filters/aggregates/subqueries, the engine runs every
-TPC-H query expressible over the fixture schema (Q2/Q9/Q11/Q16/Q20 need
+TPC-H query expressible over the fixture schema (Q2/Q11/Q16/Q20 need
 the partsupp table, which the fixtures do not ship; Q4/Q21's lateness
-predicate is adapted to shipdate-vs-orderdate lag since the fixture
-lineitem carries no commit/receipt dates — the join/EXISTS shapes are
-unchanged).
+predicate is adapted to shipdate-vs-orderdate lag and Q9's supply cost
+to a retail-price fraction since the fixture lacks commit/receipt
+dates and partsupp — the join/EXISTS/aggregate shapes are unchanged).
 
 Money math follows the repo's exact-decimal discipline (queries/__init__):
 every sum runs over DECIMAL, one final correctly-rounded cast to double,
@@ -411,4 +412,67 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by nation and order year. The fixture ships
+# no partsupp, so supply cost is proxied as 60% of p_retailprice (the
+# documented adaptation — the five-table join shape, the p_name-style
+# part filter, and the per-(nation, year) profit aggregate are the
+# standard Q9 plan). Profit stays exact: both factors cast to DECIMAL
+# before the product and the sum, one correctly-rounded double at the
+# end. part/supplier/nation broadcast; lineitem-orders is the only
+# fact shuffle.
+# ---------------------------------------------------------------------------
+
+_Q9_TYPE_PREFIX = "PROMO"
+
+_Q9_ORACLE = f"""
+SELECT nation, o_year,
+       {sql_to_dbl(
+           "sum(CAST(l_extendedprice AS DECIMAL(14,4))"
+           " * (1 - CAST(l_discount AS DECIMAL(6,4)))"
+           " - CAST(l_quantity AS DECIMAL(14,4))"
+           " * (CAST(p_retailprice AS DECIMAL(14,4)) * CAST(0.6 AS DECIMAL(6,4))))"
+       )} AS sum_profit
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey,
+LATERAL (SELECT n_name AS nation, extract(year FROM o_orderdate) AS o_year) t
+WHERE p_type LIKE '{_Q9_TYPE_PREFIX}%'
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@query("q_tpch_q9", oracle=_Q9_ORACLE)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_type").startswith(_Q9_TYPE_PREFIX)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice").cast(DEC_MONEY) * (
+        F.lit(1) - F.col("l_discount").cast(DEC_RATE)
+    ) - F.col("l_quantity").cast(DEC_MONEY) * (
+        F.col("p_retailprice").cast(DEC_MONEY) * F.lit(0.6).cast(DEC_RATE)
+    )
+    return (
+        li.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            profit.alias("profit"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(to_dbl(F.sum("profit")).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
     )

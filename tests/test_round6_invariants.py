@@ -534,3 +534,16 @@ def test_quality_constraints_clean_fixture(spark):
     }
     # NULL counts as a violation (unknown is not satisfied), 60 out of range
     assert out == {"range(q,1,50)": 2}
+
+
+def test_knn_eval_counts_partition_queries(spark):
+    """Per-label query counts sum to the hold-out size, correct <= total,
+    and accuracy is the exact ratio."""
+    rows = registry.QUERIES["q_sim_knn_eval"](spark, SF_DIR).collect()
+    assert rows
+    from oraaud_kafka_spark.llm.similarity import N_QUERIES
+
+    assert sum(r.n_queries for r in rows) == N_QUERIES
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_queries
+        assert abs(r.accuracy - r.n_correct / r.n_queries) < 1e-15
