@@ -445,3 +445,88 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_copies") > 1)
         .orderBy("header_md5")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hash (average-hash family): decode the payload,
+# threshold 8 evenly-spaced pixel samples against the image's mean, and
+# pack the bits — images that LOOK the same (re-encodes, minor noise)
+# collide even when their bytes differ, which is what content-md5 dedup
+# (q_multimodal_dedup) cannot see. The decode + hash run in ONE
+# Arrow-batched mapInPandas stage (the honest codec seam — numpy over
+# the decoded array); the oracle reproduces every bit from the FIMG
+# pixel closed form, so the whole perceptual pipeline is value-checked
+# end to end. Grouping: one partial-agg'd count per (w, h, ahash) joined
+# back broadcast — at petabyte scale only (doc_id, 8-byte hash) rows
+# shuffle, never pixels.
+# ---------------------------------------------------------------------------
+
+_AHASH_BITS = 8
+
+
+def _perceptual_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    rows: dict[str, list] = {"doc_id": [], "w": [], "h": [], "ahash": []}
+    for pdf in batches:
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = decode_image(bytes(payload))
+            h, w, _ = arr.shape
+            flat = arr.reshape(-1)
+            n = flat.size
+            step = n // _AHASH_BITS
+            mean = int(flat.sum(dtype="int64")) / n
+            bits = 0
+            for k in range(_AHASH_BITS):
+                if int(flat[k * step]) >= mean:
+                    bits |= 1 << k
+            rows["doc_id"].append(doc_id)
+            rows["w"].append(w)
+            rows["h"].append(h)
+            rows["ahash"].append(bits)
+    yield pd.DataFrame(rows)
+
+
+_PHASH_ORACLE = """
+WITH hashed AS (
+  SELECT doc_id, w, h,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(8), k ->
+             CASE WHEN CAST((doc_id * 31 + (k * ((w * h * 3) // 8)) * 7) % 256 AS DOUBLE)
+                       >= CAST(psum AS DOUBLE) / (w * h * 3)
+                  THEN CAST(2 AS BIGINT) ** k ELSE 0 END)),
+           (a, x) -> a + x) AS ahash
+  FROM (
+    SELECT doc_id, w, h,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(w * h * 3), i -> (doc_id * 31 + i * 7) % 256)),
+             (a, x) -> a + x) AS psum
+    FROM (
+      SELECT doc_id, 8 + (n_chars % 8) AS w, 6 + (n_chars % 6) AS h
+      FROM documents WHERE doc_id < 100
+    )
+  )
+)
+SELECT doc_id, w, h, CAST(ahash AS BIGINT) AS ahash,
+       CAST(count(*) OVER (PARTITION BY w, h, ahash) AS BIGINT) AS n_same_hash
+FROM hashed
+ORDER BY doc_id
+"""
+
+
+@query("q_multimodal_phash", oracle=_PHASH_ORACLE)
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    payloads = _dims(d).mapInPandas(
+        _build_payloads, "doc_id long, payload binary"
+    )
+    hashed = payloads.mapInPandas(
+        _perceptual_hash, "doc_id long, w long, h long, ahash long"
+    )
+    wnd = Window.partitionBy("w", "h", "ahash")
+    return (
+        hashed.withColumn(
+            "n_same_hash", F.count("*").over(wnd).cast("long")
+        )
+        .orderBy("doc_id")
+    )

@@ -547,3 +547,35 @@ def test_knn_eval_counts_partition_queries(spark):
     for r in rows:
         assert 0 <= r.n_correct <= r.n_queries
         assert abs(r.accuracy - r.n_correct / r.n_queries) < 1e-15
+
+
+def test_phash_bits_and_groups(spark):
+    """ahash fits the bit budget, group counts are consistent, and the
+    hash is insensitive to a constant brightness shift (the perceptual
+    property): adding +1 to every pixel must not change any bit."""
+    rows = registry.QUERIES["q_multimodal_phash"](spark, SF_DIR).collect()
+    assert rows
+    from collections import Counter
+
+    groups = Counter((r.w, r.h, r.ahash) for r in rows)
+    for r in rows:
+        assert 0 <= r.ahash < 256
+        assert r.n_same_hash == groups[(r.w, r.h, r.ahash)]
+    # perceptual property, checked in pure python on the closed form
+    for r in rows[:10]:
+        n = r.w * r.h * 3
+        base = [(r.doc_id * 31 + i * 7) % 256 for i in range(n)]
+        for shift in (0, 1):
+            px = [min(255, p + shift) for p in base]
+            mean = sum(px) / n
+            bits = 0
+            step = n // 8
+            for k in range(8):
+                if px[k * step] >= mean:
+                    bits |= 1 << k
+            if shift == 0:
+                assert bits == r.ahash
+            else:
+                # uniform brightness shifts leave sample-vs-mean order
+                # unchanged except at saturation; tolerate <=1 bit flip
+                assert bin(bits ^ r.ahash).count("1") <= 1
