@@ -97,6 +97,7 @@ EXTRAS = [
     "q_tpch_q9",                 # profit by nation/year (cost proxy)
     "q_sim_knn_eval",            # kNN majority-vote label accuracy
     "q_multimodal_phash",        # perceptual average-hash pipeline
+    "q_events_time_to_convert",  # funnel latency quantiles
     "q_events_ab_welch",         # Welch t-test from exact moments
     "q_profile_join_skew",       # hot-key skew diagnostic
     "q_corpus_fingerprint",      # order-free xor dataset checksum

@@ -1338,3 +1338,67 @@ def q_time_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_value",
         (to_dbl(F.col("dec_sum")) / F.col("n")).alias("avg_value"),
     ).orderBy("event_type", "h")
+
+
+# Time-to-convert distribution: the funnel's companion metric — how
+# long from a user's FIRST signup to their FIRST subsequent purchase.
+# Two tiny per-user aggregates (min over filtered events — partial-
+# agg'd, user-cardinality output), one equi-join, integer epoch deltas,
+# then exact interpolated quantiles over those integers (quantile_cont
+# <-> percentile agree bitwise on integer inputs — same contract as
+# q_agg_percentile). Per-cohort rows keep the report group-bounded.
+_T2C_ORACLE = """
+WITH s AS (
+  SELECT user_id, min(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, min(ts) AS purchase_ts
+  FROM events e JOIN s USING (user_id)
+  WHERE event_type = 'purchase' AND ts > signup_ts
+  GROUP BY e.user_id
+),
+d AS (
+  -- floor each epoch BEFORE subtracting: ts carries microseconds, and
+  -- Spark's unix_timestamp floors per-timestamp; subtracting the
+  -- fractional epochs first would truncate differently
+  SELECT CAST(floor(epoch(purchase_ts)) AS BIGINT)
+         - CAST(floor(epoch(signup_ts)) AS BIGINT) AS delta_s
+  FROM p JOIN s USING (user_id)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       min(delta_s) AS min_s,
+       quantile_cont(delta_s, 0.5) AS median_s,
+       quantile_cont(delta_s, 0.9) AS p90_s,
+       max(delta_s) AS max_s
+FROM d
+"""
+
+
+@query("q_events_time_to_convert", oracle=_T2C_ORACLE)
+def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    d = p.join(s, "user_id").select(
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")
+        ).alias("delta_s")
+    )
+    return d.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.min("delta_s").alias("min_s"),
+        F.expr("percentile(delta_s, 0.5)").alias("median_s"),
+        F.expr("percentile(delta_s, 0.9)").alias("p90_s"),
+        F.max("delta_s").alias("max_s"),
+    )

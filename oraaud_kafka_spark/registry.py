@@ -179,6 +179,7 @@ _NEXT = (
     "q_tpch_q9",
     "q_sim_knn_eval",
     "q_multimodal_phash",
+    "q_events_time_to_convert",
     "q_events_ab_welch",
     "q_profile_join_skew",
     "q_corpus_fingerprint",

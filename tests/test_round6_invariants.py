@@ -579,3 +579,11 @@ def test_phash_bits_and_groups(spark):
                 # uniform brightness shifts leave sample-vs-mean order
                 # unchanged except at saturation; tolerate <=1 bit flip
                 assert bin(bits ^ r.ahash).count("1") <= 1
+
+
+def test_time_to_convert_ordering(spark):
+    rows = registry.QUERIES["q_events_time_to_convert"](spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_converted > 0
+    assert 0 <= r.min_s <= r.median_s <= r.p90_s <= r.max_s
