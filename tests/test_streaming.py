@@ -519,3 +519,62 @@ def test_rollup_maintainer_equals_batch_recompute(spark, tmp_path):
         for r in spark.read.parquet(str(out / "current")).collect()
     }
     assert after == before
+
+
+def test_ewma_state_survives_checkpoint_restart(spark, tmp_path):
+    """applyInPandasWithState durability: stop the EWMA stream after the
+    first batch, restart from the checkpoint with a new file, and the
+    recovered level must continue the fold exactly where the first run
+    left it (state store recovery, not recomputation from scratch)."""
+    from oraaud_kafka_spark.streaming.analytics import EWMA_ALPHA, ewma_levels
+
+    d = tmp_path / "ewma_ckpt"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _write_jsonl(
+        d / "b1.json",
+        [
+            {"user_id": 1, "ts": "2026-01-01T00:00:00", "event_id": 1, "value": 10.0},
+            {"user_id": 1, "ts": "2026-01-01T00:01:00", "event_id": 2, "value": 20.0},
+        ],
+    )
+
+    emitted: list = []
+
+    def run_once():
+        # memory sink cannot RECOVER from a checkpoint; foreachBatch can
+        def collect(batch_df, batch_id):
+            emitted.extend(batch_df.collect())
+
+        stream = _stream_json(spark, d, EWMA_SCHEMA, latestFirst="false")
+        q = (
+            ewma_levels(stream)
+            .writeStream.foreachBatch(collect)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    lvl1 = 0.0
+    for v in (10.0, 20.0):
+        lvl1 = EWMA_ALPHA * v + (1 - EWMA_ALPHA) * lvl1
+    assert emitted and abs(emitted[-1].ewma_level - lvl1) < 1e-12
+    n_first = len(emitted)
+
+    # new data arrives while the query is down; restart from checkpoint
+    _write_jsonl(
+        d / "b2.json",
+        [{"user_id": 1, "ts": "2026-01-01T00:02:00", "event_id": 3, "value": 30.0}],
+    )
+    run_once()
+    new_rows = emitted[n_first:]
+    assert new_rows
+    expected = EWMA_ALPHA * 30.0 + (1 - EWMA_ALPHA) * lvl1
+    last = new_rows[-1]
+    # continued from recovered state: 3 events total, level folds on
+    assert last.n_events == 3
+    assert abs(last.ewma_level - expected) < 1e-12
