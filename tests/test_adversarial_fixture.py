@@ -1,0 +1,66 @@
+"""Adversarial-fixture sweep: every registered query must EXECUTE
+(no crash — values are the parity suite's job) against a corpus whose
+documents table contains the pathologies real crawl data ships:
+empty text, single tokens, repeated-token runs, unicode, exotic
+whitespace, and very long words. This is the regression net for the
+dup-ngram class of bug (a descending F.sequence feeding slice() on a
+short document) — fixture-sized documents never trigger those, an
+adversarial corpus does.
+
+Non-document tables are the sf0.001 fixtures unchanged, so join/agg
+queries run against real shapes while every text operator sees the
+hostile corpus.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from oraaud_kafka_spark import registry
+
+from .conftest import SF_DIR
+
+registry.load_all()
+
+_ADVERSARIAL_DOCS = [
+    # (doc_id, text, lang, source)
+    (0, "", "en", "src0"),
+    (1, "one", "en", "src0"),
+    (2, "two words", "en", "src1"),
+    (3, "a a a a a a a a", "en", "src1"),          # dup-run (a,a) merges
+    (4, "x" * 500, "de", "src2"),                  # one giant token
+    (5, "  leading and  double  spaces", "de", "src2"),
+    (6, "unicode tøkens čęž 測試 🙂 mixed", "fr", "src3"),
+    (7, "tab\tand\nnewline separated", "fr", "src3"),
+    (8, "signup view click purchase error", "en", "src4"),
+    (9, " ".join(f"w{i}" for i in range(300)), "en", "src4"),  # long doc
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_dir(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("adversarial")
+    for name in os.listdir(SF_DIR):
+        if name.endswith(".parquet") and name != "documents.parquet":
+            src = os.path.join(SF_DIR, name)
+            dst = os.path.join(str(base), name)
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copy(src, dst)
+    docs = spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in _ADVERSARIAL_DOCS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(os.path.join(str(base), "documents.parquet"))
+    return str(base)
+
+
+@pytest.mark.parametrize("name", sorted(registry.QUERIES))
+def test_query_survives_adversarial_corpus(spark, adversarial_dir, name):
+    # uncached build (the registry memoizes per sf_dir, but use the raw
+    # fn so a prior failure can't poison the cache for a retry)
+    registry.QUERIES[name].__wrapped__(spark, adversarial_dir).collect()
