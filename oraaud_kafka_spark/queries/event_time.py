@@ -382,7 +382,7 @@ WITH stats AS (
 SELECT event_id, e.event_type, value,
        (value - mean_v) / std_v AS zscore
 FROM events e JOIN stats USING (event_type)
-WHERE abs((value - mean_v) / std_v) > 2.5
+WHERE std_v > 0 AND abs((value - mean_v) / std_v) > 2.5
 ORDER BY event_id
 """
 
@@ -400,9 +400,11 @@ def q_events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n"), mean_v.alias("mean_v"), std_v.alias("std_v")
     )
     z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    # std_v > 0 first: a constant-valued type has no definable outlier,
+    # and ANSI-mode division by a 0.0 std would be a hard error
     return (
         e.join(F.broadcast(stats), "event_type")
-        .filter(F.abs(z) > 2.5)
+        .filter((F.col("std_v") > 0) & (F.abs(z) > 2.5))
         .select("event_id", "event_type", "value", z.alias("zscore"))
         .orderBy("event_id")
     )
@@ -1200,7 +1202,7 @@ wide AS (
          a.n AS n_a, a.s1 AS s1_a, a.s2 AS s2_a,
          b.n AS n_b, b.s1 AS s1_b, b.s2 AS s2_b
   FROM arms a JOIN arms b USING (event_type)
-  WHERE a.arm = 0 AND b.arm = 1
+  WHERE a.arm = 0 AND b.arm = 1 AND a.n > 1 AND b.n > 1
 ),
 stats AS (
   SELECT event_type,
@@ -1219,6 +1221,7 @@ SELECT event_type, n_a, n_b,
        CASE WHEN abs((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)) > 1.96
             THEN 1 ELSE 0 END AS significant
 FROM stats
+WHERE var_a / n_a + var_b / n_b > 0
 ORDER BY event_type
 """
 
@@ -1240,7 +1243,9 @@ def q_events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n").alias("n_b"), F.col("s1").alias("s1_b"), F.col("s2").alias("s2_b"),
     )
-    wide = a.join(b, "event_type")
+    wide = a.join(b, "event_type").filter(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1)
+    )
     mean_a = F.col("s1_a") / F.col("n_a")
     mean_b = F.col("s1_b") / F.col("n_b")
     # greatest(-, 0): the moment formula cancels catastrophically on a
@@ -1258,12 +1263,14 @@ def q_events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
     )
     se2 = var_a / F.col("n_a") + var_b / F.col("n_b")
+    # se2 == 0 (both arms constant) has no defined t/df — excluded on
+    # both engines rather than ANSI-erroring on the 0/0
     t = (mean_a - mean_b) / F.sqrt(se2)
     df_w = (se2 * se2) / (
         (var_a / F.col("n_a")) * (var_a / F.col("n_a")) / (F.col("n_a") - 1)
         + (var_b / F.col("n_b")) * (var_b / F.col("n_b")) / (F.col("n_b") - 1)
     )
-    return wide.select(
+    return wide.filter(se2 > 0).select(
         "event_type",
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),

@@ -312,6 +312,11 @@ def q_sql_recursive_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .collect()
     ]
+    if not edges:
+        # no observed transitions (e.g. at most one event per user):
+        # an empty VALUES list is a syntax error, and the correct
+        # result is simply no paths
+        return spark.createDataFrame([], "depth bigint, path string")
     values = ", ".join(
         "('{}', '{}')".format(p.replace("'", "''"), n.replace("'", "''"))
         for p, n in sorted(edges)

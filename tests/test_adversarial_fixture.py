@@ -64,3 +64,73 @@ def test_query_survives_adversarial_corpus(spark, adversarial_dir, name):
     # uncached build (the registry memoizes per sf_dir, but use the raw
     # fn so a prior failure can't poison the cache for a retry)
     registry.QUERIES[name].__wrapped__(spark, adversarial_dir).collect()
+
+
+_ADVERSARIAL_EVENTS = [
+    # (event_id, ts, user_id, event_type, value, props)
+    (1, "2026-01-01 00:00:00", 1, "view", 0.0, "{}"),       # lone event
+    (2, "2026-01-01 00:00:00", 2, "view", 1.0, "{}"),       # exact ts tie...
+    (3, "2026-01-01 00:00:00", 2, "view", 1.0, "{}"),       # ...same user
+    (4, "2026-01-01 00:00:00", 3, "signup", 2.5, "{}"),
+    (5, "2026-01-01 00:00:01", 3, "signup", 2.5, "{}"),     # repeat type run
+    (6, "2026-01-01 00:00:02", 3, "purchase", 1000.0, "{}"),
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_events_dir(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("adversarial_events")
+    for name in os.listdir(SF_DIR):
+        if name.endswith(".parquet") and name != "events.parquet":
+            src = os.path.join(SF_DIR, name)
+            dst = os.path.join(str(base), name)
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copy(src, dst)
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        _ADVERSARIAL_EVENTS,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ev.coalesce(1).write.parquet(os.path.join(str(base), "events.parquet"))
+    return str(base)
+
+
+_EVENT_QUERIES = sorted(
+    n for n in registry.QUERIES if "event" in n or n.startswith("q_time")
+)
+
+
+@pytest.mark.parametrize("name", _EVENT_QUERIES)
+def test_event_query_survives_adversarial_events(
+    spark, adversarial_events_dir, name
+):
+    """Timestamp ties, single-event users, repeated-type runs, and a
+    missing funnel stage must never crash an event operator (the
+    empty-edge recursive-CTE case lives here too via q_sql_*)."""
+    registry.QUERIES[name].__wrapped__(spark, adversarial_events_dir).collect()
+
+
+def test_recursive_paths_empty_edges(spark, adversarial_events_dir, tmp_path):
+    """Zero observed transitions must yield an empty result, not a
+    malformed VALUES clause."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    lone = tmp_path / "lone"
+    lone.mkdir()
+    spark.createDataFrame(
+        [(1, "2026-01-01 00:00:00", 1, "view", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        _os.path.join(str(lone), "events.parquet")
+    )
+    out = registry.QUERIES["q_sql_recursive_paths"].__wrapped__(
+        spark, str(lone)
+    ).collect()
+    assert out == []
