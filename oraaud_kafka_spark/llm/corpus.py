@@ -132,6 +132,9 @@ FROM (
          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
   FROM embeddings
   WHERE vec_id < 200
+    -- a zero vector has nothing to quantize (scale 0 would divide by
+    -- zero); excluded identically on both engines
+    AND list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
 )
 ORDER BY vec_id
 """
@@ -141,10 +144,12 @@ ORDER BY vec_id
 def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     emb = F.col("embedding")
-    scale = (
-        F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double")))) / 127.0
+    max_abs = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
+    scale = max_abs / 127.0
+    # zero vectors have nothing to quantize; scale 0 would divide by zero
+    with_scale = e.filter(max_abs > 0).select(
+        "vec_id", "label", "embedding", scale.alias("scale")
     )
-    with_scale = e.select("vec_id", "label", "embedding", scale.alias("scale"))
     s = F.col("scale")
     qcode = lambda x: F.round(x.cast("double") / s, 0).cast("int")  # noqa: E731
     err = lambda x: (x.cast("double") - qcode(x) * s) * (  # noqa: E731

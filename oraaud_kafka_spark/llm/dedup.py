@@ -575,7 +575,20 @@ def _emb_sql_norm(a: str) -> str:
     )
 
 
+def _emb_directional_cte() -> str:
+    """Zero-norm vectors have no direction — excluded from embedding
+    dedup on BOTH engines (shadow CTE via main. qualifier on the oracle
+    side, the same norm filter Spark-side)."""
+    return (
+        "embeddings AS (SELECT * FROM main.embeddings WHERE "
+        + _emb_sql_norm("embedding")
+        + " > 0)"
+    )
+
+
+
 _EMB_ORACLE = f"""
+WITH {_emb_directional_cte()}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
        {_EMB_DOT.format(a='a.embedding', b='b.embedding')}
          / ({_emb_sql_norm('a.embedding')} * {_emb_sql_norm('b.embedding')}) AS cosine
@@ -612,7 +625,16 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        > 0
+    )
     a = spread(
         e.select(F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("va"))
     )
@@ -654,7 +676,8 @@ _SRP_BUCKET_SQL = f"""
 """
 
 _EMB_LSH_ORACLE = f"""
-WITH bucketed AS ({_SRP_BUCKET_SQL})
+WITH {_emb_directional_cte()},
+bucketed AS ({_SRP_BUCKET_SQL})
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        {_EMB_DOT.format(a='a.embedding', b='b.embedding')}
          / ({_emb_sql_norm('a.embedding')} * {_emb_sql_norm('b.embedding')}) AS cosine
@@ -687,7 +710,16 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        > 0
+    )
     anchors = [
         [float(x) for x in row[0]]
         for row in e.filter(F.col("vec_id") < _SRP_N_ANCHORS)
@@ -993,7 +1025,8 @@ _SEM_ASSIGN_SQL = f"""
 """
 
 _SEM_ORACLE = f"""
-WITH assign AS ({_SEM_ASSIGN_SQL})
+WITH {_emb_directional_cte()},
+assign AS ({_SEM_ASSIGN_SQL})
 SELECT a.vec_id, a.cid,
        EXISTS (
          SELECT 1 FROM assign b
@@ -1089,7 +1122,16 @@ def semantic_dedup(
 
 @query("q_dedup_semantic", oracle=_SEM_ORACLE)
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        > 0
+    )
     # K = ceil(sqrt(N)): one metadata-cheap count at plan-build keeps
     # cluster width ~sqrt(N) at any corpus size (the oracle computes the
     # identical K via a scalar subquery)

@@ -70,8 +70,25 @@ def _sql_norm(a: str) -> str:
     return f"sqrt({inner})"
 
 
+# Zero-norm vectors have no direction; every similarity operator excludes
+# them identically on both engines. The oracle side prepends this CTE
+# (shadowing the base view via the main. qualifier); the Spark side
+# filters with the same norm expression after load.
+def _sql_directional_cte() -> str:
+    return (
+        "embeddings AS (SELECT * FROM main.embeddings WHERE "
+        + _sql_norm("embedding")
+        + " > 0)"
+    )
+
+
+def _directional(df):
+    return df.filter(_norm(F.col("embedding")) > 0)
+
+
 _BRUTE_ORACLE = f"""
-WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+WITH {_sql_directional_cte()},
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.qid, e.vec_id AS nid, e.label,
          {_sql_dot('q.qv', 'e.embedding')} / ({_sql_norm('q.qv')} * {_sql_norm('e.embedding')}) AS cosine
@@ -87,7 +104,7 @@ ORDER BY qid, rnk
 
 @query("q_sim_cosine_topk_brute", oracle=_BRUTE_ORACLE)
 def q_sim_cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = _directional(load(spark, sf_dir, "embeddings"))
     # Norms are hoisted to per-row columns BEFORE the cross join: inside
     # it they'd be re-folded per (query x corpus) pair — |Q| times the
     # work for the corpus side. Same fold, same double, same cosine.
@@ -138,7 +155,8 @@ _BUCKET_SQL = f"""
 """
 
 _LSH_ORACLE = f"""
-WITH bucketed AS ({_BUCKET_SQL}),
+WITH {_sql_directional_cte()},
+bucketed AS ({_BUCKET_SQL}),
 q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM bucketed WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.qid, c.vec_id AS nid,
@@ -155,7 +173,7 @@ ORDER BY qid, rnk
 
 @query("q_sim_lsh_bucketed_topk", oracle=_LSH_ORACLE)
 def q_sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = _directional(load(spark, sf_dir, "embeddings"))
     anchors = (
         e.filter(F.col("vec_id") < N_ANCHORS)
         .select(F.col("vec_id").alias("aid"), F.col("embedding").alias("av"))
@@ -217,7 +235,8 @@ def q_sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # top-k cut use the ROUNDED value with vec_id tiebreak so the selected
 # row set is identical on both sides.
 _PANDAS_COS_ORACLE = f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+WITH {_sql_directional_cte()},
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,
        round({_sql_dot('e.embedding', 'q.qv')}
              / ({_sql_norm('e.embedding')} * {_sql_norm('q.qv')}), 6) AS cosine_r
@@ -235,10 +254,14 @@ def q_sim_pandas_udf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (matrix @ query), never per-row Python."""
     import numpy as np
 
-    e = load(spark, sf_dir, "embeddings")
+    e = _directional(load(spark, sf_dir, "embeddings"))
     qrow = (
         e.filter(F.col("vec_id") == 0).select("embedding").head()
     )
+    if qrow is None:
+        # designated query vector absent or zero-norm: the oracle's q
+        # CTE is empty there too, so the correct result is no rows
+        return spark.createDataFrame([], "vec_id long, cosine_r double")
     qv = np.asarray(qrow[0], dtype=np.float64)
     qn = np.linalg.norm(qv)
 
@@ -291,7 +314,8 @@ def _ivf_assign_sql(src: str, keep: int, id_alias: str) -> str:
 
 
 _IVF_ORACLE = f"""
-WITH lists AS ({_ivf_assign_sql('embeddings', 1, 'nid')}),
+WITH {_sql_directional_cte()},
+lists AS ({_ivf_assign_sql('embeddings', 1, 'nid')}),
 probes AS ({_ivf_assign_sql(f'(SELECT * FROM embeddings WHERE vec_id < {N_QUERIES})', NPROBE, 'qid')}),
 scored AS (
   SELECT DISTINCT p.qid, l.nid,
@@ -335,7 +359,7 @@ def _ivf_assign(e: DataFrame, centroids: DataFrame, keep: int, id_alias: str) ->
 
 @query("q_sim_ivf_topk", oracle=_IVF_ORACLE)
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = _directional(load(spark, sf_dir, "embeddings"))
     centroids = e.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
@@ -409,7 +433,7 @@ def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     three single-row aggregates instead of being returned raw."""
     from ..operators.kmeans import train_kmeans
 
-    e = load(spark, sf_dir, "embeddings")
+    e = _directional(load(spark, sf_dir, "embeddings"))
     trained = train_kmeans(
         e.select("vec_id", "embedding"), k=N_CENTROIDS, max_iter=4
     )
@@ -512,7 +536,8 @@ def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RAG_K = 3
 
 _RAG_ORACLE = f"""
-WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+WITH {_sql_directional_cte()},
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
 scored AS (
   SELECT q.qid, e.vec_id AS doc_id,
          {_sql_dot('q.qv', 'e.embedding')} / ({_sql_norm('q.qv')} * {_sql_norm('e.embedding')}) AS cosine
@@ -532,7 +557,7 @@ ORDER BY qid, rnk
 
 @query("q_rag_retrieve_enrich", oracle=_RAG_ORACLE)
 def q_rag_retrieve_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = _directional(load(spark, sf_dir, "embeddings"))
     q = (
         e.filter(F.col("vec_id") < 5)
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
@@ -581,7 +606,8 @@ def q_rag_retrieve_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _KNN_ORACLE = f"""
-WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS true_label
+WITH {_sql_directional_cte()},
+q AS (SELECT vec_id AS qid, embedding AS qv, label AS true_label
            FROM embeddings WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.qid, q.true_label, e.label,
@@ -618,7 +644,7 @@ ORDER BY true_label
 
 @query("q_sim_knn_eval", oracle=_KNN_ORACLE)
 def q_sim_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = _directional(load(spark, sf_dir, "embeddings"))
     q = (
         e.filter(F.col("vec_id") < N_QUERIES)
         .select(

@@ -134,3 +134,56 @@ def test_recursive_paths_empty_edges(spark, adversarial_events_dir, tmp_path):
         spark, str(lone)
     ).collect()
     assert out == []
+
+
+@pytest.fixture(scope="module")
+def adversarial_emb_dir(spark, tmp_path_factory):
+    """Embeddings with a ZERO vector (norm 0 — every cosine's divisor),
+    a huge-magnitude vector, and near-duplicates of the zero-adjacent
+    rows; dim matches the fixture's so centroid/IVF shapes hold."""
+    import pyarrow.parquet as pq
+
+    base = tmp_path_factory.mktemp("adversarial_emb")
+    for name in os.listdir(SF_DIR):
+        if name.endswith(".parquet") and name != "embeddings.parquet":
+            src = os.path.join(SF_DIR, name)
+            dst = os.path.join(str(base), name)
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copy(src, dst)
+    dim = len(
+        pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+        .to_pylist()[0]["embedding"]
+    )
+    rows = [
+        (0, [0.0] * dim, 0),                                  # zero vector
+        (1, [1e3] * dim, 0),   # large magnitude (decimal-domain bound:
+        #    the exact-decimal moment discipline documents |x| within
+        #    DECIMAL(18,8) squared-sum range; embeddings are unit-ish)
+        (2, [1.0] + [0.0] * (dim - 1), 1),
+        (3, [1.0] + [0.0] * (dim - 1), 1),                    # exact duplicate
+        (4, [-1.0] * dim, 2),
+        (5, [0.5] * dim, 2),
+        (6, [0.0] * (dim - 1) + [1e-30], 3),                  # near-zero
+        (7, [float(i % 7) for i in range(dim)], 3),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(os.path.join(str(base), "embeddings.parquet"))
+    return str(base)
+
+
+_EMB_QUERIES = sorted(
+    n
+    for n in registry.QUERIES
+    if n.startswith(("q_sim", "q_emb", "q_dedup_embedding", "q_dedup_semantic"))
+    or n in ("q_rag_retrieve_enrich",)
+)
+
+
+@pytest.mark.parametrize("name", _EMB_QUERIES)
+def test_embedding_query_survives_adversarial_vectors(
+    spark, adversarial_emb_dir, name
+):
+    registry.QUERIES[name].__wrapped__(spark, adversarial_emb_dir).collect()
