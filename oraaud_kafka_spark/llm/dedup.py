@@ -585,6 +585,22 @@ def _emb_directional_cte() -> str:
         + " > 0)"
     )
 
+def _emb_directional(df: DataFrame) -> DataFrame:
+    """Spark twin of _emb_directional_cte: same norm-positive filter."""
+    return df.filter(
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    "embedding", lambda x: x.cast("double") * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        > 0
+    )
+
+
 
 
 _EMB_ORACLE = f"""
@@ -625,16 +641,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    e = load(spark, sf_dir, "embeddings").filter(
-        F.sqrt(
-            F.aggregate(
-                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-        > 0
-    )
+    e = _emb_directional(load(spark, sf_dir, "embeddings"))
     a = spread(
         e.select(F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("va"))
     )
@@ -710,16 +717,7 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    e = load(spark, sf_dir, "embeddings").filter(
-        F.sqrt(
-            F.aggregate(
-                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-        > 0
-    )
+    e = _emb_directional(load(spark, sf_dir, "embeddings"))
     anchors = [
         [float(x) for x in row[0]]
         for row in e.filter(F.col("vec_id") < _SRP_N_ANCHORS)
@@ -1122,16 +1120,7 @@ def semantic_dedup(
 
 @query("q_dedup_semantic", oracle=_SEM_ORACLE)
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").filter(
-        F.sqrt(
-            F.aggregate(
-                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-        > 0
-    )
+    e = _emb_directional(load(spark, sf_dir, "embeddings"))
     # K = ceil(sqrt(N)): one metadata-cheap count at plan-build keeps
     # cluster width ~sqrt(N) at any corpus size (the oracle computes the
     # identical K via a scalar subquery)

@@ -412,12 +412,18 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ~nprobe/k = 0.25 expected overlap only by luck of list sizes).
 _MIN_RECALL = 0.3
 
+# n_queries/total_rows derive from the DIRECTIONAL query count (the
+# shadow CTE), not a hardcoded literal — a zero-norm vector among the
+# query ids must shrink both sides identically, not fail the gate.
 _KMEANS_EVAL_ORACLE = f"""
-SELECT CAST({N_QUERIES} AS BIGINT) AS n_queries,
-       CAST({N_QUERIES * TOP_K} AS BIGINT) AS total_rows,
+WITH {_sql_directional_cte()},
+nq AS (SELECT count(*) AS n FROM embeddings WHERE vec_id < {N_QUERIES})
+SELECT CAST(n AS BIGINT) AS n_queries,
+       CAST(n * {TOP_K} AS BIGINT) AS total_rows,
        TRUE AS per_query_complete,
        TRUE AS cosine_in_bounds,
        TRUE AS recall_ok
+FROM nq
 """
 
 

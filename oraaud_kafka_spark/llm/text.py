@@ -644,7 +644,8 @@ lp AS (
 doc AS (
   SELECT doc_id, lang,
          count(*) AS n_toks,
-         round(CAST(sum(lp_dec) AS DOUBLE) / count(*), 6) AS avg_logprob
+         round(CAST(CAST(round(sum(lp_dec), 6) AS DECIMAL(15,6)) AS DOUBLE)
+               / count(*), 6) AS avg_logprob
   FROM lp GROUP BY doc_id, lang
 )
 """
@@ -677,16 +678,18 @@ def unigram_logprob_scores(d: DataFrame) -> DataFrame:
             .alias("lp_dec"),
         )
     )
-    # The wide decimal sum casts STRAIGHT to double: a narrowing cast
-    # (e.g. DECIMAL(18,12)) would overflow for ~1e5-token documents.
-    # DuckDB's wide-decimal->double cast drifts <=~1 ulp of the SUM, so
-    # the cross-engine divergence on the MEAN is <= 2*ulp(sum)/n =
-    # 2*|mean|*2^-52 ~ 1e-14 — swallowed by the 6-dp rounding at any
-    # document length.
+    # round-then-narrow, fully exact: the wide decimal sum rounds to
+    # 6 dp IN DECIMAL SPACE (both engines round half-up on exact
+    # decimals), narrows losslessly to DECIMAL(15,6) (|sum| < 1e9 —
+    # documents up to ~1e8 tokens — so the scaled integer < 2^53 and
+    # the double cast is exact), then one division + final rounding.
+    # No wide-decimal->double cast ever happens, so DuckDB's
+    # not-correctly-rounded wide cast can't drift a midpoint.
     return scored.groupBy("doc_id", "lang").agg(
         F.count("*").alias("n_toks"),
         F.round(
-            F.sum("lp_dec").cast("double") / F.count("*"),
+            F.round(F.sum("lp_dec"), 6).cast("decimal(15,6)").cast("double")
+            / F.count("*"),
             6,
         ).alias("avg_logprob"),
     )
@@ -1007,7 +1010,8 @@ lp AS (
 )
 SELECT doc_id, lang,
        CAST(count(*) AS BIGINT) AS n_transitions,
-       round(CAST(sum(lp_dec) AS DOUBLE) / count(*), 6) AS avg_logprob
+       round(CAST(CAST(round(sum(lp_dec), 6) AS DECIMAL(15,6)) AS DOUBLE)
+             / count(*), 6) AS avg_logprob
 FROM lp
 GROUP BY doc_id, lang
 ORDER BY doc_id
@@ -1053,9 +1057,12 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         lp.groupBy("doc_id", "lang")
         .agg(
             F.count("*").cast("long").alias("n_transitions"),
-            # straight wide-decimal->double: see unigram scorer note
+            # round-then-narrow, fully exact: see unigram scorer note
             F.round(
-                F.sum("lp_dec").cast("double") / F.count("*"),
+                F.round(F.sum("lp_dec"), 6)
+                .cast("decimal(15,6)")
+                .cast("double")
+                / F.count("*"),
                 6,
             ).alias("avg_logprob"),
         )
@@ -1115,10 +1122,13 @@ def q_text_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("vocab"),
         F.sum(term).alias("s"),
     )
-    # straight wide-decimal->double: a DECIMAL(18,6) narrow would
-    # overflow once a source's sum(c*ln c) passes 1e12 (a ~1e11-token
-    # corpus slice); cast drift is <= ulp(s), i.e. <= (s/n)*2^-52 on
-    # the per-token term — swallowed by the 6-dp rounding
+    # straight wide-decimal->double here (unlike the LM scorers'
+    # round-then-narrow): a fixed-precision narrow would overflow once
+    # a source's sum(c*ln c) passes its range (a ~1e11-token slice for
+    # DECIMAL(18,6)). The cast drift is <= ~1 ulp of s, and its effect
+    # on H is ulp(s)/n = (s/n)*2^-52 ~ 30*2^-52 ~ 7e-15 — SCALE-FREE
+    # (s/n is bounded by the max |ln c|), so the 6-dp rounding swallows
+    # it at any corpus size; midpoint-flip probability ~1e-8 per group
     h = F.log(F.col("n_tokens").cast("double")) - F.col("s").cast(
         "double"
     ) / F.col("n_tokens")

@@ -62,9 +62,15 @@ def referential_violations(
     (constraint, n_violations)."""
     ck, pk = on
     name = f"ref({ck}->{pk})"
-    orphans = child.join(
-        parent.select(F.col(pk).alias(ck)).distinct(), ck, "left_anti"
-    ).agg(F.count("*").cast("long").alias("n_violations"))
+    # NULL FKs are the not_null constraint's business, not referential
+    # integrity's (and SQL's NOT IN would nuke the whole check on one
+    # NULL parent key) — both engines use NOT-EXISTS semantics over
+    # non-null children
+    orphans = (
+        child.filter(F.col(ck).isNotNull())
+        .join(parent.select(F.col(pk).alias(ck)).distinct(), ck, "left_anti")
+        .agg(F.count("*").cast("long").alias("n_violations"))
+    )
     return orphans.select(F.lit(name).alias("constraint_name"), "n_violations")
 
 

@@ -1325,7 +1325,12 @@ def q_time_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("mx"),
         )
     old_half = partial(e.filter(F.col("ts") < cutoff))
-    new_half = partial(e.filter(F.col("ts") >= cutoff))
+    # NULL ts satisfies neither predicate — route those rows into the
+    # new half explicitly so the merge stays lossless (the oracle keeps
+    # them as an h=NULL group)
+    new_half = partial(
+        e.filter((F.col("ts") >= cutoff) | F.col("ts").isNull())
+    )
     merged = (
         old_half.unionByName(new_half)
         .groupBy("event_type", "h")

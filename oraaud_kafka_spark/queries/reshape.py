@@ -218,7 +218,11 @@ def q_crosstab_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # salted join (operators/skew.py).
 _SKEW_ORACLE = """
 WITH cnts AS (
-  SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY o_custkey
+  -- NULL keys never participate in an equi-join, so they are not part
+  -- of the skew question (and the two engines' string aggregation
+  -- handles NULL differently) — excluded on both sides
+  SELECT o_custkey AS key, count(*) AS n FROM orders
+  WHERE o_custkey IS NOT NULL GROUP BY o_custkey
 ),
 summary AS (
   SELECT CAST(count(*) AS BIGINT) AS n_keys,
@@ -240,8 +244,10 @@ FROM summary CROSS JOIN top5
 @query("q_profile_join_skew", oracle=_SKEW_ORACLE)
 def q_profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
-    cnts = o.groupBy(F.col("o_custkey").alias("key")).agg(
-        F.count("*").alias("n")
+    cnts = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count("*").alias("n"))
     )
     summary = cnts.agg(
         F.count("*").cast("long").alias("n_keys"),
@@ -295,8 +301,11 @@ uniq AS (
         GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
 ),
 refi AS (
-  SELECT count(*) AS v FROM lineitem
-  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+  -- NOT EXISTS, not NOT IN: one NULL parent key would make NOT IN
+  -- return zero rows; NULL children belong to the not_null constraint
+  SELECT count(*) AS v FROM lineitem l
+  WHERE l.l_orderkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
 )
 SELECT constraint_name, CAST(n_violations AS BIGINT) AS n_violations,
        CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed

@@ -342,21 +342,33 @@ def ewma_levels(df: DataFrame) -> DataFrame:
 
 def rollup_maintainer(base_dir: str):
     """foreachBatch callback maintaining an hourly (event_type, h)
-    rollup under ``base_dir``: ``current/`` holds the standing rollup,
-    ``_last_batch`` the idempotency marker."""
+    rollup under ``base_dir``. Crash-safe by construction: each batch
+    writes a NEW versioned rollup directory ``rollup_batch=<n>`` (never
+    mutating the previous one), then commits by atomically renaming a
+    marker file whose content names the live version. Replayed batches
+    (foreachBatch is at-least-once) are detected via the committed
+    marker and no-op; a crash BEFORE the marker rename leaves the old
+    version live and the replay simply rewrites the staged directory —
+    no window exists in which history can be lost or double-merged.
+    Old versions are pruned only after the marker commit."""
     import os
 
     from pyspark.sql import functions as F
 
     DEC = "decimal(18,4)"
 
+    def _committed(marker: str) -> int:
+        if not os.path.exists(marker):
+            return -1
+        with open(marker) as fh:
+            return int(fh.read().strip())
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        marker = os.path.join(base_dir, "_last_batch")
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                if int(fh.read().strip()) >= batch_id:
-                    return  # replayed batch — already merged
+        marker = os.path.join(base_dir, "_committed")
+        live = _committed(marker)
+        if live >= batch_id:
+            return  # replayed batch — already committed
         partial = batch_df.groupBy(
             "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
         ).agg(
@@ -365,9 +377,10 @@ def rollup_maintainer(base_dir: str):
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         )
-        current = os.path.join(base_dir, "current")
-        if os.path.exists(current):
-            standing = spark.read.parquet(current)
+        if live >= 0:
+            standing = spark.read.parquet(
+                os.path.join(base_dir, f"rollup_batch={live}")
+            )
             merged = (
                 standing.unionByName(partial)
                 .groupBy("event_type", "h")
@@ -380,21 +393,27 @@ def rollup_maintainer(base_dir: str):
             )
         else:
             merged = partial
-        staged = os.path.join(base_dir, f"_stage_batch={batch_id}")
-        merged.write.mode("overwrite").parquet(staged)
-        final_swap = os.path.join(base_dir, "_swap")
-        if os.path.exists(final_swap):
-            import shutil
-
-            shutil.rmtree(final_swap)
-        if os.path.exists(current):
-            os.rename(current, final_swap)
-        os.rename(staged, current)
-        if os.path.exists(final_swap):
-            import shutil
-
-            shutil.rmtree(final_swap)
-        with open(marker, "w") as fh:
+        new_dir = os.path.join(base_dir, f"rollup_batch={batch_id}")
+        merged.write.mode("overwrite").parquet(new_dir)
+        # commit: write-then-atomic-rename of the marker
+        tmp_marker = marker + ".tmp"
+        with open(tmp_marker, "w") as fh:
             fh.write(str(batch_id))
+        os.replace(tmp_marker, marker)
+        # prune superseded versions (best-effort, post-commit)
+        if live >= 0:
+            import shutil
+
+            old_dir = os.path.join(base_dir, f"rollup_batch={live}")
+            shutil.rmtree(old_dir, ignore_errors=True)
 
     return merge_batch
+
+
+def current_rollup_dir(base_dir: str) -> str:
+    """Path of the committed rollup version (for readers)."""
+    import os
+
+    marker = os.path.join(base_dir, "_committed")
+    with open(marker) as fh:
+        return os.path.join(base_dir, f"rollup_batch={int(fh.read().strip())}")

@@ -449,7 +449,10 @@ def test_rollup_maintainer_equals_batch_recompute(spark, tmp_path):
     a replayed batch id must be a no-op (idempotency marker)."""
     from pyspark.sql import functions as F
 
-    from oraaud_kafka_spark.streaming.analytics import rollup_maintainer
+    from oraaud_kafka_spark.streaming.analytics import (
+        current_rollup_dir,
+        rollup_maintainer,
+    )
 
     d = tmp_path / "events"
     d.mkdir()
@@ -491,7 +494,7 @@ def test_rollup_maintainer_equals_batch_recompute(spark, tmp_path):
     q.awaitTermination(120)
     maintained = {
         (r.event_type, r.h): (r.n, float(r.dec_sum), r.min_value, r.max_value)
-        for r in spark.read.parquet(str(out / "current")).collect()
+        for r in spark.read.parquet(current_rollup_dir(str(out))).collect()
     }
     all_rows = spark.createDataFrame(
         [tuple(r.values()) for r in rows1 + rows2],
@@ -516,7 +519,7 @@ def test_rollup_maintainer_equals_batch_recompute(spark, tmp_path):
     writer(all_rows, 1)
     after = {
         (r.event_type, r.h): (r.n, float(r.dec_sum), r.min_value, r.max_value)
-        for r in spark.read.parquet(str(out / "current")).collect()
+        for r in spark.read.parquet(current_rollup_dir(str(out))).collect()
     }
     assert after == before
 
