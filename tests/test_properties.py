@@ -711,3 +711,54 @@ def test_morton_interleave_matches_python_reference(spark, pairs):
     }
     for a, b in pairs:
         assert got[(a, b)] == py_morton(a, b), (a, b)
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(-5, 60)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_slow
+def test_quality_predicate_counts_match_python(spark, vals):
+    """predicate_violations vs pure Python on randomized int/None data:
+    NULL counts as a violation, range bounds inclusive."""
+    from oraaud_kafka_spark.operators.quality import predicate_violations
+
+    df = spark.createDataFrame([(v,) for v in vals], "q int")
+    out = {
+        r.constraint_name: r.n_violations
+        for r in predicate_violations(
+            df,
+            {
+                "range": (F.col("q") >= 1) & (F.col("q") <= 50),
+                "not_null": F.col("q").isNotNull(),
+            },
+        ).collect()
+    }
+    exp_range = sum(1 for v in vals if v is None or not (1 <= v <= 50))
+    exp_nn = sum(1 for v in vals if v is None)
+    assert out == {"range": exp_range, "not_null": exp_nn}
+
+
+@given(
+    st.lists(st.integers(0, 4), min_size=0, max_size=15),
+    st.lists(st.integers(0, 4), min_size=0, max_size=15),
+)
+@_slow
+def test_quality_referential_counts_match_python(spark, children, parents):
+    """referential_violations vs pure Python: orphans are non-null child
+    keys absent from the parent key set."""
+    from oraaud_kafka_spark.operators.quality import referential_violations
+
+    child = spark.createDataFrame(
+        [(c,) for c in children] or [(None,)], "fk int"
+    )
+    parent = spark.createDataFrame(
+        [(p,) for p in parents] or [(None,)], "pk int"
+    )
+    got = referential_violations(child, parent, ("fk", "pk")).collect()[0]
+    pset = set(parents)
+    expected = sum(1 for c in children if c is not None and c not in pset)
+    assert got.n_violations == expected
