@@ -167,20 +167,36 @@ def main() -> None:
           file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_extra": extras,
-                "queries_extra_total_sec": round(sum(extras.values()), 4),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                **ingest,
-            }
-        )
+    # Driver artifact storage keeps only a ~2000-char tail of stdout;
+    # round 6's line outgrew it (65 extras inline) and the official
+    # headline was lost (`parsed: null`). Two defenses:
+    #   1. the stdout line stays SHORT (per-extra timings move to the
+    #      history file; only their total stays inline) and orders
+    #      `queries`/`value` LAST so even a truncated tail still carries
+    #      the headline numbers;
+    #   2. the full record (extras included) appends to an in-repo
+    #      bench_history.jsonl, so round-over-round comparison never
+    #      depends on driver artifact storage again.
+    record = {
+        "metric": "headline_queries_total_sec",
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **ingest,
+        "queries_extra_total_sec": round(sum(extras.values()), 4),
+        "queries": timings,
+        "value": total,
+    }
+    hist_path = os.environ.get("SPARK_GRAFT_BENCH_HISTORY") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl"
     )
+    with open(hist_path, "a") as f:
+        f.write(json.dumps({**record, "queries_extra": extras,
+                            "ts": int(time.time())}) + "\n")
+    line = json.dumps(record)
+    if len(line) > 1900:  # pragma: no cover - contract guard
+        print(f"# WARNING stdout line {len(line)} chars nears the "
+              "driver's 2000-char tail", file=sys.stderr)
+    print(line)
     spark.stop()
 
 
