@@ -1100,9 +1100,11 @@ SELECT source, n_tokens, vocab,
        round(ln(CAST(n_tokens AS DOUBLE))
              - CAST(s AS DOUBLE) / n_tokens, 6)
          AS entropy_nats,
-       round((ln(CAST(n_tokens AS DOUBLE))
-              - CAST(s AS DOUBLE) / n_tokens)
-             / ln(CAST(vocab AS DOUBLE)), 6) AS normalized_entropy
+       CASE WHEN vocab > 1 THEN
+         round((ln(CAST(n_tokens AS DOUBLE))
+                - CAST(s AS DOUBLE) / n_tokens)
+               / ln(CAST(vocab AS DOUBLE)), 6)
+       END AS normalized_entropy
 FROM src
 ORDER BY source
 """
@@ -1132,12 +1134,17 @@ def q_text_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.log(F.col("n_tokens").cast("double")) - F.col("s").cast(
         "double"
     ) / F.col("n_tokens")
+    # vocab = 1 (a source whose docs are all one repeated token) makes
+    # ln(vocab) = 0: under Spark's ANSI default the division hard-crashes
+    # (DIVIDE_BY_ZERO) and normalization is undefined anyway — emit NULL,
+    # mirroring the std_v > 0 guard in q_events_zscore_outliers.
     return src.select(
         "source",
         "n_tokens",
         "vocab",
         F.round(h, 6).alias("entropy_nats"),
-        F.round(h / F.log(F.col("vocab").cast("double")), 6).alias(
-            "normalized_entropy"
-        ),
+        F.when(
+            F.col("vocab") > 1,
+            F.round(h / F.log(F.col("vocab").cast("double")), 6),
+        ).alias("normalized_entropy"),
     ).orderBy("source")

@@ -1063,6 +1063,7 @@ SELECT user_id,
              (acc, x) -> {_EWMA_ALPHA} * x + {1 - _EWMA_ALPHA} * acc), 6)
          AS ewma_level
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY user_id
 ORDER BY user_id
 """
@@ -1070,7 +1071,13 @@ ORDER BY user_id
 
 @query("q_time_ewma_level", oracle=_EWMA_ORACLE)
 def q_time_ewma_level(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+    # NULL-ts events are EXCLUDED from the fold on both engines: a
+    # sequential recurrence needs a total order, and an event with no
+    # timestamp has no position in it (left in, Spark's array_sort on
+    # struct(ts,...) sorts NULL first while DuckDB's ORDER BY ts defaults
+    # NULLS LAST — the same rows fold in different orders and the levels
+    # diverge). The streaming twin (_ewma_fn) drops NaT rows identically.
+    e = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     ordered = F.transform(
         F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
         lambda x: x.value,

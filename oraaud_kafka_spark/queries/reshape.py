@@ -261,16 +261,25 @@ def q_profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnts.orderBy(F.col("n").desc(), "key")
         .limit(5)
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct((-F.col("n")).alias("neg"), "key", "n"))
+            # nullif('') pins the degenerate zero-key case: array_join
+            # over an empty collect_list yields '' while the oracle's
+            # string_agg over zero rows yields NULL — NULL means "no
+            # keys" on both engines (a real entry always contains ':')
+            F.nullif(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct((-F.col("n")).alias("neg"), "key", "n")
+                            )
+                        ),
+                        lambda x: F.concat_ws(
+                            ":", x.key.cast("string"), x.n.cast("string")
+                        ),
                     ),
-                    lambda x: F.concat_ws(
-                        ":", x.key.cast("string"), x.n.cast("string")
-                    ),
+                    ",",
                 ),
-                ",",
+                F.lit(""),
             ).alias("top_keys")
         )
     )

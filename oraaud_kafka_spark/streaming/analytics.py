@@ -298,7 +298,9 @@ def _ewma_fn(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.Dat
     (user_id,) = key
     level, n = state.get if state.exists else (0.0, 0)
     rows = pd.concat(list(pdfs), ignore_index=True)
-    rows = rows.sort_values(["ts", "event_id"])
+    # NULL/NaT-ts rows have no position in the time order — excluded
+    # here exactly as the batch twin q_time_ewma_level excludes them
+    rows = rows[rows["ts"].notna()].sort_values(["ts", "event_id"])
     for v in rows["value"]:
         level = EWMA_ALPHA * float(v) + (1 - EWMA_ALPHA) * level
         n += 1
@@ -355,7 +357,15 @@ def rollup_maintainer(base_dir: str):
 
     from pyspark.sql import functions as F
 
+    # The STANDING sum is decimal(38,4): re-narrowing the merged running
+    # sum to the per-batch decimal(18,4) every trigger would hard-fail
+    # the stream under Spark 4's ANSI default (or silently NULL the cell
+    # non-ANSI) once the lifetime sum of a hot (type, hour) cell passes
+    # 1e14 — the batch twin q_time_rollup_merge deliberately keeps the
+    # widened sum, and the maintained-equals-recompute contract must
+    # break never, not at 1e14.
     DEC = "decimal(18,4)"
+    DEC_WIDE = "decimal(38,4)"
 
     def _committed(marker: str) -> int:
         if not os.path.exists(marker):
@@ -373,7 +383,7 @@ def rollup_maintainer(base_dir: str):
             "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
         ).agg(
             F.count("*").cast("long").alias("n"),
-            F.sum(F.col("value").cast(DEC)).alias("dec_sum"),
+            F.sum(F.col("value").cast(DEC)).cast(DEC_WIDE).alias("dec_sum"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         )
@@ -386,7 +396,7 @@ def rollup_maintainer(base_dir: str):
                 .groupBy("event_type", "h")
                 .agg(
                     F.sum("n").cast("long").alias("n"),
-                    F.sum("dec_sum").cast(DEC).alias("dec_sum"),
+                    F.sum("dec_sum").cast(DEC_WIDE).alias("dec_sum"),
                     F.min("min_value").alias("min_value"),
                     F.max("max_value").alias("max_value"),
                 )

@@ -37,6 +37,11 @@ _ADVERSARIAL_DOCS = [
     (7, "tab\tand\nnewline separated", "fr", "src3"),
     (8, "signup view click purchase error", "en", "src4"),
     (9, " ".join(f"w{i}" for i in range(300)), "en", "src4"),  # long doc
+    # vocab-1 source: every doc one repeated token, so the per-source
+    # token distribution has ln(vocab)=0 — the normalized-entropy
+    # divide-by-zero class (ANSI DIVIDE_BY_ZERO under Spark 4 defaults)
+    (10, "same same same", "en", "src5"),
+    (11, "same", "en", "src5"),
 ]
 
 
@@ -74,6 +79,7 @@ _ADVERSARIAL_EVENTS = [
     (4, "2026-01-01 00:00:00", 3, "signup", 2.5, "{}"),
     (5, "2026-01-01 00:00:01", 3, "signup", 2.5, "{}"),     # repeat type run
     (6, "2026-01-01 00:00:02", 3, "purchase", 1000.0, "{}"),
+    (7, None, 4, "view", 3.0, "{}"),                # NULL ts — no time order
 ]
 
 
