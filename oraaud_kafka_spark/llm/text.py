@@ -612,11 +612,18 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CCNet perplexity filter (Wenzek et al. 2020, arXiv:1911.00359): build
 # the corpus's own unigram distribution, then score every document by
 # its mean token log-probability. High (less negative) = made of common
-# tokens; low = rare/garbled. At 100 TB: the vocabulary table is
-# bounded by language (not corpus size) so it BROADCASTS, scoring is a
-# map-side join + one groupBy(doc_id), and the token-count pass is one
-# partial-agg'd shuffle over (token) — three linear passes, nothing
-# quadratic. Float determinism: each token's ln() is rounded to 12
+# tokens; low = rare/garbled. At 100 TB: the "vocabulary" here is the
+# raw distinct-whitespace-token table, which on web text is UNBOUNDED
+# (URLs, typos, numbers — Heaps' law never flattens pre-tokenizer), so
+# the scoring join carries NO broadcast hint: AQE picks broadcast when
+# the built table is actually small and falls back to a shuffle hash
+# join when it isn't — a forced broadcast is exactly the hint that
+# OOMs executors on a corpus-derived table (a production CCNet-style
+# pipeline would instead cap to a top-K vocab + UNK bucket before this
+# join). Scoring is the vocab equi-join + one groupBy(doc_id), and the
+# token-count pass is one partial-agg'd shuffle over (token) — three
+# linear passes, nothing quadratic. Only the 1-row corpus total
+# keeps a broadcast hint (a scalar, bounded by construction). Float determinism: each token's ln() is rounded to 12
 # decimals and converted to an EXACT decimal before the per-doc sum, so
 # the sum is order-independent (plain partial-agg'd SUM — no per-doc
 # sorted collect, no fold), the wide sum casts straight to double (no
@@ -668,7 +675,7 @@ def unigram_logprob_scores(d: DataFrame) -> DataFrame:
     vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = tok.agg(F.count("*").alias("n"))
     scored = (
-        tok.join(F.broadcast(vocab), "tok")
+        tok.join(vocab, "tok")
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
@@ -979,7 +986,10 @@ def q_text_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # model is blind to. Scale shape: the bigram count table is bounded by
 # observed vocab^2 (far below it in practice — Heaps' law) and joins
 # the per-doc transition stream on its (prev, cur) hash key; the
-# unigram context table and the scalar V broadcast. Per-transition
+# unigram context table, like the unigram scorer's vocab, is
+# corpus-derived and UNBOUNDED on raw web text, so neither count-table
+# join carries a broadcast hint — AQE decides from the built size;
+# only the 1-row scalar V broadcasts. Per-transition
 # logprobs round to 12 decimals and convert to EXACT decimals before
 # the per-doc sum, so the aggregation is an order-independent
 # partial-agg'd SUM (no per-doc sorted collect) — same float
@@ -1037,7 +1047,7 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = bg.groupBy("prev", "cur").agg(F.count("*").alias("n2"))
     lp = (
         bg.join(c2, ["prev", "cur"])
-        .join(F.broadcast(uni.withColumnRenamed("tok", "prev")), "prev")
+        .join(uni.withColumnRenamed("tok", "prev"), "prev")
         .crossJoin(F.broadcast(v))
         .select(
             "doc_id",

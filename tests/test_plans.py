@@ -446,3 +446,22 @@ def test_partitioned_write_prunes_partitions_statically(spark, tmp_path):
     # only that day's rows
     expect = fact.filter(F.col("day") == F.lit(one_day)).count()
     assert q.agg(F.sum("count")).first()[0] == expect
+
+
+def test_lm_scorers_never_force_broadcast_corpus_vocab(spark):
+    """The LM scorers' vocab / unigram-context tables are CORPUS-DERIVED
+    and unbounded on raw web text (pre-tokenizer Heaps' law), so their
+    scoring joins must carry no broadcast hint — AQE chooses from the
+    built size instead, and the safe fallback is a shuffle hash join.
+    Only the 1-row scalar (corpus total / vocab size V) may keep a hint.
+    A re-added F.broadcast(vocab) would pass every value test and OOM a
+    1000-executor run, so the hint count is pinned at the logical plan."""
+    for name in ("q_text_unigram_logprob", "q_text_ccnet_tiers",
+                 "q_text_bigram_logprob"):
+        df = registry.QUERIES[name](spark, SF_DIR)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        hints = analyzed.count("ResolvedHint")
+        assert hints == 1, (
+            f"{name}: expected exactly the scalar broadcast hint, "
+            f"found {hints}"
+        )
