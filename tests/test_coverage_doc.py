@@ -41,3 +41,22 @@ def test_driver_window_is_front_list():
     assert tuple(names[:50]) == registry._FRONT
     no_oracle = [n for n in registry._FRONT if n not in registry.ORACLES]
     assert not no_oracle, f"front-window queries without oracle: {no_oracle}"
+
+
+def test_verification_ledger_in_sync_with_artifacts():
+    """The COVERAGE.md driver-verification ledger is generated from the
+    CORRECTNESS_r*.json artifacts; a new artifact or query must force a
+    regeneration (python scripts/gen_ledger.py --write) or this drifts."""
+    import sys
+
+    sys.path.insert(0, str(DOC.parent / "scripts"))
+    import gen_ledger
+
+    section = gen_ledger.generate()
+    text = DOC.read_text()
+    assert gen_ledger.BEGIN in text, "ledger section missing from COVERAGE.md"
+    current = text.split(gen_ledger.BEGIN)[1].split(gen_ledger.END)[0]
+    expected = section.split(gen_ledger.BEGIN)[1].split(gen_ledger.END)[0]
+    assert current == expected, (
+        "ledger stale — run: python scripts/gen_ledger.py --write"
+    )
