@@ -104,6 +104,7 @@ EXTRAS = [
     "q_time_rollup_merge",       # lossless partial-aggregate merge
     "q_sql_recursive_paths",     # WITH RECURSIVE reachability
     "q_quality_constraints",     # one-scan data-quality report
+    "q_dedup_containment_eval",  # single-band blocking recall calibration
 ]
 
 

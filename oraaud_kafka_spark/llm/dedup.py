@@ -1232,3 +1232,136 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment-blocking calibration (the q_dedup_minhash_eval /
+# q_dedup_simhash_eval pattern applied to q_dedup_containment): measure
+# the single-band (lang, 1-perm-MinHash) blocking's RECALL against
+# EXHAUSTIVE within-language containment ground truth on a
+# deterministic corpus slice (doc_id % 2 = 0 — bounded, reproducible,
+# no rand(); halving docs quarters the exhaustive pair work while the
+# fixtures' near-dup density keeps the slice non-vacuous). For every true pair (containment >= 1/2), "caught" means
+# the two docs share their min-hash shingle, i.e. the blocked join
+# would have formed the pair. Per-language report: docs in slice, true
+# pairs, caught pairs, recall. This is the number that decides how many
+# independent hash bands the production run needs (recall_b = 1-(1-r)^b
+# with b bands of the q_dedup_minhash_lsh machinery). The exhaustive
+# join is the CALIBRATION harness, deliberately slice-bounded — the
+# scale path stays q_dedup_containment; recall here is exact
+# integer-ratio arithmetic (one IEEE division, bitwise on both
+# engines), and the within-slice pair join still rides
+# triangle_self_join so one hot language cannot serialize a task.
+# ---------------------------------------------------------------------------
+
+_CONTAIN_EVAL_MOD = 2  # slice = every 2nd doc id
+
+_CONTAIN_EVAL_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+  WHERE doc_id % {_CONTAIN_EVAL_MOD} = 0
+),
+keyed AS (
+  SELECT doc_id, lang, shs, len(shs) AS n_sh,
+         list_min(list_transform(shs, s -> md5(s))) AS mh1
+  FROM (
+    SELECT doc_id, lang,
+           list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
+    FROM t WHERE len(toks) >= 3
+  )
+),
+truth AS (
+  SELECT a.lang, CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END AS caught
+  FROM keyed a JOIN keyed b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shs, b.shs)) * {_CONTAIN_DEN}
+        >= {_CONTAIN_NUM} * least(a.n_sh, b.n_sh)
+),
+per_lang AS (
+  SELECT lang, count(*) AS n_true_pairs, sum(caught) AS n_caught
+  FROM truth GROUP BY lang
+),
+docs AS (SELECT lang, count(*) AS n_docs FROM keyed GROUP BY lang)
+SELECT d.lang, CAST(d.n_docs AS BIGINT) AS n_docs,
+       CAST(coalesce(p.n_true_pairs, 0) AS BIGINT) AS n_true_pairs,
+       CAST(coalesce(p.n_caught, 0) AS BIGINT) AS n_caught,
+       CASE WHEN coalesce(p.n_true_pairs, 0) > 0 THEN
+         CAST(p.n_caught AS DOUBLE) / p.n_true_pairs
+       END AS recall
+FROM docs d LEFT JOIN per_lang p USING (lang)
+ORDER BY lang
+"""
+
+
+@query("q_dedup_containment_eval", oracle=_CONTAIN_EVAL_ORACLE)
+def q_dedup_containment_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _CONTAIN_EVAL_MOD == 0
+    )
+    toks = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.array_join(F.slice(F.col("toks"), i, 3), " "),
+        )
+    )
+    keyed = spread(
+        d.select("doc_id", "lang", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", "lang", shingles.alias("shs"))
+        .select(
+            "doc_id",
+            "lang",
+            "shs",
+            F.size("shs").alias("n_sh"),
+            F.array_min(F.transform("shs", F.md5)).alias("mh1"),
+        )
+    )
+    pairs = triangle_self_join(
+        keyed, block_cols=["lang"], id_col="doc_id", n_sub=4
+    )
+    # single-eval explode barrier for the per-pair intersection (same
+    # Generate trick as q_dedup_ngram_jaccard)
+    truth = (
+        pairs.select(
+            "lang",
+            "mh1_a",
+            "mh1_b",
+            "n_sh_a",
+            "n_sh_b",
+            F.explode(
+                F.array(F.size(F.array_intersect("shs_a", "shs_b")))
+            ).alias("n_inter"),
+        )
+        .filter(
+            F.col("n_inter") * _CONTAIN_DEN
+            >= _CONTAIN_NUM * F.least("n_sh_a", "n_sh_b")
+        )
+        .select(
+            "lang",
+            F.when(F.col("mh1_a") == F.col("mh1_b"), 1).otherwise(0).alias(
+                "caught"
+            ),
+        )
+    )
+    per_lang = truth.groupBy("lang").agg(
+        F.count("*").alias("n_true_pairs"), F.sum("caught").alias("n_caught")
+    )
+    docs = keyed.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        docs.join(per_lang, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_true_pairs", F.lit(0))
+            .cast("long")
+            .alias("n_true_pairs"),
+            F.coalesce("n_caught", F.lit(0)).cast("long").alias("n_caught"),
+            F.when(
+                F.coalesce("n_true_pairs", F.lit(0)) > 0,
+                F.col("n_caught").cast("double") / F.col("n_true_pairs"),
+            ).alias("recall"),
+        )
+        .orderBy("lang")
+    )

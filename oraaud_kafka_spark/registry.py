@@ -63,9 +63,11 @@ _loaded = False
 #       containment/BPE-merge/interpolation/shuffle/EWMA/bigram batch,
 #       the entropy/RFM/epoch-budget/binary-dedup batch, and the TPC-H
 #       completion set) — round-6 VERDICT's single highest-leverage item;
-#   (b) 13 of the 23 stalest r1-green queries (set-op/window head +
+#   (b) q_dedup_containment_eval, new this round — new ops get their
+#       driver row the same round they ship;
+#   (c) 12 of the 23 stalest r1-green queries (set-op/window head +
 #       aggregates head) so no green row ages past 6 rounds.
-# Deferred to round-8: the remaining 10 r1-aged rows (aggregates/window
+# Deferred to round-8: the remaining 11 r1-aged rows (aggregates/window
 # tail, all locally parity-green every round), then the r4-green LLM
 # families cycle oldest-first.
 _FRONT = (
@@ -107,7 +109,9 @@ _FRONT = (
     "q_time_rollup_merge",
     "q_sql_recursive_paths",
     "q_quality_constraints",
-    # (b) stalest r1-green rotation (oldest-first fill to 50)
+    # (b) new this round — verified the round it ships
+    "q_dedup_containment_eval",
+    # (c) stalest r1-green rotation (oldest-first fill to 50)
     "q_set_intersect",
     "q_window_topk_per_group",
     "q_window_ranks",
@@ -120,15 +124,15 @@ _FRONT = (
     "q_agg_percentile",
     "q_agg_collect_set",
     "q_agg_min_by_max_by",
-    "q_agg_rollup",
 )
 
 
 # Immediately behind the window: the round-8 rotation queue — the
-# remaining 10 r1-aged green rows (aggregates/window tail), then the
+# remaining 11 r1-aged green rows (aggregates/window tail), then the
 # oldest r4-green LLM families cycle in. If the driver's window is ever
 # wider than 50, these are checked first; if not, nothing changes.
 _NEXT = (
+    "q_agg_rollup",
     "q_agg_cube",
     "q_agg_grouping_sets",
     "q_agg_pivot",

@@ -762,3 +762,63 @@ def test_quality_referential_counts_match_python(spark, children, parents):
     pset = set(parents)
     expected = sum(1 for c in children if c is not None and c not in pset)
     assert got.n_violations == expected
+
+
+def test_containment_eval_matches_python_reference(spark):
+    """Recompute the calibration harness in pure Python: exhaustive
+    within-language containment ground truth on the sliced corpus,
+    caught = shared 1-perm min-hash shingle — per-language true/caught/
+    recall must match exactly."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from .conftest import SF_DIR
+
+    from oraaud_kafka_spark import registry
+    from oraaud_kafka_spark.llm.dedup import _CONTAIN_EVAL_MOD
+
+    registry.load_all()
+    t = pq.read_table(f"{SF_DIR}/documents.parquet").to_pylist()
+    docs = {}
+    for row in t:
+        if row["doc_id"] % _CONTAIN_EVAL_MOD != 0:
+            continue
+        toks = row["text"].split(" ")
+        if len(toks) < 3:
+            continue
+        shs = list(dict.fromkeys(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        ))
+        mh1 = min(hashlib.md5(s.encode()).hexdigest() for s in shs)
+        docs[row["doc_id"]] = (row["lang"], set(shs), len(shs), mh1)
+    by_lang: dict[str, list] = {}
+    for i in sorted(docs):
+        by_lang.setdefault(docs[i][0], []).append(i)
+    expected = {}
+    for lang, members in by_lang.items():
+        n_true = n_caught = 0
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                a, b = members[x], members[y]
+                inter = len(docs[a][1] & docs[b][1])
+                if inter * 2 >= min(docs[a][2], docs[b][2]):
+                    n_true += 1
+                    n_caught += docs[a][3] == docs[b][3]
+        expected[lang] = (
+            len(members),
+            n_true,
+            n_caught,
+            n_caught / n_true if n_true else None,
+        )
+    got = registry.QUERIES["q_dedup_containment_eval"](spark, SF_DIR).collect()
+    assert {r.lang for r in got} == set(expected)
+    for r in got:
+        n_docs, n_true, n_caught, recall = expected[r.lang]
+        assert (r.n_docs, r.n_true_pairs, r.n_caught) == (
+            n_docs, n_true, n_caught,
+        )
+        if recall is None:
+            assert r.recall is None
+        else:
+            assert r.recall == recall  # int/int division, bitwise
