@@ -213,3 +213,55 @@ def test_zorder_write_narrows_both_columns_stats(spark, tmp_path):
         # range-partition boundary noise while a non-clustered column
         # would sit at ~1.0
         assert sum(ss) / len(ss) < 0.7 * global_span, name
+
+
+def test_layout_advisor_end_to_end(spark, tmp_path):
+    """The full advisor loop: one profiling scan ranks candidates by
+    approx cardinality, the table z-orders on the top two, and the
+    footer audit proves a narrow range predicate on EITHER chosen
+    column skips files — while the same predicate over an unclustered
+    write of the same data skips ~nothing."""
+    from oraaud_kafka_spark.operators.layout import (
+        layout_advisor_demo,
+        skipping_report,
+    )
+    from oraaud_kafka_spark.tables import load
+
+    from .conftest import SF_DIR
+
+    li = load(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
+    )
+    out = str(tmp_path / "advised")
+    n_files = 16
+    report = layout_advisor_demo(
+        spark, li, out,
+        ("l_orderkey", "l_partkey", "l_linenumber"),
+        n_files=n_files,
+    )
+    # cardinality ranking must pick the two key columns over the
+    # 7-value linenumber
+    assert set(report["chosen"]) == {"l_orderkey", "l_partkey"}
+    ranked = dict(report["ranked"])
+    assert ranked["l_linenumber"] < ranked["l_orderkey"]
+    # rows survive the rewrite
+    assert spark.read.parquet(out).count() == li.count()
+    # both chosen columns' probes skip files; a Z-curve over two dims
+    # yields ~sqrt(n_files) distinct ranges PER dimension, so a
+    # 1/n_files-width probe should prune well over a quarter of files
+    for c, probe in report["probes"].items():
+        assert probe["n_files_total"] >= n_files
+        assert probe["n_files_skipped"] >= probe["n_files_total"] // 4, (
+            c, probe,
+        )
+    # control: the same probe against an UNCLUSTERED write skips fewer
+    # files than the z-ordered layout does — the advisor's receipt
+    plain = str(tmp_path / "plain")
+    li.repartition(n_files).write.parquet(plain)
+    for c, probe in report["probes"].items():
+        lo_all, hi_all = li.selectExpr(f"min({c})", f"max({c})").first()
+        width = (hi_all - lo_all) / n_files or 1
+        control = skipping_report(plain, c, lo_all, lo_all + width)
+        assert control["n_files_skipped"] < probe["n_files_skipped"], (
+            c, control, probe,
+        )
