@@ -105,6 +105,9 @@ EXTRAS = [
     "q_sql_recursive_paths",     # WITH RECURSIVE reachability
     "q_quality_constraints",     # one-scan data-quality report
     "q_dedup_containment_eval",  # single-band blocking recall calibration
+    "q_emb_whiten_apply",        # per-dim standardization application
+    "q_time_holt_trend",         # level+trend double exponential smoothing
+    "q_sample_reservoir",        # exact-k-per-stratum deterministic sample
 ]
 
 

@@ -760,3 +760,88 @@ def q_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Whitening APPLICATION — the consumer of q_emb_dim_stats: standardize
+# every embedding component to (x - mean_d) / std_d, the preprocessing
+# step before PCA/ABTT or any distance-based downstream (so no single
+# high-variance dimension dominates cosine/L2). Plan shape: the
+# n_dims-row stats table (bounded by the MODEL dimension, a constant —
+# unlike the LM scorers' corpus-derived vocab, this broadcast hint is
+# safe by construction) broadcasts onto the posexploded component
+# stream — one explode, one broadcast equi-join, zero extra shuffles;
+# output is the whitened (vec_id, dim, whitened) stream a writer would
+# re-assemble with collect_list over dim. Float discipline: mean/std
+# come from the exact-decimal moment pattern (bitwise-equal both
+# engines, see q_emb_dim_stats) and (x - mean)/std is one fixed-shape
+# IEEE expression per row — no summation anywhere, so no rounding is
+# needed. Dead dims (std = 0) whiten to NULL on both engines — the
+# ANSI-safe signal that the dimension carries no information.
+# ---------------------------------------------------------------------------
+
+_WHITEN_ORACLE = """
+WITH comp AS (
+  SELECT vec_id,
+         unnest(range(len(embedding))) AS dim,
+         unnest(embedding) AS xf
+  FROM embeddings
+),
+stats AS (
+  SELECT dim,
+         CAST(CAST(sum(CAST(CAST(xf AS DOUBLE) AS DECIMAL(18,8)))
+              AS DECIMAL(18,8)) AS DOUBLE) / count(*) AS mean_val,
+         sqrt((CAST(count(*) AS DOUBLE)
+               * CAST(CAST(sum(CAST(CAST(xf AS DOUBLE) * CAST(xf AS DOUBLE)
+                                 AS DECIMAL(18,8))) AS DECIMAL(18,8)) AS DOUBLE)
+               - CAST(CAST(sum(CAST(CAST(xf AS DOUBLE) AS DECIMAL(18,8)))
+                           AS DECIMAL(18,8)) AS DOUBLE)
+                 * CAST(CAST(sum(CAST(CAST(xf AS DOUBLE) AS DECIMAL(18,8)))
+                             AS DECIMAL(18,8)) AS DOUBLE))
+              / (CAST(count(*) AS DOUBLE) * (count(*) - 1))) AS std_val
+  FROM comp GROUP BY dim
+)
+SELECT c.vec_id, CAST(c.dim AS INT) AS dim,
+       CASE WHEN s.std_val > 0 THEN
+         (CAST(c.xf AS DOUBLE) - s.mean_val) / s.std_val
+       END AS whitened
+FROM comp c JOIN stats s USING (dim)
+ORDER BY vec_id, dim
+"""
+
+
+@query("q_emb_whiten_apply", oracle=_WHITEN_ORACLE)
+def q_emb_whiten_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    comp = spread(e).select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    n = F.count("*").cast("double")
+    s1 = (
+        F.sum(F.col("x").cast("decimal(18,8)"))
+        .cast("decimal(18,8)")
+        .cast("double")
+    )
+    s2 = (
+        F.sum((F.col("x") * F.col("x")).cast("decimal(18,8)"))
+        .cast("decimal(18,8)")
+        .cast("double")
+    )
+    stats = comp.groupBy("dim").agg(
+        (s1 / F.count("*")).alias("mean_val"),
+        F.sqrt((n * s2 - s1 * s1) / (n * (F.count("*") - 1))).alias(
+            "std_val"
+        ),
+    )
+    return (
+        comp.join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.when(
+                F.col("std_val") > 0,
+                (F.col("x") - F.col("mean_val")) / F.col("std_val"),
+            ).alias("whitened"),
+        )
+        .orderBy("vec_id", "dim")
+    )

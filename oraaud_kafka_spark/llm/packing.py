@@ -497,3 +497,50 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic reservoir sampling — EXACTLY k docs per stratum,
+# uniform without replacement, no rand(): rank documents inside each
+# language by md5(doc_id) (a fixed random permutation of ids) and keep
+# the k smallest. Complements q_sample_stratified (rate-based hash
+# filter — keeps a deterministic FRACTION, count varies with stratum
+# size) when the contract is a fixed budget per stratum: eval-set
+# carving, per-domain audit samples, labeling batches. Scale shape:
+# one shuffle (the per-lang rank window); at extreme stratum sizes
+# swap the full sort for a per-partition top-k + merge (the
+# TakeOrdered pattern) — the hash ranking itself is already
+# cluster-size invariant, so the SAMPLE is identical either way.
+# Reproducible: same corpus, same k -> byte-identical sample on any
+# partitioning (the property rate-sampling already guarantees, kept
+# here for exact-k).
+# ---------------------------------------------------------------------------
+
+_RESERVOIR_K = 10
+
+_RESERVOIR_ORACLE = f"""
+SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= {_RESERVOIR_K}
+ORDER BY lang, rk
+"""
+
+
+@query("q_sample_reservoir", oracle=_RESERVOIR_ORACLE)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _RESERVOIR_K)
+        .select("lang", "doc_id", F.col("rk").cast("long").alias("rk"))
+        .orderBy("lang", "rk")
+    )

@@ -1421,3 +1421,85 @@ def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(delta_s, 0.9)").alias("p90_s"),
         F.max("delta_s").alias("max_s"),
     )
+
+
+# Holt linear-trend smoothing (double exponential smoothing; Hyndman &
+# Athanasopoulos ch. 8.2) per user — the next step up from
+# q_time_ewma_level when the per-key metric drifts: level AND trend
+# fold together, forecast_next = level + trend is the one-step-ahead
+# prediction a monitoring surface alerts on. Zero-seeded like the EWMA
+# so the recurrence is a pure fold; NULL-ts events are excluded (no
+# position in the time order — same contract as q_time_ewma_level).
+# Same scale shape as the EWMA: ONE groupBy(user_id) with a
+# position-sorted collect, per-task state bounded by the user's event
+# count, no window. Both engines run the IDENTICAL sequential IEEE op
+# sequence — Spark folds a struct(level, trend) accumulator with
+# F.aggregate, the oracle replays the same recurrence with a recursive
+# CTE (the q_pack_greedy replay pattern; DuckDB's list_reduce cannot
+# carry a 2-field accumulator) — so the 6-dp round only swallows
+# cross-libm noise, never reordering.
+_HW_ALPHA, _HW_BETA = 0.3, 0.1
+
+_HOLT_ORACLE = f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE ts IS NOT NULL
+),
+fold AS (
+  SELECT user_id, 0 AS rn, CAST(0 AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+  FROM (SELECT DISTINCT user_id FROM ev)
+  UNION ALL
+  SELECT e.user_id, e.rn,
+         {_HW_ALPHA} * e.value + {1 - _HW_ALPHA} * (f.l + f.b),
+         {_HW_BETA} * (({_HW_ALPHA} * e.value
+                        + {1 - _HW_ALPHA} * (f.l + f.b)) - f.l)
+           + {1 - _HW_BETA} * f.b
+  FROM fold f JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1
+),
+last AS (SELECT user_id AS lu, max(rn) AS mx FROM fold GROUP BY user_id)
+SELECT f.user_id, CAST(f.rn AS BIGINT) AS n_events,
+       round(f.l, 6) AS level, round(f.b, 6) AS trend,
+       round(f.l + f.b, 6) AS forecast_next
+FROM fold f JOIN last ON last.lu = f.user_id AND f.rn = last.mx
+ORDER BY user_id
+"""
+
+
+@query("q_time_holt_trend", oracle=_HOLT_ORACLE)
+def q_time_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda x: x.value,
+    )
+    a, b = F.lit(_HW_ALPHA), F.lit(_HW_BETA)
+    one_a, one_b = F.lit(1 - _HW_ALPHA), F.lit(1 - _HW_BETA)
+
+    def step(acc, x):
+        new_l = a * x + one_a * (acc.l + acc.b)
+        return F.struct(
+            new_l.alias("l"),
+            ((b * (new_l - acc.l)) + one_b * acc.b).alias("b"),
+        )
+
+    folded = F.aggregate(
+        ordered,
+        F.struct(F.lit(0.0).alias("l"), F.lit(0.0).alias("b")),
+        step,
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            folded.alias("hw"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("hw.l"), 6).alias("level"),
+            F.round(F.col("hw.b"), 6).alias("trend"),
+            F.round(F.col("hw.l") + F.col("hw.b"), 6).alias("forecast_next"),
+        )
+        .orderBy("user_id")
+    )

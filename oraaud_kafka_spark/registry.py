@@ -127,11 +127,18 @@ _FRONT = (
 )
 
 
-# Immediately behind the window: the round-8 rotation queue — the
-# remaining 11 r1-aged green rows (aggregates/window tail), then the
-# oldest r4-green LLM families cycle in. If the driver's window is ever
-# wider than 50, these are checked first; if not, nothing changes.
+# Immediately behind the window: the round-8 rotation queue — first
+# the operators added after the round-7 window filled (never
+# driver-checked, all locally parity-green), then the remaining 11
+# r1-aged green rows (aggregates/window tail), then the oldest
+# r4-green LLM families cycle in. If the driver's window is ever wider
+# than 50, these are checked first; if not, nothing changes.
 _NEXT = (
+    # added after the round-7 window filled — first slots next rotation
+    "q_emb_whiten_apply",
+    "q_time_holt_trend",
+    "q_sample_reservoir",
+    # r1-aged green rows
     "q_agg_rollup",
     "q_agg_cube",
     "q_agg_grouping_sets",
