@@ -465,3 +465,40 @@ def test_lm_scorers_never_force_broadcast_corpus_vocab(spark):
             f"{name}: expected exactly the scalar broadcast hint, "
             f"found {hints}"
         )
+
+
+def test_whiten_apply_broadcasts_dim_stats(spark):
+    """The n_dims-row stats table is bounded by the MODEL dimension (a
+    constant), so it must broadcast onto the component stream — the
+    whitening pass adds no shuffle beyond the stats aggregate itself."""
+    df = registry.QUERIES["q_emb_whiten_apply"](spark, SF_DIR)
+    plan = _plan(df, execute=True)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_holt_trend_single_shuffle_no_window(spark):
+    """Holt is ONE groupBy(user_id) with an in-array fold — no window
+    exchange, no second shuffle (the q_time_ewma_level discipline)."""
+    df = registry.QUERIES["q_time_holt_trend"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" not in plan
+    # one aggregate exchange + the final presentation sort only
+    agg_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l
+    ]
+    assert len(agg_exchanges) == 1, agg_exchanges
+
+
+def test_containment_eval_triangle_blocked(spark):
+    """The exhaustive-slice calibration join must still ride the
+    triangle decomposition (join key carries the grid cell), never a
+    plain per-language self-join that serializes a hot language."""
+    import re
+
+    df = registry.QUERIES["q_dedup_containment_eval"](spark, SF_DIR)
+    plan = _plan(df)
+    assert re.search(r"__cell", plan), "triangle cell key missing from plan"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
