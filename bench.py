@@ -108,6 +108,7 @@ EXTRAS = [
     "q_emb_whiten_apply",        # per-dim standardization application
     "q_time_holt_trend",         # level+trend double exponential smoothing
     "q_sample_reservoir",        # exact-k-per-stratum deterministic sample
+    "q_text_source_kl",          # per-source KL from corpus distribution
 ]
 
 

@@ -1158,3 +1158,84 @@ def q_text_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(h / F.log(F.col("vocab").cast("double")), 6),
         ).alias("normalized_entropy"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Per-source KL divergence from the corpus token distribution —
+# KL(P_source || P_corpus) = sum_t p_s(t) * ln(p_s(t)/p_c(t)) — the
+# domain-shift half of the diversity story q_text_source_entropy
+# starts: entropy says how internally varied a source is, KL says how
+# FAR its token mix sits from the corpus average (DoReMi-style mixture
+# reweighting keys on exactly this distance). p_c(t) > 0 whenever
+# p_s(t) > 0 (every source token IS a corpus token), so the log never
+# sees zero. Scale shape: one explode + one partial-agg'd
+# groupBy(source, tok); corpus counts re-aggregate THAT table (vocab
+# cardinality, not corpus); the term join keys on tok with NO
+# broadcast hint (corpus-derived vocab table — the LM-scorer rule);
+# per-source totals join on source. Float discipline: each term
+# rounds to 12 dp and converts to DECIMAL(20,12) so the per-source
+# sum is exact and order-free; final 6-dp round swallows cross-libm
+# ln noise (the q_text_unigram_logprob discipline).
+# ---------------------------------------------------------------------------
+
+_KL_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+sc AS (SELECT source, tok, count(*) AS c_st FROM tok GROUP BY source, tok),
+cc AS (SELECT tok, sum(c_st) AS c_t FROM sc GROUP BY tok),
+tot AS (SELECT sum(c_t) AS n FROM cc),
+ns AS (
+  SELECT source, sum(c_st) AS n_s, count(*) AS vocab FROM sc GROUP BY source
+),
+terms AS (
+  SELECT s.source,
+         CAST(round(
+           (CAST(s.c_st AS DOUBLE) / ns.n_s)
+           * ln((CAST(s.c_st AS DOUBLE) / ns.n_s)
+                / (CAST(c.c_t AS DOUBLE) / (SELECT n FROM tot))), 12)
+           AS DECIMAL(20,12)) AS term
+  FROM sc s JOIN cc c USING (tok) JOIN ns ON ns.source = s.source
+)
+SELECT ns.source, CAST(ns.n_s AS BIGINT) AS n_tokens,
+       CAST(ns.vocab AS BIGINT) AS vocab,
+       CAST(CAST(round(t.s, 6) AS DECIMAL(15,6)) AS DOUBLE) AS kl_nats
+FROM (SELECT source, sum(term) AS s FROM terms GROUP BY source) t
+JOIN ns ON ns.source = t.source
+ORDER BY ns.source
+"""
+
+
+@query("q_text_source_kl", oracle=_KL_ORACLE)
+def q_text_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    sc = tok.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
+    cc = sc.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    tot = cc.agg(F.sum("c_t").alias("n"))
+    ns = sc.groupBy("source").agg(
+        F.sum("c_st").alias("n_s"), F.count("*").alias("vocab")
+    )
+    p_s = F.col("c_st").cast("double") / F.col("n_s")
+    p_c = F.col("c_t").cast("double") / F.col("n")
+    term = F.round(p_s * F.log(p_s / p_c), 12).cast("decimal(20,12)")
+    terms = (
+        sc.join(cc, "tok")
+        .join(ns.select("source", "n_s"), "source")
+        .crossJoin(F.broadcast(tot))
+        .select("source", term.alias("term"))
+    )
+    summed = terms.groupBy("source").agg(F.sum("term").alias("s"))
+    return (
+        summed.join(ns, "source")
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_tokens"),
+            F.col("vocab").cast("long").alias("vocab"),
+            F.round(F.col("s"), 6)
+            .cast("decimal(15,6)")
+            .cast("double")
+            .alias("kl_nats"),
+        )
+        .orderBy("source")
+    )

@@ -138,6 +138,7 @@ _NEXT = (
     "q_emb_whiten_apply",
     "q_time_holt_trend",
     "q_sample_reservoir",
+    "q_text_source_kl",
     # r1-aged green rows
     "q_agg_rollup",
     "q_agg_cube",

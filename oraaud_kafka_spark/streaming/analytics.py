@@ -427,3 +427,76 @@ def current_rollup_dir(base_dir: str) -> str:
     marker = os.path.join(base_dir, "_committed")
     with open(marker) as fh:
         return os.path.join(base_dir, f"rollup_batch={int(fh.read().strip())}")
+
+
+# ---------------------------------------------------------------------------
+# Streaming Holt (level + trend) smoothing: the live counterpart of the
+# batch q_time_holt_trend operator, exactly as ewma_levels mirrors
+# q_time_ewma_level — per-key double exponential smoothing whose
+# (level, trend) pair survives micro-batch boundaries in keyed state.
+# Within a batch, NaT-ts rows drop and the rest fold in (ts, event_id)
+# order; across batches the state cell carries (level, trend, n)
+# forward, so any batch slicing of the same ordered rows reproduces
+# the batch fold (asserted in tests/test_streaming.py). State is three
+# scalars per key; each trigger is one shuffle on the key.
+# ---------------------------------------------------------------------------
+
+HOLT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("forecast_next", DoubleType()),
+    ]
+)
+HOLT_STATE_SCHEMA = StructType(
+    [
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+HOLT_ALPHA, HOLT_BETA = 0.3, 0.1
+
+
+def _holt_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    level, trend, n = state.get if state.exists else (0.0, 0.0, 0)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows[rows["ts"].notna()].sort_values(["ts", "event_id"])
+    for v in rows["value"]:
+        new_level = HOLT_ALPHA * float(v) + (1 - HOLT_ALPHA) * (level + trend)
+        trend = HOLT_BETA * (new_level - level) + (1 - HOLT_BETA) * trend
+        level = new_level
+        n += 1
+    state.update((level, trend, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "level": [level],
+            "trend": [trend],
+            "forecast_next": [level + trend],
+        }
+    )
+
+
+def holt_levels(df: DataFrame) -> DataFrame:
+    """Per-user zero-seeded Holt level+trend over (user_id, ts,
+    event_id, value) rows; emits the updated state each micro-batch the
+    key appears in. Update-mode sinks keep the latest row per key."""
+    return (
+        df.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _holt_fn,
+            HOLT_OUTPUT_SCHEMA,
+            HOLT_STATE_SCHEMA,
+            "update",
+            "NoTimeout",
+        )
+    )

@@ -581,3 +581,53 @@ def test_ewma_state_survives_checkpoint_restart(spark, tmp_path):
     # continued from recovered state: 3 events total, level folds on
     assert last.n_events == 3
     assert abs(last.ewma_level - expected) < 1e-12
+
+
+def test_holt_levels_match_batch_fold_across_batches(spark, tmp_path):
+    """Streaming Holt state must carry across micro-batches: slicing the
+    same ordered rows into two batches yields exactly the single-pass
+    zero-seeded level+trend fold of the full sequence (the batch
+    q_time_holt_trend semantics), NaT-ts rows excluded."""
+    from oraaud_kafka_spark.streaming.analytics import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        holt_levels,
+    )
+
+    d = tmp_path / "holt"
+    d.mkdir()
+    batch1 = [
+        {"user_id": 1, "ts": "2026-01-01T00:00:00", "event_id": 1, "value": 10.0},
+        {"user_id": 1, "ts": "2026-01-01T00:01:00", "event_id": 2, "value": 20.0},
+        {"user_id": 2, "ts": "2026-01-01T00:00:30", "event_id": 3, "value": 5.0},
+        {"user_id": 2, "ts": None, "event_id": 6, "value": 99.0},  # NaT: drop
+    ]
+    batch2 = [
+        {"user_id": 1, "ts": "2026-01-01T00:02:00", "event_id": 4, "value": 30.0},
+        {"user_id": 2, "ts": "2026-01-01T00:03:00", "event_id": 5, "value": 7.0},
+    ]
+    _write_jsonl(d / "b1.json", batch1)
+    _write_jsonl(d / "b2.json", batch2)
+    stream = _stream_json(spark, d, EWMA_SCHEMA, latestFirst="false")
+    q = _run_to_memory(holt_levels(stream), "holt", output_mode="update")
+    try:
+        rows = spark.table("holt").collect()
+        latest = {}
+        for r in rows:
+            latest[r.user_id] = r
+        expected = {}
+        for u, vals in ((1, [10.0, 20.0, 30.0]), (2, [5.0, 7.0])):
+            level = trend = 0.0
+            for v in vals:
+                new_level = HOLT_ALPHA * v + (1 - HOLT_ALPHA) * (level + trend)
+                trend = HOLT_BETA * (new_level - level) + (1 - HOLT_BETA) * trend
+                level = new_level
+            expected[u] = (len(vals), level, trend)
+        assert set(latest) == {1, 2}
+        for u, (n, level, trend) in expected.items():
+            assert latest[u].n_events == n
+            assert abs(latest[u].level - level) < 1e-12
+            assert abs(latest[u].trend - trend) < 1e-12
+            assert abs(latest[u].forecast_next - (level + trend)) < 1e-12
+    finally:
+        q.stop()
