@@ -1,0 +1,146 @@
+"""Internal-consistency invariants of the round-7 operators — relations
+between output columns that must hold regardless of fixture content,
+complementing the DuckDB value parity in test_parity.py."""
+
+from __future__ import annotations
+
+import math
+
+from oraaud_kafka_spark import registry
+
+from .conftest import SF_DIR
+
+registry.load_all()
+
+
+def test_containment_eval_recall_sane(spark):
+    """caught <= true pairs per language; recall = caught/true exactly
+    when pairs exist, NULL otherwise; doc counts positive; the slice is
+    strictly smaller than the corpus."""
+    rows = registry.QUERIES["q_dedup_containment_eval"](spark, SF_DIR).collect()
+    assert rows
+    from oraaud_kafka_spark.tables import load
+
+    n_total = load(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in rows) < n_total
+    for r in rows:
+        assert r.n_docs > 0
+        assert 0 <= r.n_caught <= r.n_true_pairs
+        if r.n_true_pairs:
+            assert r.recall == r.n_caught / r.n_true_pairs
+        else:
+            assert r.recall is None
+
+
+def test_whiten_apply_standardizes(spark):
+    """Whitened components of each live dimension must have mean ~0 and
+    sample std ~1 (that IS the whitening contract); dead dims are all
+    NULL."""
+    import collections
+
+    rows = registry.QUERIES["q_emb_whiten_apply"](spark, SF_DIR).collect()
+    by_dim = collections.defaultdict(list)
+    for r in rows:
+        by_dim[r.dim].append(r.whitened)
+    assert by_dim
+    for dim, vals in by_dim.items():
+        nn = [v for v in vals if v is not None]
+        assert nn == vals or not nn, f"dim {dim} mixes NULL and values"
+        if not nn:
+            continue
+        n = len(nn)
+        mean = sum(nn) / n
+        var = sum((v - mean) ** 2 for v in nn) / (n - 1)
+        assert abs(mean) < 1e-6, dim
+        assert abs(math.sqrt(var) - 1.0) < 1e-6, dim  # stats from DECIMAL(18,8) moments: ~1e-8 quantization
+
+
+def test_holt_trend_reduces_to_python_fold(spark):
+    """The (level, trend) pair per user must equal the pure-Python
+    zero-seeded Holt fold over that user's (ts, event_id)-ordered
+    non-NULL-ts values, and forecast_next = level + trend."""
+    from pyspark.sql import functions as F
+
+    from oraaud_kafka_spark.queries.event_time import _HW_ALPHA, _HW_BETA
+    from oraaud_kafka_spark.tables import load
+
+    ev = (
+        load(spark, SF_DIR, "events")
+        .where(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    seqs: dict = {}
+    for r in sorted(ev, key=lambda r: (r.ts, r.event_id)):
+        seqs.setdefault(r.user_id, []).append(r.value)
+    rows = registry.QUERIES["q_time_holt_trend"](spark, SF_DIR).collect()
+    assert set(r.user_id for r in rows) == set(seqs)
+    for r in rows:
+        level = trend = 0.0
+        for v in seqs[r.user_id]:
+            new_level = _HW_ALPHA * v + (1 - _HW_ALPHA) * (level + trend)
+            trend = _HW_BETA * (new_level - level) + (1 - _HW_BETA) * trend
+            level = new_level
+        assert r.n_events == len(seqs[r.user_id])
+        assert abs(r.level - round(level, 6)) < 1e-9
+        assert abs(r.trend - round(trend, 6)) < 1e-9
+        assert abs(r.forecast_next - round(level + trend, 6)) < 1e-9
+
+
+def test_reservoir_exact_k_and_partition_invariant(spark):
+    """Exactly k rows per language (or the whole stratum when smaller),
+    ranks 1..k dense, and the SAMPLE is identical under a different
+    input partitioning — the reproducibility contract."""
+    from pyspark.sql import functions as F
+
+    from oraaud_kafka_spark.llm.packing import _RESERVOIR_K
+    from oraaud_kafka_spark.tables import load
+
+    rows = registry.QUERIES["q_sample_reservoir"](spark, SF_DIR).collect()
+    strata = (
+        load(spark, SF_DIR, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    sizes = {r.lang: r.n for r in strata}
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r.lang, []).append((r.rk, r.doc_id))
+    assert set(got) == {l for l, n in sizes.items() if n > 0}
+    for lang, pairs in got.items():
+        assert len(pairs) == min(_RESERVOIR_K, sizes[lang])
+        assert sorted(rk for rk, _ in pairs) == list(range(1, len(pairs) + 1))
+    # partition-invariance: rebuild from a repartitioned source
+    d = load(spark, SF_DIR, "documents").repartition(13)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    again = (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _RESERVOIR_K)
+        .collect()
+    )
+    assert {(r.lang, r.doc_id, r.rk) for r in again} == {
+        (r.lang, r.doc_id, r.rk) for r in rows
+    }
+
+
+def test_source_kl_nonnegative_and_entropy_consistent(spark):
+    """KL(P_s || P_c) >= 0 (Gibbs), zero only if the source matches the
+    corpus mix; token/vocab counts agree with the entropy report (same
+    tokenization, same grouping)."""
+    kl = registry.QUERIES["q_text_source_kl"](spark, SF_DIR).collect()
+    ent = {
+        r.source: r
+        for r in registry.QUERIES["q_text_source_entropy"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert kl and set(r.source for r in kl) == set(ent)
+    for r in kl:
+        assert r.kl_nats >= -1e-6, r.source
+        assert r.n_tokens == ent[r.source].n_tokens
+        assert r.vocab == ent[r.source].vocab
