@@ -1208,31 +1208,34 @@ ORDER BY ns.source
 
 @query("q_text_source_kl", oracle=_KL_ORACLE)
 def q_text_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plan economics: the per-source totals come from a WINDOW over the
+    # (source, tok) aggregate, not a separate groupBy(source) joined
+    # back — that drops two join exchanges and a recomputed sc subtree
+    # (measured: 11 exchanges -> ~5); the final groupBy(source) then
+    # reuses the window's hash partitioning, and vocab/n_tokens fall
+    # out of the SAME aggregate as the term sum (each sc row is one
+    # distinct (source, tok), and the cc join preserves rows 1:1).
     d = load(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
     sc = tok.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
     cc = sc.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
     tot = cc.agg(F.sum("c_t").alias("n"))
-    ns = sc.groupBy("source").agg(
-        F.sum("c_st").alias("n_s"), F.count("*").alias("vocab")
+    w = Window.partitionBy("source")
+    j = (
+        sc.join(cc, "tok")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("n_s", F.sum("c_st").over(w))
     )
     p_s = F.col("c_st").cast("double") / F.col("n_s")
     p_c = F.col("c_t").cast("double") / F.col("n")
     term = F.round(p_s * F.log(p_s / p_c), 12).cast("decimal(20,12)")
-    terms = (
-        sc.join(cc, "tok")
-        .join(ns.select("source", "n_s"), "source")
-        .crossJoin(F.broadcast(tot))
-        .select("source", term.alias("term"))
-    )
-    summed = terms.groupBy("source").agg(F.sum("term").alias("s"))
     return (
-        summed.join(ns, "source")
-        .select(
-            "source",
-            F.col("n_s").cast("long").alias("n_tokens"),
-            F.col("vocab").cast("long").alias("vocab"),
-            F.round(F.col("s"), 6)
+        j.select("source", "c_st", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.sum("c_st").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("vocab"),
+            F.round(F.sum("term"), 6)
             .cast("decimal(15,6)")
             .cast("double")
             .alias("kl_nats"),

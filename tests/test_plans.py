@@ -457,7 +457,7 @@ def test_lm_scorers_never_force_broadcast_corpus_vocab(spark):
     A re-added F.broadcast(vocab) would pass every value test and OOM a
     1000-executor run, so the hint count is pinned at the logical plan."""
     for name in ("q_text_unigram_logprob", "q_text_ccnet_tiers",
-                 "q_text_bigram_logprob"):
+                 "q_text_bigram_logprob", "q_text_source_kl"):
         df = registry.QUERIES[name](spark, SF_DIR)
         analyzed = df._jdf.queryExecution().analyzed().toString()
         hints = analyzed.count("ResolvedHint")
