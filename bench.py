@@ -194,9 +194,16 @@ def main() -> None:
     hist_path = os.environ.get("SPARK_GRAFT_BENCH_HISTORY") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl"
     )
-    with open(hist_path, "a") as f:
-        f.write(json.dumps({**record, "queries_extra": extras,
-                            "ts": int(time.time())}) + "\n")
+    try:
+        with open(hist_path, "a") as f:
+            f.write(json.dumps({**record, "queries_extra": extras,
+                                "ts": int(time.time())}) + "\n")
+    except OSError as e:
+        # best-effort telemetry: a read-only checkout or full disk must
+        # not kill the run before the headline line prints — that would
+        # recreate the exact lost-headline failure this file defends
+        # against
+        print(f"# WARNING bench history not written: {e}", file=sys.stderr)
     line = json.dumps(record)
     if len(line) > 1900:  # pragma: no cover - contract guard
         print(f"# WARNING stdout line {len(line)} chars nears the "

@@ -465,18 +465,28 @@ def q_corpus_pipeline_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounding needed.
 # ---------------------------------------------------------------------------
 
+# std guards (both engines, identically): a single-row dimension has
+# no sample variance — count(*) = 1 would divide by zero, which Spark
+# 4's ANSI default turns into a hard crash — and a CONSTANT dimension
+# (min = max) must report std NULL, not the tiny positive noise the
+# DECIMAL(18,8) moment quantization can leave (or the negative value
+# it can leave, which crashes DuckDB's sqrt). greatest(, 0) clamps the
+# quantization sign; the min < max predicate pins dead dims to NULL.
 _DIM_STATS_ORACLE = """
 SELECT dim, count(*) AS n,
        CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,8))) AS DECIMAL(18,8))
             AS DOUBLE) / count(*) AS mean_val,
-       sqrt((CAST(count(*) AS DOUBLE)
+       CASE WHEN count(*) > 1 AND min(CAST(x AS DOUBLE)) < max(CAST(x AS DOUBLE))
+       THEN
+       sqrt(greatest((CAST(count(*) AS DOUBLE)
              * CAST(CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
                                AS DECIMAL(18,8))) AS DECIMAL(18,8)) AS DOUBLE)
              - CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,8)))
                          AS DECIMAL(18,8)) AS DOUBLE)
                * CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,8)))
                            AS DECIMAL(18,8)) AS DOUBLE))
-            / (CAST(count(*) AS DOUBLE) * (count(*) - 1))) AS std_val,
+            / (CAST(count(*) AS DOUBLE) * (count(*) - 1)), CAST(0 AS DOUBLE)))
+       END AS std_val,
        min(CAST(x AS DOUBLE)) AS lo,
        max(CAST(x AS DOUBLE)) AS hi
 FROM (
@@ -502,14 +512,21 @@ def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,8)")
         .cast("double")
     )
+    std = F.when(
+        (F.count("*") > 1) & (F.min("x") < F.max("x")),
+        F.sqrt(
+            F.greatest(
+                (n * s2 - s1 * s1) / (n * (F.count("*") - 1)),
+                F.lit(0.0),
+            )
+        ),
+    )
     return (
         exploded.groupBy("dim")
         .agg(
             F.count("*").alias("n"),
             (s1 / F.count("*")).alias("mean_val"),
-            F.sqrt(
-                (n * s2 - s1 * s1) / (n * (F.count("*") - 1))
-            ).alias("std_val"),
+            std.alias("std_val"),
             F.min("x").alias("lo"),
             F.max("x").alias("hi"),
         )
@@ -788,17 +805,26 @@ WITH comp AS (
   FROM embeddings
 ),
 stats AS (
+  -- std guards mirror q_emb_dim_stats: count(*) = 1 would divide by
+  -- zero (ANSI crash on Spark), a constant dim (min = max) pins to
+  -- NULL, and greatest(, 0) clamps the DECIMAL(18,8) quantization
+  -- residue whose negative sign crashes DuckDB's sqrt
   SELECT dim,
          CAST(CAST(sum(CAST(CAST(xf AS DOUBLE) AS DECIMAL(18,8)))
               AS DECIMAL(18,8)) AS DOUBLE) / count(*) AS mean_val,
-         sqrt((CAST(count(*) AS DOUBLE)
+         CASE WHEN count(*) > 1
+                   AND min(CAST(xf AS DOUBLE)) < max(CAST(xf AS DOUBLE))
+         THEN
+         sqrt(greatest((CAST(count(*) AS DOUBLE)
                * CAST(CAST(sum(CAST(CAST(xf AS DOUBLE) * CAST(xf AS DOUBLE)
                                  AS DECIMAL(18,8))) AS DECIMAL(18,8)) AS DOUBLE)
                - CAST(CAST(sum(CAST(CAST(xf AS DOUBLE) AS DECIMAL(18,8)))
                            AS DECIMAL(18,8)) AS DOUBLE)
                  * CAST(CAST(sum(CAST(CAST(xf AS DOUBLE) AS DECIMAL(18,8)))
                              AS DECIMAL(18,8)) AS DOUBLE))
-              / (CAST(count(*) AS DOUBLE) * (count(*) - 1))) AS std_val
+              / (CAST(count(*) AS DOUBLE) * (count(*) - 1)),
+              CAST(0 AS DOUBLE)))
+         END AS std_val
   FROM comp GROUP BY dim
 )
 SELECT c.vec_id, CAST(c.dim AS INT) AS dim,
@@ -829,9 +855,15 @@ def q_emb_whiten_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = comp.groupBy("dim").agg(
         (s1 / F.count("*")).alias("mean_val"),
-        F.sqrt((n * s2 - s1 * s1) / (n * (F.count("*") - 1))).alias(
-            "std_val"
-        ),
+        F.when(
+            (F.count("*") > 1) & (F.min("x") < F.max("x")),
+            F.sqrt(
+                F.greatest(
+                    (n * s2 - s1 * s1) / (n * (F.count("*") - 1)),
+                    F.lit(0.0),
+                )
+            ),
+        ).alias("std_val"),
     )
     return (
         comp.join(F.broadcast(stats), "dim")

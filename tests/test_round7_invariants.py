@@ -144,3 +144,42 @@ def test_source_kl_nonnegative_and_entropy_consistent(spark):
         assert r.kl_nats >= -1e-6, r.source
         assert r.n_tokens == ent[r.source].n_tokens
         assert r.vocab == ent[r.source].vocab
+
+
+def test_dim_stats_degenerate_shapes_null_not_crash(spark, tmp_path):
+    """A single-vector table (n=1 per dim: sample variance undefined,
+    ANSI division by zero) and a constant dimension (DECIMAL-quantized
+    moments can go epsilon-negative: DuckDB sqrt crash / Spark NaN)
+    must both yield std/whitened = NULL on BOTH engines — the review
+    crash class behind the min<max + greatest(,0) guards."""
+    import os
+
+    import duckdb
+
+    from oraaud_kafka_spark import registry
+
+    for rows, tag in (
+        ([(0, [0.5, 0.9], 0)], "single"),
+        ([(i, [0.9000000051, float(i)], 0) for i in range(4)], "constdim"),
+    ):
+        d = tmp_path / tag
+        d.mkdir()
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).coalesce(1).write.parquet(os.path.join(str(d), "embeddings.parquet"))
+        got = registry.QUERIES["q_emb_whiten_apply"].__wrapped__(
+            spark, str(d)
+        ).collect()
+        dead = [r.whitened for r in got if r.dim == 0]
+        assert dead and all(v is None for v in dead), (tag, dead)
+        stats = registry.QUERIES["q_emb_dim_stats"].__wrapped__(
+            spark, str(d)
+        ).collect()
+        assert stats[0].std_val is None, tag
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{d}/embeddings.parquet/*.parquet'"
+        )
+        orc = con.execute(registry.ORACLES["q_emb_whiten_apply"]).fetchall()
+        assert all(r[2] is None for r in orc if r[1] == 0), tag

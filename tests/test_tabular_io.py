@@ -235,7 +235,7 @@ def test_layout_advisor_end_to_end(spark, tmp_path):
     out = str(tmp_path / "advised")
     n_files = 16
     report = layout_advisor_demo(
-        spark, li, out,
+        li, out,
         ("l_orderkey", "l_partkey", "l_linenumber"),
         n_files=n_files,
     )
@@ -259,9 +259,15 @@ def test_layout_advisor_end_to_end(spark, tmp_path):
     plain = str(tmp_path / "plain")
     li.repartition(n_files).write.parquet(plain)
     for c, probe in report["probes"].items():
-        lo_all, hi_all = li.selectExpr(f"min({c})", f"max({c})").first()
-        width = (hi_all - lo_all) / n_files or 1
+        _, lo_all, hi_all = report["col_stats"][c]
+        width = (hi_all - lo_all) / n_files
         control = skipping_report(plain, c, lo_all, lo_all + width)
         assert control["n_files_skipped"] < probe["n_files_skipped"], (
             c, control, probe,
         )
+    # guard behaviors: absent column raises instead of reporting
+    # trivially perfect pruning
+    import pytest
+
+    with pytest.raises(ValueError, match="not present"):
+        skipping_report(out, "no_such_column", 0, 1)
