@@ -109,6 +109,7 @@ EXTRAS = [
     "q_time_holt_trend",         # level+trend double exponential smoothing
     "q_sample_reservoir",        # exact-k-per-stratum deterministic sample
     "q_text_source_kl",          # per-source KL from corpus distribution
+    "q_text_zipf_fit",           # vocab Zipf-slope corpus health check
 ]
 
 

@@ -1242,3 +1242,113 @@ def q_text_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-fit corpus health check: OLS of ln(frequency) on ln(rank) over
+# the corpus vocabulary — natural text sits near slope -1 (Zipf's
+# law); machine-generated or template-heavy corpora bend the tail, so
+# the (slope, r2) pair is a cheap whole-corpus contamination signal
+# next to the per-doc gates. Scale shape: one explode + one
+# partial-agg'd groupBy(tok), then ONE global rank window over
+# VOCAB-cardinality rows (the q_events_rfm trade: windows run over the
+# bounded aggregate, never the token stream; at extreme vocab swap the
+# rank for an approx-quantile bucket id), then a single 1-row
+# aggregate. Float discipline: each per-rank term (x, y, xy, x2, y2)
+# rounds to 12 dp and converts to DECIMAL(20,12) so all five sums are
+# exact and order-free; slope/intercept/r2 are one fixed-shape IEEE
+# expression over the five sums, rounded to 6 dp. Guards: slope needs
+# vocab >= 2 (rank variance is then > 0 by construction); r2's
+# y-variance denominator is zero when every token has the same count
+# — NULL, not a divide-by-zero.
+# ---------------------------------------------------------------------------
+
+_ZIPF_TERM = "CAST(round({expr}, 12) AS DECIMAL(20,12))"
+
+_ZIPF_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM vocab
+),
+terms AS (
+  SELECT {_ZIPF_TERM.format(expr='ln(CAST(r AS DOUBLE))')} AS x,
+         {_ZIPF_TERM.format(expr='ln(CAST(c AS DOUBLE))')} AS y,
+         {_ZIPF_TERM.format(expr='ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE))')} AS xy,
+         {_ZIPF_TERM.format(expr='ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))')} AS x2,
+         {_ZIPF_TERM.format(expr='ln(CAST(c AS DOUBLE)) * ln(CAST(c AS DOUBLE))')} AS y2,
+         c
+  FROM ranked
+),
+sums AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(count(*) AS BIGINT) AS n_vocab,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(xy) AS DOUBLE) AS sxy, CAST(sum(x2) AS DOUBLE) AS sx2,
+         CAST(sum(y2) AS DOUBLE) AS sy2
+  FROM terms
+)
+SELECT n_vocab, n_tokens,
+       CASE WHEN n_vocab >= 2 THEN
+         round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6)
+       END AS zipf_slope,
+       CASE WHEN n_vocab >= 2 THEN
+         round((sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx) / n, 6)
+       END AS zipf_intercept,
+       CASE WHEN n_vocab >= 2 AND n * sy2 - sy * sy > 0 THEN
+         round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+               / ((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 6)
+       END AS r2
+FROM sums
+"""
+
+
+@query("q_text_zipf_fit", oracle=_ZIPF_ORACLE)
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    ranked = vocab.select("c", F.row_number().over(w).alias("r"))
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+
+    def dec12(col):
+        return F.round(col, 12).cast("decimal(20,12)")
+
+    terms = ranked.select(
+        "c",
+        dec12(x).alias("x"),
+        dec12(y).alias("y"),
+        dec12(x * y).alias("xy"),
+        dec12(x * x).alias("x2"),
+        dec12(y * y).alias("y2"),
+    )
+    n = F.count("*").cast("double")
+    sx = F.sum("x").cast("double")
+    sy = F.sum("y").cast("double")
+    sxy = F.sum("xy").cast("double")
+    sx2 = F.sum("x2").cast("double")
+    sy2 = F.sum("y2").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    vocab_ok = F.count("*") >= 2
+    return terms.agg(
+        F.count("*").cast("long").alias("n_vocab"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.when(vocab_ok, F.round(slope, 6)).alias("zipf_slope"),
+        F.when(vocab_ok, F.round((sy - slope * sx) / n, 6)).alias(
+            "zipf_intercept"
+        ),
+        F.when(
+            vocab_ok & (n * sy2 - sy * sy > 0),
+            F.round(
+                (n * sxy - sx * sy)
+                * (n * sxy - sx * sy)
+                / ((n * sx2 - sx * sx) * (n * sy2 - sy * sy)),
+                6,
+            ),
+        ).alias("r2"),
+    )

@@ -139,6 +139,7 @@ _NEXT = (
     "q_time_holt_trend",
     "q_sample_reservoir",
     "q_text_source_kl",
+    "q_text_zipf_fit",
     # r1-aged green rows
     "q_agg_rollup",
     "q_agg_cube",

@@ -183,3 +183,36 @@ def test_dim_stats_degenerate_shapes_null_not_crash(spark, tmp_path):
         )
         orc = con.execute(registry.ORACLES["q_emb_whiten_apply"]).fetchall()
         assert all(r[2] is None for r in orc if r[1] == 0), tag
+
+
+def test_zipf_fit_matches_python_ols(spark):
+    """The Zipf OLS must reproduce a pure-Python fit over the same
+    (rounded-term) rank/frequency pairs: slope negative on the fixture
+    corpus, r2 in [0, 1], counts consistent."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet").to_pylist()
+    counts = collections.Counter()
+    for row in t:
+        counts.update(row["text"].split(" "))
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs, ys = [], []
+    for r, (_, c) in enumerate(ranked, start=1):
+        xs.append(round(math.log(r), 12))
+        ys.append(round(math.log(c), 12))
+    n = float(len(xs))
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(round(x * y, 12) for x, y in zip(xs, ys))
+    sx2 = sum(round(x * x, 12) for x in xs)
+    sy2 = sum(round(y * y, 12) for y in ys)
+    slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+    row = registry.QUERIES["q_text_zipf_fit"](spark, SF_DIR).first()
+    assert row.n_vocab == len(ranked)
+    assert row.n_tokens == sum(counts.values())
+    assert abs(row.zipf_slope - round(slope, 6)) < 1e-6
+    assert abs(row.r2 - round(r2, 6)) < 1e-6
+    assert row.zipf_slope < 0
+    assert 0.0 <= row.r2 <= 1.0
