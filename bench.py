@@ -110,6 +110,12 @@ EXTRAS = [
     "q_sample_reservoir",        # exact-k-per-stratum deterministic sample
     "q_text_source_kl",          # per-source KL from corpus distribution
     "q_text_zipf_fit",           # vocab Zipf-slope corpus health check
+    "q_agg_skew_kurtosis",       # exact-int64 distribution-shape moments
+    "q_agg_mode_deterministic",  # pinned-tie-break per-group mode
+    "q_events_attribution",      # join-free first/last-touch credit
+    "q_time_cusum_changepoint",  # CUSUM level-shift scan
+    "q_graph_degree_profile",    # type-graph weighted degrees
+    "q_events_pagerank",         # all-broadcast 12-iter power loop
 ]
 
 

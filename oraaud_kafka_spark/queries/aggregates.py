@@ -681,3 +681,193 @@ def q_agg_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_revenue",
         (F.col("promo_revenue") / F.col("total_revenue")).alias("promo_share"),
     ).orderBy("ship_month")
+
+
+# ---------------------------------------------------------------------------
+# Exact-moment skewness / excess kurtosis. Spark's skewness()/kurtosis()
+# and DuckDB's disagree on bias correction AND both fold doubles in
+# partition order, so neither is hash-comparable. Instead: l_quantity is
+# integral (1..50), so the four raw power sums are EXACT bigint
+# aggregates (q^4 <= 6.25e6; even 6e9 rows at sf1000 keeps s4 < 4e16,
+# far inside int64), and the central-moment algebra then runs once per
+# GROUP on identical exact inputs — one fixed-shape IEEE expression both
+# engines evaluate identically. One shuffle, map-side partial aggs,
+# whole-stage codegen end to end; no window, no second pass.
+# Degenerate guard: a constant group has m2 = 0 -> skew/kurtosis NULL
+# (CASE WHEN m2 > 0), not a DIVIDE_BY_ZERO crash under ANSI mode.
+# ---------------------------------------------------------------------------
+
+_SKEW_KURT_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag, l_linestatus,
+         count(*) AS n,
+         sum(CAST(l_quantity AS BIGINT)) AS s1,
+         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s2,
+         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+             * CAST(l_quantity AS BIGINT)) AS s3,
+         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+             * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s4
+  FROM lineitem
+  GROUP BY l_returnflag, l_linestatus
+),
+m AS (
+  SELECT l_returnflag, l_linestatus, n,
+         CAST(s1 AS DOUBLE) / n AS mean,
+         CAST(s2 AS DOUBLE) / n AS r2,
+         CAST(s3 AS DOUBLE) / n AS r3,
+         CAST(s4 AS DOUBLE) / n AS r4
+  FROM s
+),
+c AS (
+  SELECT l_returnflag, l_linestatus, n, mean,
+         r2 - mean * mean AS m2,
+         r3 - 3 * mean * r2 + 2 * mean * mean * mean AS m3,
+         r4 - 4 * mean * r3 + 6 * mean * mean * r2
+            - 3 * mean * mean * mean * mean AS m4
+  FROM m
+)
+SELECT l_returnflag, l_linestatus, n,
+       round(mean, 6) AS mean_qty,
+       round(m2, 6) AS var_pop,
+       CASE WHEN m2 > 0 THEN round(m3 / pow(m2, 1.5), 6) END AS skewness,
+       CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2) - 3, 6) END AS kurtosis_excess
+FROM c
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("q_agg_skew_kurtosis", oracle=_SKEW_KURT_ORACLE)
+def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness + excess kurtosis of l_quantity per
+    (returnflag, linestatus), from exact integer power sums.
+
+    Reference parity: the reference engine ships no statistics surface at
+    all (oraaud-kafka is ingest-only); this extends the §2.2 aggregate
+    family with the distribution-shape moments every data-quality
+    dashboard wants, in the only form that is both scale-safe (one
+    shuffle, exact int64 partials) and engine-deterministic.
+    """
+    q = F.col("l_quantity").cast("bigint")
+    s = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(q).alias("s1"),
+            F.sum(q * q).alias("s2"),
+            F.sum(q * q * q).alias("s3"),
+            F.sum(q * q * q * q).alias("s4"),
+        )
+    )
+    n = F.col("n")
+    mean = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m = s.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        mean.alias("mean"),
+        r2.alias("r2"),
+        r3.alias("r3"),
+        r4.alias("r4"),
+    )
+    mean, r2, r3, r4 = (F.col(c) for c in ("mean", "r2", "r3", "r4"))
+    c = m.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        "mean",
+        (r2 - mean * mean).alias("m2"),
+        (r3 - F.lit(3) * mean * r2 + F.lit(2) * mean * mean * mean).alias("m3"),
+        (
+            r4
+            - F.lit(4) * mean * r3
+            + F.lit(6) * mean * mean * r2
+            - F.lit(3) * mean * mean * mean * mean
+        ).alias("m4"),
+    )
+    m2, m3, m4 = F.col("m2"), F.col("m3"), F.col("m4")
+    return c.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        F.round("mean", 6).alias("mean_qty"),
+        F.round(m2, 6).alias("var_pop"),
+        F.when(m2 > 0, F.round(m3 / F.pow(m2, F.lit(1.5)), 6)).alias("skewness"),
+        F.when(m2 > 0, F.round(m4 / (m2 * m2) - F.lit(3), 6)).alias(
+            "kurtosis_excess"
+        ),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group mode. Native mode()/F.mode break ties
+# arbitrarily (and differently per engine), so the modal value is pinned
+# by an explicit total order: highest count, then smallest key. Two
+# exchanges total — the (segment, nation) count shuffle, then a window
+# over DISTINCT (segment, nation) pairs only (bounded at |segments| x
+# |nations|, never row cardinality — the 100 TB cost is the first
+# aggregate alone).
+# ---------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+WITH counts AS (
+  SELECT c_mktsegment, c_nationkey, count(*) AS cnt
+  FROM customer
+  GROUP BY c_mktsegment, c_nationkey
+),
+ranked AS (
+  SELECT c_mktsegment, c_nationkey, cnt,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY cnt DESC, c_nationkey) AS rn,
+         CAST(sum(cnt) OVER (PARTITION BY c_mktsegment) AS BIGINT)
+           AS seg_customers,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n_nations
+  FROM counts
+)
+SELECT c_mktsegment, c_nationkey AS mode_nationkey, cnt AS mode_count,
+       seg_customers, n_nations,
+       round(CAST(cnt AS DOUBLE) / seg_customers, 6) AS mode_share
+FROM ranked WHERE rn = 1
+ORDER BY c_mktsegment
+"""
+
+
+@query("q_agg_mode_deterministic", oracle=_MODE_ORACLE)
+def q_agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal nation per market segment with a pinned tie-break
+    (count DESC, key ASC) — the deterministic twin of `mode()`."""
+    from pyspark.sql import Window
+
+    counts = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("c_mktsegment")
+    ranked = counts.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "cnt",
+        F.row_number()
+        .over(w.orderBy(F.col("cnt").desc(), F.col("c_nationkey")))
+        .alias("rn"),
+        F.sum("cnt").over(w).alias("seg_customers"),
+        F.count("*").over(w).alias("n_nations"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").alias("mode_nationkey"),
+            F.col("cnt").alias("mode_count"),
+            "seg_customers",
+            "n_nations",
+            F.round(
+                F.col("cnt").cast("double") / F.col("seg_customers"), 6
+            ).alias("mode_share"),
+        )
+        .orderBy("c_mktsegment")
+    )

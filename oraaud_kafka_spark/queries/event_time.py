@@ -1503,3 +1503,224 @@ def q_time_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Marketing-style touch attribution. For every user who converts
+# (first 'purchase', instant pinned by the (ts, event_id) total order),
+# credit the FIRST and LAST non-purchase touch that strictly precedes
+# the conversion, then count credits per event_type. NULL-ts events
+# carry no time order and are excluded identically on both engines
+# (the pinned NULL policy of this module — see q_time_rollup_merge).
+# Scale shape: one shuffle on user_id computes the conversion instant
+# and both touches in a single Window exchange (three frames, shared
+# partitioning); the final credit counts aggregate a one-row-per-user
+# frame. No self-joins, no row multiplication.
+# ---------------------------------------------------------------------------
+
+_ATTR_ORACLE = """
+WITH ev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+conv AS (
+  SELECT user_id, min(ROW(ts, event_id)) AS c
+  FROM ev WHERE event_type = 'purchase' GROUP BY user_id
+),
+pre AS (
+  SELECT e.user_id, e.event_type, e.ts, e.event_id
+  FROM ev e JOIN conv ON e.user_id = conv.user_id
+  WHERE e.event_type <> 'purchase' AND ROW(e.ts, e.event_id) < conv.c
+),
+ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rf,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rl
+  FROM pre
+),
+touches AS (
+  SELECT user_id,
+         max(CASE WHEN rf = 1 THEN event_type END) AS first_touch,
+         max(CASE WHEN rl = 1 THEN event_type END) AS last_touch
+  FROM ranked GROUP BY user_id
+),
+credit AS (
+  SELECT first_touch AS event_type, count(*) AS first_touch_users,
+         CAST(0 AS BIGINT) AS last_touch_users
+  FROM touches GROUP BY first_touch
+  UNION ALL
+  SELECT last_touch, CAST(0 AS BIGINT), count(*)
+  FROM touches GROUP BY last_touch
+)
+SELECT event_type,
+       CAST(sum(first_touch_users) AS BIGINT) AS first_touch_users,
+       CAST(sum(last_touch_users) AS BIGINT) AS last_touch_users
+FROM credit GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q_events_attribution", oracle=_ATTR_ORACLE)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch conversion attribution per event type."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    w = Window.partitionBy("user_id")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        key.alias("k"),
+        F.min(F.when(F.col("event_type") == "purchase", key)).over(w).alias("c"),
+    )
+    pre = marked.filter(
+        F.col("c").isNotNull()
+        & (F.col("event_type") != "purchase")
+        & (F.col("k") < F.col("c"))
+    )
+    wu = Window.partitionBy("user_id")
+    ranked = pre.select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(wu.orderBy(F.col("k.ts"), F.col("k.event_id")))
+        .alias("rf"),
+        F.row_number()
+        .over(wu.orderBy(F.col("k.ts").desc(), F.col("k.event_id").desc()))
+        .alias("rl"),
+    )
+    touches = ranked.groupBy("user_id").agg(
+        F.max(F.when(F.col("rf") == 1, F.col("event_type"))).alias(
+            "first_touch"
+        ),
+        F.max(F.when(F.col("rl") == 1, F.col("event_type"))).alias(
+            "last_touch"
+        ),
+    )
+    zero = F.lit(0).cast("bigint")
+    credit = touches.groupBy(F.col("first_touch").alias("event_type")).agg(
+        F.count("*").alias("first_touch_users"),
+        zero.alias("last_touch_users"),
+    ).unionAll(
+        touches.groupBy(F.col("last_touch").alias("event_type")).agg(
+            zero.alias("first_touch_users"),
+            F.count("*").alias("last_touch_users"),
+        )
+    )
+    return (
+        credit.groupBy("event_type")
+        .agg(
+            F.sum("first_touch_users").cast("bigint").alias("first_touch_users"),
+            F.sum("last_touch_users").cast("bigint").alias("last_touch_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint scan. Per event_type: bucket value into hourly
+# exact-cent sums, take the cumulative deviation from the type's overall
+# mean (the classic CUSUM statistic), and report the hour where |CUSUM|
+# peaks — the most likely level-shift point. Every input to the double
+# arithmetic is an exact integer (cents, counts), the running sum folds
+# in pinned (hour) order on both engines, and the peak is picked by an
+# explicit (|cusum| DESC, hour ASC) total order. NULL ts / NULL value
+# rows carry no bucket or magnitude and are excluded identically.
+# Scale shape: one shuffle to hourly grain (cardinality = types x
+# hours, bounded), then a window over that grain — the raw-event pass
+# is a single map+partial-agg scan.
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         count(*) AS n,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+tot AS (
+  SELECT event_type, h, n, cents,
+         CAST(sum(cents) OVER w AS DOUBLE)
+           / CAST(sum(n) OVER w AS DOUBLE) AS mean_cents,
+         CAST(sum(n) OVER w AS BIGINT) AS total_n
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type)
+),
+cusum AS (
+  SELECT event_type, h, total_n,
+         sum(CAST(cents AS DOUBLE) - n * mean_cents)
+           OVER (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM tot
+),
+peak AS (
+  SELECT event_type, h, total_n, c,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(c) DESC, h) AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_hours
+  FROM cusum
+)
+SELECT event_type, n_hours, total_n,
+       h AS changepoint_hour,
+       round(c / 100, 6) AS peak_cusum_dollars
+FROM peak WHERE rn = 1
+ORDER BY event_type
+"""
+
+
+@query("q_time_cusum_changepoint", oracle=_CUSUM_ORACLE)
+def q_time_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour where each event type's cumulative deviation from its mean
+    value peaks — a CUSUM level-shift detector over hourly grain."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+    )
+    wt = Window.partitionBy("event_type")
+    tot = hourly.select(
+        "event_type",
+        "h",
+        "n",
+        "cents",
+        (
+            F.sum("cents").over(wt).cast("double")
+            / F.sum("n").over(wt).cast("double")
+        ).alias("mean_cents"),
+        F.sum("n").over(wt).cast("bigint").alias("total_n"),
+    )
+    wo = wt.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = tot.select(
+        "event_type",
+        "h",
+        "total_n",
+        F.sum(
+            F.col("cents").cast("double") - F.col("n") * F.col("mean_cents")
+        )
+        .over(wo)
+        .alias("c"),
+    )
+    peak = cusum.select(
+        "event_type",
+        "h",
+        "total_n",
+        "c",
+        F.row_number()
+        .over(wt.orderBy(F.abs(F.col("c")).desc(), F.col("h")))
+        .alias("rn"),
+        F.count("*").over(wt).cast("bigint").alias("n_hours"),
+    )
+    return (
+        peak.filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_hours",
+            "total_n",
+            F.col("h").alias("changepoint_hour"),
+            F.round(F.col("c") / 100, 6).alias("peak_cusum_dollars"),
+        )
+        .orderBy("event_type")
+    )

@@ -46,6 +46,7 @@ _MODULES = (
     "oraaud_kafka_spark.queries.tpch",
     "oraaud_kafka_spark.queries.filters",
     "oraaud_kafka_spark.queries.joins",
+    "oraaud_kafka_spark.queries.graphs",
     "oraaud_kafka_spark.queries.aggregates",
     "oraaud_kafka_spark.queries.windows",
     "oraaud_kafka_spark.queries.sorts",
@@ -140,6 +141,12 @@ _NEXT = (
     "q_sample_reservoir",
     "q_text_source_kl",
     "q_text_zipf_fit",
+    "q_agg_skew_kurtosis",
+    "q_agg_mode_deterministic",
+    "q_events_attribution",
+    "q_time_cusum_changepoint",
+    "q_graph_degree_profile",
+    "q_events_pagerank",
     # r1-aged green rows
     "q_agg_rollup",
     "q_agg_cube",

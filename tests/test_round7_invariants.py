@@ -216,3 +216,121 @@ def test_zipf_fit_matches_python_ols(spark):
     assert abs(row.r2 - round(r2, 6)) < 1e-6
     assert row.zipf_slope < 0
     assert 0.0 <= row.r2 <= 1.0
+
+
+def test_skew_kurtosis_matches_python_moments(spark):
+    """Exact-int64 moment algebra reproduces a straight pandas
+    computation of population skewness / excess kurtosis."""
+    rows = registry.QUERIES["q_agg_skew_kurtosis"](spark, SF_DIR).collect()
+    import pandas as pd
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[
+        ["l_returnflag", "l_linestatus", "l_quantity"]
+    ]
+    for r in rows:
+        q = li[
+            (li.l_returnflag == r.l_returnflag)
+            & (li.l_linestatus == r.l_linestatus)
+        ].l_quantity.astype(int)
+        assert r.n == len(q)
+        m = q.mean()
+        m2 = ((q - m) ** 2).mean()
+        m3 = ((q - m) ** 3).mean()
+        m4 = ((q - m) ** 4).mean()
+        assert math.isclose(r.mean_qty, m, abs_tol=1e-5)
+        assert math.isclose(r.var_pop, m2, abs_tol=1e-4)
+        assert math.isclose(r.skewness, m3 / m2**1.5, abs_tol=1e-5)
+        assert math.isclose(r.kurtosis_excess, m4 / m2**2 - 3, abs_tol=1e-5)
+
+
+def test_mode_is_argmax_of_counts(spark):
+    rows = registry.QUERIES["q_agg_mode_deterministic"](
+        spark, SF_DIR
+    ).collect()
+    import pandas as pd
+
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    for r in rows:
+        seg = cust[cust.c_mktsegment == r.c_mktsegment]
+        counts = seg.groupby("c_nationkey").size()
+        top = counts.max()
+        assert r.mode_count == top
+        # pinned tie-break: smallest key among argmax nations
+        assert r.mode_nationkey == min(
+            k for k, v in counts.items() if v == top
+        )
+        assert r.seg_customers == len(seg)
+
+
+def test_attribution_credit_conserved(spark):
+    """Every converting user with >= 1 preceding touch hands out exactly
+    one first-touch and one last-touch credit."""
+    rows = registry.QUERIES["q_events_attribution"](spark, SF_DIR).collect()
+    first_total = sum(r.first_touch_users for r in rows)
+    last_total = sum(r.last_touch_users for r in rows)
+    assert first_total == last_total
+    assert first_total > 0
+    assert all(r.event_type != "purchase" for r in rows)
+
+
+def test_cusum_final_deviation_is_zero(spark):
+    """CUSUM of deviations from the own-series mean telescopes to ~0 at
+    the last hour, so the reported peak must dominate it."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rows = registry.QUERIES["q_time_cusum_changepoint"](
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.n_hours >= 1
+        # peak |CUSUM| is >= the terminal value |~0| by construction
+        assert abs(r.peak_cusum_dollars) >= -1e-9
+
+
+def test_pagerank_matches_python_power_iteration(spark):
+    """The DataFrame loop reproduces a pure-Python replay of the same
+    rounded update, and ranks form a probability-like vector."""
+    rows = registry.QUERIES["q_events_pagerank"](spark, SF_DIR).collect()
+    import collections
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = ev[ev.ts.notna()].sort_values(["user_id", "ts", "event_id"])
+    edges = collections.Counter()
+    for _, g in ev.groupby("user_id"):
+        types = g.event_type.tolist()
+        for a, b in zip(types, types[1:]):
+            edges[(a, b)] += 1
+    verts = sorted({a for a, _ in edges} | {b for _, b in edges})
+    nv = len(verts)
+    out_w = collections.Counter()
+    for (a, _), w in edges.items():
+        out_w[a] += w
+    shares = {(a, b): w / out_w[a] for (a, b), w in edges.items()}
+    from decimal import Decimal
+
+    rank = {t: round(1.0 / nv, 9) for t in verts}
+    for _ in range(12):
+        contrib = collections.defaultdict(Decimal)
+        for (a, b), s in shares.items():
+            contrib[b] += Decimal(str(round(s * rank[a], 12)))
+        rank = {
+            t: round(0.15 / nv + 0.85 * float(contrib[t]), 9) for t in verts
+        }
+    got = {r.event_type: r.pagerank for r in rows}
+    assert set(got) == set(verts)
+    for t in verts:
+        assert math.isclose(got[t], round(rank[t], 6), abs_tol=2e-6), t
+    # every vertex keeps at least the teleport share
+    assert all(v >= 0.15 / nv - 1e-9 for v in got.values())
+
+
+def test_degree_profile_flow_conservation(spark):
+    """Total weighted out-degree == total weighted in-degree == number
+    of transitions."""
+    rows = registry.QUERIES["q_graph_degree_profile"](
+        spark, SF_DIR
+    ).collect()
+    assert sum(r.out_w for r in rows) == sum(r.in_w for r in rows) > 0
