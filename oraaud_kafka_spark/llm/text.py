@@ -1352,3 +1352,85 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading-ease scoring. Classic readability filter for training-
+# data curation: words per sentence + syllables per word, syllables
+# approximated as vowel groups (the standard heuristic — '[aeiou]+'
+# never spans whitespace, so one whole-text extract equals the per-word
+# sum). Map-only over documents; the only state is per-row. Guards:
+# sentence terminators may be absent entirely (greatest(1, ...) — the
+# synthetic fixture has none, real web text does) and empty/whitespace
+# docs produce 0 syllables, never a crash. Both engines evaluate the
+# same RE2-compatible patterns and the same fixed-shape IEEE formula.
+# ---------------------------------------------------------------------------
+
+_READ_ORACLE = """
+WITH m AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+              AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+       round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+         AS flesch,
+       CASE
+         WHEN 206.835
+              - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+              - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) >= 60
+           THEN 'easy'
+         WHEN 206.835
+              - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+              - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) >= 30
+           THEN 'standard'
+         ELSE 'difficult'
+       END AS band
+FROM m
+ORDER BY doc_id
+"""
+
+
+@query("q_text_readability", oracle=_READ_ORACLE)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with a banded difficulty label."""
+    d = load(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " ")).cast("bigint")
+    n_sent = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), 0))
+    ).cast("bigint")
+    n_syll = F.size(F.regexp_extract_all("text", F.lit("[aeiou]+"), 0)).cast(
+        "bigint"
+    )
+    m = d.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6)
+        * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(flesch, 6).alias("flesch"),
+        F.when(flesch >= 60, F.lit("easy"))
+        .when(flesch >= 30, F.lit("standard"))
+        .otherwise(F.lit("difficult"))
+        .alias("band"),
+    ).orderBy("doc_id")

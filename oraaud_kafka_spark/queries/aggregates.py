@@ -871,3 +871,98 @@ def q_agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Gini concentration coefficient, tie-aware, per order priority.
+# The naive formulation ranks every ROW inside a group (a per-group
+# global sort — one task per group at 100 TB). Instead rows collapse to
+# (priority, integer-cent value) frequencies FIRST, so the window runs
+# over the distinct value domain (bounded by the cent range, not row
+# count) and the rank-sum contribution of a tied run is the closed form
+# value * (c*f + f*(f+1)/2) with c = rows strictly below. All terms are
+# exact integers; Spark folds them in DECIMAL(38,0), DuckDB in HUGEINT
+# — two exact integer representations of the same number whose single
+# final cast to double is correctly rounded in both engines. The bound
+# n <= ~3e9 rows/group keeps c*f inside int64 (document, don't crash:
+# beyond that the cents collapse would move to coarser buckets).
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH vals AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         count(*) AS f
+  FROM orders
+  GROUP BY o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT)
+),
+runs AS (
+  SELECT o_orderpriority, cents, f,
+         CAST(coalesce(sum(f) OVER (PARTITION BY o_orderpriority
+                                    ORDER BY cents
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS c
+  FROM vals
+),
+g AS (
+  SELECT o_orderpriority,
+         CAST(sum(f) AS BIGINT) AS n,
+         CAST(sum(CAST(cents AS HUGEINT) * f) AS DOUBLE) AS sx,
+         CAST(sum(CAST(cents AS HUGEINT)
+                  * (c * f + (f * (f + 1)) // 2)) AS DOUBLE) AS six
+  FROM runs
+  GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n,
+       round(sx / 100 / n, 6) AS mean_price,
+       round(2 * six / (n * sx) - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+FROM g
+ORDER BY o_orderpriority
+"""
+
+
+@query("q_agg_gini", oracle=_GINI_ORACLE)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware exact Gini coefficient of order value per priority —
+    inequality profiling whose state is value-domain-bounded."""
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    vals = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", cents.alias("cents"))
+        .agg(F.count("*").alias("f"))
+    )
+    wb = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runs = vals.select(
+        "o_orderpriority",
+        "cents",
+        "f",
+        F.coalesce(F.sum("f").over(wb), F.lit(0)).cast("bigint").alias("c"),
+    )
+    dec = "decimal(38,0)"
+    g = runs.groupBy("o_orderpriority").agg(
+        F.sum("f").cast("bigint").alias("n"),
+        F.sum(F.col("cents").cast(dec) * F.col("f")).cast("double").alias("sx"),
+        F.sum(
+            F.col("cents").cast(dec)
+            # f*(f+1) is even, so DIV keeps the rank-sum an exact integer
+            # (plain / would be double division on both engines)
+            * (F.col("c") * F.col("f") + F.expr("(f * (f + 1)) DIV 2"))
+        )
+        .cast("double")
+        .alias("six"),
+    )
+    n, sx, six = F.col("n"), F.col("sx"), F.col("six")
+    return g.select(
+        "o_orderpriority",
+        "n",
+        F.round(sx / 100 / n, 6).alias("mean_price"),
+        F.round(
+            F.lit(2) * six / (n * sx) - (n + F.lit(1)).cast("double") / n, 6
+        ).alias("gini"),
+    ).orderBy("o_orderpriority")

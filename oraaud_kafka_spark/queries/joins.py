@@ -527,3 +527,111 @@ def q_join_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (Agrawal & Srikant, VLDB 1994 shape):
+# baskets = orders, items = parts; emit the top co-occurring UNORDERED
+# part pairs with support / confidence / lift. Scale discipline is the
+# Apriori prune: items below the absolute support floor are dropped
+# BEFORE pairing, so the quadratic per-basket pair expansion runs only
+# over frequent items (bounded per basket), and the pair join is an
+# equi-join co-located on the basket key — never a cross join. All
+# ratios divide exact int64 counts as one fixed-shape double expression
+# (counts cast to double first: ca*cb overflows int64 at cluster scale).
+# ---------------------------------------------------------------------------
+
+_BASKET_MIN_ITEM = 3  # absolute item-frequency floor (Apriori prune)
+_BASKET_MIN_PAIR = 2  # pair-frequency floor
+_BASKET_TOP = 20
+
+_BASKET_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_b AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+freq AS (
+  SELECT l_partkey, count(*) AS cnt FROM items
+  GROUP BY l_partkey HAVING count(*) >= {_BASKET_MIN_ITEM}
+),
+fitems AS (
+  SELECT i.l_orderkey, i.l_partkey FROM items i
+  JOIN freq USING (l_partkey)
+),
+pairs AS (
+  SELECT a.l_partkey AS p_a, b.l_partkey AS p_b, count(*) AS pair_n
+  FROM fitems a JOIN fitems b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= {_BASKET_MIN_PAIR}
+)
+SELECT p_a, p_b, pair_n, fa.cnt AS n_a, fb.cnt AS n_b,
+       round(CAST(pair_n AS DOUBLE) / n_b.n, 6) AS support,
+       round(CAST(pair_n AS DOUBLE) / fa.cnt, 6) AS confidence,
+       round((CAST(pair_n AS DOUBLE) * n_b.n)
+             / (CAST(fa.cnt AS DOUBLE) * CAST(fb.cnt AS DOUBLE)), 6) AS lift
+FROM pairs
+JOIN freq fa ON fa.l_partkey = p_a
+JOIN freq fb ON fb.l_partkey = p_b
+CROSS JOIN n_b
+ORDER BY lift DESC, p_a, p_b
+LIMIT {_BASKET_TOP}
+"""
+
+
+@query("q_basket_association_rules", oracle=_BASKET_ORACLE)
+def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top part pairs by lift over order baskets, Apriori-pruned."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_b = broadcast(
+        items.agg(F.count_distinct("l_orderkey").alias("n"))
+    )
+    freq = items.groupBy("l_partkey").agg(F.count("*").alias("cnt")).filter(
+        F.col("cnt") >= _BASKET_MIN_ITEM
+    )
+    fitems = items.join(broadcast(freq.select("l_partkey")), "l_partkey")
+    a = fitems.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("p_a")
+    )
+    b = fitems.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("p_b")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p_a") < F.col("p_b"))
+        .groupBy("p_a", "p_b")
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= _BASKET_MIN_PAIR)
+    )
+    fa = freq.select(F.col("l_partkey").alias("p_a"), F.col("cnt").alias("n_a"))
+    fb = freq.select(F.col("l_partkey").alias("p_b"), F.col("cnt").alias("n_b"))
+    out = (
+        pairs.join(broadcast(fa), "p_a")
+        .join(broadcast(fb), "p_b")
+        .crossJoin(n_b)
+        .select(
+            "p_a",
+            "p_b",
+            "pair_n",
+            "n_a",
+            "n_b",
+            F.round(F.col("pair_n").cast("double") / F.col("n"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("pair_n").cast("double") / F.col("n_a"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("pair_n").cast("double") * F.col("n"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.col("lift").desc(), "p_a", "p_b"
+    ).limit(_BASKET_TOP)

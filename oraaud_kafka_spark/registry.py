@@ -147,6 +147,10 @@ _NEXT = (
     "q_time_cusum_changepoint",
     "q_graph_degree_profile",
     "q_events_pagerank",
+    "q_sim_mips_augmented",
+    "q_agg_gini",
+    "q_basket_association_rules",
+    "q_text_readability",
     # r1-aged green rows
     "q_agg_rollup",
     "q_agg_cube",

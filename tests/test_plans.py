@@ -542,3 +542,42 @@ def test_pagerank_loop_is_all_broadcast(spark):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_readability_is_map_only(spark):
+    """Flesch scoring is pure per-row expression work: one scan, no
+    aggregate exchange anywhere (only the presentation sort)."""
+    df = registry.QUERIES["q_text_readability"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_gini_state_is_value_bounded(spark):
+    """Exact Gini must collapse rows to (priority, cents) frequencies
+    BEFORE ranking — exactly two hash exchanges over one scan, so the
+    window runs on the bounded value domain, never per-row."""
+    df = registry.QUERIES["q_agg_gini"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) == 2, ex
+
+
+def test_basket_pair_join_is_equi(spark):
+    """The Apriori pair expansion must be an equi-join on the basket key
+    — the only nested-loop allowed is the single-row n_baskets scalar."""
+    df = registry.QUERIES["q_basket_association_rules"](spark, SF_DIR)
+    plan = _plan(df, execute=True)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "SortMergeJoin" not in plan or "l_orderkey" in plan
+
+
+def test_mips_corpus_never_shuffles(spark):
+    """MIPS baseline broadcasts queries + the norm scalar; the corpus
+    side must not sort-merge or shuffle-hash join."""
+    df = registry.QUERIES["q_sim_mips_augmented"](spark, SF_DIR)
+    plan = _plan(df, execute=True)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan

@@ -334,3 +334,98 @@ def test_degree_profile_flow_conservation(spark):
         spark, SF_DIR
     ).collect()
     assert sum(r.out_w for r in rows) == sum(r.in_w for r in rows) > 0
+
+
+def test_mips_reduction_exact_vs_python(spark):
+    """Augmented-space ranking must equal brute-force raw inner product,
+    and every augmented corpus norm must equal M (dev == 0)."""
+    rows = registry.QUERIES["q_sim_mips_augmented"](spark, SF_DIR).collect()
+    assert rows and all(r.aug_norm_dev == 0.0 for r in rows)
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    vecs = {int(r.vec_id): np.array(r.embedding, dtype=float)
+            for r in emb.itertuples()}
+    vecs = {k: v for k, v in vecs.items() if np.linalg.norm(v) > 0}
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, got in by_q.items():
+        got.sort(key=lambda r: r.rnk)
+        dots = sorted(
+            ((float(vecs[qid] @ v), nid) for nid, v in vecs.items()
+             if nid != qid),
+            key=lambda t: (-t[0], t[1]),
+        )
+        assert [r.nid for r in got] == [nid for _, nid in dots[:5]]
+
+
+def test_gini_matches_python_sorted_formula(spark):
+    rows = registry.QUERIES["q_agg_gini"](spark, SF_DIR).collect()
+    import pandas as pd
+
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    for r in rows:
+        x = sorted(
+            int(round(v * 100))
+            for v in o[o.o_orderpriority == r.o_orderpriority].o_totalprice
+        )
+        n = len(x)
+        six = sum((i + 1) * v for i, v in enumerate(x))
+        g = 2 * six / (n * sum(x)) - (n + 1) / n
+        assert r.n == n
+        assert math.isclose(r.gini, g, abs_tol=1e-5)
+        assert 0 <= r.gini < 1
+
+
+def test_basket_rules_counts_match_python(spark):
+    rows = registry.QUERIES["q_basket_association_rules"](
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    import collections
+
+    import pandas as pd
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    baskets = li.groupby("l_orderkey").l_partkey.apply(set)
+    n_baskets = len(baskets)
+    item = collections.Counter()
+    for b in baskets:
+        item.update(b)
+    pair = collections.Counter()
+    for b in baskets:
+        keep = sorted(p for p in b if item[p] >= 3)
+        for i, a in enumerate(keep):
+            for c in keep[i + 1:]:
+                pair[(a, c)] += 1
+    for r in rows:
+        assert r.pair_n == pair[(r.p_a, r.p_b)]
+        assert r.n_a == item[r.p_a] and r.n_b == item[r.p_b]
+        assert math.isclose(
+            r.lift, r.pair_n * n_baskets / (r.n_a * r.n_b), abs_tol=1e-5
+        )
+    # output is the lift-descending head
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_readability_formula_and_band_consistent(spark):
+    rows = registry.QUERIES["q_text_readability"](spark, SF_DIR).collect()
+    import re
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet").set_index("doc_id")
+    for r in rows[:50]:
+        text = docs.loc[r.doc_id].text
+        assert r.n_words == len(text.split(" "))
+        assert r.n_syllables == len(re.findall(r"[aeiou]+", text))
+        assert r.n_sentences == max(1, len(re.findall(r"[.!?]+", text)))
+        f = (206.835 - 1.015 * r.n_words / r.n_sentences
+             - 84.6 * r.n_syllables / r.n_words)
+        assert math.isclose(r.flesch, f, abs_tol=1e-5)
+        expect = ("easy" if f >= 60 else
+                  "standard" if f >= 30 else "difficult")
+        assert r.band == expect
