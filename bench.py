@@ -120,6 +120,9 @@ EXTRAS = [
     "q_agg_gini",                # value-domain-bounded exact Gini
     "q_basket_association_rules",  # Apriori-pruned pair mining
     "q_text_readability",        # map-only Flesch scoring
+    "q_text_ngram_novelty",      # single-scan window doc-frequency
+    "q_window_distribution_ranks",  # quantile-position windows
+    "q_time_seasonal_naive_eval",  # explode+regroup forecast backtest
 ]
 
 

@@ -1434,3 +1434,89 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("difficult"))
         .alias("band"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: per document, the fraction of its DISTINCT 3-gram
+# shingles that occur in no other document — the memorization /
+# boilerplate-contamination signal (a low-novelty document is mostly
+# text the corpus already contains; the inverse of the dedup view).
+# Shape: one shingle pass per doc (same single-projection slice+join
+# construction as the MinHash kit — no O(tokens^2) lambda re-eval), one
+# explode, one ngram-keyed count shuffle, one join back on the ngram
+# key. The ngram table is corpus-sized, so that join is a plain
+# co-partitioned shuffle join — deliberately NO broadcast hint (the
+# LM-scorer lesson: corpus-derived tables are unbounded on raw web
+# text; AQE decides). Docs under 3 tokens have no shingles and are
+# excluded identically on both engines.
+# ---------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = """
+WITH shingled AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+ngrams AS (SELECT doc_id, unnest(shingles) AS ngram FROM shingled),
+df AS (SELECT ngram, count(*) AS n_docs FROM ngrams GROUP BY ngram)
+SELECT g.doc_id,
+       count(*) AS n_ngrams,
+       CAST(sum(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(CAST(sum(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS novelty
+FROM ngrams g JOIN df d ON g.ngram = d.ngram
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+@query("q_text_ngram_novelty", oracle=_NOVELTY_ORACLE)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each document's distinct 3-grams unique to it."""
+    d = load(spark, sf_dir, "documents")
+    tokenized = spread(
+        d.select("doc_id", F.split("text", " ").alias("toks")).filter(
+            F.size("toks") >= 3
+        )
+    )
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.array_join(F.slice(F.col("toks"), i, 3), " "),
+        )
+    )
+    ngrams = tokenized.select(
+        "doc_id", F.explode(shingles).alias("ngram")
+    )
+    # doc frequency as a window count over the ngram partitioning: same
+    # shuffle the count+join-back plan pays, but the corpus is scanned
+    # and shingled ONCE instead of twice
+    counted = ngrams.select(
+        "doc_id",
+        F.count("*")
+        .over(Window.partitionBy("ngram"))
+        .cast("bigint")
+        .alias("n_docs"),
+    )
+    return (
+        counted.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+            F.round(
+                F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1724,3 +1724,133 @@ def q_time_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest. Per event type over hourly grain:
+# score the 24h-seasonal-naive forecast (value 24 HOURS earlier, not 24
+# rows — gaps make positional lag silently wrong, so both references
+# come from equi-joins on the shifted hour key) against the plain naive
+# (previous hour). Errors are exact integer cents; MAE and the skill
+# ratio are single fixed-shape double expressions. The forecasting
+# counterpart of the EWMA/Holt smoothers: this is the query that says
+# whether their seasonal term would even pay for itself. Scale: raw
+# events collapse to (type, hour) in one partial-agg'd shuffle; the
+# three-way self-join runs on that bounded hourly frame, co-located on
+# the (type) key. Types with zero naive error yield NULL skill (guard,
+# both engines).
+# ---------------------------------------------------------------------------
+
+_SNAIVE_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+j AS (
+  SELECT c.event_type, c.h, c.cents,
+         n.cents AS naive_cents, s.cents AS seasonal_cents
+  FROM hourly c
+  JOIN hourly n ON n.event_type = c.event_type
+               AND n.h = c.h - INTERVAL 1 HOUR
+  JOIN hourly s ON s.event_type = c.event_type
+               AND s.h = c.h - INTERVAL 24 HOUR
+),
+m AS (
+  SELECT event_type,
+         count(*) AS n_eval,
+         sum(abs(cents - naive_cents)) AS ae_naive,
+         sum(abs(cents - seasonal_cents)) AS ae_seasonal
+  FROM j GROUP BY event_type
+)
+SELECT event_type, n_eval,
+       round(CAST(ae_naive AS DOUBLE) / n_eval / 100, 6) AS mae_naive,
+       round(CAST(ae_seasonal AS DOUBLE) / n_eval / 100, 6) AS mae_seasonal,
+       CASE WHEN ae_naive > 0
+            THEN round(1 - CAST(ae_seasonal AS DOUBLE) / ae_naive, 6)
+       END AS skill
+FROM m
+ORDER BY event_type
+"""
+
+
+@query("q_time_seasonal_naive_eval", oracle=_SNAIVE_ORACLE)
+def q_time_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAE backtest of the 24h seasonal-naive forecast vs plain naive,
+    per event type, on hour-exact references."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    # The three-way self-join the oracle states would re-aggregate the
+    # raw scan three times; instead each hourly row is emitted under the
+    # three hour keys it can serve (itself, h+1 as naive ref, h+24 as
+    # seasonal ref) and ONE regroup reassembles the join rows — same
+    # result set, one scan, hourly-cardinality shuffles only.
+    tagged = hourly.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("h").alias("th"),
+                    F.lit("c").alias("role"),
+                    F.col("cents").alias("v"),
+                ),
+                F.struct(
+                    (F.col("h") + F.expr("INTERVAL 1 HOUR")).alias("th"),
+                    F.lit("n").alias("role"),
+                    F.col("cents").alias("v"),
+                ),
+                F.struct(
+                    (F.col("h") + F.expr("INTERVAL 24 HOUR")).alias("th"),
+                    F.lit("s").alias("role"),
+                    F.col("cents").alias("v"),
+                ),
+            )
+        ).alias("e"),
+    ).select("event_type", "e.th", "e.role", "e.v")
+    j = (
+        tagged.groupBy("event_type", "th")
+        .agg(
+            F.max(F.when(F.col("role") == "c", F.col("v"))).alias("cents"),
+            F.max(F.when(F.col("role") == "n", F.col("v"))).alias(
+                "naive_cents"
+            ),
+            F.max(F.when(F.col("role") == "s", F.col("v"))).alias(
+                "seasonal_cents"
+            ),
+        )
+        .filter(
+            F.col("cents").isNotNull()
+            & F.col("naive_cents").isNotNull()
+            & F.col("seasonal_cents").isNotNull()
+        )
+    )
+    m = j.groupBy("event_type").agg(
+        F.count("*").alias("n_eval"),
+        F.sum(F.abs(F.col("cents") - F.col("naive_cents"))).alias("ae_naive"),
+        F.sum(F.abs(F.col("cents") - F.col("seasonal_cents"))).alias(
+            "ae_seasonal"
+        ),
+    )
+    return m.select(
+        "event_type",
+        "n_eval",
+        F.round(
+            F.col("ae_naive").cast("double") / F.col("n_eval") / 100, 6
+        ).alias("mae_naive"),
+        F.round(
+            F.col("ae_seasonal").cast("double") / F.col("n_eval") / 100, 6
+        ).alias("mae_seasonal"),
+        F.when(
+            F.col("ae_naive") > 0,
+            F.round(
+                F.lit(1)
+                - F.col("ae_seasonal").cast("double") / F.col("ae_naive"),
+                6,
+            ),
+        ).alias("skill"),
+    ).orderBy("event_type")

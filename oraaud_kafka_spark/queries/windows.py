@@ -370,3 +370,38 @@ def q_window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_w.alias("n_w"),
         F.when(defined, corr).alias("roll_corr"),
     ).orderBy("event_type", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Distribution window functions — percent_rank / cume_dist / ntile —
+# over a pinned (c_acctbal, c_custkey) total order per segment, which
+# makes every one of them deterministic (percent_rank's (rank-1)/(n-1)
+# divides exact integers; ntile's floor-split bucket assignment is a
+# pure function of position). Completes the §2.2 window surface: rank/
+# dense_rank/row_number live in q_window_ranks, frames in the
+# range/rows queries; these are the quantile-position family.
+# ---------------------------------------------------------------------------
+
+_DIST_ORACLE = """
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_mktsegment, c_acctbal, c_custkey
+"""
+
+
+@query("q_window_distribution_ranks", oracle=_DIST_ORACLE)
+def q_window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    ).orderBy("c_mktsegment", "c_acctbal", "c_custkey")

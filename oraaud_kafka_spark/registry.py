@@ -151,6 +151,9 @@ _NEXT = (
     "q_agg_gini",
     "q_basket_association_rules",
     "q_text_readability",
+    "q_text_ngram_novelty",
+    "q_window_distribution_ranks",
+    "q_time_seasonal_naive_eval",
     # r1-aged green rows
     "q_agg_rollup",
     "q_agg_cube",

@@ -500,3 +500,74 @@ def holt_levels(df: DataFrame) -> DataFrame:
             "NoTimeout",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM control chart. The batch q_time_cusum_changepoint
+# retrofits the deviation reference (the series mean) from the FULL
+# series; a one-pass stream cannot know it, so the live form is the
+# classic parameterized control chart: deviations accumulate against a
+# FIXED per-type target mean (cents), e.g. last week's batch mean — the
+# standard Page-CUSUM deployment split (fit offline, monitor online).
+# State is three scalars per key (running cusum, running |peak|, n);
+# each trigger is one shuffle on event_type. Cross-batch continuity is
+# asserted against a pure-Python fold in tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+
+CUSUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("cusum_dollars", DoubleType()),
+        StructField("peak_abs_dollars", DoubleType()),
+    ]
+)
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("cusum", DoubleType()),
+        StructField("peak_abs", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def cusum_monitor(df: DataFrame, target_mean_cents: dict) -> DataFrame:
+    """Per-type streaming CUSUM of integer-cent deviations from a fixed
+    target mean; emits the updated running sum and |peak| each
+    micro-batch the key appears in. NULL ts / NULL value rows carry no
+    position or magnitude and are dropped, like the batch twin."""
+    targets = {k: float(v) for k, v in target_mean_cents.items()}
+
+    def _fn(key, pdfs, state):
+        (etype,) = key
+        cusum, peak, n = state.get if state.exists else (0.0, 0.0, 0)
+        mu = targets.get(etype, 0.0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows[rows["ts"].notna() & rows["value"].notna()]
+        rows = rows.sort_values(["ts", "event_id"])
+        for v in rows["value"]:
+            cusum += round(float(v) * 100) - mu
+            if abs(cusum) > peak:
+                peak = abs(cusum)
+            n += 1
+        state.update((cusum, peak, n))
+        yield pd.DataFrame(
+            {
+                "event_type": [etype],
+                "n_events": [n],
+                "cusum_dollars": [cusum / 100],
+                "peak_abs_dollars": [peak / 100],
+            }
+        )
+
+    return (
+        df.select("event_type", "ts", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _fn,
+            CUSUM_OUTPUT_SCHEMA,
+            CUSUM_STATE_SCHEMA,
+            "update",
+            "NoTimeout",
+        )
+    )

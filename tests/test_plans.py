@@ -581,3 +581,32 @@ def test_mips_corpus_never_shuffles(spark):
     plan = _plan(df, execute=True)
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_ngram_novelty_single_scan(spark):
+    """Doc frequency comes from a window over the ngram partitioning,
+    so the corpus is scanned and shingled once — a count+join-back
+    shape would scan twice for the same shuffle count."""
+    df = registry.QUERIES["q_text_ngram_novelty"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) == 2, ex
+
+
+def test_seasonal_naive_eval_single_scan(spark):
+    """The three-way hourly self-join must be reassembled by the
+    explode+regroup rewrite: one raw-event scan, hourly-cardinality
+    shuffles only, no join operator."""
+    df = registry.QUERIES["q_time_seasonal_naive_eval"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert op not in plan, op
+
+
+def test_distribution_ranks_one_exchange(spark):
+    df = registry.QUERIES["q_window_distribution_ranks"](spark, SF_DIR)
+    plan = _plan(df)
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) == 1, ex

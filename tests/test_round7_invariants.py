@@ -429,3 +429,63 @@ def test_readability_formula_and_band_consistent(spark):
         expect = ("easy" if f >= 60 else
                   "standard" if f >= 30 else "difficult")
         assert r.band == expect
+
+
+def test_ngram_novelty_bounds_and_python_spotcheck(spark):
+    rows = registry.QUERIES["q_text_ngram_novelty"](spark, SF_DIR).collect()
+    assert rows
+    import collections
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    sh = {}
+    for r in docs.itertuples():
+        toks = r.text.split(" ")
+        sh[r.doc_id] = {
+            " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+    df = collections.Counter()
+    for s in sh.values():
+        df.update(s)
+    for r in rows[:40]:
+        mine = sh[r.doc_id]
+        assert r.n_ngrams == len(mine)
+        assert r.n_novel == sum(1 for g in mine if df[g] == 1)
+        assert 0.0 <= r.novelty <= 1.0
+
+
+def test_seasonal_naive_skill_definition(spark):
+    rows = registry.QUERIES["q_time_seasonal_naive_eval"](
+        spark, SF_DIR
+    ).collect()
+    for r in rows:
+        assert r.n_eval > 0
+        assert r.mae_naive >= 0 and r.mae_seasonal >= 0
+        if r.skill is not None:
+            assert math.isclose(
+                r.skill, 1 - r.mae_seasonal / r.mae_naive, abs_tol=1e-4
+            )
+
+
+def test_distribution_ranks_consistency(spark):
+    rows = registry.QUERIES["q_window_distribution_ranks"](
+        spark, SF_DIR
+    ).collect()
+    import collections
+
+    by_seg = collections.defaultdict(list)
+    for r in rows:
+        by_seg[r.c_mktsegment].append(r)
+    for seg, rs in by_seg.items():
+        n = len(rs)
+        # rows arrive in the pinned order; check the closed forms
+        for i, r in enumerate(rs):
+            if n > 1:
+                assert math.isclose(
+                    r.pct_rank, i / (n - 1), abs_tol=1e-5
+                ), (seg, i)
+            assert math.isclose(r.cume, (i + 1) / n, abs_tol=1e-5)
+        quartiles = [r.quartile for r in rs]
+        assert quartiles == sorted(quartiles)
+        assert set(quartiles) <= {1, 2, 3, 4}

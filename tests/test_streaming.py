@@ -631,3 +631,58 @@ def test_holt_levels_match_batch_fold_across_batches(spark, tmp_path):
             assert abs(latest[u].forecast_next - (level + trend)) < 1e-12
     finally:
         q.stop()
+
+
+CUSUM_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def test_cusum_monitor_matches_python_fold_across_batches(spark, tmp_path):
+    """Streaming CUSUM vs a fixed target mean must carry state across
+    micro-batches: two slices fold to exactly the single-pass Python
+    CUSUM of the full ordered sequence, peak included."""
+    from oraaud_kafka_spark.streaming.analytics import cusum_monitor
+
+    d = tmp_path / "cusum"
+    d.mkdir()
+    batch1 = [
+        {"event_type": "click", "ts": "2026-01-01T00:00:00", "event_id": 1, "value": 10.0},
+        {"event_type": "click", "ts": "2026-01-01T00:01:00", "event_id": 2, "value": 2.0},
+        {"event_type": "view", "ts": "2026-01-01T00:00:30", "event_id": 3, "value": 5.0},
+        {"event_type": "view", "ts": None, "event_id": 4, "value": 99.0},  # dropped
+    ]
+    batch2 = [
+        {"event_type": "click", "ts": "2026-01-01T00:02:00", "event_id": 5, "value": 30.0},
+        {"event_type": "view", "ts": "2026-01-01T00:03:00", "event_id": 6, "value": 7.0},
+    ]
+    _write_jsonl(d / "b1.json", batch1)
+    _write_jsonl(d / "b2.json", batch2)
+    targets = {"click": 800.0, "view": 550.0}  # cents
+    stream = _stream_json(spark, d, CUSUM_SCHEMA, latestFirst="false")
+    q = _run_to_memory(
+        cusum_monitor(stream, targets), "cusum", output_mode="update"
+    )
+    try:
+        latest = {}
+        for r in spark.table("cusum").collect():
+            latest[r.event_type] = r
+        expected = {}
+        for et, vals in (("click", [10.0, 2.0, 30.0]), ("view", [5.0, 7.0])):
+            c, peak = 0.0, 0.0
+            for v in vals:
+                c += round(v * 100) - targets[et]
+                peak = max(peak, abs(c))
+            expected[et] = (len(vals), c / 100, peak / 100)
+        assert set(latest) == set(expected)
+        for et, (n, c, p) in expected.items():
+            assert latest[et].n_events == n
+            assert abs(latest[et].cusum_dollars - c) < 1e-9
+            assert abs(latest[et].peak_abs_dollars - p) < 1e-9
+    finally:
+        q.stop()
