@@ -123,6 +123,7 @@ EXTRAS = [
     "q_text_ngram_novelty",      # single-scan window doc-frequency
     "q_window_distribution_ranks",  # quantile-position windows
     "q_time_seasonal_naive_eval",  # explode+regroup forecast backtest
+    "q_sample_weighted_reservoir",  # A-ES importance-weighted sample
 ]
 
 

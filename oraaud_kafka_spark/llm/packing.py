@@ -544,3 +544,74 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", F.col("rk").cast("long").alias("rk"))
         .orderBy("lang", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling (Efraimidis & Spirakis 2006, A-ES): draw
+# K docs per language with inclusion probability proportional to a
+# weight — here n_chars, the "sample long documents more" budget shape
+# — by ranking on the exponential-jitter key ln(u)/w (ascending on
+# -ln(u)/w ≡ descending on u^(1/w)). The uniform u is DETERMINISTIC:
+# the first 48 bits of md5(doc_id) scaled into (0,1] (the +1 keeps
+# ln() off exactly-zero; the same 48-bit hex-parse idiom as the
+# MinHash kit), so any cluster size reproduces the same sample. One
+# window per language over a single scan, identical rank expression on
+# both engines. ln() is the one libm call: a cross-engine 1-ulp
+# difference could in principle flip an ordering of two keys closer
+# than 1e-16 relative — with 48-bit-spread keys that is ~1e-9
+# probability per corpus, the same residual the float-ordered top-k
+# queries carry.
+# ---------------------------------------------------------------------------
+
+_WRES_K = 8
+
+_WRES_ORACLE = f"""
+SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk,
+       round(key, 6) AS sample_key
+FROM (
+  SELECT lang, doc_id, n_chars,
+         -ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                   AS BIGINT) + 1) / 281474976710656.0)
+           / greatest(1, n_chars) AS key,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY -ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                              AS BIGINT) + 1) / 281474976710656.0)
+                    / greatest(1, n_chars), doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= {_WRES_K}
+ORDER BY lang, rk
+"""
+
+
+@query("q_sample_weighted_reservoir", oracle=_WRES_ORACLE)
+def q_sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact K-per-language sample with P(doc) ∝ n_chars via the A-ES
+    exponential-jitter key on a deterministic md5 uniform."""
+    d = load(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("double")
+    key = -F.log((h + F.lit(1)) / F.lit(281474976710656.0)) / F.greatest(
+        F.lit(1), F.col("n_chars")
+    )
+    w = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id"))
+    return (
+        d.select(
+            "lang",
+            "doc_id",
+            "n_chars",
+            key.alias("key"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= _WRES_K)
+        .select(
+            "lang",
+            "doc_id",
+            "n_chars",
+            F.col("rk").cast("long").alias("rk"),
+            F.round("key", 6).alias("sample_key"),
+        )
+        .orderBy("lang", "rk")
+    )

@@ -154,6 +154,7 @@ _NEXT = (
     "q_text_ngram_novelty",
     "q_window_distribution_ranks",
     "q_time_seasonal_naive_eval",
+    "q_sample_weighted_reservoir",
     # r1-aged green rows
     "q_agg_rollup",
     "q_agg_cube",

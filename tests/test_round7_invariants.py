@@ -489,3 +489,33 @@ def test_distribution_ranks_consistency(spark):
         quartiles = [r.quartile for r in rs]
         assert quartiles == sorted(quartiles)
         assert set(quartiles) <= {1, 2, 3, 4}
+
+
+def test_weighted_reservoir_exact_k_and_matches_python(spark):
+    """A-ES sample: exactly K per language (or the whole language if
+    smaller), and the selected set equals a pure-Python replay of the
+    md5-derived keys."""
+    import hashlib
+
+    import pandas as pd
+
+    rows = registry.QUERIES["q_sample_weighted_reservoir"](
+        spark, SF_DIR
+    ).collect()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+    def key(doc_id, n_chars):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16)
+        u = (h + 1) / 281474976710656.0
+        return -math.log(u) / max(1, n_chars)
+
+    import collections
+
+    got = collections.defaultdict(list)
+    for r in rows:
+        got[r.lang].append(r.doc_id)
+    for lang, grp in docs.groupby("lang"):
+        expect = sorted(
+            ((key(r.doc_id, r.n_chars), r.doc_id) for r in grp.itertuples()),
+        )[:8]
+        assert got[lang] == [d for _, d in expect], lang
