@@ -124,6 +124,10 @@ EXTRAS = [
     "q_window_distribution_ranks",  # quantile-position windows
     "q_time_seasonal_naive_eval",  # explode+regroup forecast backtest
     "q_sample_weighted_reservoir",  # A-ES importance-weighted sample
+    "q_time_autocorrelation",    # exact-moment ACF, no self-join
+    "q_agg_trimmed_mean",        # value-domain-bounded robust mean
+    "q_quality_psi_drift",       # Laplace-smoothed PSI drift report
+    "q_split_kfold",             # hash-mod fold balance audit
 ]
 
 

@@ -11,7 +11,7 @@ discipline (queries.__init__) so the per-dimension means hash-match.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -876,4 +876,163 @@ def q_emb_whiten_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("whitened"),
         )
         .orderBy("vec_id", "dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index between two corpus halves — THE production
+# drift metric: bucket a feature (doc length), compare the bucket
+# distributions of slice A vs slice B, PSI = Σ (p-q)·ln(p/q). Here the
+# slices are the deterministic doc_id parity halves (stand-in for
+# before/after snapshots; the operator is slice-agnostic). Laplace +1
+# smoothing keeps empty buckets off ln(0)/÷0 on BOTH engines — the
+# degenerate-corpus guard. Exact integer counts everywhere; one
+# row-cardinality shuffle to (lang, bucket) grain, then a lang-grain
+# aggregate — bucket count is a constant (10), so state is bounded.
+# PSI < 0.1 is conventionally "no shift", > 0.25 "major shift"; the
+# banded label ships with the number.
+# ---------------------------------------------------------------------------
+
+_PSI_BUCKETS = 10
+_PSI_WIDTH = 60  # chars per bucket; bucket 9 is open-ended
+
+
+_PSI_ORACLE = f"""
+WITH b AS (
+  SELECT lang,
+         least({_PSI_BUCKETS - 1}, n_chars // {_PSI_WIDTH}) AS bucket,
+         CAST(doc_id % 2 AS INTEGER) AS half
+  FROM documents
+),
+cells AS (
+  SELECT lang, bucket,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb
+  FROM b GROUP BY lang, bucket
+),
+tot AS (
+  SELECT lang, bucket, ca, cb,
+         CAST(sum(ca) OVER (PARTITION BY lang) AS BIGINT) AS na,
+         CAST(sum(cb) OVER (PARTITION BY lang) AS BIGINT) AS nb
+  FROM cells
+),
+terms AS (
+  SELECT lang, na, nb,
+         (CAST(ca + 1 AS DOUBLE) / (na + {_PSI_BUCKETS})
+          - CAST(cb + 1 AS DOUBLE) / (nb + {_PSI_BUCKETS}))
+         * ln((CAST(ca + 1 AS DOUBLE) / (na + {_PSI_BUCKETS}))
+              / (CAST(cb + 1 AS DOUBLE) / (nb + {_PSI_BUCKETS}))) AS term
+  FROM tot
+)
+SELECT lang, CAST(max(na) AS BIGINT) AS n_half_a,
+       CAST(max(nb) AS BIGINT) AS n_half_b,
+       round(sum(term), 6) AS psi,
+       CASE WHEN sum(term) < 0.1 THEN 'stable'
+            WHEN sum(term) < 0.25 THEN 'moderate_shift'
+            ELSE 'major_shift' END AS band
+FROM terms
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("q_quality_psi_drift", oracle=_PSI_ORACLE)
+def q_quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of the doc-length distribution between the two deterministic
+    corpus halves, per language, with the conventional drift band."""
+    d = load(spark, sf_dir, "documents")
+    b = d.select(
+        "lang",
+        F.least(
+            F.lit(_PSI_BUCKETS - 1), F.expr(f"n_chars DIV {_PSI_WIDTH}")
+        ).alias("bucket"),
+        (F.col("doc_id") % 2).cast("int").alias("half"),
+    )
+    cells = b.groupBy("lang", "bucket").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    wl = Window.partitionBy("lang")
+    tot = cells.select(
+        "lang",
+        "bucket",
+        "ca",
+        "cb",
+        F.sum("ca").over(wl).cast("bigint").alias("na"),
+        F.sum("cb").over(wl).cast("bigint").alias("nb"),
+    )
+    pa = (F.col("ca") + 1).cast("double") / (F.col("na") + _PSI_BUCKETS)
+    pb = (F.col("cb") + 1).cast("double") / (F.col("nb") + _PSI_BUCKETS)
+    terms = tot.select(
+        "lang", "na", "nb", ((pa - pb) * F.log(pa / pb)).alias("term")
+    )
+    s = F.sum("term")
+    return (
+        terms.groupBy("lang")
+        .agg(
+            F.max("na").cast("bigint").alias("n_half_a"),
+            F.max("nb").cast("bigint").alias("n_half_b"),
+            F.round(s, 6).alias("psi"),
+            F.when(s < 0.1, F.lit("stable"))
+            .when(s < 0.25, F.lit("moderate_shift"))
+            .otherwise(F.lit("major_shift"))
+            .alias("band"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-fold assignment audit. Deterministic fold = 48-bit md5(doc_id)
+# mod K (the same hash-mod discipline as the 80/10/10 split, so folds
+# are reproducible on any cluster and disjoint BY CONSTRUCTION — the
+# audit proves balance, the property hashing doesn't guarantee). Pure
+# map + one K-row aggregate.
+# ---------------------------------------------------------------------------
+
+_KFOLD_K = 5
+
+_KFOLD_ORACLE = f"""
+WITH f AS (
+  SELECT CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                   AS BIGINT) % {_KFOLD_K} AS INTEGER) AS fold,
+         lang, n_chars
+  FROM documents
+),
+n AS (SELECT count(*) AS total FROM documents)
+SELECT fold, count(*) AS n_docs,
+       round(CAST(count(*) AS DOUBLE) / n.total, 6) AS share,
+       count(DISTINCT lang) AS n_langs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM f CROSS JOIN n
+GROUP BY fold, n.total
+ORDER BY fold
+"""
+
+
+@query("q_split_kfold", oracle=_KFOLD_ORACLE)
+def q_split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold balance audit of the deterministic 5-fold assignment."""
+    d = load(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        % _KFOLD_K
+    ).cast("int")
+    f = d.select(fold.alias("fold"), "lang", "n_chars")
+    n = F.broadcast(d.agg(F.count("*").alias("total")))
+    return (
+        f.crossJoin(n)
+        .groupBy("fold", "total")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.count("*").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .drop("total")
+        .select("fold", "n_docs", "share", "n_langs", "total_chars")
+        .orderBy("fold")
     )

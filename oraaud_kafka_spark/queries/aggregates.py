@@ -966,3 +966,108 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2) * six / (n * sx) - (n + F.lit(1)).cast("double") / n, 6
         ).alias("gini"),
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# 10%-trimmed mean — the robust location estimate between the mean
+# (outlier-hostage) and the median (discards 98% of the data). Same
+# value-domain-bounded discipline as q_agg_gini: rows collapse to
+# (priority, integer-cent value) frequencies, cumulative counts place
+# each tied run against the trim cutoffs [k, n-k), and the kept slice
+# of every run is the closed form min(c+f, n-k) - max(c, k) — exact
+# integers end to end, one row-cardinality shuffle, window over
+# DISTINCT values only. n <= 2k (tiny groups trim everything) yields
+# NULL, not a division crash.
+# ---------------------------------------------------------------------------
+
+_TRIMMED_ORACLE = """
+WITH vals AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         count(*) AS f
+  FROM orders
+  GROUP BY o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT)
+),
+runs AS (
+  SELECT o_orderpriority, cents, f,
+         CAST(coalesce(sum(f) OVER (PARTITION BY o_orderpriority
+                                    ORDER BY cents
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS c,
+         CAST(sum(f) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+  FROM vals
+),
+kept AS (
+  SELECT o_orderpriority, n, n // 10 AS k,
+         greatest(least(c + f, n - n // 10) - greatest(c, n // 10), 0)
+           AS take,
+         cents
+  FROM runs
+),
+g AS (
+  SELECT o_orderpriority,
+         CAST(max(n) AS BIGINT) AS n, CAST(max(k) AS BIGINT) AS k,
+         CAST(sum(take) AS BIGINT) AS n_kept,
+         CAST(sum(CAST(cents AS HUGEINT) * take) AS DOUBLE) AS s
+  FROM kept GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n, k, n_kept,
+       CASE WHEN n_kept > 0
+            THEN round(s / n_kept / 100, 6) END AS trimmed_mean
+FROM g
+ORDER BY o_orderpriority
+"""
+
+
+@query("q_agg_trimmed_mean", oracle=_TRIMMED_ORACLE)
+def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10%-trimmed mean of order value per priority over the
+    frequency-collapsed value domain."""
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    vals = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", cents.alias("cents"))
+        .agg(F.count("*").alias("f"))
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    wb = wp.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    runs = vals.select(
+        "o_orderpriority",
+        "cents",
+        "f",
+        F.coalesce(F.sum("f").over(wb), F.lit(0)).cast("bigint").alias("c"),
+        F.sum("f").over(wp).cast("bigint").alias("n"),
+    )
+    k = F.expr("n DIV 10")
+    take = F.greatest(
+        F.least(F.col("c") + F.col("f"), F.col("n") - k)
+        - F.greatest(F.col("c"), k),
+        F.lit(0),
+    )
+    kept = runs.select(
+        "o_orderpriority",
+        "n",
+        k.alias("k"),
+        take.alias("take"),
+        "cents",
+    )
+    g = kept.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("k").cast("bigint").alias("k"),
+        F.sum("take").cast("bigint").alias("n_kept"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("take"))
+        .cast("double")
+        .alias("s"),
+    )
+    return g.select(
+        "o_orderpriority",
+        "n",
+        "k",
+        "n_kept",
+        F.when(
+            F.col("n_kept") > 0,
+            F.round(F.col("s") / F.col("n_kept") / 100, 6),
+        ).alias("trimmed_mean"),
+    ).orderBy("o_orderpriority")

@@ -1854,3 +1854,114 @@ def q_time_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("skill"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function at lag 1h and 24h. The diagnostic BEHIND
+# q_time_seasonal_naive_eval: a high ACF(24) is what justifies the
+# seasonal term. Same scale shape as the backtest — raw events collapse
+# to (type, hour) once, then each hourly row is emitted under the
+# (lag, hour) keys it can serve (x at its own hour, y at hour+lag) and
+# one regroup rebuilds the hour-EXACT lag pairs; Pearson r comes from
+# six exact integer sums per (type, lag) with the fixed-shape
+# moment formula. Degenerate guard: zero variance on either side
+# (constant series) yields NULL, not a crash.
+# ---------------------------------------------------------------------------
+
+_ACF_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+pairs AS (
+  SELECT x.event_type, l.lag_h, x.cents AS xv, y.cents AS yv
+  FROM (VALUES (1), (24)) l(lag_h)
+  JOIN hourly x ON true
+  JOIN hourly y ON y.event_type = x.event_type
+               AND y.h = x.h - to_hours(CAST(l.lag_h AS BIGINT))
+),
+m AS (
+  SELECT event_type, lag_h,
+         count(*) AS n,
+         CAST(sum(xv) AS DOUBLE) AS sx, CAST(sum(yv) AS DOUBLE) AS sy,
+         CAST(sum(CAST(xv AS HUGEINT) * xv) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(yv AS HUGEINT) * yv) AS DOUBLE) AS syy,
+         CAST(sum(CAST(xv AS HUGEINT) * yv) AS DOUBLE) AS sxy
+  FROM pairs GROUP BY event_type, lag_h
+)
+SELECT event_type, lag_h, n,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN round((n * sxy - sx * sy)
+                       / (sqrt(n * sxx - sx * sx)
+                          * sqrt(n * syy - sy * sy)), 6)
+       END AS acf
+FROM m
+ORDER BY event_type, lag_h
+"""
+
+
+@query("q_time_autocorrelation", oracle=_ACF_ORACLE)
+def q_time_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson autocorrelation of the hourly value series at lag 1h and
+    24h per event type, on hour-exact pairs."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    entries = []
+    for lag in (1, 24):
+        entries.append(
+            F.struct(
+                F.lit(lag).alias("lag_h"),
+                F.col("h").alias("th"),
+                F.lit("x").alias("role"),
+                F.col("cents").alias("v"),
+            )
+        )
+        entries.append(
+            F.struct(
+                F.lit(lag).alias("lag_h"),
+                (F.col("h") + F.expr(f"INTERVAL {lag} HOUR")).alias("th"),
+                F.lit("y").alias("role"),
+                F.col("cents").alias("v"),
+            )
+        )
+    tagged = hourly.select(
+        "event_type", F.explode(F.array(*entries)).alias("e")
+    ).select("event_type", "e.lag_h", "e.th", "e.role", "e.v")
+    dec = "decimal(38,0)"
+    j = (
+        tagged.groupBy("event_type", "lag_h", "th")
+        .agg(
+            F.max(F.when(F.col("role") == "x", F.col("v"))).alias("xv"),
+            F.max(F.when(F.col("role") == "y", F.col("v"))).alias("yv"),
+        )
+        .filter(F.col("xv").isNotNull() & F.col("yv").isNotNull())
+    )
+    m = j.groupBy("event_type", "lag_h").agg(
+        F.count("*").alias("n"),
+        F.sum("xv").cast("double").alias("sx"),
+        F.sum("yv").cast("double").alias("sy"),
+        F.sum(F.col("xv").cast(dec) * F.col("xv")).cast("double").alias("sxx"),
+        F.sum(F.col("yv").cast(dec) * F.col("yv")).cast("double").alias("syy"),
+        F.sum(F.col("xv").cast(dec) * F.col("yv")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "event_type",
+        "lag_h",
+        "n",
+        F.when(
+            (n * sxx - sx * sx > 0) & (n * syy - sy * sy > 0),
+            F.round(
+                (n * sxy - sx * sy)
+                / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+                6,
+            ),
+        ).alias("acf"),
+    ).orderBy("event_type", "lag_h")

@@ -155,6 +155,10 @@ _NEXT = (
     "q_window_distribution_ranks",
     "q_time_seasonal_naive_eval",
     "q_sample_weighted_reservoir",
+    "q_time_autocorrelation",
+    "q_agg_trimmed_mean",
+    "q_quality_psi_drift",
+    "q_split_kfold",
     # r1-aged green rows
     "q_agg_rollup",
     "q_agg_cube",

@@ -610,3 +610,28 @@ def test_distribution_ranks_one_exchange(spark):
     plan = _plan(df)
     ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert len(ex) == 1, ex
+
+
+def test_acf_single_scan_no_join(spark):
+    """Both lags' hour-exact pairs come from the explode+regroup
+    rewrite over ONE hourly collapse — no self-join, one raw scan."""
+    df = registry.QUERIES["q_time_autocorrelation"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_trimmed_mean_value_bounded(spark):
+    """Like q_agg_gini: frequencies first, windows over DISTINCT values
+    only — one scan, two exchanges."""
+    df = registry.QUERIES["q_agg_trimmed_mean"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) == 2, ex
+
+
+def test_psi_single_scan(spark):
+    df = registry.QUERIES["q_quality_psi_drift"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1

@@ -519,3 +519,69 @@ def test_weighted_reservoir_exact_k_and_matches_python(spark):
             ((key(r.doc_id, r.n_chars), r.doc_id) for r in grp.itertuples()),
         )[:8]
         assert got[lang] == [d for _, d in expect], lang
+
+
+def test_acf_bounds_and_lag1_sanity(spark):
+    rows = registry.QUERIES["q_time_autocorrelation"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n > 0
+        if r.acf is not None:
+            assert -1.0 - 1e-9 <= r.acf <= 1.0 + 1e-9
+    lags = {(r.event_type, r.lag_h) for r in rows}
+    assert any(l == 1 for _, l in lags) and any(l == 24 for _, l in lags)
+
+
+def test_trimmed_mean_matches_python(spark):
+    rows = registry.QUERIES["q_agg_trimmed_mean"](spark, SF_DIR).collect()
+    import pandas as pd
+
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    for r in rows:
+        x = sorted(
+            int(round(v * 100))
+            for v in o[o.o_orderpriority == r.o_orderpriority].o_totalprice
+        )
+        n = len(x)
+        k = n // 10
+        kept = x[k:n - k]
+        assert r.n == n and r.k == k and r.n_kept == len(kept)
+        if kept:
+            assert math.isclose(
+                r.trimmed_mean, sum(kept) / len(kept) / 100, abs_tol=1e-4
+            )
+
+
+def test_psi_matches_python_and_zero_on_identical(spark):
+    rows = registry.QUERIES["q_quality_psi_drift"](spark, SF_DIR).collect()
+    import collections
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    for r in rows:
+        g = docs[docs.lang == r.lang]
+        ca, cb = collections.Counter(), collections.Counter()
+        for t in g.itertuples():
+            b = min(9, t.n_chars // 60)
+            (ca if t.doc_id % 2 == 0 else cb)[b] += 1
+        na, nb = sum(ca.values()), sum(cb.values())
+        psi = 0.0
+        for b in set(ca) | set(cb):
+            p = (ca[b] + 1) / (na + 10)
+            q = (cb[b] + 1) / (nb + 10)
+            psi += (p - q) * math.log(p / q)
+        assert r.n_half_a == na and r.n_half_b == nb
+        assert math.isclose(r.psi, psi, abs_tol=1e-5)
+        assert r.psi >= -1e-12  # PSI is a sum of (p-q)ln(p/q) >= 0 terms
+
+
+def test_kfold_partitions_and_balance(spark):
+    rows = registry.QUERIES["q_split_kfold"](spark, SF_DIR).collect()
+    import pandas as pd
+
+    total = len(pd.read_parquet(f"{SF_DIR}/documents.parquet"))
+    assert sum(r.n_docs for r in rows) == total  # disjoint + exhaustive
+    assert {r.fold for r in rows} <= set(range(5))
+    for r in rows:
+        assert math.isclose(r.share, r.n_docs / total, abs_tol=1e-5)
