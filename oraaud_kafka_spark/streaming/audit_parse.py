@@ -66,3 +66,36 @@ def parse_audit_records(df: DataFrame, value_col: str = "value") -> DataFrame:
         for name, (leaf, dtype) in AUDIT_FIELDS.items()
     ]
     return exploded.select(*passthrough, *typed)
+
+
+# Spark 4's native XML path — the same record chunks parsed by
+# from_xml against an explicit per-record schema instead of per-field
+# xpath. Kept as a first-class twin (equivalence-tested) so callers on
+# Spark >= 4 can pick either: from_xml is one expression per record
+# (vs one per field) and benefits from schema pruning, while xpath_*
+# sidesteps from_xml's permissive-mode null quirks; the equivalence
+# test is what makes that a choice instead of a risk.
+_XML_SCHEMA = ", ".join(
+    f"{leaf} {'string' if dtype == 'timestamp' else dtype}"
+    for _, (leaf, dtype) in AUDIT_FIELDS.items()
+)
+
+
+def parse_audit_records_xml(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """from_xml twin of :func:`parse_audit_records` — identical output
+    schema and values (asserted in tests/test_audit_analytics.py)."""
+    records = F.regexp_extract_all(value_col, F.lit(_RECORD_RE), 0)
+    passthrough = [c for c in df.columns if c != value_col]
+    exploded = df.select(*passthrough, F.explode(records).alias("_rec"))
+    parsed = exploded.withColumn(
+        "_p", F.from_xml("_rec", _XML_SCHEMA)
+    )
+    typed = []
+    for name, (leaf, dtype) in AUDIT_FIELDS.items():
+        c = F.col(f"_p.{leaf}")
+        if dtype == "timestamp":
+            # from_xml read it as string; same nullif-then-cast as the
+            # xpath twin so '' and absent both land NULL
+            c = F.nullif(c, F.lit("")).cast("timestamp")
+        typed.append(c.alias(name))
+    return parsed.select(*passthrough, *typed)

@@ -121,3 +121,33 @@ def test_enrich_with_dimension(spark, audit_events):
         "humans": 4,
         "dba": 4,
     }
+
+
+def test_from_xml_twin_equals_xpath_parser(spark, tmp_path):
+    """parse_audit_records_xml (Spark 4 native from_xml) must produce
+    the identical typed frame as the xpath parser — including NULLs for
+    absent elements and the timestamp cast."""
+    from oraaud_kafka_spark.sources.audit_xml import (
+        complete_only,
+        read_audit_batch,
+    )
+    from oraaud_kafka_spark.streaming.audit_parse import (
+        parse_audit_records,
+        parse_audit_records_xml,
+    )
+
+    d = tmp_path / "adump"
+    d.mkdir()
+    recs = [
+        RECORD.format(sid=1, eid=0, minute=5, user="SCOTT", host=0,
+                      action=100, rc=0, scn=1, sql="select 1"),
+        # sparse record: most elements absent -> NULL in both parsers
+        " <AuditRecord>\n  <DB_User>HR</DB_User>\n </AuditRecord>",
+    ]
+    doc = '<?xml version="1.0"?>\n<Audit>\n' + "\n".join(recs) + "\n</Audit>"
+    (d / "orcl_ora_1234_0001.xml").write_text(doc)
+    raw = complete_only(read_audit_batch(spark, str(d), hostname="twin"))
+    a = parse_audit_records(raw).orderBy("entry_id").toPandas()
+    b = parse_audit_records_xml(raw).orderBy("entry_id").toPandas()
+    assert list(a.columns) == list(b.columns)
+    assert a.equals(b), (a.compare(b) if a.shape == b.shape else (a, b))
