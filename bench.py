@@ -128,6 +128,7 @@ EXTRAS = [
     "q_agg_trimmed_mean",        # value-domain-bounded robust mean
     "q_quality_psi_drift",       # Laplace-smoothed PSI drift report
     "q_split_kfold",             # hash-mod fold balance audit
+    "q_multimodal_silence_ratio",  # Arrow-decode VAD profile
 ]
 
 

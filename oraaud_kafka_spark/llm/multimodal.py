@@ -530,3 +530,97 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Silence / voice-activity profile — the audio curation gate that drops
+# dead air before transcription: the decoded PCM is scored in 16-sample
+# frames, a frame is "silent" when its integer |amplitude| sum is under
+# the threshold, and the report carries the silence ratio plus the
+# leading/trailing trim frame counts. The whole pipeline runs
+# encode -> decode -> frame-energy through the same Arrow mapInPandas
+# seam as q_multimodal_audio_stats (payload bytes never shuffle; the
+# decode batch shape is the production one), while the oracle
+# reproduces every frame sum from the FWAV closed form — all integer
+# arithmetic, no float tolerance anywhere.
+# ---------------------------------------------------------------------------
+
+_VAD_FRAME = 16
+_VAD_THRESHOLD = 16384  # sum |amp| per frame; == mean 1024 of +-2048 PCM
+
+_SILENCE_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, 64 + n_chars % 64 AS n_samples
+  FROM documents WHERE doc_id < 100
+),
+frames AS (
+  SELECT doc_id, n_samples // {_VAD_FRAME} AS n_frames,
+         list_transform(range(n_samples // {_VAD_FRAME}),
+           f -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range({_VAD_FRAME}),
+                    i -> abs((doc_id * 13 + (f * {_VAD_FRAME} + i) * 5)
+                             % 4096 - 2048))),
+                  (a, x) -> a + x) < {_VAD_THRESHOLD}) AS silent
+  FROM dims
+)
+SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(len(list_filter(silent, s -> s)) AS BIGINT) AS n_silent,
+       round(CAST(len(list_filter(silent, s -> s)) AS DOUBLE)
+             / n_frames, 6) AS silence_ratio,
+       CAST(CASE WHEN list_position(silent, false) = 0 THEN n_frames
+                 ELSE list_position(silent, false) - 1
+            END AS BIGINT) AS lead_trim_frames,
+       CAST(CASE WHEN list_position(list_reverse(silent), false) = 0
+                 THEN n_frames
+                 ELSE list_position(list_reverse(silent), false) - 1
+            END AS BIGINT) AS trail_trim_frames
+FROM frames
+ORDER BY doc_id
+"""
+
+
+def _silence_profile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    rows: dict[str, list] = {
+        "doc_id": [], "n_frames": [], "n_silent": [],
+        "silence_ratio": [], "lead_trim_frames": [], "trail_trim_frames": [],
+    }
+    for pdf in batches:
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _, samples = decode_audio(bytes(payload))
+            n_frames = len(samples) // _VAD_FRAME
+            framed = np.abs(
+                samples[: n_frames * _VAD_FRAME].astype("int64")
+            ).reshape(n_frames, _VAD_FRAME)
+            silent = framed.sum(axis=1) < _VAD_THRESHOLD
+            n_silent = int(silent.sum())
+            nonsilent = np.flatnonzero(~silent)
+            lead = int(nonsilent[0]) if nonsilent.size else n_frames
+            trail = (
+                n_frames - 1 - int(nonsilent[-1]) if nonsilent.size else n_frames
+            )
+            rows["doc_id"].append(doc_id)
+            rows["n_frames"].append(n_frames)
+            rows["n_silent"].append(n_silent)
+            rows["silence_ratio"].append(round(n_silent / n_frames, 6))
+            rows["lead_trim_frames"].append(lead)
+            rows["trail_trim_frames"].append(trail)
+    yield pd.DataFrame(rows)
+
+
+@query("q_multimodal_silence_ratio", oracle=_SILENCE_ORACLE)
+def q_multimodal_silence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level silence profile of every decoded audio payload:
+    ratio + leading/trailing trim counts, integer-exact vs the FWAV
+    closed form."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    payloads = _audio_dims(d).mapInPandas(
+        _build_audio, "doc_id long, payload binary"
+    )
+    profile = payloads.mapInPandas(
+        _silence_profile,
+        "doc_id long, n_frames long, n_silent long, silence_ratio double, "
+        "lead_trim_frames long, trail_trim_frames long",
+    )
+    return profile.orderBy("doc_id")

@@ -159,6 +159,7 @@ _NEXT = (
     "q_agg_trimmed_mean",
     "q_quality_psi_drift",
     "q_split_kfold",
+    "q_multimodal_silence_ratio",
     # r1-aged green rows
     "q_agg_rollup",
     "q_agg_cube",

@@ -585,3 +585,18 @@ def test_kfold_partitions_and_balance(spark):
     assert {r.fold for r in rows} <= set(range(5))
     for r in rows:
         assert math.isclose(r.share, r.n_docs / total, abs_tol=1e-5)
+
+
+def test_silence_profile_consistent(spark):
+    rows = registry.QUERIES["q_multimodal_silence_ratio"](
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_silent <= r.n_frames
+        assert math.isclose(r.silence_ratio, r.n_silent / r.n_frames,
+                            abs_tol=1e-6)
+        if r.n_silent == r.n_frames:
+            assert r.lead_trim_frames == r.trail_trim_frames == r.n_frames
+        else:
+            assert r.lead_trim_frames + r.trail_trim_frames <= r.n_frames - 1
