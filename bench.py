@@ -129,6 +129,7 @@ EXTRAS = [
     "q_quality_psi_drift",       # Laplace-smoothed PSI drift report
     "q_split_kfold",             # hash-mod fold balance audit
     "q_multimodal_silence_ratio",  # Arrow-decode VAD profile
+    "q_events_concurrency",      # segmented +1/-1 interval sweep
 ]
 
 

@@ -1965,3 +1965,146 @@ def q_time_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("acf"),
     ).orderBy("event_type", "lag_h")
+
+
+# ---------------------------------------------------------------------------
+# Peak session concurrency — the +1/-1 interval sweep. Sessions are the
+# standard 30-minute-gap sessionization; each contributes a (+1 at
+# start, -1 at end) point and the running sum of the pinned-order point
+# stream is the number of concurrently open sessions. Tie policy
+# (pinned identically on both engines): at the same instant, ends sort
+# before starts (delta ASC), then user_id — back-to-back sessions never
+# double-count.
+#
+# Scale shape: the naive sweep is ONE global ordered cumsum — a
+# single-partition window at cluster scale. This implementation runs
+# the SEGMENTED prefix sum instead: local cumsum within each hour
+# bucket (window partitioned by bucket) + an hour-level offset cumsum
+# over the bounded bucket table, concurrency = offset + local. The
+# oracle states the semantics with the plain global window; the hash
+# match proves the two-level decomposition exact.
+# ---------------------------------------------------------------------------
+
+_CONCURRENCY_ORACLE = """
+WITH ev AS (
+  SELECT user_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE ts IS NOT NULL
+),
+flagged AS (
+  SELECT user_id, ts, rn,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, rn) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, rn)
+                      > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev
+),
+sess AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, rn
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS sid,
+         ts
+  FROM flagged
+),
+bounds AS (
+  SELECT user_id, sid, min(ts) AS s, max(ts) AS e
+  FROM sess GROUP BY user_id, sid
+),
+pts AS (
+  SELECT user_id, s AS ts, 1 AS delta FROM bounds
+  UNION ALL
+  SELECT user_id, e, -1 FROM bounds
+),
+sweep AS (
+  SELECT ts, delta,
+         CAST(sum(delta) OVER (ORDER BY ts, delta, user_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS conc
+  FROM pts
+)
+SELECT CAST((SELECT count(*) FROM bounds) AS BIGINT) AS n_sessions,
+       CAST(max(conc) AS BIGINT) AS peak_concurrency,
+       min(ts) FILTER (WHERE conc = (SELECT max(conc) FROM sweep))
+         AS peak_ts
+FROM sweep
+"""
+
+
+@query("q_events_concurrency", oracle=_CONCURRENCY_ORACLE)
+def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent 30-min-gap sessions via the segmented +1/-1
+    prefix sweep (hour-local cumsum + bounded bucket offsets)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(wu).cast("long")
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    # the cumsum's order must pin TIED timestamps too (same key as the
+    # lag window) or the two engines could assign tied rows to
+    # different sessions
+    sess = flagged.select(
+        "user_id",
+        F.sum("new_s")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("sid"),
+        "ts",
+    )
+    bounds = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    pts = bounds.select(
+        "user_id", F.col("s").alias("ts"), F.lit(1).alias("delta")
+    ).unionAll(
+        bounds.select("user_id", F.col("e").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    # segmented prefix sum: hour-local running sums + bucket offsets
+    pts = pts.withColumn("bucket", F.date_trunc("hour", "ts"))
+    wl = (
+        Window.partitionBy("bucket")
+        .orderBy("ts", "delta", "user_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = pts.select(
+        "bucket", "ts", F.sum("delta").over(wl).alias("local_sum")
+    )
+    totals = pts.groupBy("bucket").agg(F.sum("delta").alias("net"))
+    wb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "bucket", F.coalesce(F.sum("net").over(wb), F.lit(0)).alias("offset")
+    )
+    sweep = local.join(F.broadcast(offsets), "bucket").select(
+        "ts", (F.col("offset") + F.col("local_sum")).cast("bigint").alias("conc")
+    )
+    n_sessions = bounds.agg(F.count("*").cast("bigint").alias("n_sessions"))
+    peak = sweep.agg(F.max("conc").alias("peak"))
+    return (
+        sweep.crossJoin(F.broadcast(peak))
+        .filter(F.col("conc") == F.col("peak"))
+        .agg(
+            F.max("peak").cast("bigint").alias("peak_concurrency"),
+            F.min("ts").alias("peak_ts"),
+        )
+        .crossJoin(F.broadcast(n_sessions))
+        .select("n_sessions", "peak_concurrency", "peak_ts")
+    )

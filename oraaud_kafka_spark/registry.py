@@ -160,6 +160,7 @@ _NEXT = (
     "q_quality_psi_drift",
     "q_split_kfold",
     "q_multimodal_silence_ratio",
+    "q_events_concurrency",
     # r1-aged green rows
     "q_agg_rollup",
     "q_agg_cube",

@@ -635,3 +635,23 @@ def test_psi_single_scan(spark):
     df = registry.QUERIES["q_quality_psi_drift"](spark, SF_DIR)
     plan = _plan(df)
     assert plan.count("Scan parquet") == 1
+
+
+def test_concurrency_sweep_is_segmented(spark):
+    """The +1/-1 sweep must NOT be a single global ordered window over
+    the point stream: the only unpartitioned window may run on the
+    bounded hour-bucket offset table. Pin: every Window with an empty
+    partition spec sits above the bucket aggregate (totals), i.e. the
+    point-stream windows are all partitioned."""
+    df = registry.QUERIES["q_events_concurrency"](spark, SF_DIR)
+    plan = _plan(df)
+    import re
+
+    # unpartitioned windows print as 'Window [...], [bucket ASC ...]'
+    # with no 'hashpartitioning' exchange directly beneath carrying ts
+    singles = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("Window") and "user_id" not in l
+        and "bucket" not in l
+    ]
+    assert not singles, singles

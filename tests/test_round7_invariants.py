@@ -600,3 +600,34 @@ def test_silence_profile_consistent(spark):
             assert r.lead_trim_frames == r.trail_trim_frames == r.n_frames
         else:
             assert r.lead_trim_frames + r.trail_trim_frames <= r.n_frames - 1
+
+
+def test_concurrency_matches_python_sweep(spark):
+    """Segmented two-level prefix sum equals a straight Python sweep
+    with the same tie policy (ends before starts, then user)."""
+    row = registry.QUERIES["q_events_concurrency"](spark, SF_DIR).collect()[0]
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = ev[ev.ts.notna()].sort_values(["user_id", "ts", "event_id"])
+    bounds = []
+    for uid, g in ev.groupby("user_id"):
+        start = prev = None
+        for t in g.ts:
+            if prev is None or (t - prev).total_seconds() > 1800:
+                if start is not None:
+                    bounds.append((uid, start, prev))
+                start = t
+            prev = t
+        bounds.append((uid, start, prev))
+    pts = [(s, 1, u) for u, s, _ in bounds] + [(e, -1, u) for u, _, e in bounds]
+    pts.sort(key=lambda p: (p[0], p[1], p[2]))
+    conc = peak = 0
+    peak_ts = None
+    for t, d, _ in pts:
+        conc += d
+        if conc > peak:
+            peak, peak_ts = conc, t
+    assert row.n_sessions == len(bounds)
+    assert row.peak_concurrency == peak
+    assert row.peak_ts == peak_ts
