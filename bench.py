@@ -130,6 +130,8 @@ EXTRAS = [
     "q_split_kfold",             # hash-mod fold balance audit
     "q_multimodal_silence_ratio",  # Arrow-decode VAD profile
     "q_events_concurrency",      # segmented +1/-1 interval sweep
+    "q_text_source_jsd",         # pairwise source JSD matrix
+    "q_text_pmi_collocations",   # PMI collocation top-k
 ]
 
 

@@ -1520,3 +1520,205 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise Jensen-Shannon divergence between source token
+# distributions — the symmetric, bounded (<= ln 2) companion of
+# q_text_source_kl for mixture design: which sources are near-duplicate
+# distributions and which add diversity. Decomposition keeps it
+# one-pass over the intersection: for terms present in both sources
+# the contribution is p·ln(2p/(p+q)) + q·ln(2q/(p+q)); a term present
+# only in source A contributes p·ln 2 — so those sides fold into the
+# closed form ln2·(1 - Σ_intersection p) without ever materializing
+# the A-only/B-only term sets. Same determinism discipline as the KL
+# query: every transcendental term rounds to 12 dp and sums as exact
+# DECIMAL (order-free), one final 6-dp round. The pair join is
+# tok-keyed with NO broadcast hint (corpus-derived vocabulary — AQE
+# decides); per-source totals are a source-cardinality broadcast.
+# ---------------------------------------------------------------------------
+
+_JSD_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+sc AS (SELECT source, tok, count(*) AS c_st FROM tok GROUP BY source, tok),
+ns AS (SELECT source, sum(c_st) AS n_s FROM sc GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(a.c_st AS DOUBLE) / na.n_s AS p,
+         CAST(b.c_st AS DOUBLE) / nb.n_s AS q
+  FROM sc a JOIN sc b ON a.tok = b.tok AND a.source < b.source
+  JOIN ns na ON na.source = a.source
+  JOIN ns nb ON nb.source = b.source
+),
+agg AS (
+  SELECT source_a, source_b,
+         count(*) AS shared_vocab,
+         sum(CAST(round(p * ln(2 * p / (p + q)), 12) AS DECIMAL(20,12)))
+           AS sp,
+         sum(CAST(round(q * ln(2 * q / (p + q)), 12) AS DECIMAL(20,12)))
+           AS sq,
+         sum(CAST(round(p, 12) AS DECIMAL(20,12))) AS pa,
+         sum(CAST(round(q, 12) AS DECIMAL(20,12))) AS pb
+  FROM pairs GROUP BY source_a, source_b
+)
+SELECT source_a, source_b, CAST(shared_vocab AS BIGINT) AS shared_vocab,
+       CAST(CAST(round(
+         0.5 * (CAST(sp AS DOUBLE) + ln(2) * (1 - CAST(pa AS DOUBLE)))
+         + 0.5 * (CAST(sq AS DOUBLE) + ln(2) * (1 - CAST(pb AS DOUBLE))),
+         6) AS DECIMAL(15,6)) AS DOUBLE) AS jsd_nats
+FROM agg
+ORDER BY source_a, source_b
+"""
+
+
+@query("q_text_source_jsd", oracle=_JSD_ORACLE)
+def q_text_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise JSD between source token distributions; A-only/B-only
+    mass folded in closed form, intersection joined tok-keyed."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    sc = tok.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
+    ns = F.broadcast(sc.groupBy("source").agg(F.sum("c_st").alias("n_s")))
+    a = sc.select(
+        F.col("source").alias("source_a"),
+        "tok",
+        F.col("c_st").alias("ca"),
+    ).join(ns.select(F.col("source").alias("source_a"), F.col("n_s").alias("na")), "source_a")
+    b = sc.select(
+        F.col("source").alias("source_b"),
+        "tok",
+        F.col("c_st").alias("cb"),
+    ).join(ns.select(F.col("source").alias("source_b"), F.col("n_s").alias("nb")), "source_b")
+    pairs = a.join(b, "tok").filter(F.col("source_a") < F.col("source_b"))
+    p = F.col("ca").cast("double") / F.col("na")
+    q = F.col("cb").cast("double") / F.col("nb")
+    dec = "decimal(20,12)"
+    agg = (
+        pairs.select(
+            "source_a",
+            "source_b",
+            F.round(p * F.log(F.lit(2) * p / (p + q)), 12)
+            .cast(dec)
+            .alias("tp"),
+            F.round(q * F.log(F.lit(2) * q / (p + q)), 12)
+            .cast(dec)
+            .alias("tq"),
+            F.round(p, 12).cast(dec).alias("rp"),
+            F.round(q, 12).cast(dec).alias("rq"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("shared_vocab"),
+            F.sum("tp").alias("sp"),
+            F.sum("tq").alias("sq"),
+            F.sum("rp").alias("pa"),
+            F.sum("rq").alias("pb"),
+        )
+    )
+    ln2 = F.log(F.lit(2.0))
+    jsd = F.lit(0.5) * (
+        F.col("sp").cast("double") + ln2 * (F.lit(1) - F.col("pa").cast("double"))
+    ) + F.lit(0.5) * (
+        F.col("sq").cast("double") + ln2 * (F.lit(1) - F.col("pb").cast("double"))
+    )
+    return agg.select(
+        "source_a",
+        "source_b",
+        "shared_vocab",
+        F.round(jsd, 6).cast("decimal(15,6)").cast("double").alias("jsd_nats"),
+    ).orderBy("source_a", "source_b")
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: rank adjacent word pairs by pointwise mutual
+# information ln(p(ab)/(p(a)p(b))) — the classic collocation detector
+# (Church & Hanks 1990), the signal behind merge-worthy phrases
+# ("new york") vs frequent-but-independent pairs. Count floor >= 3
+# kills the low-count PMI explosion. Word-keyed joins carry NO
+# broadcast hint (corpus vocabulary — AQE decides; the two grand
+# totals are scalar broadcasts). Every ratio divides exact int64
+# counts in one fixed-shape expression, so the PMI doubles are
+# bit-identical and the (pmi DESC, a, b) top-25 is engine-stable.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN = 3
+_PMI_TOP = 25
+
+_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bi AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                i -> [t[i], t[i+1]])) AS pair
+  FROM toks WHERE len(t) >= 2
+),
+bc AS (
+  SELECT pair[1] AS w_a, pair[2] AS w_b, count(*) AS c_ab
+  FROM bi GROUP BY pair[1], pair[2] HAVING count(*) >= {_PMI_MIN}
+),
+uni AS (
+  SELECT unnest(t) AS w FROM toks
+),
+uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+nb AS (SELECT sum(c_ab) AS n FROM (
+         SELECT pair[1] AS w_a, pair[2] AS w_b, count(*) AS c_ab
+         FROM bi GROUP BY pair[1], pair[2]) raw),
+nu AS (SELECT sum(c) AS n FROM uc)
+SELECT w_a, w_b, c_ab,
+       round(ln((CAST(c_ab AS DOUBLE) / nb.n)
+                / ((CAST(ua.c AS DOUBLE) / nu.n)
+                   * (CAST(ub.c AS DOUBLE) / nu.n))), 6) AS pmi
+FROM bc
+JOIN uc ua ON ua.w = w_a
+JOIN uc ub ON ub.w = w_b
+CROSS JOIN nb CROSS JOIN nu
+ORDER BY pmi DESC, w_a, w_b
+LIMIT {_PMI_TOP}
+"""
+
+
+@query("q_text_pmi_collocations", oracle=_PMI_ORACLE)
+def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent-pair collocations by PMI with a count floor."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i).alias("w_a"),
+                    F.element_at(F.col("t"), i + 1).alias("w_b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w_a", "p.w_b")
+    raw = pairs.groupBy("w_a", "w_b").agg(F.count("*").alias("c_ab"))
+    bc = raw.filter(F.col("c_ab") >= _PMI_MIN)
+    uni = d.select(F.explode(F.split("text", " ")).alias("w"))
+    uc = uni.groupBy("w").agg(F.count("*").alias("c"))
+    nb = F.broadcast(raw.agg(F.sum("c_ab").alias("nb")))
+    nu = F.broadcast(uc.agg(F.sum("c").alias("nu")))
+    j = (
+        bc.join(uc.select(F.col("w").alias("w_a"), F.col("c").alias("ca")), "w_a")
+        .join(uc.select(F.col("w").alias("w_b"), F.col("c").alias("cb")), "w_b")
+        .crossJoin(nb)
+        .crossJoin(nu)
+    )
+    pmi = F.log(
+        (F.col("c_ab").cast("double") / F.col("nb"))
+        / (
+            (F.col("ca").cast("double") / F.col("nu"))
+            * (F.col("cb").cast("double") / F.col("nu"))
+        )
+    )
+    return (
+        j.select("w_a", "w_b", "c_ab", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w_a", "w_b")
+        .limit(_PMI_TOP)
+    )

@@ -161,6 +161,8 @@ _NEXT = (
     "q_split_kfold",
     "q_multimodal_silence_ratio",
     "q_events_concurrency",
+    "q_text_source_jsd",
+    "q_text_pmi_collocations",
     # r1-aged green rows
     "q_agg_rollup",
     "q_agg_cube",

@@ -631,3 +631,59 @@ def test_concurrency_matches_python_sweep(spark):
     assert row.n_sessions == len(bounds)
     assert row.peak_concurrency == peak
     assert row.peak_ts == peak_ts
+
+
+def test_jsd_bounds_and_symmetric_identity(spark):
+    """JSD is symmetric, bounded by ln 2, and zero iff identical
+    distributions — spot-check vs a pure-Python computation."""
+    rows = registry.QUERIES["q_text_source_jsd"](spark, SF_DIR).collect()
+    assert rows
+    import collections
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    dist = {}
+    for src, g in docs.groupby("source"):
+        c = collections.Counter()
+        for t in g.text:
+            c.update(t.split(" "))
+        n = sum(c.values())
+        dist[src] = {w: v / n for w, v in c.items()}
+    for r in rows:
+        assert 0 <= r.jsd_nats <= math.log(2) + 1e-9
+        p, q = dist[r.source_a], dist[r.source_b]
+        jsd = 0.0
+        for w in set(p) | set(q):
+            pw, qw = p.get(w, 0.0), q.get(w, 0.0)
+            m = (pw + qw) / 2
+            if pw:
+                jsd += 0.5 * pw * math.log(pw / m)
+            if qw:
+                jsd += 0.5 * qw * math.log(qw / m)
+        assert math.isclose(r.jsd_nats, jsd, abs_tol=1e-4), (r, jsd)
+
+
+def test_pmi_matches_python(spark):
+    rows = registry.QUERIES["q_text_pmi_collocations"](spark, SF_DIR).collect()
+    assert rows
+    import collections
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    bi, uni = collections.Counter(), collections.Counter()
+    for t in docs.text:
+        ws = t.split(" ")
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    n_bi, n_uni = sum(bi.values()), sum(uni.values())
+    for r in rows:
+        expect = math.log(
+            (bi[(r.w_a, r.w_b)] / n_bi)
+            / ((uni[r.w_a] / n_uni) * (uni[r.w_b] / n_uni))
+        )
+        assert r.c_ab == bi[(r.w_a, r.w_b)] and r.c_ab >= 3
+        assert math.isclose(r.pmi, expect, abs_tol=1e-5)
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
