@@ -1562,14 +1562,20 @@ agg AS (
          sum(CAST(round(p, 12) AS DECIMAL(20,12))) AS pa,
          sum(CAST(round(q, 12) AS DECIMAL(20,12))) AS pb
   FROM pairs GROUP BY source_a, source_b
+),
+allp AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM ns a JOIN ns b ON a.source < b.source
 )
-SELECT source_a, source_b, CAST(shared_vocab AS BIGINT) AS shared_vocab,
-       CAST(CAST(round(
+SELECT p.source_a, p.source_b,
+       CAST(coalesce(shared_vocab, 0) AS BIGINT) AS shared_vocab,
+       CAST(CAST(round(CASE WHEN g.source_a IS NULL THEN ln(2) ELSE
          0.5 * (CAST(sp AS DOUBLE) + ln(2) * (1 - CAST(pa AS DOUBLE)))
-         + 0.5 * (CAST(sq AS DOUBLE) + ln(2) * (1 - CAST(pb AS DOUBLE))),
-         6) AS DECIMAL(15,6)) AS DOUBLE) AS jsd_nats
-FROM agg
-ORDER BY source_a, source_b
+         + 0.5 * (CAST(sq AS DOUBLE) + ln(2) * (1 - CAST(pb AS DOUBLE)))
+       END, 6) AS DECIMAL(15,6)) AS DOUBLE) AS jsd_nats
+FROM allp p LEFT JOIN agg g
+  ON g.source_a = p.source_a AND g.source_b = p.source_b
+ORDER BY p.source_a, p.source_b
 """
 
 
@@ -1617,16 +1623,35 @@ def q_text_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rq").alias("pb"),
         )
     )
-    ln2 = F.log(F.lit(2.0))
-    jsd = F.lit(0.5) * (
-        F.col("sp").cast("double") + ln2 * (F.lit(1) - F.col("pa").cast("double"))
-    ) + F.lit(0.5) * (
-        F.col("sq").cast("double") + ln2 * (F.lit(1) - F.col("pb").cast("double"))
+    # every source pair must appear — a pair with NO shared vocabulary
+    # never survives the intersection join, yet it is exactly the
+    # maximal-divergence (ln 2) row a mixture designer most needs; the
+    # all-pairs base is source-cardinality (bounded, broadcast)
+    allp = (
+        ns.select(F.col("source").alias("source_a"))
+        .join(
+            ns.select(F.col("source").alias("source_b")),
+            F.col("source_a") < F.col("source_b"),
+        )
     )
-    return agg.select(
+    full = allp.join(agg, ["source_a", "source_b"], "left")
+    ln2 = F.log(F.lit(2.0))
+    jsd = F.when(F.col("sp").isNull(), ln2).otherwise(
+        F.lit(0.5)
+        * (
+            F.col("sp").cast("double")
+            + ln2 * (F.lit(1) - F.col("pa").cast("double"))
+        )
+        + F.lit(0.5)
+        * (
+            F.col("sq").cast("double")
+            + ln2 * (F.lit(1) - F.col("pb").cast("double"))
+        )
+    )
+    return full.select(
         "source_a",
         "source_b",
-        "shared_vocab",
+        F.coalesce("shared_vocab", F.lit(0)).cast("long").alias("shared_vocab"),
         F.round(jsd, 6).cast("decimal(15,6)").cast("double").alias("jsd_nats"),
     ).orderBy("source_a", "source_b")
 

@@ -1969,7 +1969,8 @@ def q_time_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Peak session concurrency — the +1/-1 interval sweep. Sessions are the
-# standard 30-minute-gap sessionization; each contributes a (+1 at
+# standard 30-minute-gap sessionization (split when gap >= 30 min,
+# the native session_window rule, compared on exact microseconds); each contributes a (+1 at
 # start, -1 at end) point and the running sum of the pinned-order point
 # stream is the number of concurrently open sessions. Tie policy
 # (pinned identically on both engines): at the same instant, ends sort
@@ -1997,7 +1998,7 @@ flagged AS (
                                  ORDER BY ts, rn) IS NULL
                    OR ts - lag(ts) OVER (PARTITION BY user_id
                                          ORDER BY ts, rn)
-                      > INTERVAL 30 MINUTE
+                      >= INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_s
   FROM ev
 ),
@@ -2046,8 +2047,12 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lag("ts").over(wu).isNull()
             | (
-                F.col("ts").cast("long") - F.lag("ts").over(wu).cast("long")
-                > 1800
+                # exact microseconds, not second-truncated epochs: a gap
+                # in (1800, 1801)s must split on BOTH engines; >= matches
+                # the native session_window semantics used by the rest
+                # of the session kit
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wu))
+                >= 1800 * 1_000_000
             ),
             1,
         )

@@ -538,6 +538,17 @@ def cusum_monitor(df: DataFrame, target_mean_cents: dict) -> DataFrame:
     position or magnitude and are dropped, like the batch twin."""
     targets = {k: float(v) for k, v in target_mean_cents.items()}
 
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _cents(v: float) -> int:
+        # half-AWAY-FROM-ZERO on the exact binary value — the same
+        # result as Spark's F.round(value * 100) and DuckDB's round()
+        # in the batch twin; Python's builtin round() is banker's
+        # rounding and would drift 1 cent on exact .5 boundaries
+        return int(
+            Decimal(float(v) * 100).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+
     def _fn(key, pdfs, state):
         (etype,) = key
         cusum, peak, n = state.get if state.exists else (0.0, 0.0, 0)
@@ -546,7 +557,7 @@ def cusum_monitor(df: DataFrame, target_mean_cents: dict) -> DataFrame:
         rows = rows[rows["ts"].notna() & rows["value"].notna()]
         rows = rows.sort_values(["ts", "event_id"])
         for v in rows["value"]:
-            cusum += round(float(v) * 100) - mu
+            cusum += _cents(v) - mu
             if abs(cusum) > peak:
                 peak = abs(cusum)
             n += 1

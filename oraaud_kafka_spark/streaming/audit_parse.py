@@ -75,9 +75,13 @@ def parse_audit_records(df: DataFrame, value_col: str = "value") -> DataFrame:
 # (vs one per field) and benefits from schema pruning, while xpath_*
 # sidesteps from_xml's permissive-mode null quirks; the equivalence
 # test is what makes that a choice instead of a risk.
+# Every field reads as STRING first: from_xml yields '' for an empty
+# (present-but-valueless) element where xpath_string also yields '' —
+# only an identical nullif-then-cast on EVERY field makes '' and
+# absent both land NULL on both parsers (an int-typed from_xml field
+# would hide the divergence for numerics but not strings).
 _XML_SCHEMA = ", ".join(
-    f"{leaf} {'string' if dtype == 'timestamp' else dtype}"
-    for _, (leaf, dtype) in AUDIT_FIELDS.items()
+    f"{leaf} string" for _, (leaf, _) in AUDIT_FIELDS.items()
 )
 
 
@@ -90,12 +94,8 @@ def parse_audit_records_xml(df: DataFrame, value_col: str = "value") -> DataFram
     parsed = exploded.withColumn(
         "_p", F.from_xml("_rec", _XML_SCHEMA)
     )
-    typed = []
-    for name, (leaf, dtype) in AUDIT_FIELDS.items():
-        c = F.col(f"_p.{leaf}")
-        if dtype == "timestamp":
-            # from_xml read it as string; same nullif-then-cast as the
-            # xpath twin so '' and absent both land NULL
-            c = F.nullif(c, F.lit("")).cast("timestamp")
-        typed.append(c.alias(name))
+    typed = [
+        F.nullif(F.col(f"_p.{leaf}"), F.lit("")).cast(dtype).alias(name)
+        for name, (leaf, dtype) in AUDIT_FIELDS.items()
+    ]
     return parsed.select(*passthrough, *typed)

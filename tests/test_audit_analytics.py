@@ -143,6 +143,10 @@ def test_from_xml_twin_equals_xpath_parser(spark, tmp_path):
                       action=100, rc=0, scn=1, sql="select 1"),
         # sparse record: most elements absent -> NULL in both parsers
         " <AuditRecord>\n  <DB_User>HR</DB_User>\n </AuditRecord>",
+        # empty (present-but-valueless) elements -> NULL in both parsers,
+        # for strings AND numerics
+        (" <AuditRecord>\n  <DB_User></DB_User>\n  <OS_User/>\n"
+         "  <Action></Action>\n  <EntryId>7</EntryId>\n </AuditRecord>"),
     ]
     doc = '<?xml version="1.0"?>\n<Audit>\n' + "\n".join(recs) + "\n</Audit>"
     (d / "orcl_ora_1234_0001.xml").write_text(doc)

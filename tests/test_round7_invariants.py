@@ -614,7 +614,7 @@ def test_concurrency_matches_python_sweep(spark):
     for uid, g in ev.groupby("user_id"):
         start = prev = None
         for t in g.ts:
-            if prev is None or (t - prev).total_seconds() > 1800:
+            if prev is None or (t - prev).total_seconds() >= 1800:
                 if start is not None:
                     bounds.append((uid, start, prev))
                 start = t
@@ -687,3 +687,39 @@ def test_pmi_matches_python(spark):
         assert math.isclose(r.pmi, expect, abs_tol=1e-5)
     pmis = [r.pmi for r in rows]
     assert pmis == sorted(pmis, reverse=True)
+
+
+def test_jsd_disjoint_sources_report_ln2(spark, tmp_path):
+    """A source pair with zero shared vocabulary must still appear,
+    at maximal divergence ln 2."""
+    import os
+    import shutil
+
+    from .conftest import SF_DIR as _SF
+
+    base = tmp_path / "disjoint"
+    base.mkdir()
+    for name in os.listdir(_SF):
+        if name.endswith(".parquet") and name != "documents.parquet":
+            src = os.path.join(_SF, name)
+            dst = str(base / name)
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copy(src, dst)
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en", "src_a", 16),
+            (2, "delta epsilon zeta", "en", "src_b", 18),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(str(base / "documents.parquet"))
+    rows = registry.QUERIES["q_text_source_jsd"].__wrapped__(
+        spark, str(base)
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.source_a, r.source_b) == ("src_a", "src_b")
+    assert r.shared_vocab == 0
+    assert math.isclose(r.jsd_nats, math.log(2), abs_tol=1e-6)

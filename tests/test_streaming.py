@@ -659,6 +659,9 @@ def test_cusum_monitor_matches_python_fold_across_batches(spark, tmp_path):
     ]
     batch2 = [
         {"event_type": "click", "ts": "2026-01-01T00:02:00", "event_id": 5, "value": 30.0},
+        # 0.125 * 100 = 12.5 exactly: banker's rounding would give 12,
+        # the batch twin's half-up gives 13 — pins the rounding mode
+        {"event_type": "click", "ts": "2026-01-01T00:02:30", "event_id": 7, "value": 0.125},
         {"event_type": "view", "ts": "2026-01-01T00:03:00", "event_id": 6, "value": 7.0},
     ]
     _write_jsonl(d / "b1.json", batch1)
@@ -673,10 +676,16 @@ def test_cusum_monitor_matches_python_fold_across_batches(spark, tmp_path):
         for r in spark.table("cusum").collect():
             latest[r.event_type] = r
         expected = {}
-        for et, vals in (("click", [10.0, 2.0, 30.0]), ("view", [5.0, 7.0])):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        for et, vals in (("click", [10.0, 2.0, 30.0, 0.125]),
+                         ("view", [5.0, 7.0])):
             c, peak = 0.0, 0.0
             for v in vals:
-                c += round(v * 100) - targets[et]
+                cents = int(Decimal(v * 100).quantize(
+                    Decimal(1), rounding=ROUND_HALF_UP))
+                assert (v != 0.125) or cents == 13  # not banker's 12
+                c += cents - targets[et]
                 peak = max(peak, abs(c))
             expected[et] = (len(vals), c / 100, peak / 100)
         assert set(latest) == set(expected)
