@@ -130,10 +130,13 @@ _FRONT = (
 
 # Immediately behind the window: the round-8 rotation queue — first
 # the operators added after the round-7 window filled (never
-# driver-checked, all locally parity-green), then the remaining 11
-# r1-aged green rows (aggregates/window tail), then the oldest
-# r4-green LLM families cycle in. If the driver's window is ever wider
-# than 50, these are checked first; if not, nothing changes.
+# driver-checked, all locally parity-green at sf0.001 AND spot-checked
+# at the driver's sf0.01 via scripts/gate_sim.py before each commit),
+# then the remaining 11 r1-aged green rows (aggregates/window tail),
+# then the oldest r4-green LLM families cycle in. If the driver's
+# window is ever wider than 50, these are checked first; if not,
+# nothing changes. Round 8 should promote the leading 50 of this list
+# into _FRONT (new-ops-first, then the aged tail).
 _NEXT = (
     # added after the round-7 window filled — first slots next rotation
     "q_emb_whiten_apply",
