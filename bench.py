@@ -132,6 +132,7 @@ EXTRAS = [
     "q_events_concurrency",      # segmented +1/-1 interval sweep
     "q_text_source_jsd",         # pairwise source JSD matrix
     "q_text_pmi_collocations",   # PMI collocation top-k
+    "q_agg_bootstrap_ci",        # deterministic Poisson bootstrap CI
 ]
 
 

@@ -1071,3 +1071,149 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s") / F.col("n_kept") / 100, 6),
         ).alias("trimmed_mean"),
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval — the distributed bootstrap
+# (resampling n-out-of-n is impossible on a sharded table, so each row
+# instead contributes to each resample with an independent Poisson(1)
+# weight; Chamandy et al., "Estimating Uncertainty for Massive Data
+# Streams", Google 2012). Everything is deterministic: the uniform for
+# (row, b) is the 48-bit md5 of "orderkey:b", the Poisson inverse-CDF
+# is a CASE over fixed cumulative literals, and each resample mean
+# divides two exact int64 sums. The CI bounds are picked by explicit
+# rank (2nd / 31st of B=32 sorted means — a ~94% interval), never by
+# interpolated quantiles whose arithmetic could differ across engines.
+# Scale shape: the B-fold explode is map-side; state is 2 integers per
+# (resample) — one shuffle of B*groups partial sums.
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32
+# cumulative Poisson(1) probabilities, identical literals both engines
+_POIS = "0.3678794412 0.7357588823 0.9196986029 0.9810118431 0.9963401532"
+_P0, _P1, _P2, _P3, _P4 = _POIS.split()
+
+_BOOT_ORACLE = f"""
+WITH rb AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         unnest(range({_BOOT_B})) AS b
+  FROM orders
+),
+w AS (
+  SELECT b, cents,
+         (CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                                     || CAST(b AS VARCHAR)), 1, 12)
+               AS BIGINT) + 1) / 281474976710657.0 AS u
+  FROM rb
+),
+ws AS (
+  SELECT b, cents,
+         CASE WHEN u < {_P0} THEN 0
+              WHEN u < {_P1} THEN 1
+              WHEN u < {_P2} THEN 2
+              WHEN u < {_P3} THEN 3
+              WHEN u < {_P4} THEN 4
+              ELSE 5 END AS w
+  FROM w
+),
+means AS (
+  SELECT b,
+         CAST(sum(CAST(w AS BIGINT) * cents) AS DOUBLE)
+           / CAST(sum(CAST(w AS BIGINT)) AS DOUBLE) / 100 AS m
+  FROM ws GROUP BY b HAVING sum(w) > 0
+),
+ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m, b) AS rk,
+         count(*) OVER () AS nb
+  FROM means
+),
+full_mean AS (
+  SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           / count(*) / 100 AS fm
+  FROM orders
+)
+SELECT CAST(max(nb) AS BIGINT) AS n_resamples,
+       round(max(fm), 6) AS mean_price,
+       round(max(CASE WHEN rk = 2 THEN m END), 6) AS ci_lo,
+       round(max(CASE WHEN rk = nb - 1 THEN m END), 6) AS ci_hi
+FROM ranked CROSS JOIN full_mean
+"""
+
+
+@query("q_agg_bootstrap_ci", oracle=_BOOT_ORACLE)
+def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~94% Poisson-bootstrap CI for the mean order price, B=32
+    deterministic resamples."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    rb = o.select(
+        "o_orderkey",
+        cents.alias("cents"),
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1)
+    ) / F.lit(281474976710657.0)
+    w = (
+        F.when(u < float(_P0), 0)
+        .when(u < float(_P1), 1)
+        .when(u < float(_P2), 2)
+        .when(u < float(_P3), 3)
+        .when(u < float(_P4), 4)
+        .otherwise(5)
+    )
+    means = (
+        rb.select("b", "cents", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w").cast("bigint") * F.col("cents")).cast(
+                    "double"
+                )
+                / F.sum(F.col("w").cast("bigint")).cast("double")
+                / F.lit(100)
+            ).alias("m"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+    )
+    ranked = means.select(
+        "m",
+        F.row_number().over(Window.orderBy("m", "b")).alias("rk"),
+        F.count("*").over(
+            Window.partitionBy()
+        ).alias("nb"),
+    )
+    full_mean = F.broadcast(
+        o.agg(
+            (
+                F.sum(cents).cast("double") / F.count("*") / F.lit(100)
+            ).alias("fm")
+        )
+    )
+    return ranked.crossJoin(full_mean).agg(
+        F.max("nb").cast("bigint").alias("n_resamples"),
+        F.round(F.max("fm"), 6).alias("mean_price"),
+        F.round(F.max(F.when(F.col("rk") == 2, F.col("m"))), 6).alias("ci_lo"),
+        F.round(
+            F.max(F.when(F.col("rk") == F.col("nb") - 1, F.col("m"))), 6
+        ).alias("ci_hi"),
+    )

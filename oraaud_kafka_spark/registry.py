@@ -166,6 +166,7 @@ _NEXT = (
     "q_events_concurrency",
     "q_text_source_jsd",
     "q_text_pmi_collocations",
+    "q_agg_bootstrap_ci",
     # r1-aged green rows
     "q_agg_rollup",
     "q_agg_cube",

@@ -723,3 +723,45 @@ def test_jsd_disjoint_sources_report_ln2(spark, tmp_path):
     assert (r.source_a, r.source_b) == ("src_a", "src_b")
     assert r.shared_vocab == 0
     assert math.isclose(r.jsd_nats, math.log(2), abs_tol=1e-6)
+
+
+def test_bootstrap_ci_matches_python_replay(spark):
+    """The 32 deterministic Poisson resample means, their rank-2/31
+    bounds, and the full mean all reproduce in pure Python."""
+    import hashlib
+
+    import pandas as pd
+
+    row = registry.QUERIES["q_agg_bootstrap_ci"](spark, SF_DIR).collect()[0]
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cents = {
+        int(r.o_orderkey): int(
+            __import__("decimal").Decimal(r.o_totalprice * 100).quantize(
+                __import__("decimal").Decimal(1),
+                rounding=__import__("decimal").ROUND_HALF_UP,
+            )
+        )
+        for r in o.itertuples()
+    }
+    cum = [0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
+           0.9963401532]
+    means = []
+    for b in range(32):
+        sw = swc = 0
+        for k, c in cents.items():
+            h = int(hashlib.md5(f"{k}:{b}".encode()).hexdigest()[:12], 16)
+            u = (h + 1) / 281474976710657.0
+            w = next((i for i, p in enumerate(cum) if u < p), 5)
+            sw += w
+            swc += w * c
+        if sw:
+            means.append((swc / sw / 100, b))
+    means.sort()
+    assert row.n_resamples == len(means) == 32
+    assert math.isclose(row.ci_lo, round(means[1][0], 6), abs_tol=1e-6)
+    assert math.isclose(row.ci_hi, round(means[-2][0], 6), abs_tol=1e-6)
+    assert math.isclose(
+        row.mean_price, round(sum(cents.values()) / len(cents) / 100, 6),
+        abs_tol=1e-6,
+    )
+    assert row.ci_lo <= row.mean_price <= row.ci_hi
