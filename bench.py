@@ -133,6 +133,8 @@ EXTRAS = [
     "q_text_source_jsd",         # pairwise source JSD matrix
     "q_text_pmi_collocations",   # PMI collocation top-k
     "q_agg_bootstrap_ci",        # deterministic Poisson bootstrap CI
+    "q_agg_benford_digits",      # first-digit audit fraud screen
+    "q_time_seasonality_strength",  # hour-of-day eta-squared
 ]
 
 

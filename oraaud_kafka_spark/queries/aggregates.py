@@ -1217,3 +1217,89 @@ def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("rk") == F.col("nb") - 1, F.col("m"))), 6
         ).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance — the classic audit-trail fraud
+# screen (Nigrini 1996): natural transaction amounts follow
+# P(d) = log10(1 + 1/d); fabricated ones usually don't. Thematically
+# native here — the reference ships Oracle AUDIT data — and fully
+# deterministic: the first significant digit comes from the STRING
+# head of the exact integer cents (never floor(log10(x)) whose libm
+# boundary behavior could split engines), observed counts are exact
+# int64, the chi-square statistic and per-digit deviations are one
+# fixed-shape double expression over the nine Benford literals. One
+# partial-agg'd shuffle of at most 9 groups.
+# ---------------------------------------------------------------------------
+
+_BENFORD_P = {
+    1: "0.3010299957", 2: "0.1760912591", 3: "0.1249387366",
+    4: "0.0969100130", 5: "0.0791812460", 6: "0.0669467896",
+    7: "0.0579919470", 8: "0.0511525224", 9: "0.0457574906",
+}
+
+_BENFORD_CASE = " ".join(
+    f"WHEN d = {d} THEN {p}" for d, p in _BENFORD_P.items()
+)
+
+_BENFORD_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INTEGER) AS d
+  FROM orders WHERE o_totalprice > 0
+),
+obs AS (
+  SELECT d, count(*) AS n_d,
+         CAST(sum(count(*)) OVER () AS BIGINT) AS n
+  FROM digits GROUP BY d
+),
+e AS (
+  SELECT d, n_d, n, CASE {_BENFORD_CASE} END AS p
+  FROM obs
+)
+SELECT d, n_d,
+       round(CAST(n_d AS DOUBLE) / n, 6) AS observed_freq,
+       round(p, 6) AS benford_freq,
+       round(CAST(n_d AS DOUBLE) / n - p, 6) AS deviation,
+       round((CAST(n_d AS DOUBLE) - n * p) * (CAST(n_d AS DOUBLE) - n * p)
+             / (n * p), 6) AS chi2_term
+FROM e
+ORDER BY d
+"""
+
+
+@query("q_agg_benford_digits", oracle=_BENFORD_ORACLE)
+def q_agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order amounts vs
+    Benford's law, with per-digit chi-square terms."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    obs = (
+        o.select(d.alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").alias("n_d"))
+        .withColumn(
+            "n", F.sum("n_d").over(Window.partitionBy()).cast("bigint")
+        )
+    )
+    p = F.when(F.col("d") == 1, float(_BENFORD_P[1]))
+    for dig in range(2, 10):
+        p = p.when(F.col("d") == dig, float(_BENFORD_P[dig]))
+    e = obs.withColumn("p", p)
+    nd, n, pp = F.col("n_d").cast("double"), F.col("n"), F.col("p")
+    return e.select(
+        "d",
+        "n_d",
+        F.round(nd / n, 6).alias("observed_freq"),
+        F.round(pp, 6).alias("benford_freq"),
+        F.round(nd / n - pp, 6).alias("deviation"),
+        F.round((nd - n * pp) * (nd - n * pp) / (n * pp), 6).alias(
+            "chi2_term"
+        ),
+    ).orderBy("d")

@@ -2113,3 +2113,104 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_sessions))
         .select("n_sessions", "peak_concurrency", "peak_ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality strength (eta-squared of the hour-of-day factor). The
+# one-number answer to "does this series have a daily cycle worth
+# modeling" — the ANOVA decomposition: between-group (hour-of-day)
+# sum of squares over total sum of squares on the hourly series. All
+# moments are exact integer sums (cents, cents², per-bucket counts);
+# eta² is one fixed-shape double expression. Complements
+# q_time_autocorrelation (ACF measures linear lag memory, eta² the
+# periodic component) and justifies or kills the seasonal term the
+# backtest scores. Degenerate guard: zero total variance -> NULL.
+# ---------------------------------------------------------------------------
+
+_SEAS_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(hour(ts) AS INTEGER) AS hod,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY event_type, date_trunc('hour', ts), hour(ts)
+),
+g AS (
+  SELECT event_type, hod,
+         count(*) AS n_g,
+         sum(cents) AS s_g
+  FROM hourly GROUP BY event_type, hod
+),
+t AS (
+  SELECT event_type,
+         CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(sum(s_g) AS DOUBLE) AS s,
+         -- per-group s_g^2/n_g is a DIVISION: DuckDB's / yields double
+         -- (order-dependent sum) while Spark's decimal / stays exact —
+         -- so round each term to 4 dp and sum as exact DECIMAL on BOTH
+         -- engines (24 hour-of-day terms per type; the KL discipline)
+         CAST(sum(CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                             / n_g, 4) AS DECIMAL(28,4))) AS DOUBLE)
+           AS ssb_raw
+  FROM g GROUP BY event_type
+),
+tot AS (
+  SELECT event_type,
+         CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE) AS ss
+  FROM hourly GROUP BY event_type
+)
+SELECT t.event_type, n,
+       CASE WHEN ss - s * s / n > 0
+            THEN round((ssb_raw - s * s / n) / (ss - s * s / n), 6)
+       END AS seasonal_eta2
+FROM t JOIN tot ON tot.event_type = t.event_type
+ORDER BY t.event_type
+"""
+
+
+@query("q_time_seasonality_strength", oracle=_SEAS_ORACLE)
+def q_time_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eta-squared of hour-of-day on the hourly value series per type."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    dec = "decimal(38,0)"
+    g = hourly.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n_g"), F.sum("cents").alias("s_g")
+    )
+    t = g.groupBy("event_type").agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("double").alias("s"),
+        F.sum(
+            F.round(
+                F.col("s_g").cast("double")
+                * F.col("s_g").cast("double")
+                / F.col("n_g"),
+                4,
+            ).cast("decimal(28,4)")
+        )
+        .cast("double")
+        .alias("ssb_raw"),
+    )
+    tot = hourly.groupBy("event_type").agg(
+        F.sum(F.col("cents").cast(dec) * F.col("cents"))
+        .cast("double")
+        .alias("ss")
+    )
+    j = t.join(tot, "event_type")
+    n, s = F.col("n"), F.col("s")
+    return j.select(
+        "event_type",
+        "n",
+        F.when(
+            F.col("ss") - s * s / n > 0,
+            F.round(
+                (F.col("ssb_raw") - s * s / n) / (F.col("ss") - s * s / n), 6
+            ),
+        ).alias("seasonal_eta2"),
+    ).orderBy("event_type")

@@ -167,6 +167,8 @@ _NEXT = (
     "q_text_source_jsd",
     "q_text_pmi_collocations",
     "q_agg_bootstrap_ci",
+    "q_agg_benford_digits",
+    "q_time_seasonality_strength",
     # r1-aged green rows
     "q_agg_rollup",
     "q_agg_cube",

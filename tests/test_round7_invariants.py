@@ -765,3 +765,57 @@ def test_bootstrap_ci_matches_python_replay(spark):
         abs_tol=1e-6,
     )
     assert row.ci_lo <= row.mean_price <= row.ci_hi
+
+
+def test_benford_terms_and_freqs(spark):
+    rows = registry.QUERIES["q_agg_benford_digits"](spark, SF_DIR).collect()
+    assert {r.d for r in rows} <= set(range(1, 10))
+    assert math.isclose(sum(r.observed_freq for r in rows), 1.0, abs_tol=1e-4)
+    import pandas as pd
+
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    import collections
+    import decimal
+
+    c = collections.Counter(
+        int(str(int(decimal.Decimal(v * 100).quantize(
+            decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP)))[0])
+        for v in o.o_totalprice if v > 0
+    )
+    for r in rows:
+        assert r.n_d == c[r.d]
+        assert r.chi2_term >= 0
+
+
+def test_seasonality_eta2_bounds_and_python(spark):
+    rows = registry.QUERIES["q_time_seasonality_strength"](
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    import collections
+    import decimal
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = ev[ev.ts.notna() & ev.value.notna()]
+    for r in rows:
+        if r.seasonal_eta2 is not None:
+            assert -1e-9 <= r.seasonal_eta2 <= 1 + 1e-9
+        g = ev[ev.event_type == r.event_type]
+        hourly = collections.Counter()
+        for t in g.itertuples():
+            cents = int(decimal.Decimal(t.value * 100).quantize(
+                decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP))
+            hourly[t.ts.floor("h")] += cents
+        vals = list(hourly.values())
+        n = len(vals)
+        assert r.n == n
+        by_hod = collections.defaultdict(list)
+        for h, v in hourly.items():
+            by_hod[h.hour].append(v)
+        s = sum(vals)
+        ssb = sum(sum(v) ** 2 / len(v) for v in by_hod.values()) - s * s / n
+        sst = sum(v * v for v in vals) - s * s / n
+        if sst > 0:
+            assert math.isclose(r.seasonal_eta2, ssb / sst, abs_tol=1e-4)
