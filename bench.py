@@ -135,6 +135,7 @@ EXTRAS = [
     "q_agg_bootstrap_ci",        # deterministic Poisson bootstrap CI
     "q_agg_benford_digits",      # first-digit audit fraud screen
     "q_time_seasonality_strength",  # hour-of-day eta-squared
+    "q_agg_ks_two_sample",       # exact two-sample KS over cents
 ]
 
 

@@ -1303,3 +1303,110 @@ def q_agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_term"
         ),
     ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov-Smirnov — the unbinned complement of
+# q_quality_psi_drift: D = sup |F_a - F_b| between the URGENT and LOW
+# order-price distributions, computed exactly on the frequency-
+# collapsed integer-cent domain (the q_agg_gini discipline: cumulative
+# counts per DISTINCT value, window state bounded by the cent range).
+# Every CDF step divides exact int64 cumulative counts; the supremum
+# and its location are picked by an explicit (diff DESC, cents ASC)
+# order. The 95% rejection threshold 1.358*sqrt((na+nb)/(na*nb)) is a
+# fixed-shape expression of the same exact counts.
+# ---------------------------------------------------------------------------
+
+_KS_A, _KS_B = "1-URGENT", "5-LOW"
+
+_KS_ORACLE = f"""
+WITH vals AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         sum(CASE WHEN o_orderpriority = '{_KS_A}' THEN 1 ELSE 0 END) AS fa,
+         sum(CASE WHEN o_orderpriority = '{_KS_B}' THEN 1 ELSE 0 END) AS fb
+  FROM orders WHERE o_orderpriority IN ('{_KS_A}', '{_KS_B}')
+  GROUP BY CAST(round(o_totalprice * 100) AS BIGINT)
+),
+cum AS (
+  SELECT cents,
+         CAST(sum(fa) OVER w AS BIGINT) AS ca,
+         CAST(sum(fb) OVER w AS BIGINT) AS cb,
+         CAST(sum(fa) OVER () AS BIGINT) AS na,
+         CAST(sum(fb) OVER () AS BIGINT) AS nb
+  FROM vals
+  WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+d AS (
+  SELECT cents, na, nb,
+         abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) AS diff
+  FROM cum
+),
+top AS (
+  SELECT cents, na, nb, diff,
+         row_number() OVER (ORDER BY diff DESC, cents) AS rk
+  FROM d
+)
+SELECT na, nb,
+       round(diff, 6) AS ks_d,
+       round(CAST(cents AS DOUBLE) / 100, 2) AS ks_at_price,
+       round(1.358 * sqrt((CAST(na AS DOUBLE) + nb)
+                          / (CAST(na AS DOUBLE) * nb)), 6) AS crit_95,
+       diff > 1.358 * sqrt((CAST(na AS DOUBLE) + nb)
+                           / (CAST(na AS DOUBLE) * nb)) AS reject_95
+FROM top WHERE rk = 1
+"""
+
+
+@query("q_agg_ks_two_sample", oracle=_KS_ORACLE)
+def q_agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic between order-priority price
+    distributions over the collapsed integer-cent domain."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(_KS_A, _KS_B)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    vals = o.groupBy(cents.alias("cents")).agg(
+        F.sum(F.when(F.col("o_orderpriority") == _KS_A, 1).otherwise(0)).alias(
+            "fa"
+        ),
+        F.sum(F.when(F.col("o_orderpriority") == _KS_B, 1).otherwise(0)).alias(
+            "fb"
+        ),
+    )
+    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cum = vals.select(
+        "cents",
+        F.sum("fa").over(wc).cast("bigint").alias("ca"),
+        F.sum("fb").over(wc).cast("bigint").alias("cb"),
+        F.sum("fa").over(wt).cast("bigint").alias("na"),
+        F.sum("fb").over(wt).cast("bigint").alias("nb"),
+    )
+    diff = F.abs(
+        F.col("ca").cast("double") / F.col("na")
+        - F.col("cb").cast("double") / F.col("nb")
+    )
+    top = cum.select(
+        "cents",
+        "na",
+        "nb",
+        diff.alias("diff"),
+        F.row_number()
+        .over(Window.orderBy(diff.desc(), F.col("cents")))
+        .alias("rk"),
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("na").cast("double") + F.col("nb"))
+        / (F.col("na").cast("double") * F.col("nb"))
+    )
+    return top.filter(F.col("rk") == 1).select(
+        "na",
+        "nb",
+        F.round("diff", 6).alias("ks_d"),
+        F.round(F.col("cents").cast("double") / 100, 2).alias("ks_at_price"),
+        F.round(crit, 6).alias("crit_95"),
+        (F.col("diff") > crit).alias("reject_95"),
+    )

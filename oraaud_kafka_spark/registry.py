@@ -169,6 +169,7 @@ _NEXT = (
     "q_agg_bootstrap_ci",
     "q_agg_benford_digits",
     "q_time_seasonality_strength",
+    "q_agg_ks_two_sample",
     # r1-aged green rows
     "q_agg_rollup",
     "q_agg_cube",

@@ -819,3 +819,31 @@ def test_seasonality_eta2_bounds_and_python(spark):
         sst = sum(v * v for v in vals) - s * s / n
         if sst > 0:
             assert math.isclose(r.seasonal_eta2, ssb / sst, abs_tol=1e-4)
+
+
+def test_ks_two_sample_matches_scipy_style_python(spark):
+    row = registry.QUERIES["q_agg_ks_two_sample"](spark, SF_DIR).collect()[0]
+    import decimal
+
+    import pandas as pd
+
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+
+    def cents(v):
+        return int(decimal.Decimal(v * 100).quantize(
+            decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP))
+
+    a = sorted(cents(v) for v in o[o.o_orderpriority == "1-URGENT"].o_totalprice)
+    b = sorted(cents(v) for v in o[o.o_orderpriority == "5-LOW"].o_totalprice)
+    assert row.na == len(a) and row.nb == len(b)
+    grid = sorted(set(a) | set(b))
+    import bisect
+
+    d = max(
+        abs(bisect.bisect_right(a, x) / len(a)
+            - bisect.bisect_right(b, x) / len(b))
+        for x in grid
+    )
+    assert math.isclose(row.ks_d, d, abs_tol=1e-6)
+    assert 0 <= row.ks_d <= 1
+    assert row.reject_95 == (row.ks_d > row.crit_95)
