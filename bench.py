@@ -136,6 +136,8 @@ EXTRAS = [
     "q_agg_benford_digits",      # first-digit audit fraud screen
     "q_time_seasonality_strength",  # hour-of-day eta-squared
     "q_agg_ks_two_sample",       # exact two-sample KS over cents
+    "q_agg_spearman",            # integer-rank Spearman rho
+    "q_agg_chi2_independence",   # contingency chi-square + Cramér V
 ]
 
 

@@ -1410,3 +1410,223 @@ def q_agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(crit, 6).alias("crit_95"),
         (F.col("diff") > crit).alias("reject_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Spearman rank correlation between order value and basket size.
+# Ranks are the textbook AVERAGE ranks under ties, but computed without
+# ever ranking rows: collapse each variable to its value-frequency
+# domain (the q_agg_gini discipline), get avg_rank(v) = c_v + (f_v+1)/2
+# from cumulative counts, and join ranks back by value. Doubling the
+# ranks (2c + f + 1) keeps every rank an exact INTEGER, so Spearman is
+# Pearson over exact int64/decimal moment sums — no global row sort,
+# no float rank arithmetic, bit-identical on both engines.
+# ---------------------------------------------------------------------------
+
+_SPEARMAN_ORACLE = """
+WITH base AS (
+  SELECT o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS x,
+         CAST(li.n_items AS BIGINT) AS y
+  FROM orders o
+  JOIN (SELECT l_orderkey, count(*) AS n_items
+        FROM lineitem GROUP BY l_orderkey) li
+    ON li.l_orderkey = o.o_orderkey
+),
+xr AS (
+  SELECT x, 2 * CAST(coalesce(sum(f) OVER (ORDER BY x
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) + f + 1 AS rx2
+  FROM (SELECT x, count(*) AS f FROM base GROUP BY x)
+),
+yr AS (
+  SELECT y, 2 * CAST(coalesce(sum(f) OVER (ORDER BY y
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) + f + 1 AS ry2
+  FROM (SELECT y, count(*) AS f FROM base GROUP BY y)
+),
+r AS (
+  SELECT rx2, ry2 FROM base JOIN xr USING (x) JOIN yr USING (y)
+),
+m AS (
+  SELECT count(*) AS n,
+         CAST(sum(rx2) AS DOUBLE) AS sx, CAST(sum(ry2) AS DOUBLE) AS sy,
+         CAST(sum(CAST(rx2 AS HUGEINT) * rx2) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(ry2 AS HUGEINT) * ry2) AS DOUBLE) AS syy,
+         CAST(sum(CAST(rx2 AS HUGEINT) * ry2) AS DOUBLE) AS sxy
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN round((n * sxy - sx * sy)
+                       / (sqrt(n * sxx - sx * sx)
+                          * sqrt(n * syy - sy * sy)), 6)
+       END AS spearman_rho
+FROM m
+"""
+
+
+@query("q_agg_spearman", oracle=_SPEARMAN_ORACLE)
+def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho between order value and item count, tie-aware
+    average ranks from cumulative value frequencies."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_items"))
+    )
+    base = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x"),
+        F.col("n_items").cast("bigint").alias("y"),
+    )
+
+    def ranks(col: str, alias: str):
+        w = (
+            Window.orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            base.groupBy(col)
+            .agg(F.count("*").alias("f"))
+            .select(
+                col,
+                (
+                    F.lit(2)
+                    * F.coalesce(F.sum("f").over(w), F.lit(0)).cast("bigint")
+                    + F.col("f")
+                    + F.lit(1)
+                ).alias(alias),
+            )
+        )
+
+    r = base.join(ranks("x", "rx2"), "x").join(ranks("y", "ry2"), "y")
+    dec = "decimal(38,0)"
+    m = r.agg(
+        F.count("*").alias("n"),
+        F.sum("rx2").cast("double").alias("sx"),
+        F.sum("ry2").cast("double").alias("sy"),
+        F.sum(F.col("rx2").cast(dec) * F.col("rx2")).cast("double").alias("sxx"),
+        F.sum(F.col("ry2").cast(dec) * F.col("ry2")).cast("double").alias("syy"),
+        F.sum(F.col("rx2").cast(dec) * F.col("ry2")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        n.cast("bigint").alias("n"),
+        F.when(
+            (n * sxx - sx * sx > 0) & (n * syy - sy * sy > 0),
+            F.round(
+                (n * sxy - sx * sy)
+                / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+                6,
+            ),
+        ).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test + Cramér's V: is market segment
+# independent of nation? Contingency cells are exact int64 counts; each
+# (o-e)²/e term involves a division, so terms round to 12 dp and sum
+# as exact DECIMAL (the KL discipline — the cell count is bounded by
+# |segments|·|nations|, so the rounded-term error is bounded too).
+# Cramér's V = sqrt(chi2 / (n·min(r-1, c-1))) normalizes to [0,1].
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH cells AS (
+  SELECT c_mktsegment AS seg, c_nationkey AS nat, count(*) AS o
+  FROM customer GROUP BY c_mktsegment, c_nationkey
+),
+margins AS (
+  SELECT seg, nat, o,
+         CAST(sum(o) OVER (PARTITION BY seg) AS BIGINT) AS row_t,
+         CAST(sum(o) OVER (PARTITION BY nat) AS BIGINT) AS col_t,
+         CAST(sum(o) OVER () AS BIGINT) AS n
+  FROM cells
+),
+terms AS (
+  SELECT n,
+         CAST(round(
+           (CAST(o AS DOUBLE) - CAST(row_t AS DOUBLE) * col_t / n)
+           * (CAST(o AS DOUBLE) - CAST(row_t AS DOUBLE) * col_t / n)
+           / (CAST(row_t AS DOUBLE) * col_t / n), 12) AS DECIMAL(24,12))
+           AS term,
+         seg, nat
+  FROM margins
+),
+dims AS (
+  SELECT count(DISTINCT seg) AS r, count(DISTINCT nat) AS c FROM cells
+)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST((SELECT r FROM dims) AS BIGINT) AS n_rows,
+       CAST((SELECT c FROM dims) AS BIGINT) AS n_cols,
+       round(CAST(sum(term) AS DOUBLE), 6) AS chi2,
+       round(sqrt(CAST(sum(term) AS DOUBLE)
+                  / (max(n) * (least((SELECT r FROM dims),
+                                     (SELECT c FROM dims)) - 1))), 6)
+         AS cramers_v
+FROM terms
+"""
+
+
+@query("q_agg_chi2_independence", oracle=_CHI2_ORACLE)
+def q_agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of segment x nation independence with Cramér's V."""
+    from pyspark.sql import Window
+
+    cells = (
+        load(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").alias("nat"),
+        )
+        .agg(F.count("*").alias("o"))
+    )
+    margins = cells.select(
+        "seg",
+        "nat",
+        "o",
+        F.sum("o").over(Window.partitionBy("seg")).cast("bigint").alias("row_t"),
+        F.sum("o").over(Window.partitionBy("nat")).cast("bigint").alias("col_t"),
+        F.sum("o").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    e = F.col("row_t").cast("double") * F.col("col_t") / F.col("n")
+    term = F.round(
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e,
+        12,
+    ).cast("decimal(24,12)")
+    terms = margins.select("seg", "nat", "n", term.alias("term"))
+    dims = F.broadcast(
+        cells.agg(
+            F.count_distinct("seg").alias("r"),
+            F.count_distinct("nat").alias("c"),
+        )
+    )
+    agg = terms.crossJoin(dims).agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.max("r").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("n_cols"),
+        F.sum("term").cast("double").alias("chi2_raw"),
+        F.max(
+            F.least(F.col("r"), F.col("c")).cast("bigint")
+        ).alias("mindim"),
+    )
+    return agg.select(
+        "n",
+        "n_cells",
+        "n_rows",
+        "n_cols",
+        F.round("chi2_raw", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2_raw") / (F.col("n") * (F.col("mindim") - F.lit(1)))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

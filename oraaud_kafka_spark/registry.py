@@ -170,6 +170,8 @@ _NEXT = (
     "q_agg_benford_digits",
     "q_time_seasonality_strength",
     "q_agg_ks_two_sample",
+    "q_agg_spearman",
+    "q_agg_chi2_independence",
     # r1-aged green rows
     "q_agg_rollup",
     "q_agg_cube",

@@ -847,3 +847,71 @@ def test_ks_two_sample_matches_scipy_style_python(spark):
     assert math.isclose(row.ks_d, d, abs_tol=1e-6)
     assert 0 <= row.ks_d <= 1
     assert row.reject_95 == (row.ks_d > row.crit_95)
+
+
+def test_spearman_matches_python_avg_ranks(spark):
+    row = registry.QUERIES["q_agg_spearman"](spark, SF_DIR).collect()[0]
+    import collections
+    import decimal
+
+    import pandas as pd
+
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    n_items = li.groupby("l_orderkey").size()
+    pairs = []
+    for r in o.itertuples():
+        if r.o_orderkey in n_items.index:
+            cents = int(decimal.Decimal(r.o_totalprice * 100).quantize(
+                decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP))
+            pairs.append((cents, int(n_items[r.o_orderkey])))
+
+    def avg_ranks(vals):
+        c = collections.Counter(vals)
+        out, cum = {}, 0
+        for v in sorted(c):
+            out[v] = cum + (c[v] + 1) / 2
+            cum += c[v]
+        return out
+
+    rx = avg_ranks([x for x, _ in pairs])
+    ry = avg_ranks([y for _, y in pairs])
+    xs = [rx[x] for x, _ in pairs]
+    ys = [ry[y] for _, y in pairs]
+    n = len(pairs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+    den = math.sqrt(sum((a - mx) ** 2 for a in xs)
+                    * sum((b - my) ** 2 for b in ys))
+    assert row.n == n
+    assert math.isclose(row.spearman_rho, num / den, abs_tol=1e-5)
+    assert -1 <= row.spearman_rho <= 1
+
+
+def test_chi2_matches_python(spark):
+    row = registry.QUERIES["q_agg_chi2_independence"](
+        spark, SF_DIR
+    ).collect()[0]
+    import collections
+
+    import pandas as pd
+
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    cells = collections.Counter(
+        zip(cust.c_mktsegment, cust.c_nationkey)
+    )
+    rows = collections.Counter()
+    cols = collections.Counter()
+    for (s, c), v in cells.items():
+        rows[s] += v
+        cols[c] += v
+    n = sum(cells.values())
+    chi2 = sum(
+        (v - rows[s] * cols[c] / n) ** 2 / (rows[s] * cols[c] / n)
+        for (s, c), v in cells.items()
+    )
+    assert row.n == n and row.n_cells == len(cells)
+    assert math.isclose(row.chi2, chi2, abs_tol=1e-4)
+    v = math.sqrt(chi2 / (n * (min(len(rows), len(cols)) - 1)))
+    assert math.isclose(row.cramers_v, v, abs_tol=1e-5)
+    assert 0 <= row.cramers_v <= 1
