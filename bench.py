@@ -138,6 +138,7 @@ EXTRAS = [
     "q_agg_ks_two_sample",       # exact two-sample KS over cents
     "q_agg_spearman",            # integer-rank Spearman rho
     "q_agg_chi2_independence",   # contingency chi-square + Cramér V
+    "q_agg_mann_whitney_u",      # tie-corrected rank-sum test
 ]
 
 

@@ -1630,3 +1630,108 @@ def q_agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum) — completes the nonparametric
+# triple (KS: distribution shape; chi-square: categorical
+# independence; MWU: location shift). Same machinery as q_agg_spearman:
+# tie-aware average ranks of the COMBINED sample from cumulative value
+# frequencies, doubled to exact integers; U = R_a - n_a(n_a+1)/2 with
+# the normal approximation z using the standard tie-corrected variance.
+# The tie-correction sum Σ(f³-f) is exact int64; the z expression is
+# one fixed double shape. Everything is value-domain-bounded state.
+# ---------------------------------------------------------------------------
+
+_MWU_A, _MWU_B = "1-URGENT", "5-LOW"
+
+_MWU_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CAST(o_orderpriority = '{_MWU_A}' AS INTEGER) AS is_a
+  FROM orders WHERE o_orderpriority IN ('{_MWU_A}', '{_MWU_B}')
+),
+vals AS (
+  SELECT v, count(*) AS f,
+         CAST(sum(is_a) AS BIGINT) AS fa
+  FROM base GROUP BY v
+),
+ranked AS (
+  SELECT v, f, fa,
+         2 * CAST(coalesce(sum(f) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) + f + 1 AS r2
+  FROM vals
+),
+m AS (
+  SELECT CAST(sum(fa) AS BIGINT) AS na,
+         CAST(sum(f - fa) AS BIGINT) AS nb,
+         CAST(sum(CAST(fa AS HUGEINT) * r2) AS DOUBLE) / 2 AS ra,
+         CAST(sum(CAST(f AS HUGEINT) * f * f - f) AS DOUBLE) AS ties
+  FROM ranked
+)
+SELECT na, nb,
+       round(ra - CAST(na AS DOUBLE) * (na + 1) / 2, 6) AS u_a,
+       round((ra - CAST(na AS DOUBLE) * (na + 1) / 2
+              - CAST(na AS DOUBLE) * nb / 2)
+             / sqrt(CAST(na AS DOUBLE) * nb / 12
+                    * ((na + nb + 1)
+                       - ties / (CAST(na + nb AS DOUBLE)
+                                 * (na + nb - 1)))), 6) AS z
+FROM m
+"""
+
+
+@query("q_agg_mann_whitney_u", oracle=_MWU_ORACLE)
+def q_agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann-Whitney U + z between two priority classes,
+    from exact integer combined ranks."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(_MWU_A, _MWU_B)
+    )
+    base = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+        (F.col("o_orderpriority") == _MWU_A).cast("int").alias("is_a"),
+    )
+    vals = base.groupBy("v").agg(
+        F.count("*").alias("f"), F.sum("is_a").cast("bigint").alias("fa")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "v",
+        "f",
+        "fa",
+        (
+            F.lit(2) * F.coalesce(F.sum("f").over(w), F.lit(0)).cast("bigint")
+            + F.col("f")
+            + F.lit(1)
+        ).alias("r2"),
+    )
+    dec = "decimal(38,0)"
+    m = ranked.agg(
+        F.sum("fa").cast("bigint").alias("na"),
+        F.sum(F.col("f") - F.col("fa")).cast("bigint").alias("nb"),
+        (F.sum(F.col("fa").cast(dec) * F.col("r2")).cast("double") / F.lit(2)).alias(
+            "ra"
+        ),
+        F.sum(F.col("f").cast(dec) * F.col("f") * F.col("f") - F.col("f"))
+        .cast("double")
+        .alias("ties"),
+    )
+    na, nb, ra, ties = (F.col(c) for c in ("na", "nb", "ra", "ties"))
+    u_a = ra - na.cast("double") * (na + F.lit(1)) / F.lit(2)
+    z = (u_a - na.cast("double") * nb / F.lit(2)) / F.sqrt(
+        na.cast("double") * nb / F.lit(12)
+        * (
+            (na + nb + F.lit(1))
+            - ties / ((na + nb).cast("double") * (na + nb - F.lit(1)))
+        )
+    )
+    return m.select(
+        "na",
+        "nb",
+        F.round(u_a, 6).alias("u_a"),
+        F.round(z, 6).alias("z"),
+    )

@@ -172,6 +172,7 @@ _NEXT = (
     "q_agg_ks_two_sample",
     "q_agg_spearman",
     "q_agg_chi2_independence",
+    "q_agg_mann_whitney_u",
     # r1-aged green rows
     "q_agg_rollup",
     "q_agg_cube",

@@ -915,3 +915,35 @@ def test_chi2_matches_python(spark):
     v = math.sqrt(chi2 / (n * (min(len(rows), len(cols)) - 1)))
     assert math.isclose(row.cramers_v, v, abs_tol=1e-5)
     assert 0 <= row.cramers_v <= 1
+
+
+def test_mann_whitney_matches_python(spark):
+    row = registry.QUERIES["q_agg_mann_whitney_u"](spark, SF_DIR).collect()[0]
+    import collections
+    import decimal
+
+    import pandas as pd
+
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+
+    def cents(v):
+        return int(decimal.Decimal(v * 100).quantize(
+            decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP))
+
+    a = [cents(v) for v in o[o.o_orderpriority == "1-URGENT"].o_totalprice]
+    b = [cents(v) for v in o[o.o_orderpriority == "5-LOW"].o_totalprice]
+    comb = collections.Counter(a + b)
+    ranks, cum = {}, 0
+    for v in sorted(comb):
+        ranks[v] = cum + (comb[v] + 1) / 2
+        cum += comb[v]
+    ra = sum(ranks[v] for v in a)
+    na, nb = len(a), len(b)
+    u_a = ra - na * (na + 1) / 2
+    ties = sum(f ** 3 - f for f in comb.values())
+    n = na + nb
+    var = na * nb / 12 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u_a - na * nb / 2) / math.sqrt(var)
+    assert row.na == na and row.nb == nb
+    assert math.isclose(row.u_a, u_a, abs_tol=1e-6)
+    assert math.isclose(row.z, z, abs_tol=1e-5)
