@@ -173,52 +173,80 @@ def q_events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (d=0.85, 12 power iterations) over the type-transition
     graph. The oracle unrolls the identical update as a 12-level CTE
     chain, so the driver hash-checks every arithmetic decision of the
-    loop, not just its shape."""
-    e = _edges(spark, sf_dir)
-    outs = e.groupBy("src").agg(F.sum("w").alias("ow"))
-    shares = e.join(F.broadcast(outs), "src").select(
-        "src",
-        "dst",
-        (F.col("w").cast("double") / F.col("ow").cast("double")).alias(
-            "share"
-        ),
-    )
-    vbase = e.select(F.col("src").alias("t")).union(
-        e.select(F.col("dst").alias("t"))
-    ).distinct()
-    verts = vbase.crossJoin(
-        F.broadcast(vbase.agg(F.count("*").cast("bigint").alias("nv")))
-    )
-    ranks = verts.select(
-        "t", "nv", F.round(F.lit(1.0) / F.col("nv"), 9).alias("r")
-    )
-    zero_dec = F.lit(0).cast("decimal(20,12)")
+    loop, not just its shape.
+
+    Scale contract (same discipline as q_sql_recursive_paths,
+    pricing.py): the aggregated edge table is MATERIALIZED first — one
+    window pass + one aggregate shuffle over events, then a collect
+    bounded by |event_types|² rows of exact integers — and the
+    12-iteration power loop runs as single-row literal projections, one
+    eagerly-evaluated tiny job per iteration (no shuffle, no join, one
+    task), with each iteration's rank vector re-embedded as shortest-
+    repr double literals (IEEE-754 round-trip-exact through
+    Double.parseDouble). The final plan therefore contains ZERO events
+    scans — at 100 TB the events table is read exactly once, at build
+    time — and every float is still produced by the exact Spark
+    expressions the oracle unrolls (double division of exact ints;
+    12-dp round cast to DECIMAL(20,12); exact decimal addition —
+    associative, so the oracle's unordered SUM matches the literal
+    addition chain; 9-dp double round). The iterations are NOT left as
+    one lazy 12-deep projection chain: CollapseProject + per-layer
+    fan-out (each rank feeds every out-edge) would inline it into an
+    exponentially-sized expression tree before constant folding could
+    collapse it."""
+    collected = _edges(spark, sf_dir).collect()
+    if not collected:
+        return spark.createDataFrame(
+            [], "event_type string, n_vertices bigint, pagerank double"
+        )
+    ow: dict[str, int] = {}
+    for r in collected:
+        ow[r.src] = ow.get(r.src, 0) + r.w
+    verts = sorted({r.src for r in collected} | {r.dst for r in collected})
+    idx = {t: i for i, t in enumerate(verts)}
+    nv = len(verts)
+    # incoming[j] = [(i, share_sql)] — share as a literal-int division
+    # so the IEEE quotient is computed by Spark, not Python
+    incoming: dict[int, list[tuple[int, str]]] = {i: [] for i in range(nv)}
+    for r in collected:
+        share = (
+            f"(CAST({int(r.w)} AS DOUBLE) / CAST({int(ow[r.src])} AS DOUBLE))"
+        )
+        incoming[idx[r.dst]].append((idx[r.src], share))
+    nv_sql = f"CAST({nv} AS BIGINT)"
+
+    def lit_d(x: float) -> str:
+        # shortest-repr text round-trips to the identical IEEE double
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    rank = [
+        r[0]
+        for r in spark.range(1)
+        .selectExpr(f"round(CAST(1.0 AS DOUBLE) / {nv_sql}, 9)")
+        .collect()
+    ] * nv
     for _ in range(_PR_ITERS):
-        contrib = (
-            shares.join(
-                F.broadcast(ranks.select(F.col("t").alias("src"), "r")), "src"
+        exprs = []
+        for i in range(nv):
+            terms = [
+                f"CAST(round({share} * {lit_d(rank[j])}, 12)"
+                " AS DECIMAL(20,12))"
+                for j, share in incoming[i]
+            ]
+            s = " + ".join(terms) if terms else "CAST(0 AS DECIMAL(20,12))"
+            exprs.append(
+                f"round(CAST(0.15 AS DOUBLE) / {nv_sql}"
+                f" + CAST(0.85 AS DOUBLE) * CAST({s} AS DOUBLE), 9) AS r_{i}"
             )
-            .groupBy(F.col("dst").alias("t"))
-            .agg(
-                F.sum(
-                    F.round(F.col("share") * F.col("r"), 12).cast(
-                        "decimal(20,12)"
-                    )
-                ).alias("s")
-            )
-        )
-        ranks = verts.join(F.broadcast(contrib), "t", "left").select(
-            "t",
-            "nv",
-            F.round(
-                F.lit(0.15) / F.col("nv")
-                + F.lit(0.85)
-                * F.coalesce(F.col("s"), zero_dec).cast("double"),
-                9,
-            ).alias("r"),
-        )
-    return ranks.select(
-        F.col("t").alias("event_type"),
-        F.col("nv").alias("n_vertices"),
+        rank = list(spark.range(1).selectExpr(*exprs).collect()[0])
+    quoted = [t.replace("'", "''") for t in verts]
+    stack = ", ".join(
+        f"'{q}', {lit_d(rank[i])}" for i, q in enumerate(quoted)
+    )
+    return spark.range(1).selectExpr(
+        f"stack({nv}, {stack}) AS (event_type, r)"
+    ).select(
+        "event_type",
+        F.lit(nv).cast("bigint").alias("n_vertices"),
         F.round("r", 6).alias("pagerank"),
     ).orderBy(F.col("pagerank").desc(), "event_type")

@@ -533,15 +533,23 @@ def q_join_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Market-basket association rules (Agrawal & Srikant, VLDB 1994 shape):
 # baskets = orders, items = parts; emit the top co-occurring UNORDERED
 # part pairs with support / confidence / lift. Scale discipline is the
-# Apriori prune: items below the absolute support floor are dropped
-# BEFORE pairing, so the quadratic per-basket pair expansion runs only
-# over frequent items (bounded per basket), and the pair join is an
-# equi-join co-located on the basket key — never a cross join. All
-# ratios divide exact int64 counts as one fixed-shape double expression
-# (counts cast to double first: ca*cb overflows int64 at cluster scale).
+# Apriori prune: items below the support floor are dropped BEFORE
+# pairing, so the quadratic per-basket pair expansion runs only over
+# frequent items (bounded per basket), and the pair join is an
+# equi-join co-located on the basket key — never a cross join. The
+# floor is RELATIVE (>= 0.02% of baskets, min 3): an absolute floor
+# stops pruning at scale — at 100x the data essentially every part
+# clears a fixed count and the "frequent" table grows with the part
+# catalog. For the same reason the frequent-item table carries NO
+# broadcast hint anywhere (its size is corpus-derived; AQE broadcasts
+# it when it is actually small) — only the 1-row basket-count
+# aggregate is hinted. All ratios divide exact int64 counts as one
+# fixed-shape double expression (counts cast to double first: ca*cb
+# overflows int64 at cluster scale).
 # ---------------------------------------------------------------------------
 
-_BASKET_MIN_ITEM = 3  # absolute item-frequency floor (Apriori prune)
+_BASKET_MIN_ITEM = 3  # absolute floor under the relative prune
+_BASKET_REL_ITEM = "0.0002"  # relative floor: item in >= 0.02% of baskets
 _BASKET_MIN_PAIR = 2  # pair-frequency floor
 _BASKET_TOP = 20
 
@@ -552,7 +560,11 @@ WITH items AS (
 n_b AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
 freq AS (
   SELECT l_partkey, count(*) AS cnt FROM items
-  GROUP BY l_partkey HAVING count(*) >= {_BASKET_MIN_ITEM}
+  GROUP BY l_partkey
+  HAVING count(*) >= (SELECT greatest(CAST({_BASKET_MIN_ITEM} AS BIGINT),
+                        CAST(ceil(CAST('{_BASKET_REL_ITEM}' AS DOUBLE) * n)
+                             AS BIGINT))
+                      FROM n_b)
 ),
 fitems AS (
   SELECT i.l_orderkey, i.l_partkey FROM items i
@@ -590,10 +602,20 @@ def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_b = broadcast(
         items.agg(F.count_distinct("l_orderkey").alias("n"))
     )
-    freq = items.groupBy("l_partkey").agg(F.count("*").alias("cnt")).filter(
-        F.col("cnt") >= _BASKET_MIN_ITEM
+    floor = F.greatest(
+        F.lit(_BASKET_MIN_ITEM).cast("bigint"),
+        F.ceil(
+            F.lit(_BASKET_REL_ITEM).cast("double") * F.col("n")
+        ).cast("bigint"),
     )
-    fitems = items.join(broadcast(freq.select("l_partkey")), "l_partkey")
+    freq = (
+        items.groupBy("l_partkey")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(n_b)
+        .filter(F.col("cnt") >= floor)
+        .drop("n")
+    )
+    fitems = items.join(freq.select("l_partkey"), "l_partkey")
     a = fitems.select(
         F.col("l_orderkey"), F.col("l_partkey").alias("p_a")
     )
@@ -610,8 +632,8 @@ def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     fa = freq.select(F.col("l_partkey").alias("p_a"), F.col("cnt").alias("n_a"))
     fb = freq.select(F.col("l_partkey").alias("p_b"), F.col("cnt").alias("n_b"))
     out = (
-        pairs.join(broadcast(fa), "p_a")
-        .join(broadcast(fb), "p_b")
+        pairs.join(fa, "p_a")
+        .join(fb, "p_b")
         .crossJoin(n_b)
         .select(
             "p_a",

@@ -473,6 +473,27 @@ def test_lm_scorers_never_force_broadcast_corpus_vocab(spark):
         )
 
 
+def test_basket_rules_never_force_broadcast_frequent_items(spark):
+    """The Apriori frequent-item table is CORPUS-DERIVED (it grows with
+    the part catalog once most parts clear the floor), so the fitems /
+    fa / fb joins must carry no broadcast hint — AQE decides from built
+    sizes. Only the 1-row basket-count aggregate keeps its hint. Same
+    contract as the LM scorers' vocab joins."""
+    df = registry.QUERIES["q_basket_association_rules"](spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    lines = analyzed.splitlines()
+    hint_idx = [i for i, l in enumerate(lines) if "ResolvedHint" in l]
+    assert hint_idx, "the 1-row basket-count hint disappeared entirely"
+    # the hinted n_b aggregate appears once per lineage copy (floor +
+    # fitems/fa/fb re-derivations + ratio denominators) — every single
+    # hint must wrap the 1-row count-distinct aggregate, never freq
+    for i in hint_idx:
+        child = lines[i + 1]
+        assert "Aggregate" in child and "count(distinct l_orderkey" in child, (
+            f"broadcast hint on a corpus-derived table: {child}"
+        )
+
+
 def test_whiten_apply_broadcasts_dim_stats(spark):
     """The n_dims-row stats table is bounded by the MODEL dimension (a
     constant), so it must broadcast onto the component stream — the
@@ -533,15 +554,19 @@ def test_attribution_is_join_free(spark):
         assert op not in plan, op
 
 
-def test_pagerank_loop_is_all_broadcast(spark):
-    """Every iteration joins the |types|^2-bounded share table to the
-    |types|-row rank vector — nothing in the loop may sort-merge or
-    shuffle-hash join."""
+def test_pagerank_loop_never_rescans_events(spark):
+    """The aggregated edge table is materialized before the power loop
+    (one events pass at build time, |types|^2-bounded collect) and the
+    iterations run over single-row literal projections — the FINAL plan
+    must carry no file scan, no join, and no per-iteration shuffle at
+    all (the only exchange allowed is the presentation sort)."""
     df = registry.QUERIES["q_events_pagerank"](spark, SF_DIR)
     plan = _plan(df, execute=True)
-    assert "SortMergeJoin" not in plan
-    assert "ShuffledHashJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "Scan parquet" not in plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, op
+    assert "Exchange hashpartitioning" not in plan
 
 
 def test_readability_is_map_only(spark):
@@ -566,11 +591,13 @@ def test_gini_state_is_value_bounded(spark):
 
 def test_basket_pair_join_is_equi(spark):
     """The Apriori pair expansion must be an equi-join on the basket key
-    — the only nested-loop allowed is the single-row n_baskets scalar."""
+    — the only nested-loops allowed are single-row n_baskets scalar
+    joins (the relative floor embeds one in the freq lineage, which
+    fitems/fa/fb each re-derive; all broadcast exactly 1 row)."""
     df = registry.QUERIES["q_basket_association_rules"](spark, SF_DIR)
     plan = _plan(df, execute=True)
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
     assert "SortMergeJoin" not in plan or "l_orderkey" in plan
 
 
