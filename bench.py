@@ -216,6 +216,10 @@ def main() -> None:
         "metric": "headline_queries_total_sec",
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # per-query value = best of 4 samples taken as min-of-2 inside
+        # each of 2 whole-suite-separated passes (see comment above) —
+        # recorded so a loaded-machine driver run is identifiable
+        "best_of": 4,
         **ingest,
         "queries_extra_total_sec": round(sum(extras.values()), 4),
         "queries": timings,

@@ -376,8 +376,11 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
     )
     lists = lists.withColumn("nnorm", _norm(F.col("embedding")))
+    # probes is bounded by LITERAL constants (N_QUERIES x NPROBE rows),
+    # so the hint is safe at any corpus scale — without it AQE plans a
+    # sort-merge join that sorts the full inverted-list side
     scored = (
-        probes.join(lists, "cid")
+        F.broadcast(probes).join(lists, "cid")
         .filter(F.col("nid") != F.col("qid"))
         .select(
             "qid",
@@ -457,8 +460,11 @@ def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
     )
     lists = lists.withColumn("nnorm", _norm(F.col("embedding")))
+    # probes is bounded by LITERAL constants (N_QUERIES x NPROBE rows),
+    # so the hint is safe at any corpus scale — without it AQE plans a
+    # sort-merge join that sorts the full inverted-list side
     scored = (
-        probes.join(lists, "cid")
+        F.broadcast(probes).join(lists, "cid")
         .filter(F.col("nid") != F.col("qid"))
         .select(
             "qid",
@@ -512,7 +518,9 @@ def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("mx"),
     )
     bounds = ann.agg(F.max(F.abs("cosine")).alias("max_abs"))
-    hits = ann.join(exact, ["qid", "nid"], "left_semi").agg(
+    # both sides are <= N_QUERIES*TOP_K rows (literal bounds) — hint the
+    # exact-top-k side so the recall check never sort-merges
+    hits = ann.join(F.broadcast(exact), ["qid", "nid"], "left_semi").agg(
         F.count("*").alias("n_hits")
     )
     return (

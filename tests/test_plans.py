@@ -601,6 +601,20 @@ def test_basket_pair_join_is_equi(spark):
     assert "SortMergeJoin" not in plan or "l_orderkey" in plan
 
 
+def test_ivf_probe_join_broadcasts_probes(spark):
+    """The probe table is bounded by LITERAL constants (N_QUERIES x
+    NPROBE rows) and must broadcast onto the inverted lists; without
+    the hint AQE sort-merges, which sorts the full corpus-sized list
+    side — the round-7 bench drift. Same for the recall check's
+    exact-top-k side (<= N_QUERIES*TOP_K rows)."""
+    for name in ("q_sim_ivf_topk", "q_sim_ivf_kmeans_topk"):
+        df = registry.QUERIES[name](spark, SF_DIR)
+        plan = _plan(df, execute=True)
+        assert "SortMergeJoin" not in plan, name
+        assert "ShuffledHashJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
 def test_mips_corpus_never_shuffles(spark):
     """MIPS baseline broadcasts queries + the norm scalar; the corpus
     side must not sort-merge or shuffle-hash join."""
