@@ -139,6 +139,11 @@ EXTRAS = [
     "q_agg_spearman",            # integer-rank Spearman rho
     "q_agg_chi2_independence",   # contingency chi-square + Cramér V
     "q_agg_mann_whitney_u",      # tie-corrected rank-sum test
+    "q_agg_ols_regression",      # closed-form exact-moment OLS fit
+    "q_agg_theil_index",         # decomposable inequality index
+    "q_privacy_k_anonymity",     # QI equivalence-class risk audit
+    "q_text_char_entropy",       # map-only char-entropy gibberish gate
+    "q_dedup_containment_multiband",  # b=2 banded containment recall lift
 ]
 
 

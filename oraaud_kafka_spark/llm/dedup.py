@@ -1365,3 +1365,132 @@ def q_dedup_containment_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiband containment (q_dedup_containment with b=2 independent
+# MinHash bands — the knob q_dedup_containment_eval's recall number
+# sizes: recall_b = 1 - (1 - r)^b, so a second band lifts e.g. r=0.8
+# to 0.96). Candidate pairs are the UNION of two blocked
+# triangle_self_joins — band 1 on the raw min-shingle-hash, band 2 on
+# a salted second permutation — deduplicated on the pair key BEFORE
+# the expensive shingle intersection, so each surviving pair is
+# verified exactly once. Per-pair work and task-width bounds are
+# identical to the single-band operator; total candidate volume is at
+# most 2x band-1's (less after pair dedup). via_band1/via_band2 report
+# which band(s) caught each pair — the observability a production
+# recall audit wants.
+# ---------------------------------------------------------------------------
+
+_CONTAIN_B2_SALT = "#b2"
+
+_CONTAIN_MB_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+keyed AS (
+  SELECT doc_id, lang, shs, len(shs) AS n_sh,
+         list_min(list_transform(shs, s -> md5(s))) AS mh1,
+         list_min(list_transform(shs, s -> md5(s || '{_CONTAIN_B2_SALT}')))
+           AS mh2
+  FROM (
+    SELECT doc_id, lang,
+           list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
+    FROM t WHERE len(toks) >= 3
+  )
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(a.n_sh AS BIGINT) AS n_a, CAST(b.n_sh AS BIGINT) AS n_b,
+       CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS n_inter,
+       CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+         / least(a.n_sh, b.n_sh) AS containment,
+       CASE WHEN a.n_sh <= b.n_sh THEN a.doc_id ELSE b.doc_id END
+         AS contained_doc,
+       a.mh1 = b.mh1 AS via_band1,
+       a.mh2 = b.mh2 AS via_band2
+FROM keyed a JOIN keyed b
+  ON a.lang = b.lang AND (a.mh1 = b.mh1 OR a.mh2 = b.mh2)
+     AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shs, b.shs)) * {_CONTAIN_DEN}
+      >= {_CONTAIN_NUM} * least(a.n_sh, b.n_sh)
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("q_dedup_containment_multiband", oracle=_CONTAIN_MB_ORACLE)
+def q_dedup_containment_multiband(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.array_join(F.slice(F.col("toks"), i, 3), " "),
+        )
+    )
+    keyed = spread(
+        d.select("doc_id", "lang", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", "lang", shingles.alias("shs"))
+        .select(
+            "doc_id",
+            "lang",
+            "shs",
+            F.size("shs").alias("n_sh"),
+            F.array_min(F.transform("shs", F.md5)).alias("mh1"),
+            F.array_min(
+                F.transform(
+                    "shs",
+                    lambda s: F.md5(F.concat(s, F.lit(_CONTAIN_B2_SALT))),
+                )
+            ).alias("mh2"),
+        )
+    )
+    common = [
+        "doc_id_a", "doc_id_b", "shs_a", "shs_b", "n_sh_a", "n_sh_b",
+        "via_band1", "via_band2",
+    ]
+    p1 = triangle_self_join(
+        keyed, block_cols=["lang", "mh1"], id_col="doc_id", n_sub=4
+    ).select(
+        F.lit(True).alias("via_band1"),
+        (F.col("mh2_a") == F.col("mh2_b")).alias("via_band2"),
+        *(c for c in common if not c.startswith("via")),
+    ).select(*common)
+    p2 = triangle_self_join(
+        keyed, block_cols=["lang", "mh2"], id_col="doc_id", n_sub=4
+    ).select(
+        (F.col("mh1_a") == F.col("mh1_b")).alias("via_band1"),
+        F.lit(True).alias("via_band2"),
+        *(c for c in common if not c.startswith("via")),
+    ).select(*common)
+    # pair-dedup BEFORE the quadratic-cost intersection: a pair caught
+    # by both bands carries identical payloads in both branches
+    cand = p1.unionByName(p2).dropDuplicates(["doc_id_a", "doc_id_b"])
+    inter = F.col("n_inter")
+    min_sh = F.least("n_sh_a", "n_sh_b")
+    return (
+        cand.select(
+            "*",
+            F.explode(
+                F.array(F.size(F.array_intersect("shs_a", "shs_b")))
+            ).alias("n_inter"),
+        )
+        .filter(inter * _CONTAIN_DEN >= _CONTAIN_NUM * min_sh)
+        .select(
+            F.col("doc_id_a").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
+            F.col("n_sh_a").cast("long").alias("n_a"),
+            F.col("n_sh_b").cast("long").alias("n_b"),
+            inter.cast("long").alias("n_inter"),
+            (inter.cast("double") / min_sh).alias("containment"),
+            F.when(F.col("n_sh_a") <= F.col("n_sh_b"), F.col("doc_id_a"))
+            .otherwise(F.col("doc_id_b"))
+            .alias("contained_doc"),
+            "via_band1",
+            "via_band2",
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1747,3 +1747,75 @@ def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w_a", "w_b")
         .limit(_PMI_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document character-level Shannon entropy (nats): the classic
+# gibberish / boilerplate screen — natural text sits in a mid band,
+# key-mash and repeated-padding docs fall outside it. MAP-ONLY by
+# design: the char histogram is computed inside array expressions per
+# row (distinct chars x doc length work, both bounded per document),
+# so the operator runs at scan speed with NO shuffle beyond the
+# presentation sort — at 100 TB this is the cheapest possible shape.
+# Determinism: the fold runs over the SORTED distinct-char array, so
+# both engines add identical IEEE doubles in identical order; each ln
+# is rounded to 12 dp first (the established LM-scorer discipline) and
+# the final entropy to 6 dp.
+# ---------------------------------------------------------------------------
+
+_ENTROPY_LO, _ENTROPY_HI = 2.0, 4.5  # nats; natural-text band
+
+_CHAR_ENTROPY_ORACLE = f"""
+SELECT doc_id, lang,
+       CAST(length(text) AS BIGINT) AS n_chars_doc,
+       CAST(len(list_distinct(string_split(text, ''))) AS BIGINT)
+         AS n_distinct_chars,
+       round(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         list_transform(list_sort(list_distinct(string_split(text, ''))),
+           u -> (CAST(len(list_filter(string_split(text, ''), c -> c = u))
+                      AS DOUBLE) / length(text))
+                * round(ln(CAST(len(list_filter(string_split(text, ''),
+                                                c -> c = u)) AS DOUBLE)
+                           / length(text)), 12))),
+         (a, x) -> a + x), 6) AS entropy_nats,
+       (round(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         list_transform(list_sort(list_distinct(string_split(text, ''))),
+           u -> (CAST(len(list_filter(string_split(text, ''), c -> c = u))
+                      AS DOUBLE) / length(text))
+                * round(ln(CAST(len(list_filter(string_split(text, ''),
+                                                c -> c = u)) AS DOUBLE)
+                           / length(text)), 12))),
+         (a, x) -> a + x), 6) BETWEEN {_ENTROPY_LO} AND {_ENTROPY_HI})
+         AS natural_band
+FROM documents
+WHERE length(text) > 0
+ORDER BY doc_id
+"""
+
+
+@query("q_text_char_entropy", oracle=_CHAR_ENTROPY_ORACLE)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chars = F.split(F.col("text"), "")
+    n = F.length("text").cast("double")
+
+    def _count(u):
+        return F.size(F.filter(chars, lambda c: c == u)).cast("double")
+
+    entropy = -F.aggregate(
+        F.array_sort(F.array_distinct(chars)),
+        F.lit(0.0),
+        lambda a, u: a + (_count(u) / n) * F.round(F.log(_count(u) / n), 12),
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars_doc"),
+        F.size(F.array_distinct(chars)).cast("bigint").alias(
+            "n_distinct_chars"
+        ),
+        F.round(entropy, 6).alias("entropy_nats"),
+        F.round(entropy, 6).between(_ENTROPY_LO, _ENTROPY_HI).alias(
+            "natural_band"
+        ),
+    ).orderBy("doc_id")

@@ -1735,3 +1735,147 @@ def q_agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u_a, 6).alias("u_a"),
         F.round(z, 6).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Simple OLS per group, closed form from EXACT power sums: slope,
+# intercept, and R² of extendedprice (in HUNDREDS of dollars — the y²
+# power sum of raw 6-figure prices would outgrow the DECIMAL(18,4)
+# exact-narrowing window; /100 keeps y an EXACT 4-dp decimal (2dp x
+# 1/100), so no per-row half-boundary rounding can split the engines —
+# /1000 produced 5-dp values whose systematic .XXXX5 halves DID split
+# them; y² is 8-dp but provably >= 8e-8 from any 4-dp half boundary
+# since no square is ≡ 5000 mod 10^4) on quantity come
+# out of the same five decimal-exact sums q_agg_corr_covar uses (n,
+# Σx, Σy, Σxy, Σx², Σy²) — ONE partial-agg'd shuffle, no second
+# residual pass (SSE is a closed form of the sums for simple
+# regression). All divisions happen in IEEE double on identical
+# operands; slope inside intercept is the UNROUNDED expression on both
+# engines. Per-row products are double (identical IEEE both sides) and
+# cast to DECIMAL(18,4) for the order-independent sum — the
+# established corr/covar discipline. At 100 TB this is a scan + one
+# 2-group aggregate: nothing else.
+# ---------------------------------------------------------------------------
+
+_OLS_Y = "(l_extendedprice / CAST(100 AS DOUBLE))"
+
+_OLS_ORACLE = f"""
+WITH s AS (
+  SELECT l_linestatus,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) AS DOUBLE) AS nd,
+         {sql_dsum('l_quantity')} AS sx,
+         {sql_dsum(_OLS_Y)} AS sy,
+         {sql_dsum(f'l_quantity * {_OLS_Y}')} AS sxy,
+         {sql_dsum('l_quantity * l_quantity')} AS sxx,
+         {sql_dsum(f'{_OLS_Y} * {_OLS_Y}')} AS syy
+  FROM lineitem GROUP BY l_linestatus
+)
+SELECT l_linestatus, n,
+       round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6) AS slope,
+       round((sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx)
+             / nd, 6) AS intercept,
+       round(((nd * sxy - sx * sy) * (nd * sxy - sx * sy))
+             / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6) AS r2
+FROM s
+ORDER BY l_linestatus
+"""
+
+
+@query("q_agg_ols_regression", oracle=_OLS_ORACLE)
+def q_agg_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice") / F.lit(100).cast("double")
+    s = li.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.count("*").cast("double").alias("nd"),
+        to_dbl(F.sum(x.cast(DEC))).alias("sx"),
+        to_dbl(F.sum(y.cast(DEC))).alias("sy"),
+        to_dbl(F.sum((x * y).cast(DEC))).alias("sxy"),
+        to_dbl(F.sum((x * x).cast(DEC))).alias("sxx"),
+        to_dbl(F.sum((y * y).cast(DEC))).alias("syy"),
+    )
+    nd, sx, sy, sxy, sxx, syy = (
+        F.col(c) for c in ("nd", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return s.select(
+        "l_linestatus",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / nd, 6).alias("intercept"),
+        F.round(
+            ((nd * sxy - sx * sy) * (nd * sxy - sx * sy))
+            / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    ).orderBy("l_linestatus")
+
+
+# ---------------------------------------------------------------------------
+# Theil T inequality index per order priority (the decomposable
+# complement of q_agg_gini): T_g = (1/n_g) Σ (x/μ_g) ln(x/μ_g). The
+# group mean is the davg pattern (exact decimal sum, one IEEE
+# division); each row's term rides the established ln-determinism
+# discipline (round(ln-term, 12) → DECIMAL(20,12) → exact
+# order-independent sum → one double division, 6-dp final round).
+# Scale: one aggregate for the means + one row-cardinality shuffle for
+# the term sums — the means table is bounded by the priority domain and
+# joins back without a hint (AQE broadcasts it). o_totalprice > 0 by
+# construction; a zero/negative guard still excludes rows identically
+# on both engines rather than NaN-poisoning the sum.
+# ---------------------------------------------------------------------------
+
+_THEIL_ORACLE = f"""
+WITH m AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n,
+         {sql_davg('o_totalprice')} AS mu
+  FROM orders WHERE o_totalprice > 0 GROUP BY o_orderpriority
+),
+t AS (
+  SELECT o.o_orderpriority,
+         CAST(round((o.o_totalprice / m.mu) * ln(o.o_totalprice / m.mu), 12)
+              AS DECIMAL(20,12)) AS term
+  FROM orders o JOIN m USING (o_orderpriority)
+  WHERE o.o_totalprice > 0
+)
+SELECT m.o_orderpriority, m.n, round(m.mu, 6) AS mean_price,
+       round(CAST(sum(t.term) AS DOUBLE) / m.n, 6) AS theil_t
+FROM t JOIN m USING (o_orderpriority)
+GROUP BY m.o_orderpriority, m.n, m.mu
+ORDER BY m.o_orderpriority
+"""
+
+
+@query("q_agg_theil_index", oracle=_THEIL_ORACLE)
+def q_agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    m = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        (
+            to_dbl(F.sum(F.col("o_totalprice").cast(DEC)))
+            / F.count("o_totalprice")
+        ).alias("mu"),
+    )
+    ratio = F.col("o_totalprice") / F.col("mu")
+    terms = o.join(m, "o_orderpriority").select(
+        "o_orderpriority",
+        "n",
+        "mu",
+        F.round(ratio * F.log(ratio), 12).cast("decimal(20,12)").alias("term"),
+    )
+    return (
+        terms.groupBy("o_orderpriority", "n", "mu")
+        .agg(F.sum("term").alias("s"))
+        .select(
+            "o_orderpriority",
+            "n",
+            F.round("mu", 6).alias("mean_price"),
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias(
+                "theil_t"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -355,3 +355,60 @@ def q_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniq = uniqueness_violations(li, ["l_orderkey", "l_linenumber"])
     refi = referential_violations(li, o, ("l_orderkey", "o_orderkey"))
     return quality_report([preds, uniq, refi])
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy/governance gate for training-data release,
+# Sweeney 2002 shape): group rows by their quasi-identifier tuple
+# (nation, market segment), measure every equivalence-class size k, and
+# report the class-size distribution plus the re-identification-risk
+# share (rows in classes below the k=5 threshold). Two partial-agg'd
+# shuffles, both over the bounded QI domain — at 100 TB the second
+# aggregate sees |nations| x |segments| rows, and the row-share ratio
+# is one IEEE division of exact int64 counts against a 1-row broadcast
+# total.
+# ---------------------------------------------------------------------------
+
+_K_ANON_THRESHOLD = 5
+
+_K_ANON_ORACLE = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS k
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+tot AS (SELECT CAST(sum(k) AS BIGINT) AS n_total FROM classes)
+SELECT k,
+       count(*) AS n_classes,
+       CAST(k * count(*) AS BIGINT) AS n_rows,
+       round(CAST(k * count(*) AS DOUBLE) / n_total, 6) AS row_share,
+       k >= {_K_ANON_THRESHOLD} AS k_anonymous
+FROM classes CROSS JOIN tot
+GROUP BY k, n_total
+ORDER BY k
+"""
+
+
+@query("q_privacy_k_anonymity", oracle=_K_ANON_ORACLE)
+def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    classes = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("k")
+    )
+    tot = F.broadcast(classes.agg(F.sum("k").cast("bigint").alias("n_total")))
+    return (
+        classes.crossJoin(tot)
+        .groupBy("k", "n_total")
+        .agg(F.count("*").alias("n_classes"))
+        .select(
+            "k",
+            "n_classes",
+            (F.col("k") * F.col("n_classes")).cast("bigint").alias("n_rows"),
+            F.round(
+                (F.col("k") * F.col("n_classes")).cast("double")
+                / F.col("n_total"),
+                6,
+            ).alias("row_share"),
+            (F.col("k") >= _K_ANON_THRESHOLD).alias("k_anonymous"),
+        )
+        .orderBy("k")
+    )

@@ -69,8 +69,10 @@ _loaded = False
 #       highest-leverage item;
 #   (b) the remaining 11 r1-aged green rows (aggregates/window tail)
 #       so no green row predates round 4;
-#   (c) the 5 oldest r4-green rows (llm/text head) — the aged-row
-#       rotation continues oldest-first.
+#   (c) the 5 operators NEW this round (OLS, Theil, k-anonymity, char
+#       entropy, multiband containment) — new ops get their driver row
+#       the round they ship; registration was throttled to exactly the
+#       window slack left after (a)+(b), per round-7 VERDICT #5.
 _FRONT = (
     # (a) never driver-checked — round-7 late additions
     "q_emb_whiten_apply",
@@ -119,12 +121,12 @@ _FRONT = (
     "q_window_first_last",
     "q_window_range_frame",
     "q_window_time_range_frame",
-    # (c) oldest r4-green rotation (fill to 50, registration order)
-    "q_text_token_count",
-    "q_text_quality_score",
-    "q_text_lang_id",
-    "q_text_fingerprint",
-    "q_text_repetition_filter",
+    # (c) new this round — verified the round they ship
+    "q_agg_ols_regression",
+    "q_agg_theil_index",
+    "q_privacy_k_anonymity",
+    "q_text_char_entropy",
+    "q_dedup_containment_multiband",
 )
 
 
@@ -136,8 +138,13 @@ _FRONT = (
 # promote the leading 50 of this list into _FRONT (new-ops-first, then
 # the aged tail).
 _NEXT = (
-    # r4-green rows, registration order (text tail → dedup → sim →
-    # multimodal → corpus → packing)
+    # r4-green rows, registration order (text head → text tail → dedup
+    # → sim → multimodal → corpus → packing)
+    "q_text_token_count",
+    "q_text_quality_score",
+    "q_text_lang_id",
+    "q_text_fingerprint",
+    "q_text_repetition_filter",
     "q_text_tfidf_topk",
     "q_text_heavy_hitters",
     "q_text_quality_quantile",

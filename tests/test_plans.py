@@ -569,6 +569,43 @@ def test_pagerank_loop_never_rescans_events(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_char_entropy_is_map_only(spark):
+    """The char histogram lives in per-row array expressions — one scan,
+    no aggregate exchange anywhere (only the presentation sort)."""
+    df = registry.QUERIES["q_text_char_entropy"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_ols_is_single_partial_agged_pass(spark):
+    """Five power sums + count in ONE groupBy: exactly one scan, one
+    hash exchange, partial aggregation map-side."""
+    df = registry.QUERIES["q_agg_ols_regression"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_" in plan
+
+
+def test_theil_means_join_carries_no_hint(spark):
+    """The per-priority means table is bounded by the priority domain
+    but still corpus-DERIVED — no forced broadcast; AQE decides."""
+    df = registry.QUERIES["q_agg_theil_index"](spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+
+
+def test_multiband_containment_rides_triangle(spark):
+    """Both bands' candidate joins must be triangle-decomposed
+    equi-joins (no sort-merge on raw pairs, no cartesian), and the
+    pair dedup must appear BEFORE the exact intersection generate."""
+    df = registry.QUERIES["q_dedup_containment_multiband"](spark, SF_DIR)
+    plan = _plan(df, execute=True)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_readability_is_map_only(spark):
     """Flesch scoring is pure per-row expression work: one scan, no
     aggregate exchange anywhere (only the presentation sort)."""
