@@ -91,8 +91,20 @@ ORDER BY event_type
 
 @query("q_graph_degree_profile", oracle=_DEGREE_ORACLE)
 def q_graph_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted in/out degree per vertex of the type-transition graph."""
-    e = _edges(spark, sf_dir)
+    """Weighted in/out degree per vertex of the type-transition graph.
+
+    Same materialization discipline as q_events_pagerank: the
+    |types|²-bounded aggregated edge table is collected once (single
+    events pass at build time) and outs/ins/verts derive from the
+    literal local relation — without this, each of the three branches
+    re-derives the full event-window lineage and the final plan carries
+    17 scan nodes instead of zero. Only exact integers cross the
+    driver; the ratio division stays a Spark expression."""
+    collected = _edges(spark, sf_dir).collect()
+    e = spark.createDataFrame(
+        [(r.src, r.dst, r.w) for r in collected],
+        "src string, dst string, w bigint",
+    )
     outs = e.groupBy(F.col("src").alias("t")).agg(
         F.sum("w").cast("bigint").alias("out_w"),
         F.count("*").alias("out_deg"),

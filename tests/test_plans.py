@@ -554,6 +554,15 @@ def test_attribution_is_join_free(spark):
         assert op not in plan, op
 
 
+def test_degree_profile_never_rescans_events(spark):
+    """Edges materialize once at build time — the final plan must not
+    scan events at all (outs/ins/verts run over the literal edge
+    table)."""
+    df = registry.QUERIES["q_graph_degree_profile"](spark, SF_DIR)
+    plan = _plan(df, execute=True)
+    assert "Scan parquet" not in plan
+
+
 def test_pagerank_loop_never_rescans_events(spark):
     """The aggregated edge table is materialized before the power loop
     (one events pass at build time, |types|^2-bounded collect) and the
