@@ -582,3 +582,104 @@ def cusum_monitor(df: DataFrame, target_mean_cents: dict) -> DataFrame:
             "NoTimeout",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming PSI drift monitor. The batch q_quality_psi_drift compares
+# two corpus halves it can both see; a one-pass stream cannot, so the
+# live form is the standard deployment split (identical to
+# cusum_monitor's): a FIXED per-type reference bucket distribution is
+# fit offline (e.g. from last week's batch histogram) and the stream
+# accumulates the observed bucket counts per key, emitting the
+# Laplace-smoothed PSI of observed-vs-reference plus the conventional
+# drift band each micro-batch the key appears in. State is B+1 longs
+# per key; each trigger is one shuffle on event_type. Bucketing,
+# smoothing ((c+1)/(n+B)), ln, 6-dp rounding, and the 0.1/0.25 bands
+# all mirror the batch operator so the two surfaces read identically.
+# Cross-batch continuity is asserted against a pure-Python fold in
+# tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+
+PSI_MONITOR_BUCKETS = 10
+PSI_MONITOR_WIDTH = 10.0  # value units per bucket; last bucket open-ended
+
+PSI_MONITOR_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("psi", DoubleType()),
+        StructField("band", StringType()),
+    ]
+)
+PSI_MONITOR_STATE_SCHEMA = StructType(
+    [StructField(f"c{b}", LongType()) for b in range(PSI_MONITOR_BUCKETS)]
+    + [StructField("n", LongType())]
+)
+
+
+def psi_monitor(df: DataFrame, reference_probs: dict) -> DataFrame:
+    """Per-type streaming PSI of the observed `value` bucket
+    distribution against a fixed reference distribution
+    (``{event_type: [p_0..p_B-1]}``, strictly positive, summing to 1).
+    NULL value rows carry no bucket and are dropped, like the batch
+    twin drops NULL lengths by schema."""
+    import math
+
+    B = PSI_MONITOR_BUCKETS
+    refs = {
+        k: [float(p) for p in v] for k, v in reference_probs.items()
+    }
+    for k, v in refs.items():
+        if len(v) != B or any(p <= 0 for p in v):
+            raise ValueError(
+                f"reference for {k!r} needs {B} strictly positive probs"
+            )
+
+    def _bucket(v: float) -> int:
+        return min(B - 1, max(0, int(float(v) // PSI_MONITOR_WIDTH)))
+
+    def _fn(key, pdfs, state):
+        (etype,) = key
+        ref = refs.get(etype)
+        prev = state.get if state.exists else (0,) * (B + 1)
+        counts, n = list(prev[:B]), prev[B]
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows[rows["value"].notna()]
+        for v in rows["value"]:
+            counts[_bucket(v)] += 1
+            n += 1
+        state.update((*counts, n))
+        if ref is None:
+            psi = None
+            band = "no_reference"
+        else:
+            psi = 0.0
+            for c, p_ref in zip(counts, ref):
+                p_obs = (c + 1) / (n + B)
+                psi += (p_obs - p_ref) * math.log(p_obs / p_ref)
+            psi = round(psi, 6)
+            band = (
+                "stable"
+                if psi < 0.1
+                else "moderate_shift" if psi < 0.25 else "major_shift"
+            )
+        yield pd.DataFrame(
+            {
+                "event_type": [etype],
+                "n_events": [n],
+                "psi": [psi],
+                "band": [band],
+            }
+        )
+
+    return (
+        df.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _fn,
+            PSI_MONITOR_OUTPUT_SCHEMA,
+            PSI_MONITOR_STATE_SCHEMA,
+            "update",
+            "NoTimeout",
+        )
+    )

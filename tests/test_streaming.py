@@ -695,3 +695,62 @@ def test_cusum_monitor_matches_python_fold_across_batches(spark, tmp_path):
             assert abs(latest[et].peak_abs_dollars - p) < 1e-9
     finally:
         q.stop()
+
+
+def test_psi_monitor_matches_python_fold_across_batches(spark, tmp_path):
+    """Streaming PSI vs a fixed reference distribution must carry the
+    bucket counts across micro-batches: two slices fold to exactly the
+    Laplace-smoothed PSI of the combined counts, with the batch
+    operator's band thresholds; a type with no reference reports
+    no_reference with NULL psi."""
+    import math
+
+    from oraaud_kafka_spark.streaming.analytics import (
+        PSI_MONITOR_BUCKETS,
+        PSI_MONITOR_WIDTH,
+        psi_monitor,
+    )
+
+    d = tmp_path / "psi"
+    d.mkdir()
+    batch1 = [
+        {"event_type": "click", "ts": "2026-01-01T00:00:00", "event_id": 1, "value": 5.0},
+        {"event_type": "click", "ts": "2026-01-01T00:01:00", "event_id": 2, "value": 95.0},
+        {"event_type": "click", "ts": "2026-01-01T00:01:30", "event_id": 3, "value": 120.0},  # clamps to last bucket
+        {"event_type": "other", "ts": "2026-01-01T00:02:00", "event_id": 4, "value": 1.0},
+    ]
+    batch2 = [
+        {"event_type": "click", "ts": "2026-01-01T00:03:00", "event_id": 5, "value": 15.0},
+        {"event_type": "click", "ts": "2026-01-01T00:03:30", "event_id": 6, "value": None},  # dropped
+        {"event_type": "click", "ts": "2026-01-01T00:04:00", "event_id": 7, "value": 17.0},
+    ]
+    _write_jsonl(d / "b1.json", batch1)
+    _write_jsonl(d / "b2.json", batch2)
+    B = PSI_MONITOR_BUCKETS
+    ref = {"click": [1.0 / B] * B}  # uniform reference
+    stream = _stream_json(spark, d, CUSUM_SCHEMA, latestFirst="false")
+    q = _run_to_memory(psi_monitor(stream, ref), "psi", output_mode="update")
+    try:
+        latest = {}
+        for r in spark.table("psi").collect():
+            latest[r.event_type] = r
+        counts = [0] * B
+        for v in (5.0, 95.0, 120.0, 15.0, 17.0):
+            counts[min(B - 1, int(v // PSI_MONITOR_WIDTH))] += 1
+        n = sum(counts)
+        psi = sum(
+            ((c + 1) / (n + B) - 1.0 / B)
+            * math.log(((c + 1) / (n + B)) / (1.0 / B))
+            for c in counts
+        )
+        assert latest["click"].n_events == n
+        assert abs(latest["click"].psi - round(psi, 6)) < 1e-9
+        assert latest["click"].band == (
+            "stable" if psi < 0.1
+            else "moderate_shift" if psi < 0.25 else "major_shift"
+        )
+        assert latest["other"].psi is None
+        assert latest["other"].band == "no_reference"
+        assert latest["other"].n_events == 1
+    finally:
+        q.stop()
