@@ -651,8 +651,14 @@ lp AS (
 doc AS (
   SELECT doc_id, lang,
          count(*) AS n_toks,
-         round(CAST(CAST(round(sum(lp_dec), 6) AS DECIMAL(15,6)) AS DOUBLE)
-               / count(*), 6) AS avg_logprob
+         CAST(CASE WHEN sum(CAST(lp_dec * 1000000000000 AS BIGINT)) < 0
+                   THEN -((2 * abs(sum(CAST(lp_dec * 1000000000000 AS BIGINT)))
+                           + count(*) * 1000000)
+                          // (2 * count(*) * 1000000))
+                   ELSE ((2 * abs(sum(CAST(lp_dec * 1000000000000 AS BIGINT)))
+                          + count(*) * 1000000)
+                         // (2 * count(*) * 1000000))
+              END AS DOUBLE) / 1000000 AS avg_logprob
   FROM lp GROUP BY doc_id, lang
 )
 """
@@ -685,20 +691,35 @@ def unigram_logprob_scores(d: DataFrame) -> DataFrame:
             .alias("lp_dec"),
         )
     )
-    # round-then-narrow, fully exact: the wide decimal sum rounds to
-    # 6 dp IN DECIMAL SPACE (both engines round half-up on exact
-    # decimals), narrows losslessly to DECIMAL(15,6) (|sum| < 1e9 —
-    # documents up to ~1e8 tokens — so the scaled integer < 2^53 and
-    # the double cast is exact), then one division + final rounding.
-    # No wide-decimal->double cast ever happens, so DuckDB's
-    # not-correctly-rounded wide cast can't drift a midpoint.
-    return scored.groupBy("doc_id", "lang").agg(
-        F.count("*").alias("n_toks"),
-        F.round(
-            F.round(F.sum("lp_dec"), 6).cast("decimal(15,6)").cast("double")
-            / F.count("*"),
-            6,
-        ).alias("avg_logprob"),
+    # INTEGER-EXACT 6-dp average (the q_text_bigram_logprob fix): the
+    # earlier round-then-narrow path made sum/n land exactly on a 6-dp
+    # half for one sf0.1 document, where Spark's binary-expansion
+    # HALF_UP and DuckDB's scaled-double round() split by 1e-6. Summing
+    # the 12-dp terms as exact picounit int64s and rounding half-away
+    # via integer division has no such boundary — both engines compute
+    # the identical quotient by construction, and no wide-decimal->
+    # double cast ever happens.
+    return (
+        scored.groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum((F.col("lp_dec") * 1000000000000).cast("bigint")).alias(
+                "__s"
+            ),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_toks",
+            F.expr(
+                "CAST(CASE WHEN __s < 0 THEN"
+                " -((2 * abs(__s) + n_toks * 1000000)"
+                "   DIV (2 * n_toks * 1000000))"
+                " ELSE ((2 * abs(__s) + n_toks * 1000000)"
+                "   DIV (2 * n_toks * 1000000))"
+                " END AS DOUBLE) / 1000000"
+            ).alias("avg_logprob"),
+        )
     )
 
 
@@ -1020,8 +1041,14 @@ lp AS (
 )
 SELECT doc_id, lang,
        CAST(count(*) AS BIGINT) AS n_transitions,
-       round(CAST(CAST(round(sum(lp_dec), 6) AS DECIMAL(15,6)) AS DOUBLE)
-             / count(*), 6) AS avg_logprob
+       CAST(CASE WHEN sum(CAST(lp_dec * 1000000000000 AS BIGINT)) < 0
+                 THEN -((2 * abs(sum(CAST(lp_dec * 1000000000000 AS BIGINT)))
+                         + count(*) * 1000000)
+                        // (2 * count(*) * 1000000))
+                 ELSE ((2 * abs(sum(CAST(lp_dec * 1000000000000 AS BIGINT)))
+                        + count(*) * 1000000)
+                       // (2 * count(*) * 1000000))
+            END AS DOUBLE) / 1000000 AS avg_logprob
 FROM lp
 GROUP BY doc_id, lang
 ORDER BY doc_id
@@ -1063,17 +1090,33 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lp_dec"),
         )
     )
+    # INTEGER-EXACT 6-dp average: sum the 12-dp terms as exact picounit
+    # int64s and round-half-away via integer division. The previous
+    # round-then-narrow-then-divide path hit a real failure at sf0.1:
+    # narrowing the sum to 6 dp made sum/n land EXACTLY on a 6-dp half
+    # (-129.714273/38 = -3.4135335), where Spark's binary-expansion
+    # HALF_UP and DuckDB's scaled-double round() disagree by 1e-6.
+    # Integer arithmetic has no such boundary — both engines compute
+    # the identical quotient by construction.
     return (
         lp.groupBy("doc_id", "lang")
         .agg(
             F.count("*").cast("long").alias("n_transitions"),
-            # round-then-narrow, fully exact: see unigram scorer note
-            F.round(
-                F.round(F.sum("lp_dec"), 6)
-                .cast("decimal(15,6)")
-                .cast("double")
-                / F.count("*"),
-                6,
+            F.sum((F.col("lp_dec") * 1000000000000).cast("bigint")).alias(
+                "__s"
+            ),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_transitions",
+            F.expr(
+                "CAST(CASE WHEN __s < 0 THEN"
+                " -((2 * abs(__s) + n_transitions * 1000000)"
+                "   DIV (2 * n_transitions * 1000000))"
+                " ELSE ((2 * abs(__s) + n_transitions * 1000000)"
+                "   DIV (2 * n_transitions * 1000000))"
+                " END AS DOUBLE) / 1000000"
             ).alias("avg_logprob"),
         )
         .orderBy("doc_id")
