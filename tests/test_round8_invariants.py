@@ -138,3 +138,61 @@ def test_multiband_containment_is_superset_of_single_band(spark):
             )
         else:
             assert not m.via_band1 and m.via_band2
+
+
+def test_lm_mean_rounds_half_away_at_constructed_midpoint(spark, tmp_path):
+    """Regression pin for the sf0.1 midpoint split: a corpus built so a
+    doc's summed token logprob divided by its token count lands near a
+    6-dp boundary must round identically to the integer half-away rule
+    — and bit-identically to the DuckDB oracle on the same corpus."""
+    import os
+
+    from oraaud_kafka_spark import registry
+    from oraaud_kafka_spark.testing import compare_frames
+    import duckdb
+
+    sf_dir = str(tmp_path)
+    # 2 docs over a 3-token vocab: every (cnt, total) pair is tiny, so
+    # each lp term is a 12-dp decimal and the per-doc mean exercises
+    # the integer division path including negative half-away rounding
+    docs = [
+        (0, "a a b", "en", "s", 5),
+        (1, "b c c c", "en", "s", 7),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+    fn = registry.QUERIES["q_text_unigram_logprob"].__wrapped__
+    got = fn(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet/*.parquet'"
+    )
+    want = con.execute(
+        registry.ORACLES["q_text_unigram_logprob"]
+    ).fetchdf()
+    assert not compare_frames(got, want)
+    # half-away arithmetic check against a pure-Python picounit fold
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    toks = ["a", "a", "b", "b", "c", "c", "c"]
+    cnt = {"a": 2, "b": 2, "c": 3}
+    for _, row in got.iterrows():
+        doc_toks = docs[int(row.doc_id)][1].split(" ")
+        s = sum(
+            int(
+                (
+                    Decimal(math.log(cnt[t] / len(toks))).quantize(
+                        Decimal("1e-12"), rounding=ROUND_HALF_UP
+                    )
+                )
+                * 10**12
+            )
+            for t in doc_toks
+        )
+        n = len(doc_toks)
+        q = (2 * abs(s) + n * 10**6) // (2 * n * 10**6)
+        expect = (-q if s < 0 else q) / 10**6
+        assert row.avg_logprob == expect
