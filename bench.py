@@ -144,6 +144,10 @@ EXTRAS = [
     "q_privacy_k_anonymity",     # QI equivalence-class risk audit
     "q_text_char_entropy",       # map-only char-entropy gibberish gate
     "q_dedup_containment_multiband",  # b=2 banded containment recall lift
+    "q_eval_auc_roc",            # exact rank-sum ROC-AUC
+    "q_eval_calibration_bins",   # reliability bins + exact Brier terms
+    "q_events_kaplan_meier",     # right-censored KM survival curve
+    "q_privacy_l_diversity",     # QI sensitive-value diversity audit
 ]
 
 

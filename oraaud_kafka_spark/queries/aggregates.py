@@ -1879,3 +1879,179 @@ def q_agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC-AUC of a score against a binary label, via the rank-sum
+# identity AUC = U_A / (n_pos * n_neg) (Hanley & McNeil 1982): the
+# probability a random positive outscores a random negative, ties at
+# half credit — exactly the Mann-Whitney U machinery above, reused on
+# the collapsed integer-cent score domain. Everything up to ONE final
+# division is exact integer arithmetic: per-value midranks come from a
+# cumulative count over DISTINCT cents (2*midrank = 2*cum_prev + f + 1
+# stays integral), 2*U_A = sum(fa * r2) - n_pos*(n_pos+1) is an exact
+# DECIMAL(38,0), and auc = 2U / (2*n_pos*n_neg) happens once in IEEE
+# double on both engines. gini = 2*auc - 1 is the standard rescale.
+# Scale shape: one groupBy on the bounded cent domain + one ordered
+# window over DISTINCT values (never rows) + a 1-row reduce — the
+# documented rank-statistic discipline (see q_agg_mann_whitney_u).
+# This is the quality-classifier eval a training-data pipeline runs on
+# every scored corpus snapshot.
+# ---------------------------------------------------------------------------
+
+_AUC_POS = ("1-URGENT", "2-HIGH")
+
+_AUC_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CAST(o_orderpriority IN ('{_AUC_POS[0]}', '{_AUC_POS[1]}')
+              AS INTEGER) AS is_pos
+  FROM orders
+),
+vals AS (
+  SELECT v, count(*) AS f, CAST(sum(is_pos) AS BIGINT) AS fa
+  FROM base GROUP BY v
+),
+ranked AS (
+  SELECT f, fa,
+         2 * CAST(coalesce(sum(f) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) + f + 1 AS r2
+  FROM vals
+),
+m AS (
+  SELECT CAST(sum(fa) AS BIGINT) AS n_pos,
+         CAST(sum(f - fa) AS BIGINT) AS n_neg,
+         CAST(sum(CAST(fa AS HUGEINT) * r2)
+              - CAST(sum(fa) AS HUGEINT)
+                * (CAST(sum(fa) AS HUGEINT) + 1) AS DOUBLE) AS u2
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       round(u2 / (2 * CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc,
+       round(u2 / (CAST(n_pos AS DOUBLE) * n_neg) - 1, 6) AS gini_rank
+FROM m
+"""
+
+
+@query("q_eval_auc_roc", oracle=_AUC_ORACLE)
+def q_eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does order price predict priority class? Exact tie-aware ROC-AUC
+    (+ rank Gini) from integer midranks over distinct cents."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+        F.col("o_orderpriority").isin(*_AUC_POS).cast("int").alias("is_pos"),
+    )
+    vals = base.groupBy("v").agg(
+        F.count("*").alias("f"), F.sum("is_pos").cast("bigint").alias("fa")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "f",
+        "fa",
+        (
+            F.lit(2) * F.coalesce(F.sum("f").over(w), F.lit(0)).cast("bigint")
+            + F.col("f")
+            + F.lit(1)
+        ).alias("r2"),
+    )
+    dec = "decimal(38,0)"
+    m = ranked.agg(
+        F.sum("fa").cast("bigint").alias("n_pos"),
+        F.sum(F.col("f") - F.col("fa")).cast("bigint").alias("n_neg"),
+        (
+            F.sum(F.col("fa").cast(dec) * F.col("r2"))
+            - F.sum("fa").cast(dec) * (F.sum("fa").cast(dec) + F.lit(1))
+        )
+        .cast("double")
+        .alias("u2"),
+    )
+    n_pos, n_neg, u2 = (F.col(c) for c in ("n_pos", "n_neg", "u2"))
+    return m.select(
+        "n_pos",
+        "n_neg",
+        F.round(u2 / (F.lit(2) * n_pos.cast("double") * n_neg), 6).alias(
+            "auc"
+        ),
+        F.round(u2 / (n_pos.cast("double") * n_neg) - F.lit(1), 6).alias(
+            "gini_rank"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calibration / reliability table for a probabilistic prediction: bin
+# the predicted probability, and per bin report count, event count,
+# empirical event rate, |gap|, and the bin's EXACT Brier-score
+# contribution. The prediction here is the discount-derived
+# p = pb/10 with pb = round(discount*100) in {0..10} — an exact
+# 1-dp probability, so the per-bin Brier sum
+#   sum((p - y)^2) = (n*pb^2 - 20*pb*events + 100*events) / 100
+# is an exact INTEGER over 100: emitted as brier_sum_x100 BIGINT, no
+# float summation anywhere. The only IEEE ops are the per-bin
+# event-rate and gap divisions (identical operands both engines,
+# 6-dp round). ECE/total-Brier are one driver-side fold over the ≤11
+# rows. Scale: ONE partial-agg'd groupBy on an 11-value domain — scan
+# speed at any corpus size. The LLM-pipeline use: reliability-check a
+# quality classifier's scores before thresholding a 100 TB corpus on
+# them (an uncalibrated gate silently shifts the kept-data mix).
+# ---------------------------------------------------------------------------
+
+_CALIB_ORACLE = """
+WITH base AS (
+  SELECT CAST(round(l_discount * 100) AS BIGINT) AS pb,
+         CAST(l_returnflag = 'R' AS INTEGER) AS y
+  FROM lineitem
+)
+SELECT pb,
+       round(CAST(pb AS DOUBLE) / 10, 6) AS p_pred,
+       count(*) AS n,
+       CAST(sum(y) AS BIGINT) AS events,
+       round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS event_rate,
+       round(abs(CAST(pb AS DOUBLE) / 10
+                 - CAST(sum(y) AS DOUBLE) / count(*)), 6) AS abs_gap,
+       CAST(count(*) * pb * pb - 20 * pb * sum(y) + 100 * sum(y)
+            AS BIGINT) AS brier_sum_x100
+FROM base
+GROUP BY pb
+ORDER BY pb
+"""
+
+
+@query("q_eval_calibration_bins", oracle=_CALIB_ORACLE)
+def q_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table: 1-dp probability bins vs empirical event rate,
+    with exact integer-scaled per-bin Brier contributions."""
+    li = load(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("pb"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    pb = F.col("pb")
+    g = base.groupBy("pb").agg(
+        F.count("*").alias("n"), F.sum("y").cast("bigint").alias("events")
+    )
+    rate = F.col("events").cast("double") / F.col("n")
+    return (
+        g.select(
+            "pb",
+            F.round(pb.cast("double") / F.lit(10), 6).alias("p_pred"),
+            "n",
+            "events",
+            F.round(rate, 6).alias("event_rate"),
+            F.round(
+                F.abs(pb.cast("double") / F.lit(10) - rate), 6
+            ).alias("abs_gap"),
+            (
+                F.col("n") * pb * pb
+                - F.lit(20) * pb * F.col("events")
+                + F.lit(100) * F.col("events")
+            )
+            .cast("bigint")
+            .alias("brier_sum_x100"),
+        )
+        .orderBy("pb")
+    )

@@ -2214,3 +2214,154 @@ def q_time_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("seasonal_eta2"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve for time-to-convert WITH right-censoring
+# (Kaplan & Meier 1958) — the censoring-aware upgrade of
+# q_events_time_to_convert: users who never purchased are not dropped
+# (that biases conversion latency optimistic) but counted as censored
+# at their LAST observed event. Durations collapse to whole hours, so
+# every KM step works on the bounded distinct-hour domain, never rows:
+#   n_risk(t) = N - #{dur < t}          (cumulative count window)
+#   S(t)      = prod_{s<=t, d_s>0} (1 - d_s / n_risk(s))
+# The product is exp(sum(ln ...)) over the ordered step window — the
+# same fixed-shape IEEE fold both engines run (established by the
+# entropy/KL family); a d_s = n_risk(s) extinction step is guarded to
+# exact 0 instead of ln(0). Censored-only hours shrink the risk set
+# but emit no step row (standard KM). Scale: one conditional-agg
+# groupBy(user), one broadcast-joined min-purchase pass (same shape as
+# q_events_time_to_convert), one groupBy(hour) + one ordered window
+# over distinct hours, 1-row total broadcast. Nothing row-ordered.
+# ---------------------------------------------------------------------------
+
+_KM_ORACLE = """
+WITH su AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+         max(ts) AS last_ts
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY user_id
+  HAVING signup_ts IS NOT NULL
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN su USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > su.signup_ts
+  GROUP BY e.user_id
+),
+d AS (
+  -- floor each epoch BEFORE subtracting (unix_timestamp parity)
+  SELECT CAST(floor((CAST(floor(epoch(coalesce(p.purchase_ts, su.last_ts)))
+                          AS BIGINT)
+                     - CAST(floor(epoch(su.signup_ts)) AS BIGINT))
+                    / 3600) AS BIGINT) AS dur_h,
+         CAST(p.purchase_ts IS NOT NULL AS INTEGER) AS ev
+  FROM su LEFT JOIN p USING (user_id)
+),
+steps AS (
+  SELECT dur_h, count(*) AS c_all, CAST(sum(ev) AS BIGINT) AS d_ev
+  FROM d GROUP BY dur_h
+),
+tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_total FROM steps),
+risk AS (
+  SELECT dur_h, d_ev,
+         n_total - CAST(coalesce(sum(c_all) OVER (ORDER BY dur_h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS n_risk
+  FROM steps CROSS JOIN tot
+),
+ev_steps AS (SELECT * FROM risk WHERE d_ev > 0),
+curve AS (
+  SELECT dur_h, n_risk, d_ev,
+         max(CASE WHEN d_ev >= n_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY dur_h) AS extinct,
+         sum(CASE WHEN d_ev >= n_risk THEN 0
+                  ELSE ln(1 - CAST(d_ev AS DOUBLE) / n_risk) END)
+           OVER (ORDER BY dur_h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lsum
+  FROM ev_steps
+)
+SELECT dur_h, n_risk, d_ev,
+       CASE WHEN extinct = 1 THEN CAST(0 AS DOUBLE)
+            ELSE round(exp(lsum), 6) END AS survival
+FROM curve ORDER BY dur_h
+"""
+
+
+@query("q_events_kaplan_meier", oracle=_KM_ORACLE)
+def q_events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-censored KM conversion-survival curve over whole-hour
+    durations; censored users exit the risk set silently."""
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    su = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).alias("signup_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .filter(F.col("signup_ts").isNotNull())
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(su.select("user_id", "signup_ts"), "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    d = su.join(p, "user_id", "left").select(
+        F.floor(
+            (
+                F.unix_timestamp(
+                    F.coalesce(F.col("purchase_ts"), F.col("last_ts"))
+                )
+                - F.unix_timestamp("signup_ts")
+            )
+            / F.lit(3600)
+        )
+        .cast("bigint")
+        .alias("dur_h"),
+        F.col("purchase_ts").isNotNull().cast("int").alias("ev"),
+    )
+    steps = d.groupBy("dur_h").agg(
+        F.count("*").alias("c_all"), F.sum("ev").cast("bigint").alias("d_ev")
+    )
+    tot = F.broadcast(
+        steps.agg(F.sum("c_all").cast("bigint").alias("n_total"))
+    )
+    wprev = Window.orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = steps.crossJoin(tot).select(
+        "dur_h",
+        "d_ev",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("c_all").over(wprev), F.lit(0)).cast("bigint")
+        ).alias("n_risk"),
+    )
+    ev_steps = risk.filter(F.col("d_ev") > 0)
+    wcum = Window.orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    extinct_flag = F.when(F.col("d_ev") >= F.col("n_risk"), 1).otherwise(0)
+    ln_term = F.when(F.col("d_ev") >= F.col("n_risk"), F.lit(0.0)).otherwise(
+        F.log(F.lit(1) - F.col("d_ev").cast("double") / F.col("n_risk"))
+    )
+    curve = ev_steps.select(
+        "dur_h",
+        "n_risk",
+        "d_ev",
+        F.max(extinct_flag).over(wcum).alias("extinct"),
+        F.sum(ln_term).over(wcum).alias("lsum"),
+    )
+    return curve.select(
+        "dur_h",
+        "n_risk",
+        "d_ev",
+        F.when(F.col("extinct") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("lsum"), 6))
+        .alias("survival"),
+    ).orderBy("dur_h")

@@ -412,3 +412,71 @@ def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distinct l-diversity audit (Machanavajjhala et al. 2007) — the
+# follow-on check to q_privacy_k_anonymity on the SAME quasi-identifier
+# (nationkey, mktsegment): a class can be k-anonymous yet leak its
+# sensitive attribute when every member shares one value. Sensitive
+# attribute here = account-balance band floor(acctbal/1000) (11 bands
+# over the fixture's -999..9999 range — double division + floor is the
+# identical IEEE op on both engines). Per class l = count(DISTINCT
+# band); the report groups classes by l exactly as the k-anonymity
+# report groups by k, flagging l < 3 (an attacker's attribute-disclosure
+# odds). Scale: two partial-agg'd groupBys on bounded domains (QI
+# classes, then l values) + a 1-row broadcast total — no row-level
+# shuffle beyond the first aggregate, same scan-speed shape as the
+# k-anonymity audit it extends.
+# ---------------------------------------------------------------------------
+
+_L_DIV_THRESHOLD = 3
+
+_L_DIV_ORACLE = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         count(*) AS k,
+         count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+tot AS (SELECT CAST(sum(k) AS BIGINT) AS n_total FROM classes)
+SELECT l,
+       count(*) AS n_classes,
+       CAST(sum(k) AS BIGINT) AS n_rows,
+       round(CAST(sum(k) AS DOUBLE) / n_total, 6) AS row_share,
+       l >= {_L_DIV_THRESHOLD} AS l_diverse
+FROM classes CROSS JOIN tot
+GROUP BY l, n_total
+ORDER BY l
+"""
+
+
+@query("q_privacy_l_diversity", oracle=_L_DIV_ORACLE)
+def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many distinct sensitive-value bands back each QI class —
+    the attribute-disclosure complement of the k-anonymity audit."""
+    c = load(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(1000)).cast("bigint")
+    classes = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("k"),
+        F.countDistinct(band).alias("l"),
+    )
+    tot = F.broadcast(classes.agg(F.sum("k").cast("bigint").alias("n_total")))
+    return (
+        classes.crossJoin(tot)
+        .groupBy("l", "n_total")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum("k").cast("bigint").alias("n_rows"),
+        )
+        .select(
+            "l",
+            "n_classes",
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("n_total"), 6
+            ).alias("row_share"),
+            (F.col("l") >= _L_DIV_THRESHOLD).alias("l_diverse"),
+        )
+        .orderBy("l")
+    )

@@ -138,6 +138,17 @@ _FRONT = (
 # promote the leading 50 of this list into _FRONT (new-ops-first, then
 # the aged tail).
 _NEXT = (
+    # Round-8 LATE additions (shipped after the round-8 window filled;
+    # throttled to 4 so that, with the 38 r4-aged rows below, the
+    # round-9 window can absorb every never-checked op + the oldest
+    # aged tail in one rotation — the ≤ window-slack rule): the
+    # evaluation-metric kit (exact ROC-AUC, calibration/Brier bins),
+    # censoring-aware Kaplan-Meier, and the l-diversity privacy audit.
+    # All four sf0.01 gate-sim green before commit.
+    "q_eval_auc_roc",
+    "q_eval_calibration_bins",
+    "q_events_kaplan_meier",
+    "q_privacy_l_diversity",
     # r4-green rows, registration order (text head → text tail → dedup
     # → sim → multimodal → corpus → packing)
     "q_text_token_count",

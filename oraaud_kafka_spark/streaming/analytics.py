@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -679,6 +680,121 @@ def psi_monitor(df: DataFrame, reference_probs: dict) -> DataFrame:
             _fn,
             PSI_MONITOR_OUTPUT_SCHEMA,
             PSI_MONITOR_STATE_SCHEMA,
+            "update",
+            "NoTimeout",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: Space-Saving (Metwally, Agrawal, El Abbadi,
+# "Efficient computation of frequent and top-k elements in data
+# streams", ICDT 2005) over user_id per event_type, O(capacity) keyed
+# state regardless of stream length — the streaming twin of the batch
+# q_text_heavy_hitters surface. Each monitored item carries
+# (count, err): true_frequency is guaranteed within [count - err,
+# count], and `guaranteed` marks items whose lower bound clears the
+# current minimum counter (certainly-frequent under the classic
+# Space-Saving guarantee). Determinism: rows fold in (ts, event_id)
+# order inside each micro-batch and eviction ties break on the
+# SMALLEST (count, item) pair, so any micro-batch slicing of the same
+# ordered input yields the IDENTICAL monitor state — pinned by the
+# cross-batch parity test (tests/test_streaming.py), same contract as
+# the EWMA/CUSUM/Holt/PSI monitors above.
+# ---------------------------------------------------------------------------
+
+HH_MONITOR_CAPACITY = 8
+HH_MONITOR_TOPK = 5
+
+HH_MONITOR_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("rank", IntegerType()),
+        StructField("item", LongType()),
+        StructField("count_upper", LongType()),
+        StructField("err", LongType()),
+        StructField("guaranteed", IntegerType()),
+    ]
+)
+HH_MONITOR_STATE_SCHEMA = StructType(
+    [
+        StructField("items", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("errs", ArrayType(LongType())),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _hh_fn(key, pdfs, state) -> Iterator[pd.DataFrame]:
+    (etype,) = key
+    cap = HH_MONITOR_CAPACITY
+    if state.exists:
+        items, counts, errs, n = state.get
+        table = {
+            int(i): [int(c), int(e)]
+            for i, c, e in zip(items, counts, errs)
+        }
+        n = int(n)
+    else:
+        table, n = {}, 0
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows[rows["user_id"].notna()]
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    for item in rows["user_id"].astype("int64"):
+        item = int(item)
+        n += 1
+        if item in table:
+            table[item][0] += 1
+        elif len(table) < cap:
+            table[item] = [1, 0]
+        else:
+            # evict the deterministic min: smallest count, then
+            # smallest item id — the new entry inherits the evicted
+            # counter (count+1) with err = evicted count
+            victim = min(table, key=lambda it: (table[it][0], it))
+            vcount = table[victim][0]
+            del table[victim]
+            table[item] = [vcount + 1, vcount]
+    state.update(
+        (
+            list(table.keys()),
+            [c for c, _ in table.values()],
+            [e for _, e in table.values()],
+            n,
+        )
+    )
+    min_count = min((c for c, _ in table.values()), default=0)
+    top = sorted(
+        table.items(), key=lambda kv: (-kv[1][0], kv[0])
+    )[:HH_MONITOR_TOPK]
+    yield pd.DataFrame(
+        {
+            "event_type": [etype] * len(top),
+            "n_events": [n] * len(top),
+            "rank": list(range(1, len(top) + 1)),
+            "item": [it for it, _ in top],
+            "count_upper": [c for _, (c, _e) in top],
+            "err": [e for _, (_c, e) in top],
+            "guaranteed": [
+                int(c - e >= min_count) for _, (c, e) in top
+            ],
+        }
+    )
+
+
+def heavy_hitters_monitor(df: DataFrame) -> DataFrame:
+    """Per-type streaming top-k users by event volume under O(capacity)
+    state: Space-Saving counters with deterministic fold order and
+    eviction, emitting (item, count_upper, err, guaranteed) each batch."""
+    return (
+        df.select("event_type", "ts", "event_id", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _hh_fn,
+            HH_MONITOR_OUTPUT_SCHEMA,
+            HH_MONITOR_STATE_SCHEMA,
             "update",
             "NoTimeout",
         )

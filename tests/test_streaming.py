@@ -754,3 +754,98 @@ def test_psi_monitor_matches_python_fold_across_batches(spark, tmp_path):
         assert latest["other"].n_events == 1
     finally:
         q.stop()
+
+
+HH_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+    ]
+)
+
+
+def _hh_rows():
+    """18 click events over 10 users (capacity is 8, forcing eviction
+    churn): user 1 x6, user 2 x4, users 3..10 x1, interleaved."""
+    seq = [1, 3, 1, 4, 2, 5, 1, 6, 2, 7, 1, 8, 2, 9, 1, 10, 2, 1]
+    rows = []
+    for i, u in enumerate(seq):
+        rows.append(
+            {
+                "event_type": "click",
+                "ts": f"2026-01-01T00:{i:02d}:00",
+                "event_id": i + 1,
+                "user_id": u,
+            }
+        )
+    return rows
+
+
+def _hh_latest(spark, table):
+    """Rows of the LAST emitted batch per (event_type, rank)."""
+    latest = {}
+    for r in spark.table(table).collect():
+        key = (r.event_type, r.rank)
+        if key not in latest or r.n_events >= latest[key].n_events:
+            latest[key] = r
+    return latest
+
+
+def test_heavy_hitters_monitor_batch_slicing_invariant(spark, tmp_path):
+    """Space-Saving monitor state must be identical whether the ordered
+    input arrives as one micro-batch or two, and every emitted counter
+    must satisfy the classic guarantee
+    count_upper - err <= true_count <= count_upper."""
+    from collections import Counter
+
+    from oraaud_kafka_spark.streaming.analytics import (
+        heavy_hitters_monitor,
+    )
+
+    rows = _hh_rows()
+    true_counts = Counter(r["user_id"] for r in rows)
+
+    d1 = tmp_path / "hh_split"
+    d1.mkdir()
+    _write_jsonl(d1 / "b1.json", rows[:9])
+    _write_jsonl(d1 / "b2.json", rows[9:])
+    d2 = tmp_path / "hh_one"
+    d2.mkdir()
+    _write_jsonl(d2 / "all.json", rows)
+
+    finals = []
+    for d, name in ((d1, "hh_split"), (d2, "hh_one")):
+        stream = _stream_json(spark, d, HH_SCHEMA, latestFirst="false")
+        q = _run_to_memory(
+            heavy_hitters_monitor(stream), name, output_mode="update"
+        )
+        try:
+            latest = _hh_latest(spark, name)
+        finally:
+            q.stop()
+        finals.append(latest)
+
+    split, one = finals
+    assert set(split) == set(one)
+    for key in split:
+        a, b = split[key], one[key]
+        assert (a.item, a.count_upper, a.err, a.guaranteed) == (
+            b.item,
+            b.count_upper,
+            b.err,
+            b.guaranteed,
+        ), f"slicing changed monitor output at {key}"
+
+    # guarantee bounds vs exact counts; the two genuinely frequent
+    # users were never evicted: exact counts, zero error
+    for r in split.values():
+        assert r.n_events == len(rows)
+        t = true_counts[r.item]
+        assert r.count_upper - r.err <= t <= r.count_upper
+    by_item = {r.item: r for r in split.values()}
+    assert by_item[1].count_upper == 6 and by_item[1].err == 0
+    assert by_item[2].count_upper == 4 and by_item[2].err == 0
+    assert split[("click", 1)].item == 1
+    assert split[("click", 2)].item == 2
