@@ -2229,10 +2229,11 @@ def q_time_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same fixed-shape IEEE fold both engines run (established by the
 # entropy/KL family); a d_s = n_risk(s) extinction step is guarded to
 # exact 0 instead of ln(0). Censored-only hours shrink the risk set
-# but emit no step row (standard KM). Scale: one conditional-agg
-# groupBy(user), one broadcast-joined min-purchase pass (same shape as
-# q_events_time_to_convert), one groupBy(hour) + one ordered window
-# over distinct hours, 1-row total broadcast. Nothing row-ordered.
+# but emit no step row (standard KM). Scale: ONE events scan — a
+# user-partitioned window derives signup/last, and the conditional
+# min-purchase groupBy reuses the same user_id partitioning (no second
+# exchange) — then one groupBy(hour) + one ordered window over
+# distinct hours, 1-row total broadcast. Nothing row-ordered.
 # ---------------------------------------------------------------------------
 
 _KM_ORACLE = """
@@ -2294,24 +2295,33 @@ def q_events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-censored KM conversion-survival curve over whole-hour
     durations; censored users exit the risk set silently."""
     e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    su = (
-        e.groupBy("user_id")
-        .agg(
-            F.min(
-                F.when(F.col("event_type") == "signup", F.col("ts"))
-            ).alias("signup_ts"),
-            F.max("ts").alias("last_ts"),
+    # ONE events scan: per-user signup/last come from a window over the
+    # user partitioning, and the conditional min-purchase groupBy reuses
+    # the same user_id partitioning (no second exchange, no re-derived
+    # lineage — the q_events_pagerank materialize-before-reuse lesson
+    # applied at plan-shape level, pinned in tests/test_plans.py)
+    wu = Window.partitionBy("user_id")
+    e2 = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
         )
-        .filter(F.col("signup_ts").isNotNull())
+        .over(wu)
+        .alias("signup_ts"),
+        F.max("ts").over(wu).alias("last_ts"),
+    ).filter(F.col("signup_ts").isNotNull())
+    d = e2.groupBy("user_id", "signup_ts", "last_ts").agg(
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("signup_ts")),
+                F.col("ts"),
+            )
+        ).alias("purchase_ts")
     )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(su.select("user_id", "signup_ts"), "user_id")
-        .filter(F.col("ts") > F.col("signup_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("purchase_ts"))
-    )
-    d = su.join(p, "user_id", "left").select(
+    d = d.select(
         F.floor(
             (
                 F.unix_timestamp(

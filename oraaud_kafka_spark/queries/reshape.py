@@ -455,15 +455,25 @@ ORDER BY l
 def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How many distinct sensitive-value bands back each QI class —
     the attribute-disclosure complement of the k-anonymity audit."""
+    from pyspark.sql import Window
+
     c = load(spark, sf_dir, "customer")
     band = F.floor(F.col("c_acctbal") / F.lit(1000)).cast("bigint")
     classes = c.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count("*").alias("k"),
         F.countDistinct(band).alias("l"),
     )
-    tot = F.broadcast(classes.agg(F.sum("k").cast("bigint").alias("n_total")))
+    # total via a global window over the CLASS-cardinality table (125
+    # rows at any corpus size) — one customer scan total, vs the
+    # broadcast-total pattern whose tot lineage would re-run the QI
+    # aggregate (the recompute class test_plans pins against)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
-        classes.crossJoin(tot)
+        classes.withColumn(
+            "n_total", F.sum("k").over(wall).cast("bigint")
+        )
         .groupBy("l", "n_total")
         .agg(
             F.count("*").alias("n_classes"),

