@@ -1361,11 +1361,12 @@ def q_time_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Time-to-convert distribution: the funnel's companion metric — how
 # long from a user's FIRST signup to their FIRST subsequent purchase.
-# Two tiny per-user aggregates (min over filtered events — partial-
-# agg'd, user-cardinality output), one equi-join, integer epoch deltas,
-# then exact interpolated quantiles over those integers (quantile_cont
-# <-> percentile agree bitwise on integer inputs — same contract as
-# q_agg_percentile). Per-cohort rows keep the report group-bounded.
+# ONE events scan: first-signup comes from a user-partitioned window
+# and the first-subsequent-purchase groupBy reuses that partitioning
+# (no equi-join, no re-derived lineage — the q_events_kaplan_meier
+# plan shape); integer epoch deltas, then exact interpolated quantiles
+# over those integers (quantile_cont <-> percentile agree bitwise on
+# integer inputs — same contract as q_agg_percentile).
 _T2C_ORACLE = """
 WITH s AS (
   SELECT user_id, min(ts) AS signup_ts FROM events
@@ -1397,22 +1398,27 @@ FROM d
 @query("q_events_time_to_convert", oracle=_T2C_ORACLE)
 def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    s = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("signup_ts"))
+    wu = Window.partitionBy("user_id")
+    e2 = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+        .over(wu)
+        .alias("signup_ts"),
+    ).filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") > F.col("signup_ts"))
     )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(s, "user_id")
-        .filter(F.col("ts") > F.col("signup_ts"))
-        .groupBy("user_id")
+    d = (
+        e2.groupBy("user_id", "signup_ts")
         .agg(F.min("ts").alias("purchase_ts"))
-    )
-    d = p.join(s, "user_id").select(
-        (
-            F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")
-        ).alias("delta_s")
+        .select(
+            (
+                F.unix_timestamp("purchase_ts")
+                - F.unix_timestamp("signup_ts")
+            ).alias("delta_s")
+        )
     )
     return d.agg(
         F.count("*").cast("long").alias("n_converted"),

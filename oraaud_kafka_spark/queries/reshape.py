@@ -365,8 +365,12 @@ def q_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # share (rows in classes below the k=5 threshold). Two partial-agg'd
 # shuffles, both over the bounded QI domain — at 100 TB the second
 # aggregate sees |nations| x |segments| rows, and the row-share ratio
-# is one IEEE division of exact int64 counts against a 1-row broadcast
-# total.
+# is one IEEE division of exact int64 counts. The corpus total comes
+# from a global window over the CLASS-cardinality table, not a
+# broadcast 1-row aggregate: the broadcast's lineage would RE-RUN the
+# full QI scan+aggregate (a second 100 TB pass for one number) — the
+# recompute class test_plans pins against here and in
+# q_privacy_l_diversity / q_events_kaplan_meier.
 # ---------------------------------------------------------------------------
 
 _K_ANON_THRESHOLD = 5
@@ -390,13 +394,19 @@ ORDER BY k
 
 @query("q_privacy_k_anonymity", oracle=_K_ANON_ORACLE)
 def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     c = load(spark, sf_dir, "customer")
     classes = c.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count("*").alias("k")
     )
-    tot = F.broadcast(classes.agg(F.sum("k").cast("bigint").alias("n_total")))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
-        classes.crossJoin(tot)
+        classes.withColumn(
+            "n_total", F.sum("k").over(wall).cast("bigint")
+        )
         .groupBy("k", "n_total")
         .agg(F.count("*").alias("n_classes"))
         .select(

@@ -784,3 +784,23 @@ def test_l_diversity_single_scan_no_join(spark):
     plan = _plan(df, execute=True)
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_time_to_convert_single_event_scan(spark):
+    """First-signup via a user-partitioned window + a groupBy reusing
+    that partitioning: one events scan, no join (the Kaplan-Meier
+    shape back-ported to the original conversion-latency query)."""
+    df = registry.QUERIES["q_events_time_to_convert"](spark, SF_DIR)
+    plan = _plan(df, execute=True)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_k_anonymity_single_scan_no_join(spark):
+    """The release-audit total comes from a global window over the
+    bounded QI-class table — one customer scan, no broadcast whose
+    lineage would re-run the QI aggregate."""
+    df = registry.QUERIES["q_privacy_k_anonymity"](spark, SF_DIR)
+    plan = _plan(df, execute=True)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
