@@ -148,6 +148,9 @@ EXTRAS = [
     "q_eval_calibration_bins",   # reliability bins + exact Brier terms
     "q_events_kaplan_meier",     # right-censored KM survival curve
     "q_privacy_l_diversity",     # QI sensitive-value diversity audit
+    "q_eval_confusion_threshold",  # one-scan threshold decision metrics
+    "q_eval_ndcg_retrieval",     # NDCG@10 retrieval ranking quality
+    "q_privacy_t_closeness",     # per-class TVD vs corpus distribution
 ]
 
 

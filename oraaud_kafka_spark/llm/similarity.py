@@ -850,3 +850,134 @@ def q_sim_mips_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@10 retrieval-ranking eval (Järvelin & Kekäläinen 2002) — the
+# ranking-quality complement of q_sim_knn_eval's classification vote:
+# per held-out query, score the brute-force cosine top-10 with binary
+# label relevance and report DCG/IDCG. This is the metric that says
+# whether an embedding space RANKS same-label neighbors early, not just
+# whether a majority vote lands — and the number to re-run against the
+# IVF/LSH paths to certify their ranking (not merely recall) survives
+# blocking. Determinism: each gain term 1/log2(rank+1) is rounded to
+# 12 dp and summed as DECIMAL(20,12) (order-free, swamps cross-libm
+# log2 ULPs); ndcg is ONE final division rounded to 6. Scale: the
+# scoring pass is the established broadcast-queries x corpus linear
+# scan; everything after the per-query top-10 is |Q| x 10 rows.
+# ---------------------------------------------------------------------------
+
+NDCG_K = 10
+
+_NDCG_ORACLE = f"""
+WITH {_sql_directional_cte()},
+q AS (SELECT vec_id AS qid, embedding AS qv, label AS true_label
+      FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.qid, q.true_label,
+         CAST(e.label = q.true_label AS INTEGER) AS rel,
+         {_sql_dot('q.qv', 'e.embedding')} / ({_sql_norm('q.qv')} * {_sql_norm('e.embedding')}) AS cosine,
+         e.vec_id AS nid
+  FROM q JOIN embeddings e ON e.vec_id >= {N_QUERIES}
+),
+topk AS (
+  SELECT qid, true_label, rel, rnk
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+        FROM scored)
+  WHERE rnk <= {NDCG_K}
+),
+terms AS (
+  SELECT qid, true_label, rel,
+         CAST(round(rel / log2(rnk + 1), 12) AS DECIMAL(20,12)) AS gain,
+         CASE WHEN rel = 1 THEN
+           CAST(round(1.0 / log2(row_number() OVER
+                  (PARTITION BY qid ORDER BY rel DESC, rnk) + 1), 12)
+                AS DECIMAL(20,12))
+         ELSE CAST(0 AS DECIMAL(20,12)) END AS ideal_gain
+  FROM topk
+)
+SELECT qid, true_label,
+       CAST(sum(rel) AS BIGINT) AS n_rel,
+       CASE WHEN sum(rel) = 0 THEN NULL
+            ELSE round(CAST(sum(gain) AS DOUBLE)
+                       / CAST(sum(ideal_gain) AS DOUBLE), 6) END AS ndcg
+FROM terms
+GROUP BY qid, true_label
+ORDER BY qid
+"""
+
+
+@query("q_eval_ndcg_retrieval", oracle=_NDCG_ORACLE)
+def q_eval_ndcg_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query NDCG@10 of brute-force cosine retrieval under binary
+    label relevance — does the space rank same-label neighbors early?"""
+    e = _directional(load(spark, sf_dir, "embeddings"))
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("true_label"),
+        )
+        .withColumn("qnorm", _norm(F.col("qv")))
+    )
+    corpus = spread(
+        e.filter(F.col("vec_id") >= N_QUERIES).select(
+            F.col("vec_id").alias("nid"), "label", F.col("embedding").alias("nv")
+        )
+    ).withColumn("nnorm", _norm(F.col("nv")))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .select(
+            "qid",
+            "true_label",
+            (F.col("label") == F.col("true_label")).cast("int").alias("rel"),
+            "nid",
+            (_dot(F.col("qv"), F.col("nv")) / (F.col("qnorm") * F.col("nnorm")))
+            .alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    topk = scored.withColumn("rnk", F.row_number().over(wk)).filter(
+        F.col("rnk") <= NDCG_K
+    )
+    wi = Window.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("rnk"))
+    dec = "decimal(20,12)"
+    terms = topk.select(
+        "qid",
+        "true_label",
+        "rel",
+        F.round(F.col("rel") / F.log2(F.col("rnk") + 1), 12)
+        .cast(dec)
+        .alias("gain"),
+        F.when(
+            F.col("rel") == 1,
+            F.round(
+                F.lit(1.0) / F.log2(F.row_number().over(wi) + F.lit(1)), 12
+            ).cast(dec),
+        )
+        .otherwise(F.lit(0).cast(dec))
+        .alias("ideal_gain"),
+    )
+    return (
+        terms.groupBy("qid", "true_label")
+        .agg(
+            F.sum("rel").cast("long").alias("n_rel"),
+            F.sum("gain").alias("g"),
+            F.sum("ideal_gain").alias("ig"),
+        )
+        .select(
+            "qid",
+            "true_label",
+            "n_rel",
+            F.when(F.col("n_rel") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    F.col("g").cast("double") / F.col("ig").cast("double"), 6
+                )
+            )
+            .alias("ndcg"),
+        )
+        .orderBy("qid")
+    )

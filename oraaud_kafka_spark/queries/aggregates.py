@@ -2055,3 +2055,79 @@ def q_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pb")
     )
+
+
+# ---------------------------------------------------------------------------
+# Confusion matrix + summary metrics at a fixed decision threshold —
+# the third leg of the eval kit: AUC ranks (threshold-free),
+# calibration checks the probabilities, this op scores the actual
+# DECISION a gate makes at p >= 0.5. Counts tp/fp/fn/tn are exact
+# int64 from ONE conditional-sum scan (the q_quality_constraints
+# compile-to-one-pass discipline); precision/recall/accuracy are one
+# IEEE division each on identical operands, F1 uses the single-division
+# form 2tp/(2tp+fp+fn) (no compounded rounding), and empty denominators
+# yield NULL on both engines via the same guard. Map-only + 1-row
+# reduce: scan speed at any corpus size.
+# ---------------------------------------------------------------------------
+
+_CONF_ORACLE = """
+WITH base AS (
+  SELECT CAST(round(l_discount * 100) >= 5 AS INTEGER) AS pred,
+         CAST(l_returnflag = 'R' AS INTEGER) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT CAST(sum(pred * y) AS BIGINT) AS tp,
+         CAST(sum(pred * (1 - y)) AS BIGINT) AS fp,
+         CAST(sum((1 - pred) * y) AS BIGINT) AS fn,
+         CAST(sum((1 - pred) * (1 - y)) AS BIGINT) AS tn
+  FROM base
+)
+SELECT tp, fp, fn, tn,
+       CASE WHEN tp + fp = 0 THEN NULL
+            ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision_,
+       CASE WHEN tp + fn = 0 THEN NULL
+            ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall_,
+       CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+            ELSE round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6)
+       END AS f1,
+       round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy
+FROM m
+"""
+
+
+@query("q_eval_confusion_threshold", oracle=_CONF_ORACLE)
+def q_eval_confusion_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact confusion counts and precision/recall/F1/accuracy for the
+    p >= 0.5 decision rule on the discount-derived probability."""
+    li = load(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.round(F.col("l_discount") * 100) >= 5).cast("int").alias("pred"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    p, y = F.col("pred"), F.col("y")
+    m = base.agg(
+        F.sum(p * y).cast("bigint").alias("tp"),
+        F.sum(p * (F.lit(1) - y)).cast("bigint").alias("fp"),
+        F.sum((F.lit(1) - p) * y).cast("bigint").alias("fn"),
+        F.sum((F.lit(1) - p) * (F.lit(1) - y)).cast("bigint").alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+
+    def _ratio(num, den):
+        return F.when(den == 0, F.lit(None).cast("double")).otherwise(
+            F.round(num.cast("double") / den, 6)
+        )
+
+    return m.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        _ratio(tp, tp + fp).alias("precision_"),
+        _ratio(tp, tp + fn).alias("recall_"),
+        _ratio(F.lit(2) * tp, F.lit(2) * tp + fp + fn).alias("f1"),
+        F.round((tp + tn).cast("double") / (tp + fp + fn + tn), 6).alias(
+            "accuracy"
+        ),
+    )

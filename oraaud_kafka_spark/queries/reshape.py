@@ -500,3 +500,103 @@ def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l")
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (Li, Li, Venkatasubramanian, ICDE 2007) — the third
+# privacy lens: a class can be k-anonymous AND l-diverse while its
+# sensitive-value DISTRIBUTION still deviates enough from the corpus
+# to leak (skewness attack). Distance here is total variation
+# (the conservative upper bound on the EMD t-closeness uses for
+# unordered attributes): per QI class,
+#   tvd = [ sum_{b in class} |c_b*N - g_b*n| + (N - sum_{b} g_b)*n ]
+#         / (2*n*N)
+# where the second term folds every band ABSENT from the class in
+# closed form — so the per-class state is only the bands it actually
+# holds, and everything is exact integer cross-multiplication until
+# ONE final division. Scale: one scan to the (class x band) counts
+# (125 x 11 bounded rows), then three windows + the regroup ALL on that
+# bounded table — no broadcast, no recompute, no join (same plan
+# discipline as the k-anonymity/l-diversity pair, pinned).
+# ---------------------------------------------------------------------------
+
+_T_CLOSE_T = 0.375  # flag classes whose TVD exceeds this
+
+_T_CLOSE_ORACLE = f"""
+WITH cb AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+         count(*) AS c
+  FROM customer GROUP BY c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000) AS BIGINT)
+),
+win AS (
+  SELECT c_nationkey, c_mktsegment, band, c,
+         sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n,
+         sum(c) OVER (PARTITION BY band) AS g,
+         sum(c) OVER () AS nn
+  FROM cb
+),
+cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(max(nn) AS BIGINT) AS nn,
+         CAST(sum(abs(CAST(c AS HUGEINT) * nn - CAST(g AS HUGEINT) * n))
+              AS HUGEINT) AS present,
+         CAST(max(nn) - sum(g) AS HUGEINT) AS absent_g
+  FROM win GROUP BY c_nationkey, c_mktsegment
+)
+SELECT c_nationkey, c_mktsegment, n,
+       round(CAST(present + absent_g * n AS DOUBLE) / (2.0 * n * nn), 6)
+         AS tvd,
+       CAST(present + absent_g * n AS DOUBLE) / (2.0 * n * nn)
+         <= {_T_CLOSE_T} AS t_close
+FROM cls
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+@query("q_privacy_t_closeness", oracle=_T_CLOSE_ORACLE)
+def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-QI-class total-variation distance between the class's
+    sensitive-band distribution and the corpus distribution, with
+    absent-band mass folded in closed form."""
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(1000)).cast("bigint")
+    cb = c.groupBy(
+        "c_nationkey", "c_mktsegment", band.alias("band")
+    ).agg(F.count("*").alias("c"))
+    wcls = Window.partitionBy("c_nationkey", "c_mktsegment")
+    wband = Window.partitionBy("band")
+    wall = Window.partitionBy()
+    dec = "decimal(38,0)"
+    win = cb.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "band",
+        "c",
+        F.sum("c").over(wcls).alias("n"),
+        F.sum("c").over(wband).alias("g"),
+        F.sum("c").over(wall).alias("nn"),
+    )
+    cls = win.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("nn").cast("bigint").alias("nn"),
+        F.sum(
+            F.abs(
+                F.col("c").cast(dec) * F.col("nn")
+                - F.col("g").cast(dec) * F.col("n")
+            )
+        ).alias("present"),
+        (F.max("nn").cast(dec) - F.sum("g").cast(dec)).alias("absent_g"),
+    )
+    num = (F.col("present") + F.col("absent_g") * F.col("n")).cast("double")
+    den = F.lit(2.0) * F.col("n") * F.col("nn")
+    return cls.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n",
+        F.round(num / den, 6).alias("tvd"),
+        (num / den <= _T_CLOSE_T).alias("t_close"),
+    ).orderBy("c_nationkey", "c_mktsegment")

@@ -139,16 +139,20 @@ _FRONT = (
 # the aged tail).
 _NEXT = (
     # Round-8 LATE additions (shipped after the round-8 window filled;
-    # throttled to 4 so that, with the 38 r4-aged rows below, the
-    # round-9 window can absorb every never-checked op + the oldest
-    # aged tail in one rotation — the ≤ window-slack rule): the
-    # evaluation-metric kit (exact ROC-AUC, calibration/Brier bins),
-    # censoring-aware Kaplan-Meier, and the l-diversity privacy audit.
-    # All four sf0.01 gate-sim green before commit.
+    # throttled to 7 so that, with the 38 r4-aged rows below, the
+    # round-9 window absorbs every never-checked op + the aged tail in
+    # ~one rotation — the ≤ window-slack rule): the evaluation-metric
+    # kit (exact ROC-AUC, calibration/Brier bins, threshold confusion
+    # matrix, NDCG@10 retrieval ranking), censoring-aware Kaplan-Meier,
+    # and the l-diversity + t-closeness privacy audits. All seven
+    # sf0.01 gate-sim green before commit.
     "q_eval_auc_roc",
     "q_eval_calibration_bins",
     "q_events_kaplan_meier",
     "q_privacy_l_diversity",
+    "q_eval_confusion_threshold",
+    "q_eval_ndcg_retrieval",
+    "q_privacy_t_closeness",
     # r4-green rows, registration order (text head → text tail → dedup
     # → sim → multimodal → corpus → packing)
     "q_text_token_count",

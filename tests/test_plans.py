@@ -804,3 +804,32 @@ def test_k_anonymity_single_scan_no_join(spark):
     plan = _plan(df, execute=True)
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_confusion_matrix_map_only_single_scan(spark):
+    """The threshold decision compiles to one conditional-sum scan:
+    single parquet read, no join, partial aggregation present."""
+    df = registry.QUERIES["q_eval_confusion_threshold"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_ndcg_broadcasts_queries_not_corpus(spark):
+    """The scoring pass must be the broadcast-queries x corpus linear
+    scan (same as the brute top-k baseline): the corpus side never
+    shuffles for scoring."""
+    df = registry.QUERIES["q_eval_ndcg_retrieval"](spark, SF_DIR)
+    plan = _plan(df, execute=True)
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_t_closeness_single_scan_no_join(spark):
+    """Class, band, and corpus totals all come from windows over the
+    bounded (class x band) table: one customer scan, no join, no
+    broadcast-total lineage recompute."""
+    df = registry.QUERIES["q_privacy_t_closeness"](spark, SF_DIR)
+    plan = _plan(df, execute=True)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan

@@ -312,3 +312,104 @@ def test_l_diversity_consistent_with_k_anonymity_classes(spark):
     assert sum(r.n_rows for r in ld) == sum(r.n_rows for r in ka)
     assert all(r.l >= 1 for r in ld)
     assert abs(sum(r.row_share for r in ld) - 1.0) < 1e-5
+
+
+def test_confusion_matrix_identities(spark):
+    """Counts must partition the table; precision/recall/F1 must obey
+    their defining identities (F1 = harmonic mean when both defined)."""
+    from oraaud_kafka_spark.tables import load
+
+    r = registry.QUERIES["q_eval_confusion_threshold"](
+        spark, SF_DIR
+    ).collect()[0]
+    li = load(spark, SF_DIR, "lineitem")
+    assert r.tp + r.fp + r.fn + r.tn == li.count()
+    assert min(r.tp, r.fp, r.fn, r.tn) >= 0
+    if r.precision_ is not None and r.recall_ is not None and (
+        r.precision_ + r.recall_
+    ) > 0:
+        h = 2 * r.precision_ * r.recall_ / (r.precision_ + r.recall_)
+        assert abs(r.f1 - h) < 1e-5
+    assert abs(
+        r.accuracy - (r.tp + r.tn) / (r.tp + r.fp + r.fn + r.tn)
+    ) < 1e-6
+
+
+def test_ndcg_bounds_and_perfect_ranking(spark, tmp_path):
+    """NDCG must sit in (0, 1]; and on a constructed space where every
+    query's same-label vectors are exactly its nearest neighbors the
+    score must be exactly 1."""
+    import os as _os
+
+    rows = registry.QUERIES["q_eval_ndcg_retrieval"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r.ndcg is not None:
+            assert 0.0 < r.ndcg <= 1.0
+            assert r.n_rel >= 1
+    # constructed: 2 queries (ids 0,1) + 20 corpus vectors in 2 exact
+    # clusters along axes; same-label corpus vectors have cosine 1
+    sf_dir = str(tmp_path)
+    vecs = []
+    for vid in range(2):
+        v = [0.0, 0.0]
+        v[vid] = 1.0
+        vecs.append((vid, v, vid))
+    for i in range(20):
+        lab = i % 2
+        v = [0.0, 0.0]
+        v[lab] = 2.0 + i  # same direction as query `lab`
+        vecs.append((10 + i, v, lab))
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    spark.createDataFrame(vecs, schema).write.parquet(
+        _os.path.join(sf_dir, "embeddings.parquet")
+    )
+    fn = registry.QUERIES["q_eval_ndcg_retrieval"].__wrapped__
+    out = fn(spark, sf_dir).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.ndcg == 1.0
+
+
+def test_t_closeness_bounds_and_uniform_zero(spark, tmp_path):
+    """TVD must lie in [0, 1] and classes must cover every customer;
+    on a constructed table where every class has the identical band
+    distribution, every TVD must be exactly 0."""
+    import os as _os
+
+    from oraaud_kafka_spark.tables import load
+
+    rows = registry.QUERIES["q_privacy_t_closeness"](spark, SF_DIR).collect()
+    assert rows
+    assert sum(r.n for r in rows) == load(spark, SF_DIR, "customer").count()
+    for r in rows:
+        assert 0.0 <= r.tvd <= 1.0
+    # constructed: 4 classes x identical band mix {0: 2 rows, 1: 1 row}
+    sf_dir = str(tmp_path)
+    data = []
+    cid = 0
+    for nk in (1, 2):
+        for seg in ("A", "B"):
+            for bal, reps in ((500.0, 2), (1500.0, 1)):
+                for _ in range(reps):
+                    cid += 1
+                    data.append((cid, f"c{cid}", nk, bal, seg))
+    spark.createDataFrame(
+        data,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).write.parquet(_os.path.join(sf_dir, "customer.parquet"))
+    fn = registry.QUERIES["q_privacy_t_closeness"].__wrapped__
+    out = fn(spark, sf_dir).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.tvd == 0.0
+        assert bool(r.t_close) is True
