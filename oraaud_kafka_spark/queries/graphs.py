@@ -95,36 +95,44 @@ def q_graph_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same materialization discipline as q_events_pagerank: the
     |types|²-bounded aggregated edge table is collected once (single
-    events pass at build time) and outs/ins/verts derive from the
-    literal local relation — without this, each of the three branches
-    re-derives the full event-window lineage and the final plan carries
-    17 scan nodes instead of zero. Only exact integers cross the
-    driver; the ratio division stays a Spark expression."""
+    events pass at build time) and the degree fold happens driver-side
+    in exact integer arithmetic — without this, each of the three
+    branches re-derives the full event-window lineage (17 scan nodes),
+    and even over a literal frame the three-branch join plan pays
+    ~1.4 s codegen per fresh QueryExecution. Only exact integers cross
+    the driver; the ratio division stays a Spark expression."""
     collected = _edges(spark, sf_dir).collect()
-    e = spark.createDataFrame(
-        [(r.src, r.dst, r.w) for r in collected],
-        "src string, dst string, w bigint",
-    )
-    outs = e.groupBy(F.col("src").alias("t")).agg(
-        F.sum("w").cast("bigint").alias("out_w"),
-        F.count("*").alias("out_deg"),
-    )
-    ins = e.groupBy(F.col("dst").alias("t")).agg(
-        F.sum("w").cast("bigint").alias("in_w"),
-        F.count("*").alias("in_deg"),
-    )
-    verts = outs.select("t").union(ins.select("t")).distinct()
-    zero = F.lit(0).cast("bigint")
-    j = (
-        verts.join(F.broadcast(outs), "t", "left")
-        .join(F.broadcast(ins), "t", "left")
-        .select(
-            F.col("t").alias("event_type"),
-            F.coalesce("out_deg", zero).alias("out_deg"),
-            F.coalesce("out_w", zero).alias("out_w"),
-            F.coalesce("in_deg", zero).alias("in_deg"),
-            F.coalesce("in_w", zero).alias("in_w"),
+    # The |types|²-bounded edge list is already on the driver, so the
+    # degree fold happens HERE in exact integer arithmetic — building
+    # outs/ins/verts as three Spark branches over the literal frame
+    # costs ~1.4 s of whole-stage-codegen compilation on EVERY fresh
+    # QueryExecution (each .write replans; measured via bench), for a
+    # ≤|types|-row report. The emitted plan is one LocalRelation +
+    # projection + sort; only the ratio division stays a Spark
+    # expression (IEEE parity with the oracle).
+    outs: dict[str, list[int]] = {}
+    ins: dict[str, list[int]] = {}
+    for r in collected:
+        o = outs.setdefault(r.src, [0, 0])
+        o[0] += int(r.w)
+        o[1] += 1
+        i = ins.setdefault(r.dst, [0, 0])
+        i[0] += int(r.w)
+        i[1] += 1
+    rows = [
+        (
+            t,
+            outs.get(t, [0, 0])[1],
+            outs.get(t, [0, 0])[0],
+            ins.get(t, [0, 0])[1],
+            ins.get(t, [0, 0])[0],
         )
+        for t in sorted(set(outs) | set(ins))
+    ]
+    j = spark.createDataFrame(
+        rows,
+        "event_type string, out_deg bigint, out_w bigint, "
+        "in_deg bigint, in_w bigint",
     )
     return j.select(
         "event_type",

@@ -799,3 +799,90 @@ def heavy_hitters_monitor(df: DataFrame) -> DataFrame:
             "NoTimeout",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming deterministic reservoir: the EXACT k-per-key uniform sample
+# held live over an unbounded stream, O(k) keyed state. Same selection
+# rule as the batch q_sample_reservoir: rank every row by
+# md5(event_id || salt) and keep the k smallest (rank, id) pairs — the
+# rank is a pure function of the ROW, not of arrival order, so the
+# monitor state after any prefix of the stream equals the batch query
+# over that prefix's rows, and micro-batch slicing provably cannot
+# change it (strictly stronger than the fold-order determinism the
+# EWMA/CUSUM/Holt monitors need). Emits the current sample each batch.
+# ---------------------------------------------------------------------------
+
+RESERVOIR_MONITOR_K = 5
+RESERVOIR_MONITOR_SALT = "rsv1"
+
+RESERVOIR_MONITOR_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("rank", IntegerType()),
+        StructField("event_id", LongType()),
+        StructField("rank_key", StringType()),
+    ]
+)
+RESERVOIR_MONITOR_STATE_SCHEMA = StructType(
+    [
+        StructField("keys", ArrayType(StringType())),
+        StructField("ids", ArrayType(LongType())),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def reservoir_rank_key(event_id: int) -> str:
+    import hashlib
+
+    return hashlib.md5(
+        f"{event_id}|{RESERVOIR_MONITOR_SALT}".encode()
+    ).hexdigest()
+
+
+def _reservoir_fn(key, pdfs, state) -> Iterator[pd.DataFrame]:
+    (etype,) = key
+    k = RESERVOIR_MONITOR_K
+    if state.exists:
+        keys, ids, n = state.get
+        sample = list(zip(list(keys), [int(i) for i in ids]))
+        n = int(n)
+    else:
+        sample, n = [], 0
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows[rows["event_id"].notna()]
+    for eid in rows["event_id"].astype("int64"):
+        eid = int(eid)
+        n += 1
+        sample.append((reservoir_rank_key(eid), eid))
+    # selection is a pure order-free top-k by (rank_key, id)
+    sample = sorted(set(sample))[:k]
+    state.update(([rk for rk, _ in sample], [i for _, i in sample], n))
+    yield pd.DataFrame(
+        {
+            "event_type": [etype] * len(sample),
+            "n_events": [n] * len(sample),
+            "rank": list(range(1, len(sample) + 1)),
+            "event_id": [i for _, i in sample],
+            "rank_key": [rk for rk, _ in sample],
+        }
+    )
+
+
+def reservoir_monitor(df: DataFrame) -> DataFrame:
+    """Live exact-k uniform sample per event type under O(k) keyed
+    state; md5-rank selection makes the sample a pure function of the
+    rows seen, independent of micro-batch slicing and arrival order."""
+    return (
+        df.select("event_type", "event_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _reservoir_fn,
+            RESERVOIR_MONITOR_OUTPUT_SCHEMA,
+            RESERVOIR_MONITOR_STATE_SCHEMA,
+            "update",
+            "NoTimeout",
+        )
+    )

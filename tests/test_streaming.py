@@ -849,3 +849,67 @@ def test_heavy_hitters_monitor_batch_slicing_invariant(spark, tmp_path):
     assert by_item[2].count_upper == 4 and by_item[2].err == 0
     assert split[("click", 1)].item == 1
     assert split[("click", 2)].item == 2
+
+
+def test_reservoir_monitor_equals_batch_selection_any_slicing(spark, tmp_path):
+    """The live reservoir must equal the BATCH md5-rank top-k over the
+    rows seen so far — for any micro-batch slicing — because selection
+    is a pure function of the rows (rank = md5(event_id|salt)), not of
+    arrival order. Also checks n_events bookkeeping."""
+    import hashlib
+
+    from oraaud_kafka_spark.streaming.analytics import (
+        RESERVOIR_MONITOR_K,
+        RESERVOIR_MONITOR_SALT,
+        reservoir_monitor,
+    )
+
+    rows = [
+        {
+            "event_type": "click",
+            "ts": f"2026-01-01T00:{i:02d}:00",
+            "event_id": 100 + i,
+            "user_id": i,
+        }
+        for i in range(12)
+    ]
+
+    def batch_topk(ids):
+        ranked = sorted(
+            (hashlib.md5(f"{i}|{RESERVOIR_MONITOR_SALT}".encode()).hexdigest(), i)
+            for i in ids
+        )
+        return ranked[:RESERVOIR_MONITOR_K]
+
+    finals = []
+    for slices, name in ((1, "rsv_one"), (3, "rsv_three")):
+        d = tmp_path / name
+        d.mkdir()
+        step = len(rows) // slices
+        for s in range(slices):
+            chunk = rows[s * step : (s + 1) * step if s < slices - 1 else len(rows)]
+            _write_jsonl(d / f"b{s}.json", chunk)
+        stream = _stream_json(spark, d, HH_SCHEMA, latestFirst="false")
+        q = _run_to_memory(reservoir_monitor(stream), name, output_mode="update")
+        try:
+            latest = {}
+            for r in spark.table(name).collect():
+                key = (r.event_type, r.rank)
+                if key not in latest or r.n_events >= latest[key].n_events:
+                    latest[key] = r
+        finally:
+            q.stop()
+        finals.append(latest)
+
+    expected = batch_topk([r["event_id"] for r in rows])
+    for latest in finals:
+        assert len(latest) == RESERVOIR_MONITOR_K
+        for rank, (rk, eid) in enumerate(expected, start=1):
+            got = latest[("click", rank)]
+            assert (got.event_id, got.rank_key) == (eid, rk)
+            assert got.n_events == len(rows)
+    # both slicings byte-identical
+    a, b = finals
+    assert {(k, v.event_id) for k, v in a.items()} == {
+        (k, v.event_id) for k, v in b.items()
+    }
