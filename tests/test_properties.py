@@ -822,3 +822,113 @@ def test_containment_eval_matches_python_reference(spark):
             assert r.recall is None
         else:
             assert r.recall == recall  # int/int division, bitwise
+
+
+_eval_counter = [0]
+
+
+def _write_tbl(spark, tmp_path_factory, name, df):
+    _eval_counter[0] += 1
+    base = tmp_path_factory.mktemp(f"prop{_eval_counter[0]}")
+    df.coalesce(1).write.parquet(str(base / f"{name}.parquet"))
+    return str(base)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 30), st.booleans()),  # (cents, is_pos)
+        min_size=4,
+        max_size=25,
+    ).filter(lambda v: any(p for _, p in v) and any(not p for _, p in v))
+)
+@_slow
+def test_auc_matches_pair_counting_property(spark, tmp_path_factory, rows):
+    """Rank-sum AUC == P(pos > neg) + 0.5 P(tie) counted over all
+    pos x neg pairs, on adversarially tied random score sets."""
+    from oraaud_kafka_spark import registry
+    from oraaud_kafka_spark.queries.aggregates import _AUC_POS
+
+    registry.load_all()
+    data = [
+        (
+            i,
+            i,
+            "O",
+            cents / 100.0,
+            datetime(2024, 1, 1),
+            _AUC_POS[0] if pos else "5-LOW",
+        )
+        for i, (cents, pos) in enumerate(rows)
+    ]
+    orders = spark.createDataFrame(
+        data,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = _write_tbl(spark, tmp_path_factory, "orders", orders)
+    r = registry.QUERIES["q_eval_auc_roc"].__wrapped__(spark, d).collect()[0]
+    pos = [c for c, p in rows if p]
+    neg = [c for c, p in rows if not p]
+    wins = sum(
+        1.0 if a > b else 0.5 if a == b else 0.0 for a in pos for b in neg
+    )
+    auc = wins / (len(pos) * len(neg))
+    assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+    assert abs(r.auc - round(auc, 6)) < 1e-9
+    assert abs(r.gini_rank - round(2 * auc - 1, 6)) < 1e-9
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),        # nationkey
+            st.sampled_from("AB"),    # segment
+            st.integers(-2, 8),       # band (acctbal = band*1000 + 500)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_slow
+def test_t_closeness_matches_python_reference(spark, tmp_path_factory, rows):
+    """Per-class TVD vs the corpus band distribution == the direct
+    0.5 * sum(|p_class - p_corpus|) over ALL bands, computed with exact
+    fractions in Python."""
+    from fractions import Fraction
+
+    from oraaud_kafka_spark import registry
+
+    registry.load_all()
+    data = [
+        (i, f"c{i}", nk, band * 1000.0 + 500.0, seg)
+        for i, (nk, seg, band) in enumerate(rows)
+    ]
+    cust = spark.createDataFrame(
+        data,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    d = _write_tbl(spark, tmp_path_factory, "customer", cust)
+    out = registry.QUERIES["q_privacy_t_closeness"].__wrapped__(
+        spark, d
+    ).collect()
+    n_total = len(rows)
+    from collections import Counter
+
+    global_bands = Counter(b for _, _, b in rows)
+    by_class: dict = {}
+    for nk, seg, b in rows:
+        by_class.setdefault((nk, seg), []).append(b)
+    assert len(out) == len(by_class)
+    for r in out:
+        members = by_class[(r.c_nationkey, r.c_mktsegment)]
+        assert r.n == len(members)
+        cls_bands = Counter(members)
+        tvd = Fraction(1, 2) * sum(
+            abs(
+                Fraction(cls_bands.get(b, 0), len(members))
+                - Fraction(g, n_total)
+            )
+            for b, g in global_bands.items()
+        )
+        assert abs(r.tvd - round(float(tvd), 6)) < 2e-6
