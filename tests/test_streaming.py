@@ -913,3 +913,71 @@ def test_reservoir_monitor_equals_batch_selection_any_slicing(spark, tmp_path):
     assert {(k, v.event_id) for k, v in a.items()} == {
         (k, v.event_id) for k, v in b.items()
     }
+
+
+def test_heavy_hitters_state_survives_checkpoint_restart(spark, tmp_path):
+    """Space-Saving monitor durability: stop after the first batch,
+    restart from the checkpoint with new data, and the recovered
+    counter table must continue the fold from the stored state — the
+    restarted run's output must equal a single uninterrupted run over
+    all rows (which slicing-invariance already equates to the
+    one-batch fold)."""
+    from oraaud_kafka_spark.streaming.analytics import heavy_hitters_monitor
+
+    rows = _hh_rows()
+    d = tmp_path / "hh_ckpt"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _write_jsonl(d / "b1.json", rows[:9])
+
+    emitted: list = []
+
+    def run_once():
+        def collect(batch_df, batch_id):
+            emitted.extend(batch_df.collect())
+
+        stream = _stream_json(spark, d, HH_SCHEMA, latestFirst="false")
+        q = (
+            heavy_hitters_monitor(stream)
+            .writeStream.foreachBatch(collect)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    n_first = len(emitted)
+    assert n_first
+    _write_jsonl(d / "b2.json", rows[9:])
+    run_once()
+    new_rows = [r for r in emitted[n_first:] if r.event_type == "click"]
+    assert new_rows
+    final = {r.rank: r for r in new_rows if r.n_events == len(rows)}
+    # replicate the deterministic fold over ALL rows in one pass
+    from oraaud_kafka_spark.streaming.analytics import (
+        HH_MONITOR_CAPACITY,
+        HH_MONITOR_TOPK,
+    )
+
+    table: dict[int, list[int]] = {}
+    for r in rows:
+        item = r["user_id"]
+        if item in table:
+            table[item][0] += 1
+        elif len(table) < HH_MONITOR_CAPACITY:
+            table[item] = [1, 0]
+        else:
+            victim = min(table, key=lambda it: (table[it][0], it))
+            vcount = table[victim][0]
+            del table[victim]
+            table[item] = [vcount + 1, vcount]
+    top = sorted(table.items(), key=lambda kv: (-kv[1][0], kv[0]))[
+        :HH_MONITOR_TOPK
+    ]
+    assert len(final) == len(top)
+    for rank, (item, (count, err)) in enumerate(top, start=1):
+        got = final[rank]
+        assert (got.item, got.count_upper, got.err) == (item, count, err)
