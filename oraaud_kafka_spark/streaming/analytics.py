@@ -886,3 +886,106 @@ def reservoir_monitor(df: DataFrame) -> DataFrame:
             "NoTimeout",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel: the live twin of q_events_funnel_single_pass. Keyed
+# per-user state holds the 4-slot greedy fold accumulator (first
+# qualifying timestamp per stage, each strictly after the previous
+# stage's), so a user's stage is always current as events arrive;
+# each batch emits the updated users' (stage, t1..t4). Per-user state
+# is four epoch-micro longs — O(users) total, the documented lever at
+# stream scale being a state TTL (drop users idle past the conversion
+# window, exactly the watermark trade q_events_funnel_window makes in
+# batch). Determinism contract matches the EWMA/CUSUM family: rows
+# fold in (ts, event_id) order within each micro-batch, so time-ordered
+# slicing reproduces the batch fold exactly (parity-tested against the
+# registered batch query on the same rows). Downstream per-stage counts
+# are a plain foreachBatch rollup (funnel_stage_counts) — chaining a
+# second stateful aggregate after applyInPandasWithState is the one
+# composition structured streaming restricts.
+# ---------------------------------------------------------------------------
+
+FUNNEL_MONITOR_STAGES = ("signup", "view", "click", "purchase")
+
+FUNNEL_MONITOR_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("stage", IntegerType()),
+        StructField("t1_us", LongType()),
+        StructField("t2_us", LongType()),
+        StructField("t3_us", LongType()),
+        StructField("t4_us", LongType()),
+    ]
+)
+FUNNEL_MONITOR_STATE_SCHEMA = StructType(
+    [StructField(f"t{i}_us", LongType()) for i in range(1, 5)]
+)
+
+
+def _funnel_fn(key, pdfs, state) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    ts_slots = list(state.get) if state.exists else [None, None, None, None]
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows[rows["ts"].notna()]
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    for _, row in rows.iterrows():
+        etype = row["event_type"]
+        if etype not in FUNNEL_MONITOR_STAGES:
+            continue
+        i = FUNNEL_MONITOR_STAGES.index(etype)
+        ts_us = int(row["ts"].value) // 1000  # ns -> us
+        if ts_slots[i] is not None:
+            continue
+        if i == 0:
+            ts_slots[0] = ts_us
+        elif ts_slots[i - 1] is not None and ts_us > ts_slots[i - 1]:
+            ts_slots[i] = ts_us
+    state.update(tuple(ts_slots))
+    stage = 0
+    for t in ts_slots:
+        if t is None:
+            break
+        stage += 1
+    yield pd.DataFrame(
+        {
+            "user_id": [int(user_id)],
+            "stage": [stage],
+            "t1_us": [ts_slots[0]],
+            "t2_us": [ts_slots[1]],
+            "t3_us": [ts_slots[2]],
+            "t4_us": [ts_slots[3]],
+        }
+    )
+
+
+def funnel_monitor(df: DataFrame) -> DataFrame:
+    """Live per-user funnel progress under 4-slot keyed state; emits
+    each updated user's stage and per-stage first timestamps."""
+    return (
+        df.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_fn,
+            FUNNEL_MONITOR_OUTPUT_SCHEMA,
+            FUNNEL_MONITOR_STATE_SCHEMA,
+            "update",
+            "NoTimeout",
+        )
+    )
+
+
+def funnel_stage_counts(latest_rows) -> dict:
+    """Per-stage cumulative user counts from the newest monitor row per
+    user: n of stage s = users whose stage >= s (the batch funnel's
+    n_signup/n_view/n_click/n_purchase)."""
+    counts = {s: 0 for s in range(1, 5)}
+    for r in latest_rows:
+        for s in range(1, r.stage + 1):
+            counts[s] += 1
+    return {
+        "n_signup": counts[1],
+        "n_view": counts[2],
+        "n_click": counts[3],
+        "n_purchase": counts[4],
+    }

@@ -981,3 +981,88 @@ def test_heavy_hitters_state_survives_checkpoint_restart(spark, tmp_path):
     for rank, (item, (count, err)) in enumerate(top, start=1):
         got = final[rank]
         assert (got.item, got.count_upper, got.err) == (item, count, err)
+
+
+FUNNEL_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+    ]
+)
+
+
+def test_funnel_monitor_matches_batch_funnel(spark, tmp_path):
+    """The live per-user funnel fold, fed time-ordered micro-batches,
+    must produce exactly the registered batch funnel's per-stage user
+    counts over the same rows — including the strict after-previous-
+    stage rule (the view-before-signup rows must NOT count)."""
+    import os as _os
+
+    from oraaud_kafka_spark import registry
+    from oraaud_kafka_spark.streaming.analytics import (
+        funnel_monitor,
+        funnel_stage_counts,
+    )
+
+    registry.load_all()
+    # user 1 completes all 4 stages; user 2 stalls at view; user 3's
+    # view precedes signup (never advances); user 4 purchase-only
+    raw = [
+        (1, "signup", 0), (1, "view", 1), (1, "click", 2), (1, "purchase", 3),
+        (2, "signup", 0), (2, "view", 5),
+        (3, "view", 0), (3, "signup", 1), (3, "click", 2),
+        (4, "purchase", 0),
+        (2, "error", 6),
+    ]
+    rows = [
+        {
+            "event_type": et,
+            "ts": f"2026-01-01T00:{m:02d}:00",
+            "event_id": i + 1,
+            "user_id": u,
+        }
+        for i, (u, et, m) in enumerate(raw)
+    ]
+    rows.sort(key=lambda r: r["ts"])
+
+    d = tmp_path / "funnel_stream"
+    d.mkdir()
+    _write_jsonl(d / "b1.json", rows[: len(rows) // 2])
+    _write_jsonl(d / "b2.json", rows[len(rows) // 2 :])
+    stream = _stream_json(spark, d, FUNNEL_SCHEMA, latestFirst="false")
+    q = _run_to_memory(funnel_monitor(stream), "funnel_live", output_mode="update")
+    try:
+        latest = {}
+        for r in spark.table("funnel_live").collect():
+            cur = latest.get(r.user_id)
+            if cur is None or r.stage >= cur.stage:
+                latest[r.user_id] = r
+    finally:
+        q.stop()
+    live = funnel_stage_counts(latest.values())
+
+    # batch twin over the SAME rows
+    ev = spark.createDataFrame(
+        [
+            (r["event_id"], r["ts"], r["user_id"], r["event_type"], 0.0, "{}")
+            for r in rows
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    bdir = str(tmp_path / "funnel_batch")
+    ev.coalesce(1).write.parquet(_os.path.join(bdir, "events.parquet"))
+    batch = registry.QUERIES["q_events_funnel_single_pass"].__wrapped__(
+        spark, bdir
+    ).collect()[0]
+    assert live == {
+        "n_signup": batch.n_signup,
+        "n_view": batch.n_view,
+        "n_click": batch.n_click,
+        "n_purchase": batch.n_purchase,
+    }
+    # spot semantics: user 3's pre-signup view never advances
+    assert latest[3].stage == 1
+    assert latest[1].stage == 4 and latest[4].stage == 0
