@@ -528,7 +528,8 @@ def q_agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     per_seg = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        # no hint on customer (scale-growing); AQE broadcasts when small
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_mktsegment")
         .agg(dsum("o_totalprice").alias("revenue"))
     )
@@ -668,7 +669,8 @@ def q_agg_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(21,8)")
     )
     out = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        # no hint on part (scale-growing); AQE broadcasts when small
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
         .agg(
             to_dbl(F.sum(promo)).alias("promo_revenue"),

@@ -169,7 +169,8 @@ def q_filter_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         disj = c if disj is None else (disj | c)
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        # no hint on part (scale-growing); AQE broadcasts when small
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .filter(disj)
         .agg(
             F.count("*").alias("n_lines"),

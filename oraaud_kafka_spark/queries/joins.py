@@ -56,8 +56,10 @@ ORDER BY revenue DESC, n_name
 
 @query("q_join_5way_revenue", oracle=_Q5_ORACLE)
 def q_join_5way_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style star join. region/nation/customer are broadcast so
-    the only shuffle is the lineitem-orders join + final aggregate."""
+    """TPC-H Q5-style star join. region/nation (domain-bounded) carry
+    broadcast hints; customer grows with scale so its join is unhinted —
+    AQE broadcasts it while small, so at test SFs the only shuffle is
+    the lineitem-orders join + final aggregate."""
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load(spark, sf_dir, "nation")
     c = load(spark, sf_dir, "customer")
@@ -71,7 +73,7 @@ def q_join_5way_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")

@@ -154,7 +154,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")),
+            # no broadcast hint: the BUILDING slice of customer grows
+            # linearly with scale; AQE broadcasts it while it is small
+            o.join(c, F.col("c_custkey") == F.col("o_custkey")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")

@@ -13,8 +13,12 @@ dates and partsupp — the join/EXISTS/aggregate shapes are unchanged).
 
 Money math follows the repo's exact-decimal discipline (queries/__init__):
 every sum runs over DECIMAL, one final correctly-rounded cast to double,
-so both engines agree bitwise. Dimension tables broadcast; the only
-shuffles are fact-fact joins on their keys and the final aggregates.
+so both engines agree bitwise. Only DOMAIN-bounded dimensions (nation,
+region) carry broadcast hints; supplier/customer/part grow linearly
+with scale, so their joins carry no hint — AQE broadcasts them while
+they are small and falls back to shuffle joins at 100 TB. The only
+required shuffles are fact-fact joins on their keys and the final
+aggregates.
 """
 
 from __future__ import annotations
@@ -131,9 +135,9 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
     )
     joined = (
-        li.join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(
@@ -223,10 +227,10 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = _rev()
     zero = F.lit(0).cast(DEC_MONEY) * F.lit(1).cast(DEC_RATE)
     joined = (
-        li.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .join(broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
         .join(broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
@@ -286,7 +290,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(to_dbl(F.sum(_rev())).alias("revenue"))
@@ -338,7 +342,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         revenue_view.join(
             broadcast(max_rev), F.col("total_rev") == F.col("max_rev")
         )
-        .join(broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
         .select(
             "s_suppkey", "s_name", to_dbl(F.col("total_rev")).alias("total_revenue")
         )
@@ -407,7 +411,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
     )
     return (
-        waiting.join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        waiting.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -463,8 +467,8 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").cast(DEC_MONEY) * F.lit(0.6).cast(DEC_RATE)
     )
     return (
-        li.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
