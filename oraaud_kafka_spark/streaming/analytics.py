@@ -84,12 +84,23 @@ def streaming_dedup(
 
 
 def stream_static_enrich(
-    stream: DataFrame, dim: DataFrame, on: Any, how: str = "inner"
+    stream: DataFrame,
+    dim: DataFrame,
+    on: Any,
+    how: str = "inner",
+    *,
+    broadcast_dim: bool = True,
 ) -> DataFrame:
-    """Stream-static join: the static side is broadcast per micro-batch,
-    so the stream never shuffles — the standard enrichment shape
-    (parsed audit events x user/object dimension tables)."""
-    return stream.join(F.broadcast(dim), on, how)
+    """Stream-static join. By default the static side is broadcast per
+    micro-batch so the stream never shuffles — the standard enrichment
+    shape for DOMAIN-bounded dimensions (event-type lookups, config
+    tables). For a dimension that grows with the data (a full user or
+    object table), pass ``broadcast_dim=False``: the hint is a promise
+    the frame fits in executor memory at any scale, and forcing it on a
+    growing table is the exact hazard tests/test_broadcast_hints.py
+    pins out of the batch surface — unhinted, the planner picks a
+    shuffle join when the dimension outgrows the broadcast threshold."""
+    return stream.join(F.broadcast(dim) if broadcast_dim else dim, on, how)
 
 
 def stream_stream_join(

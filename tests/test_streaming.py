@@ -137,6 +137,31 @@ def test_stream_static_enrich_broadcasts(spark, tmp_path):
         q.stop()
 
 
+def test_stream_static_enrich_unhinted_for_growing_dims(spark, tmp_path):
+    """broadcast_dim=False must produce the same enrichment without the
+    forced hint — the scale path for dimensions that grow with the data
+    (the planner then sizes the join itself)."""
+    d = tmp_path / "enrich_nohint"
+    d.mkdir()
+    _write_jsonl(
+        d / "a.json",
+        [
+            {"event_id": 1, "ts": "2024-05-04 10:00:00", "user_id": 7, "event_type": "view"},
+            {"event_id": 2, "ts": "2024-05-04 10:01:00", "user_id": 8, "event_type": "click"},
+        ],
+    )
+    dim = spark.createDataFrame([(7, "gold"), (8, "basic")], "user_id long, tier string")
+    stream = _stream_json(spark, d, EVENT_SCHEMA)
+    joined = stream_static_enrich(stream, dim, "user_id", broadcast_dim=False)
+    assert "ResolvedHint" not in joined._jdf.queryExecution().analyzed().toString()
+    q = _run_to_memory(joined, "enriched_nohint")
+    try:
+        tiers = {r.event_id: r.tier for r in spark.table("enriched_nohint").collect()}
+        assert tiers == {1: "gold", 2: "basic"}
+    finally:
+        q.stop()
+
+
 def test_stream_stream_join_time_bounded(spark, tmp_path):
     left_d, right_d = tmp_path / "l", tmp_path / "r"
     left_d.mkdir(), right_d.mkdir()
