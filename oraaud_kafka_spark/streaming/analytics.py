@@ -1000,3 +1000,112 @@ def funnel_stage_counts(latest_rows) -> dict:
         "n_click": counts[3],
         "n_purchase": counts[4],
     }
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact-quantile monitor. Live p50/p95/p99 per event type —
+# the canonical latency-SLO ask — from a value-domain histogram kept
+# as keyed state: two sorted parallel arrays (distinct integer cents,
+# counts). This is the streaming form of the batch rank discipline
+# (q_agg_percentile and the rank kit collapse to the integer-cent
+# VALUE DOMAIN, never rows), so state per key is bounded by distinct
+# cent values, not stream length. Percentiles are NEAREST-RANK
+# (k = ceil(p*n), computed in exact integer arithmetic) so the emitted
+# value is always an observed data point and the monitor state +
+# output are pure functions of the multiset of rows seen — micro-batch
+# slicing provably cannot change them (tested under two slicings
+# against a pure-Python reference in tests/test_streaming.py).
+# ---------------------------------------------------------------------------
+
+QUANTILE_MONITOR_PS = ((50, 1, 2), (95, 19, 20), (99, 99, 100))
+# (label, num, den): k = ceil(num*n/den) = (num*n + den - 1) // den
+
+QUANTILE_MONITOR_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("n_distinct", LongType()),
+        StructField("p50_dollars", DoubleType()),
+        StructField("p95_dollars", DoubleType()),
+        StructField("p99_dollars", DoubleType()),
+    ]
+)
+QUANTILE_MONITOR_STATE_SCHEMA = StructType(
+    [
+        StructField("vals", ArrayType(LongType())),
+        StructField("cnts", ArrayType(LongType())),
+    ]
+)
+
+
+def quantile_cents(v: float) -> int:
+    """HALF-AWAY-FROM-ZERO cents of the exact binary double — the same
+    collapse as F.round(value*100) (see cusum_monitor's _cents)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(float(v) * 100).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+    )
+
+
+def nearest_rank_cents(vals, cnts, num: int, den: int) -> int:
+    """The ceil(num*n/den)-th smallest cent of the histogram, exact
+    integer arithmetic end to end."""
+    n = sum(cnts)
+    k = (num * n + den - 1) // den
+    run = 0
+    for v, c in zip(vals, cnts):
+        run += c
+        if run >= k:
+            return int(v)
+    raise AssertionError("rank beyond histogram mass")
+
+
+def _quantile_fn(key, pdfs, state):
+    (etype,) = key
+    if state.exists:
+        vals, cnts = state.get
+        hist = dict(zip(vals, cnts))
+    else:
+        hist = {}
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows[rows["value"].notna()]
+    for v in rows["value"]:
+        c = quantile_cents(v)
+        hist[c] = hist.get(c, 0) + 1
+    vals = sorted(hist)
+    cnts = [hist[v] for v in vals]
+    state.update((vals, cnts))
+    n = sum(cnts)
+    if n == 0:
+        return
+    qs = {
+        f"p{lbl}_dollars": [nearest_rank_cents(vals, cnts, num, den) / 100]
+        for lbl, num, den in QUANTILE_MONITOR_PS
+    }
+    yield pd.DataFrame(
+        {
+            "event_type": [etype],
+            "n_events": [n],
+            "n_distinct": [len(vals)],
+            **qs,
+        }
+    )
+
+
+def quantile_monitor(df: DataFrame) -> DataFrame:
+    """Live exact nearest-rank p50/p95/p99 of `value` per event type
+    under value-domain-bounded keyed state; emits the updated
+    percentiles each micro-batch the key appears in. NULL value rows
+    carry no magnitude and are dropped, like the batch rank kit."""
+    return (
+        df.select("event_type", "ts", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _quantile_fn,
+            QUANTILE_MONITOR_OUTPUT_SCHEMA,
+            QUANTILE_MONITOR_STATE_SCHEMA,
+            "update",
+            "NoTimeout",
+        )
+    )

@@ -1091,3 +1091,72 @@ def test_funnel_monitor_matches_batch_funnel(spark, tmp_path):
     # spot semantics: user 3's pre-signup view never advances
     assert latest[3].stage == 1
     assert latest[1].stage == 4 and latest[4].stage == 0
+
+
+def test_quantile_monitor_slicing_invariant_vs_python_reference(spark, tmp_path):
+    """The live p50/p95/p99 must equal the nearest-rank percentiles of
+    the full value multiset — under ANY micro-batch slicing — because
+    the histogram state is a pure function of the rows seen, not of
+    arrival order. Values include an exact .5-cent boundary (0.125)
+    pinning the half-up cent collapse, and a NULL value that must be
+    dropped like the batch rank kit drops them."""
+    from oraaud_kafka_spark.streaming.analytics import (
+        QUANTILE_MONITOR_PS,
+        quantile_cents,
+        quantile_monitor,
+    )
+
+    values = [10.0, 2.0, 30.0, 0.125, 7.25, 7.25, 19.99, 3.5, 12.0, 45.0, 1.0, 8.0]
+    rows = [
+        {
+            "event_type": "click",
+            "ts": f"2026-01-01T00:{i:02d}:00",
+            "event_id": i + 1,
+            "value": v,
+        }
+        for i, v in enumerate(values)
+    ] + [
+        {"event_type": "click", "ts": "2026-01-01T00:59:00", "event_id": 99, "value": None}
+    ]
+
+    def reference():
+        cents = sorted(quantile_cents(v) for v in values)
+        n = len(cents)
+        out = {}
+        for lbl, num, den in QUANTILE_MONITOR_PS:
+            k = (num * n + den - 1) // den
+            out[f"p{lbl}_dollars"] = cents[k - 1] / 100
+        return n, out
+
+    n_ref, q_ref = reference()
+    finals = []
+    for slices, name in ((1, "qm_one"), (4, "qm_four")):
+        d = tmp_path / name
+        d.mkdir()
+        step = len(rows) // slices
+        for s in range(slices):
+            chunk = rows[s * step : (s + 1) * step if s < slices - 1 else len(rows)]
+            _write_jsonl(d / f"b{s}.json", chunk)
+        stream = _stream_json(spark, d, CUSUM_SCHEMA, latestFirst="false")
+        q = _run_to_memory(quantile_monitor(stream), name, output_mode="update")
+        try:
+            latest = None
+            for r in spark.table(name).collect():
+                if latest is None or r.n_events >= latest.n_events:
+                    latest = r
+        finally:
+            q.stop()
+        assert latest is not None
+        finals.append(latest)
+
+    for got in finals:
+        assert got.n_events == n_ref
+        assert got.n_distinct == len({quantile_cents(v) for v in values})
+        for lbl, _, _ in QUANTILE_MONITOR_PS:
+            assert getattr(got, f"p{lbl}_dollars") == q_ref[f"p{lbl}_dollars"]
+    a, b = finals
+    assert (a.p50_dollars, a.p95_dollars, a.p99_dollars) == (
+        b.p50_dollars,
+        b.p95_dollars,
+        b.p99_dollars,
+    )
