@@ -1160,3 +1160,64 @@ def test_quantile_monitor_slicing_invariant_vs_python_reference(spark, tmp_path)
         b.p95_dollars,
         b.p99_dollars,
     )
+
+
+def test_quantile_monitor_array_state_survives_checkpoint_restart(spark, tmp_path):
+    """Durability for the one monitor with ARRAY-typed keyed state: stop
+    after the first batch, restart from the checkpoint with new data,
+    and the recovered histogram arrays must continue the fold — the
+    final percentiles must equal the pure-Python nearest-rank reference
+    over ALL rows (slicing-invariance equates that to any single run)."""
+    from oraaud_kafka_spark.streaming.analytics import (
+        QUANTILE_MONITOR_PS,
+        quantile_cents,
+        quantile_monitor,
+    )
+
+    values = [4.0, 17.5, 0.125, 9.99, 23.0, 1.25, 8.0, 8.0, 31.0, 2.0]
+    rows = [
+        {
+            "event_type": "click",
+            "ts": f"2026-01-01T00:{i:02d}:00",
+            "event_id": i + 1,
+            "value": v,
+        }
+        for i, v in enumerate(values)
+    ]
+    d = tmp_path / "qm_ckpt"
+    d.mkdir()
+    ckpt = str(tmp_path / "qm_ckpt_state")
+    _write_jsonl(d / "b1.json", rows[:6])
+
+    emitted: list = []
+
+    def run_once():
+        def collect(batch_df, batch_id):
+            emitted.extend(batch_df.collect())
+
+        stream = _stream_json(spark, d, CUSUM_SCHEMA, latestFirst="false")
+        q = (
+            quantile_monitor(stream)
+            .writeStream.foreachBatch(collect)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    n_first = len(emitted)
+    assert n_first and emitted[-1].n_events == 6
+    _write_jsonl(d / "b2.json", rows[6:])
+    run_once()
+    final = [r for r in emitted[n_first:] if r.n_events == len(rows)]
+    assert len(final) == 1
+    got = final[0]
+    cents = sorted(quantile_cents(v) for v in values)
+    n = len(cents)
+    for lbl, num, den in QUANTILE_MONITOR_PS:
+        k = (num * n + den - 1) // den
+        assert getattr(got, f"p{lbl}_dollars") == cents[k - 1] / 100
+    assert got.n_distinct == len(set(cents))
