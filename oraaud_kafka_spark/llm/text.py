@@ -626,9 +626,10 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keeps a broadcast hint (a scalar, bounded by construction). Float determinism: each token's ln() is rounded to 12
 # decimals and converted to an EXACT decimal before the per-doc sum, so
 # the sum is order-independent (plain partial-agg'd SUM — no per-doc
-# sorted collect, no fold), the wide sum casts straight to double (no
-# narrowing decimal that could overflow on long documents), and the
-# 6-dp mean rounding swamps any sub-12-dp ln() noise. This replaced a position-sorted
+# sorted collect, no fold); the picounit sum accumulates in
+# DECIMAL(38,0) (good to ~1e24 tokens/doc — an int64 sum would wrap
+# silently around ~2e5), and the 6-dp mean rounding swamps any
+# sub-12-dp ln() noise. This replaced a position-sorted
 # collect_list+fold: same values at both test scales, one less
 # per-group sort, and the aggregation stays map-side partial.
 # ---------------------------------------------------------------------------
@@ -651,13 +652,15 @@ lp AS (
 doc AS (
   SELECT doc_id, lang,
          count(*) AS n_toks,
-         CAST(CASE WHEN sum(CAST(lp_dec * 1000000000000 AS BIGINT)) < 0
-                   THEN -((2 * abs(sum(CAST(lp_dec * 1000000000000 AS BIGINT)))
-                           + count(*) * 1000000)
-                          // (2 * count(*) * 1000000))
-                   ELSE ((2 * abs(sum(CAST(lp_dec * 1000000000000 AS BIGINT)))
-                          + count(*) * 1000000)
-                         // (2 * count(*) * 1000000))
+         CAST(CASE WHEN sum(CAST(lp_dec * 1000000000000 AS DECIMAL(38,0))) < 0
+                   THEN -(CAST(2 * abs(sum(CAST(lp_dec * 1000000000000
+                                             AS DECIMAL(38,0))))
+                               + count(*) * 1000000 AS HUGEINT)
+                          // CAST(2 * count(*) * 1000000 AS HUGEINT))
+                   ELSE (CAST(2 * abs(sum(CAST(lp_dec * 1000000000000
+                                            AS DECIMAL(38,0))))
+                              + count(*) * 1000000 AS HUGEINT)
+                         // CAST(2 * count(*) * 1000000 AS HUGEINT))
               END AS DOUBLE) / 1000000 AS avg_logprob
   FROM lp GROUP BY doc_id, lang
 )
@@ -695,17 +698,23 @@ def unigram_logprob_scores(d: DataFrame) -> DataFrame:
     # earlier round-then-narrow path made sum/n land exactly on a 6-dp
     # half for one sf0.1 document, where Spark's binary-expansion
     # HALF_UP and DuckDB's scaled-double round() split by 1e-6. Summing
-    # the 12-dp terms as exact picounit int64s and rounding half-away
-    # via integer division has no such boundary — both engines compute
-    # the identical quotient by construction, and no wide-decimal->
-    # double cast ever happens.
+    # the 12-dp terms as exact picounits and rounding half-away via
+    # integral division has no such boundary — both engines compute
+    # the identical quotient by construction. The picounit sum stays in
+    # DECIMAL(38,0) (NOT int64): per-token terms are ~1e13, so an int64
+    # sum wraps silently in Spark around ~2e5 tokens/doc while DuckDB
+    # promotes to HUGEINT — a silent cross-engine divergence on long
+    # documents. DECIMAL(38,0) holds ~1e24 tokens/doc; Spark's DIV
+    # accepts decimal operands directly, DuckDB routes through HUGEINT
+    # because its // on decimals performs plain (non-truncating)
+    # division.
     return (
         scored.groupBy("doc_id", "lang")
         .agg(
             F.count("*").alias("n_toks"),
-            F.sum((F.col("lp_dec") * 1000000000000).cast("bigint")).alias(
-                "__s"
-            ),
+            F.sum(
+                F.expr("CAST(lp_dec * 1000000000000 AS DECIMAL(38,0))")
+            ).alias("__s"),
         )
         .select(
             "doc_id",
@@ -1041,13 +1050,15 @@ lp AS (
 )
 SELECT doc_id, lang,
        CAST(count(*) AS BIGINT) AS n_transitions,
-       CAST(CASE WHEN sum(CAST(lp_dec * 1000000000000 AS BIGINT)) < 0
-                 THEN -((2 * abs(sum(CAST(lp_dec * 1000000000000 AS BIGINT)))
-                         + count(*) * 1000000)
-                        // (2 * count(*) * 1000000))
-                 ELSE ((2 * abs(sum(CAST(lp_dec * 1000000000000 AS BIGINT)))
-                        + count(*) * 1000000)
-                       // (2 * count(*) * 1000000))
+       CAST(CASE WHEN sum(CAST(lp_dec * 1000000000000 AS DECIMAL(38,0))) < 0
+                 THEN -(CAST(2 * abs(sum(CAST(lp_dec * 1000000000000
+                                           AS DECIMAL(38,0))))
+                             + count(*) * 1000000 AS HUGEINT)
+                        // CAST(2 * count(*) * 1000000 AS HUGEINT))
+                 ELSE (CAST(2 * abs(sum(CAST(lp_dec * 1000000000000
+                                          AS DECIMAL(38,0))))
+                            + count(*) * 1000000 AS HUGEINT)
+                       // CAST(2 * count(*) * 1000000 AS HUGEINT))
             END AS DOUBLE) / 1000000 AS avg_logprob
 FROM lp
 GROUP BY doc_id, lang
@@ -1090,21 +1101,24 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lp_dec"),
         )
     )
-    # INTEGER-EXACT 6-dp average: sum the 12-dp terms as exact picounit
-    # int64s and round-half-away via integer division. The previous
+    # INTEGER-EXACT 6-dp average: sum the 12-dp terms as exact
+    # picounits and round-half-away via integral division. The previous
     # round-then-narrow-then-divide path hit a real failure at sf0.1:
     # narrowing the sum to 6 dp made sum/n land EXACTLY on a 6-dp half
     # (-129.714273/38 = -3.4135335), where Spark's binary-expansion
     # HALF_UP and DuckDB's scaled-double round() disagree by 1e-6.
     # Integer arithmetic has no such boundary — both engines compute
-    # the identical quotient by construction.
+    # the identical quotient by construction. Like the unigram scorer,
+    # the sum accumulates in DECIMAL(38,0), not int64: per-transition
+    # terms are ~1e13, so an int64 sum wraps silently around ~2e5
+    # transitions/doc while DuckDB promotes to HUGEINT.
     return (
         lp.groupBy("doc_id", "lang")
         .agg(
             F.count("*").cast("long").alias("n_transitions"),
-            F.sum((F.col("lp_dec") * 1000000000000).cast("bigint")).alias(
-                "__s"
-            ),
+            F.sum(
+                F.expr("CAST(lp_dec * 1000000000000 AS DECIMAL(38,0))")
+            ).alias("__s"),
         )
         .select(
             "doc_id",
