@@ -646,6 +646,12 @@ def psi_monitor(df: DataFrame, reference_probs: dict) -> DataFrame:
             raise ValueError(
                 f"reference for {k!r} needs {B} strictly positive probs"
             )
+        # an unnormalized reference silently biases PSI and shifts the
+        # drift band instead of failing fast — enforce Σp = 1 here
+        if abs(sum(v) - 1.0) > 1e-9:
+            raise ValueError(
+                f"reference for {k!r} must sum to 1 (got {sum(v)!r})"
+            )
 
     def _bucket(v: float) -> int:
         return min(B - 1, max(0, int(float(v) // PSI_MONITOR_WIDTH)))
@@ -751,7 +757,16 @@ def _hh_fn(key, pdfs, state) -> Iterator[pd.DataFrame]:
     else:
         table, n = {}, 0
     rows = pd.concat(list(pdfs), ignore_index=True)
-    rows = rows[rows["user_id"].notna()]
+    # rows missing user_id carry no item; rows missing either sort key
+    # (ts, event_id) have no well-defined position in the fold order,
+    # so a NULL there would make the fold depend on which micro-batch
+    # the row lands in — drop them to keep the any-slicing determinism
+    # contract total (fixture event rows are non-null in all three)
+    rows = rows[
+        rows["user_id"].notna()
+        & rows["ts"].notna()
+        & rows["event_id"].notna()
+    ]
     rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
     for item in rows["user_id"].astype("int64"):
         item = int(item)
@@ -815,12 +830,16 @@ def heavy_hitters_monitor(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Streaming deterministic reservoir: the EXACT k-per-key uniform sample
 # held live over an unbounded stream, O(k) keyed state. Same selection
-# rule as the batch q_sample_reservoir: rank every row by
-# md5(event_id || salt) and keep the k smallest (rank, id) pairs — the
-# rank is a pure function of the ROW, not of arrival order, so the
-# monitor state after any prefix of the stream equals the batch query
-# over that prefix's rows, and micro-batch slicing provably cannot
-# change it (strictly stronger than the fold-order determinism the
+# rule SHAPE as the batch q_sample_reservoir (md5-rank top-k), on this
+# stream's own key: rank every row by md5(event_id || salt) and keep
+# the k smallest (rank, id) pairs. (The batch operator ranks DOCUMENTS
+# by unsalted md5(doc_id); the two are not literally interchangeable —
+# the cross-check here is a pure-Python fold of the identical rank
+# rule, tests/test_streaming.py.) The rank is a pure function of the
+# ROW, not of arrival order, so the monitor state after any prefix of
+# the stream equals that same top-k computed in batch over the
+# prefix's rows, and micro-batch slicing provably cannot change it
+# (strictly stronger than the fold-order determinism the
 # EWMA/CUSUM/Holt monitors need). Emits the current sample each batch.
 # ---------------------------------------------------------------------------
 
@@ -938,7 +957,11 @@ def _funnel_fn(key, pdfs, state) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     ts_slots = list(state.get) if state.exists else [None, None, None, None]
     rows = pd.concat(list(pdfs), ignore_index=True)
-    rows = rows[rows["ts"].notna()]
+    # same totality rule as _hh_fn: a NULL in either sort key would
+    # leave the row's fold position slicing-dependent (two NULL
+    # event_ids at one ts fall back to arrival order under the stable
+    # sort), so both keys must be present
+    rows = rows[rows["ts"].notna() & rows["event_id"].notna()]
     rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
     for _, row in rows.iterrows():
         etype = row["event_type"]

@@ -781,6 +781,28 @@ def test_psi_monitor_matches_python_fold_across_batches(spark, tmp_path):
         q.stop()
 
 
+def test_psi_monitor_rejects_unnormalized_reference(spark):
+    """An unnormalized reference would silently bias PSI and shift the
+    drift band; the monitor must fail fast at build time instead."""
+    import pytest
+
+    from oraaud_kafka_spark.streaming.analytics import (
+        PSI_MONITOR_BUCKETS,
+        psi_monitor,
+    )
+
+    B = PSI_MONITOR_BUCKETS
+    df = spark.readStream.format("rate").load().selectExpr(
+        "'click' AS event_type", "CAST(value AS DOUBLE) AS value"
+    )
+    with pytest.raises(ValueError, match="sum to 1"):
+        psi_monitor(df, {"click": [2.0 / B] * B})
+    with pytest.raises(ValueError, match="strictly positive"):
+        psi_monitor(df, {"click": [1.0 / B] * (B - 1)})
+    # exactly normalized passes validation (plan built, never started)
+    psi_monitor(df, {"click": [1.0 / B] * B})
+
+
 HH_SCHEMA = StructType(
     [
         StructField("event_type", StringType()),
