@@ -981,3 +981,112 @@ def q_eval_ndcg_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# MRR@10 retrieval eval (Voorhees, TREC-8 QA track 1999) — the
+# first-hit complement of NDCG@10 above: NDCG scores the whole ranked
+# list, MRR scores only WHERE the first same-label neighbor lands
+# (rr = 1/rank of the first relevant in the top-10, 0 if none) — the
+# metric of record when one good neighbor suffices (RAG context
+# retrieval, nearest-dup lookup). Everything is exact: the first-hit
+# rank is an integer MIN over the per-query top-10 (same brute-force
+# cosine ranking, same (cosine DESC, nid) total order as NDCG — the
+# two metrics read the identical ranking), and rr = 1/rank is ONE IEEE
+# division on identical small-integer operands, 6-dp rounded. Scale:
+# the scoring pass is the established broadcast-queries x corpus
+# linear scan; everything after the top-10 cut is |Q| x 10 rows.
+# ---------------------------------------------------------------------------
+
+_MRR_ORACLE = f"""
+WITH {_sql_directional_cte()},
+q AS (SELECT vec_id AS qid, embedding AS qv, label AS true_label
+      FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.qid, q.true_label,
+         CAST(e.label = q.true_label AS INTEGER) AS rel,
+         {_sql_dot('q.qv', 'e.embedding')} / ({_sql_norm('q.qv')} * {_sql_norm('e.embedding')}) AS cosine,
+         e.vec_id AS nid
+  FROM q JOIN embeddings e ON e.vec_id >= {N_QUERIES}
+),
+topk AS (
+  SELECT qid, true_label, rel, rnk
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+        FROM scored)
+  WHERE rnk <= {NDCG_K}
+)
+SELECT qid, true_label,
+       CAST(sum(rel) AS BIGINT) AS n_rel,
+       CAST(min(CASE WHEN rel = 1 THEN rnk END) AS BIGINT)
+         AS first_rel_rank,
+       CASE WHEN sum(rel) = 0 THEN 0.0
+            ELSE round(1.0 / min(CASE WHEN rel = 1 THEN rnk END), 6)
+       END AS reciprocal_rank
+FROM topk
+GROUP BY qid, true_label
+ORDER BY qid
+"""
+
+
+@query("q_eval_mrr_retrieval", oracle=_MRR_ORACLE)
+def q_eval_mrr_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query reciprocal rank of the first same-label neighbor in
+    the brute-force cosine top-10 (0 when none) — where does the first
+    relevant hit land?"""
+    e = _directional(load(spark, sf_dir, "embeddings"))
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("true_label"),
+        )
+        .withColumn("qnorm", _norm(F.col("qv")))
+    )
+    corpus = spread(
+        e.filter(F.col("vec_id") >= N_QUERIES).select(
+            F.col("vec_id").alias("nid"),
+            "label",
+            F.col("embedding").alias("nv"),
+        )
+    ).withColumn("nnorm", _norm(F.col("nv")))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .select(
+            "qid",
+            "true_label",
+            (F.col("label") == F.col("true_label")).cast("int").alias("rel"),
+            "nid",
+            (
+                _dot(F.col("qv"), F.col("nv"))
+                / (F.col("qnorm") * F.col("nnorm"))
+            ).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("nid")
+    )
+    topk = scored.withColumn("rnk", F.row_number().over(wk)).filter(
+        F.col("rnk") <= NDCG_K
+    )
+    first_rel = F.min(F.when(F.col("rel") == 1, F.col("rnk")))
+    return (
+        topk.groupBy("qid", "true_label")
+        .agg(
+            F.sum("rel").cast("long").alias("n_rel"),
+            first_rel.cast("long").alias("first_rel_rank"),
+        )
+        .select(
+            "qid",
+            "true_label",
+            "n_rel",
+            "first_rel_rank",
+            F.when(F.col("n_rel") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.lit(1.0) / F.col("first_rel_rank"), 6)
+            )
+            .alias("reciprocal_rank"),
+        )
+        .orderBy("qid")
+    )

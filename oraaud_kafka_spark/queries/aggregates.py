@@ -1076,6 +1076,129 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact 10% WINSORIZED mean — the clamp-don't-drop sibling of the
+# trimmed mean above (Tukey; Huber, "Robust Statistics" §1): the k
+# smallest values are replaced by the (k+1)-th order statistic and the
+# k largest by the (n-k)-th, so outliers lose leverage but keep their
+# row count (the robust location estimate a corpus-quality dashboard
+# wants when row weights must be preserved). Decomposition over the
+# frequency-collapsed value domain: winsorized_sum = (trimmed middle
+# sum, same `take` formula as q_agg_trimmed_mean) + k*(lo_clamp +
+# hi_clamp), where the clamps are nearest-rank picks — lo = smallest
+# cent with cum_inclusive > k, hi = smallest cent with cum_inclusive
+# >= n-k — computed as conditional MINs in the same single aggregate,
+# no extra pass. All arithmetic is exact integer/decimal until ONE
+# final division. Scale shape: identical to the trimmed mean — one
+# partial-agg'd groupBy on the cent domain + one ordered window over
+# DISTINCT values (never rows) + a per-group reduce.
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH vals AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         count(*) AS f
+  FROM orders
+  GROUP BY o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT)
+),
+runs AS (
+  SELECT o_orderpriority, cents, f,
+         CAST(coalesce(sum(f) OVER (PARTITION BY o_orderpriority
+                                    ORDER BY cents
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS c,
+         CAST(sum(f) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+  FROM vals
+),
+kept AS (
+  SELECT o_orderpriority, n, n // 10 AS k,
+         greatest(least(c + f, n - n // 10) - greatest(c, n // 10), 0)
+           AS take,
+         CASE WHEN c + f > n // 10 THEN cents END AS lo_cand,
+         CASE WHEN c + f >= n - n // 10 THEN cents END AS hi_cand,
+         cents
+  FROM runs
+),
+g AS (
+  SELECT o_orderpriority,
+         CAST(max(n) AS BIGINT) AS n, CAST(max(k) AS BIGINT) AS k,
+         CAST(min(lo_cand) AS BIGINT) AS lo_cents,
+         CAST(min(hi_cand) AS BIGINT) AS hi_cents,
+         sum(CAST(cents AS HUGEINT) * take) AS s_mid
+  FROM kept GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n, k, lo_cents, hi_cents,
+       round(CAST(s_mid + CAST(k AS HUGEINT) * (lo_cents + hi_cents)
+                  AS DOUBLE) / n / 100, 6) AS winsorized_mean
+FROM g
+ORDER BY o_orderpriority
+"""
+
+
+@query("q_agg_winsorized_mean", oracle=_WINSOR_ORACLE)
+def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10%-winsorized mean of order value per priority: tails
+    clamped to the k+1 / n-k order statistics over the
+    frequency-collapsed value domain, all-integer until one division."""
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    vals = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", cents.alias("cents"))
+        .agg(F.count("*").alias("f"))
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    wb = wp.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    runs = vals.select(
+        "o_orderpriority",
+        "cents",
+        "f",
+        F.coalesce(F.sum("f").over(wb), F.lit(0)).cast("bigint").alias("c"),
+        F.sum("f").over(wp).cast("bigint").alias("n"),
+    )
+    k = F.expr("n DIV 10")
+    take = F.greatest(
+        F.least(F.col("c") + F.col("f"), F.col("n") - k)
+        - F.greatest(F.col("c"), k),
+        F.lit(0),
+    )
+    kept = runs.select(
+        "o_orderpriority",
+        "n",
+        k.alias("k"),
+        take.alias("take"),
+        F.when(F.col("c") + F.col("f") > k, F.col("cents")).alias("lo_cand"),
+        F.when(
+            F.col("c") + F.col("f") >= F.col("n") - k, F.col("cents")
+        ).alias("hi_cand"),
+        "cents",
+    )
+    g = kept.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("k").cast("bigint").alias("k"),
+        F.min("lo_cand").cast("bigint").alias("lo_cents"),
+        F.min("hi_cand").cast("bigint").alias("hi_cents"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("take")).alias(
+            "s_mid"
+        ),
+    )
+    wing = F.col("k").cast("decimal(38,0)") * (
+        F.col("lo_cents") + F.col("hi_cents")
+    )
+    return g.select(
+        "o_orderpriority",
+        "n",
+        "k",
+        "lo_cents",
+        "hi_cents",
+        F.round(
+            (F.col("s_mid") + wing).cast("double") / F.col("n") / 100, 6
+        ).alias("winsorized_mean"),
+    ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
 # Poisson bootstrap confidence interval — the distributed bootstrap
 # (resampling n-out-of-n is impossible on a sharded table, so each row
 # instead contributes to each resample with an independent Poisson(1)
@@ -2131,5 +2254,118 @@ def q_eval_confusion_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ratio(F.lit(2) * tp, F.lit(2) * tp + fp + fn).alias("f1"),
         F.round((tp + tn).cast("double") / (tp + fp + fn + tn), 6).alias(
             "accuracy"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact average precision (area under the precision-recall curve, step
+# form) — the fourth leg of the eval kit, and the one that matters for
+# IMBALANCED gates: ROC-AUC stays optimistic when positives are rare
+# (a 0.1%-positive corpus filter can post 0.95 ROC-AUC while drowning
+# in false positives), while AP weighs precision exactly where
+# decisions happen. Definition is the threshold-sweep step sum
+# (sklearn's average_precision_score): over distinct score values v
+# descending, AP = Σ (ΔTP_v / n_pos) · (TP_v / PP_v) with inclusive
+# cumulative counts — a pure function of the (value, label) frequency
+# table, so ties need no ordering convention at all (contrast the
+# rank-midrank machinery ROC needs). Float discipline: each term
+# ΔTP·(TP/PP) rounds to 12 dp into DECIMAL(20,12) so the sum is
+# order-free; the ONE division by n_pos happens in IEEE double on
+# identical operands. Scale shape: one partial-agg'd groupBy on the
+# integer-cent domain + one ordered window over DISTINCT values (never
+# rows) + a 1-row reduce — the established rank-statistic discipline.
+# ---------------------------------------------------------------------------
+
+_PR_AUC_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CAST(o_orderpriority IN ('{_AUC_POS[0]}', '{_AUC_POS[1]}')
+              AS INTEGER) AS is_pos
+  FROM orders
+),
+vals AS (
+  SELECT v, count(*) AS f, CAST(sum(is_pos) AS BIGINT) AS fa
+  FROM base GROUP BY v
+),
+runs AS (
+  SELECT f, fa,
+         CAST(sum(f) OVER (ORDER BY v DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS pp,
+         CAST(sum(fa) OVER (ORDER BY v DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS tp
+  FROM vals
+),
+terms AS (
+  SELECT f, fa,
+         CAST(round(fa * (CAST(tp AS DOUBLE) / pp), 12)
+              AS DECIMAL(20,12)) AS term
+  FROM runs
+),
+m AS (
+  SELECT CAST(sum(fa) AS BIGINT) AS n_pos,
+         CAST(sum(f - fa) AS BIGINT) AS n_neg,
+         CAST(count(*) AS BIGINT) AS n_thresholds,
+         sum(term) AS s
+  FROM terms
+)
+SELECT n_pos, n_neg, n_thresholds,
+       round(CAST(s AS DOUBLE) / n_pos, 6) AS average_precision,
+       round(CAST(n_pos AS DOUBLE) / (n_pos + n_neg), 6) AS prevalence
+FROM m
+"""
+
+
+@query("q_eval_pr_auc", oracle=_PR_AUC_ORACLE)
+def q_eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision (step-form PR-AUC) of order price
+    against priority class over the distinct-cent threshold sweep,
+    with the random-classifier prevalence baseline alongside."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+        F.col("o_orderpriority").isin(*_AUC_POS).cast("int").alias("is_pos"),
+    )
+    vals = base.groupBy("v").agg(
+        F.count("*").alias("f"), F.sum("is_pos").cast("bigint").alias("fa")
+    )
+    w = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    runs = vals.select(
+        "f",
+        "fa",
+        F.sum("f").over(w).cast("bigint").alias("pp"),
+        F.sum("fa").over(w).cast("bigint").alias("tp"),
+    )
+    terms = runs.select(
+        "f",
+        "fa",
+        F.round(
+            F.col("fa") * (F.col("tp").cast("double") / F.col("pp")), 12
+        )
+        .cast("decimal(20,12)")
+        .alias("term"),
+    )
+    m = terms.agg(
+        F.sum("fa").cast("bigint").alias("n_pos"),
+        F.sum(F.col("f") - F.col("fa")).cast("bigint").alias("n_neg"),
+        F.count("*").cast("bigint").alias("n_thresholds"),
+        F.sum("term").alias("s"),
+    )
+    n_pos, n_neg = F.col("n_pos"), F.col("n_neg")
+    return m.select(
+        "n_pos",
+        "n_neg",
+        "n_thresholds",
+        F.round(F.col("s").cast("double") / n_pos, 6).alias(
+            "average_precision"
+        ),
+        F.round(n_pos.cast("double") / (n_pos + n_neg), 6).alias(
+            "prevalence"
         ),
     )

@@ -2381,3 +2381,114 @@ def q_events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp("lsum"), 6))
         .alias("survival"),
     ).orderBy("dur_h")
+
+
+# ---------------------------------------------------------------------------
+# Burst detection — the rate-anomaly twin of the MAD/z-score outlier
+# ops above, on the HOURLY-RATE axis (the Kleinberg burst question,
+# "Bursty and hierarchical structure in streams" KDD 2002, reduced to
+# its production form: is this hour's event count a multiple of the
+# trailing-day baseline?). Per type, the hourly bucket counts are
+# compared against the sum over the previous 24 OBSERVED hourly
+# buckets (dense bucket stream assumed — gap-fill is
+# q_time_gap_fill's job), and the top-5 burst candidates per type are
+# reported with their ratio and the >= 2x flag. Exactness: the flag is
+# the INTEGER cross-multiplication n*base_n >= 2*base_sum (no float in
+# the decision); ratio = n*base_n/base_sum is one IEEE division on
+# identical integer operands, so the (ratio DESC, hour) ranking orders
+# identically on both engines. Scale shape: one partial-agg'd groupBy
+# onto the HOUR-BUCKET domain (rows collapse ~3-4 orders of magnitude
+# before any window), then two windows over buckets per type — never
+# over raw events — and a top-5 cut. At 100 TB the bucket table is
+# years x types x 8760 rows: trivially window-able.
+# ---------------------------------------------------------------------------
+
+_BURST_BASE_HOURS = 24
+_BURST_TOPK = 5
+
+_BURST_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bar_hour,
+         count(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+base AS (
+  SELECT event_type, bar_hour, n,
+         CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS base_sum,
+         CAST(count(n) OVER w AS BIGINT) AS base_n
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bar_hour
+               ROWS BETWEEN {_BURST_BASE_HOURS} PRECEDING
+               AND 1 PRECEDING)
+),
+scored AS (
+  SELECT event_type, bar_hour, n, base_sum,
+         round(CAST(n * base_n AS DOUBLE) / base_sum, 6) AS ratio,
+         CAST(n * base_n >= 2 * base_sum AS INTEGER) AS is_burst
+  FROM base WHERE base_n = {_BURST_BASE_HOURS}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY ratio DESC, bar_hour) AS rnk
+  FROM scored
+)
+SELECT event_type, rnk, bar_hour, n AS n_events, base_sum, ratio, is_burst
+FROM ranked WHERE rnk <= {_BURST_TOPK}
+ORDER BY event_type, rnk
+"""
+
+
+@query("q_time_burst_detection", oracle=_BURST_ORACLE)
+def q_time_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 hourly burst candidates per event type: this hour's count
+    vs the trailing-24-observed-hours baseline, integer-exact >= 2x
+    flag, ranked by rate ratio."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bar_hour")
+    ).agg(F.count("*").alias("n"))
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("bar_hour")
+        .rowsBetween(-_BURST_BASE_HOURS, -1)
+    )
+    base = hourly.select(
+        "event_type",
+        "bar_hour",
+        "n",
+        F.coalesce(F.sum("n").over(wb), F.lit(0))
+        .cast("bigint")
+        .alias("base_sum"),
+        F.count("n").over(wb).cast("bigint").alias("base_n"),
+    )
+    scored = base.filter(F.col("base_n") == _BURST_BASE_HOURS).select(
+        "event_type",
+        "bar_hour",
+        "n",
+        "base_sum",
+        F.round(
+            (F.col("n") * F.col("base_n")).cast("double")
+            / F.col("base_sum"),
+            6,
+        ).alias("ratio"),
+        (F.col("n") * F.col("base_n") >= F.lit(2) * F.col("base_sum"))
+        .cast("int")
+        .alias("is_burst"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("ratio").desc(), "bar_hour"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _BURST_TOPK)
+        .select(
+            "event_type",
+            "rnk",
+            "bar_hour",
+            F.col("n").alias("n_events"),
+            "base_sum",
+            "ratio",
+            "is_burst",
+        )
+        .orderBy("event_type", "rnk")
+    )

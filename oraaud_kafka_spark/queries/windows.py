@@ -405,3 +405,82 @@ def q_window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
     ).orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown per group — the running-max window classic (the
+# risk metric every monitoring dashboard computes on a metric series:
+# largest peak-to-trough drop so far). Series = order value in cents
+# over the per-priority (o_orderdate, o_orderkey) total order;
+# drawdown at a row = running max − current value, all exact int64 —
+# max_drawdown ≡ max over pairs i≤j of (v_i − v_j) without the O(n²)
+# pair scan. Scale shape: ONE window pass per partition (running max
+# is streaming state of a single value — Spark's UnboundedPreceding
+# MAX frame is O(1) per row) + a partial-agg'd per-group reduce; no
+# self-join, nothing quadratic. The only doubles are the final /100
+# denominations and the dd/peak share, identical operands both
+# engines.
+# ---------------------------------------------------------------------------
+
+_DRAWDOWN_ORACLE = """
+WITH series AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(max(round(o_totalprice * 100)) OVER (
+                PARTITION BY o_orderpriority
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS run_peak
+  FROM orders
+),
+g AS (
+  SELECT o_orderpriority,
+         count(*) AS n_rows,
+         CAST(max(run_peak) AS BIGINT) AS peak_cents,
+         CAST(max(run_peak - cents) AS BIGINT) AS max_dd_cents
+  FROM series GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n_rows,
+       round(CAST(peak_cents AS DOUBLE) / 100, 6) AS peak_dollars,
+       round(CAST(max_dd_cents AS DOUBLE) / 100, 6) AS max_drawdown_dollars,
+       round(CAST(max_dd_cents AS DOUBLE) / peak_cents, 6) AS dd_share
+FROM g
+ORDER BY o_orderpriority
+"""
+
+
+@query("q_window_max_drawdown", oracle=_DRAWDOWN_ORACLE)
+def q_window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest peak-to-trough drop of order value per priority over the
+    (o_orderdate, o_orderkey) total order — running-max window minus
+    current, exact in cents, one pass."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    series = o.select(
+        "o_orderpriority",
+        cents.alias("cents"),
+        F.max(cents).over(w).cast("bigint").alias("run_peak"),
+    )
+    g = series.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.max("run_peak").cast("bigint").alias("peak_cents"),
+        F.max(F.col("run_peak") - F.col("cents"))
+        .cast("bigint")
+        .alias("max_dd_cents"),
+    )
+    return g.select(
+        "o_orderpriority",
+        "n_rows",
+        F.round(F.col("peak_cents").cast("double") / 100, 6).alias(
+            "peak_dollars"
+        ),
+        F.round(F.col("max_dd_cents").cast("double") / 100, 6).alias(
+            "max_drawdown_dollars"
+        ),
+        F.round(
+            F.col("max_dd_cents").cast("double") / F.col("peak_cents"), 6
+        ).alias("dd_share"),
+    ).orderBy("o_orderpriority")

