@@ -151,6 +151,11 @@ EXTRAS = [
     "q_eval_confusion_threshold",  # one-scan threshold decision metrics
     "q_eval_ndcg_retrieval",     # NDCG@10 retrieval ranking quality
     "q_privacy_t_closeness",     # per-class TVD vs corpus distribution
+    "q_eval_pr_auc",             # exact step-form average precision
+    "q_eval_mrr_retrieval",      # first-relevant reciprocal rank @10
+    "q_agg_winsorized_mean",     # tail-clamped robust mean
+    "q_window_max_drawdown",     # running-max peak-to-trough window
+    "q_time_burst_detection",    # hourly rate vs trailing-24h baseline
 ]
 
 

@@ -833,3 +833,59 @@ def test_t_closeness_single_scan_no_join(spark):
     plan = _plan(df, execute=True)
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_pr_auc_value_bounded_no_join(spark):
+    """The AP threshold sweep aggregates rows to the distinct-cent
+    domain BEFORE the ordered window (same rank discipline as ROC-AUC)
+    and carries no join anywhere: one orders scan."""
+    df = registry.QUERIES["q_eval_pr_auc"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "partial" in plan.lower() or "HashAggregate" in plan
+
+
+def test_mrr_broadcasts_queries_not_corpus(spark):
+    """MRR reads the identical broadcast-queries x corpus scoring pass
+    as NDCG and the brute top-k baseline: the corpus side never
+    shuffles for scoring."""
+    df = registry.QUERIES["q_eval_mrr_retrieval"](spark, SF_DIR)
+    plan = _plan(df, execute=True)
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_winsorized_mean_value_bounded(spark):
+    """Winsorizing happens on the frequency-collapsed value domain:
+    rows aggregate to (priority, cents) before any window, clamps come
+    from the same single aggregate — one orders scan, no join."""
+    df = registry.QUERIES["q_agg_winsorized_mean"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_max_drawdown_single_scan_one_window(spark):
+    """The running-max pass is ONE window over the per-priority time
+    order followed by a partial-agg'd reduce: one orders scan, exactly
+    one Window operator, no join."""
+    df = registry.QUERIES["q_window_max_drawdown"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+
+
+def test_burst_detection_windows_over_buckets_only(spark):
+    """Raw events collapse to hourly buckets in a partially-aggregated
+    groupBy BEFORE both windows (baseline + ranking) — one events scan,
+    no join, and the first aggregate keeps map-side combine."""
+    df = registry.QUERIES["q_time_burst_detection"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Window [") == 2  # baseline frame + top-5 ranking
+    # both windows share the event_type partitioning (one exchange) and
+    # the top-5 cut is pushed into the sort as a WindowGroupLimit
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+    assert "partial" in plan.lower()

@@ -10,6 +10,8 @@ from decimal import ROUND_HALF_UP, Decimal
 
 import duckdb
 
+from pyspark.sql import functions as F
+
 from oraaud_kafka_spark import registry
 
 registry.load_all()
@@ -125,3 +127,184 @@ def test_bigram_lm_mean_survives_long_documents(spark, tmp_path):
         m, avg = expected[int(row.doc_id)]
         assert row.n_transitions == m
         assert row.avg_logprob == avg
+
+
+def _sf(spark, name):
+    from oraaud_kafka_spark.tables import load
+    from .conftest import SF_DIR
+
+    return load(spark, SF_DIR, name)
+
+
+def test_pr_auc_matches_python_threshold_sweep(spark):
+    """AP must equal the step-form threshold sweep replayed exactly in
+    Python (12-dp half-up term rounding, exact decimal sum, one final
+    division) over the same (cents, label) rows."""
+    from collections import Counter
+
+    from oraaud_kafka_spark.queries.aggregates import _AUC_POS
+    from .conftest import SF_DIR
+
+    from oraaud_kafka_spark import registry
+
+    r = registry.QUERIES["q_eval_pr_auc"](spark, SF_DIR).collect()[0]
+    rows = _sf(spark, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+        F.col("o_orderpriority").isin(*_AUC_POS).cast("int").alias("pos"),
+    ).collect()
+    f = Counter()
+    fa = Counter()
+    for g in rows:
+        f[g.v] += 1
+        fa[g.v] += g.pos
+    n_pos = sum(fa.values())
+    n_neg = sum(f.values()) - n_pos
+    assert (r.n_pos, r.n_neg, r.n_thresholds) == (n_pos, n_neg, len(f))
+    tp = pp = 0
+    s = Decimal(0)
+    for v in sorted(f, reverse=True):
+        tp += fa[v]
+        pp += f[v]
+        term = Decimal(fa[v] * (tp / pp)).quantize(
+            Decimal("1e-12"), rounding=ROUND_HALF_UP
+        )
+        s += term
+    expect = round(float(s) / n_pos, 6)
+    assert r.average_precision == expect
+    # AP of a useful score must beat the random-classifier baseline
+    # floor only if the score is informative — just pin internal
+    # consistency of the baseline itself
+    assert r.prevalence == round(n_pos / (n_pos + n_neg), 6)
+    assert 0.0 <= r.average_precision <= 1.0
+
+
+def test_mrr_consistent_with_ndcg_over_same_ranking(spark):
+    """MRR and NDCG read the identical top-10: per qid, n_rel must
+    match, rr > 0 iff n_rel > 0, and rr == round(1/first_rel_rank, 6)
+    with first_rel_rank in [1, 10]."""
+    from .conftest import SF_DIR
+
+    from oraaud_kafka_spark import registry
+
+    mrr = {
+        r.qid: r
+        for r in registry.QUERIES["q_eval_mrr_retrieval"](
+            spark, SF_DIR
+        ).collect()
+    }
+    ndcg = {
+        r.qid: r
+        for r in registry.QUERIES["q_eval_ndcg_retrieval"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(mrr) == set(ndcg)
+    for qid, m in mrr.items():
+        assert m.n_rel == ndcg[qid].n_rel
+        if m.n_rel == 0:
+            assert m.first_rel_rank is None
+            assert m.reciprocal_rank == 0.0
+        else:
+            assert 1 <= m.first_rel_rank <= 10
+            assert m.reciprocal_rank == round(1.0 / m.first_rel_rank, 6)
+
+
+def test_winsorized_mean_matches_python_clamp(spark):
+    """Winsorized mean must equal the literal clamp-and-average in
+    Python: sort each group's cents, replace the k smallest with the
+    (k+1)-th and k largest with the (n-k)-th, average."""
+    from collections import defaultdict
+
+    from .conftest import SF_DIR
+
+    from oraaud_kafka_spark import registry
+
+    rows = registry.QUERIES["q_agg_winsorized_mean"](spark, SF_DIR).collect()
+    assert rows
+    by_prio = defaultdict(list)
+    for g in _sf(spark, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).collect():
+        by_prio[g.o_orderpriority].append(g.cents)
+    for r in rows:
+        vals = sorted(by_prio[r.o_orderpriority])
+        n = len(vals)
+        k = n // 10
+        assert (r.n, r.k) == (n, k)
+        lo, hi = vals[k], vals[n - k - 1]
+        assert (r.lo_cents, r.hi_cents) == (lo, hi)
+        clamped = [min(max(v, lo), hi) for v in vals]
+        assert r.winsorized_mean == round(sum(clamped) / n / 100, 6)
+        # clamping never moves the mean past the trimmed/raw envelope
+        assert vals[0] <= lo <= hi <= vals[-1]
+
+
+def test_max_drawdown_matches_python_fold(spark):
+    """Drawdown must equal the sequential running-max fold over the
+    (o_orderdate, o_orderkey) order — and therefore the max over pairs
+    i <= j of (v_i - v_j)."""
+    from collections import defaultdict
+
+    from .conftest import SF_DIR
+
+    from oraaud_kafka_spark import registry
+
+    rows = registry.QUERIES["q_window_max_drawdown"](spark, SF_DIR).collect()
+    assert rows
+    series = defaultdict(list)
+    for g in _sf(spark, "orders").select(
+        "o_orderpriority",
+        "o_orderdate",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).collect():
+        series[g.o_orderpriority].append(
+            (g.o_orderdate, g.o_orderkey, g.cents)
+        )
+    for r in rows:
+        seq = [c for _, _, c in sorted(series[r.o_orderpriority])]
+        assert r.n_rows == len(seq)
+        peak = dd = 0
+        for c in seq:
+            peak = max(peak, c)
+            dd = max(dd, peak - c)
+        assert r.peak_dollars == round(peak / 100, 6)
+        assert r.max_drawdown_dollars == round(dd / 100, 6)
+        assert r.dd_share == round(dd / peak, 6)
+        assert 0 <= dd <= peak
+
+
+def test_burst_detection_matches_python_baseline(spark):
+    """The top-5 burst rows must agree with a Python replay of the
+    hourly bucketing + trailing-24-observed-buckets baseline, and the
+    flag must be the exact integer rule n*24 >= 2*base_sum."""
+    from collections import Counter, defaultdict
+
+    from .conftest import SF_DIR
+
+    from oraaud_kafka_spark import registry
+
+    rows = registry.QUERIES["q_time_burst_detection"](spark, SF_DIR).collect()
+    assert rows
+    hourly = defaultdict(Counter)
+    for g in _sf(spark, "events").select("event_type", "ts").collect():
+        hourly[g.event_type][g.ts.replace(minute=0, second=0, microsecond=0)] += 1
+    expect = {}
+    for etype, cnt in hourly.items():
+        hours = sorted(cnt)
+        cand = []
+        for i, h in enumerate(hours):
+            window = hours[max(0, i - 24) : i]
+            if len(window) != 24:
+                continue
+            base = sum(cnt[x] for x in window)
+            ratio = round(cnt[h] * 24 / base, 6)
+            cand.append((-ratio, h, cnt[h], base, int(cnt[h] * 24 >= 2 * base)))
+        cand.sort()
+        expect[etype] = cand[:5]
+    for r in rows:
+        neg_ratio, h, n, base, flag = expect[r.event_type][r.rnk - 1]
+        assert (r.bar_hour, r.n_events, r.base_sum) == (h, n, base)
+        assert r.ratio == -neg_ratio
+        assert r.is_burst == flag
