@@ -1132,3 +1132,188 @@ def quantile_monitor(df: DataFrame) -> DataFrame:
             "NoTimeout",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming burst monitor: the live twin of q_time_burst_detection.
+# Keyed state per event type is the trailing hour-bucket histogram —
+# (epoch-hour, count) parallel arrays truncated to the newest
+# BURST_MONITOR_KEEP hours — so state is bounded by the time horizon,
+# never stream length, and bucket COUNTING is order-free (a pure
+# function of the retained rows' multiset: stronger than the
+# fold-order contract the CUSUM/EWMA family needs). Rows older than
+# the retained horizon are ignored — the same lateness bound a
+# watermark would impose; under time-ordered slicing no row is ever
+# dropped. Each batch emits the newest hour's count against the sum
+# of the 24 preceding retained buckets with the batch operator's
+# integer cross-multiplication flag (n*base_n >= 2*base_sum — no
+# float in the decision); ratio is NULL until a full 24-bucket
+# baseline exists, exactly like the batch twin's base_n = 24 filter.
+# ---------------------------------------------------------------------------
+
+BURST_MONITOR_BASE = 24
+BURST_MONITOR_KEEP = BURST_MONITOR_BASE + 1
+
+BURST_MONITOR_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("bar_hour_epoch", LongType()),
+        StructField("n_events", LongType()),
+        StructField("base_hours", LongType()),
+        StructField("base_sum", LongType()),
+        StructField("ratio", DoubleType()),
+        StructField("is_burst", IntegerType()),
+    ]
+)
+BURST_MONITOR_STATE_SCHEMA = StructType(
+    [
+        StructField("hours", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+
+def _burst_fn(key, pdfs, state) -> Iterator[pd.DataFrame]:
+    (etype,) = key
+    if state.exists:
+        hours, counts = state.get
+        hist = dict(zip([int(h) for h in hours], [int(c) for c in counts]))
+    else:
+        hist = {}
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows[rows["ts"].notna()]
+    floor = min(hist) if hist else None
+    for ts in rows["ts"]:
+        h = int(ts.value) // (3600 * 10**9)  # ns -> epoch hour
+        if floor is not None and h < floor:
+            continue  # beyond the retained lateness horizon
+        hist[h] = hist.get(h, 0) + 1
+    keep = sorted(hist)[-BURST_MONITOR_KEEP:]
+    hist = {h: hist[h] for h in keep}
+    state.update((list(keep), [hist[h] for h in keep]))
+    if not keep:
+        return
+    newest = keep[-1]
+    base = [h for h in keep if h < newest][-BURST_MONITOR_BASE:]
+    base_sum = sum(hist[h] for h in base)
+    n = hist[newest]
+    full = len(base) == BURST_MONITOR_BASE
+    yield pd.DataFrame(
+        {
+            "event_type": [etype],
+            "bar_hour_epoch": [newest * 3600],
+            "n_events": [n],
+            "base_hours": [len(base)],
+            "base_sum": [base_sum],
+            "ratio": [
+                round(n * len(base) / base_sum, 6) if full else None
+            ],
+            "is_burst": [
+                int(n * len(base) >= 2 * base_sum) if full else None
+            ],
+        }
+    )
+
+
+def burst_monitor(df: DataFrame) -> DataFrame:
+    """Live hourly-rate burst flag per event type under
+    horizon-bounded keyed state (25 hour buckets); NULL ts rows carry
+    no bucket and are dropped."""
+    return (
+        df.select("event_type", "ts")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _burst_fn,
+            BURST_MONITOR_OUTPUT_SCHEMA,
+            BURST_MONITOR_STATE_SCHEMA,
+            "update",
+            "NoTimeout",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming max-drawdown monitor: the live form of
+# q_window_max_drawdown's running-max discipline, on the stream's own
+# (event_type, value) series. State per key is exactly the two
+# integers the batch window pass carries per row — running peak and
+# max drawdown (plus n) — O(1) regardless of stream length; the fold
+# is the same sequential recurrence, applied in (ts, event_id) order
+# within each micro-batch, so time-ordered slicing reproduces the
+# batch fold exactly (the CUSUM/EWMA/Holt determinism contract; rows
+# missing ts, event_id, or value are dropped to keep the order
+# total). Cents conversion is the shared half-away-from-zero rule so
+# the monitor agrees with the batch kit's integer-cent domain.
+# ---------------------------------------------------------------------------
+
+DRAWDOWN_MONITOR_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("peak_dollars", DoubleType()),
+        StructField("max_drawdown_dollars", DoubleType()),
+    ]
+)
+DRAWDOWN_MONITOR_STATE_SCHEMA = StructType(
+    [
+        StructField("peak_cents", LongType()),
+        StructField("max_dd_cents", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def drawdown_cents(v: float) -> int:
+    """Half-away-from-zero cents — same result as F.round(value*100)
+    and DuckDB round() (Python's builtin round is banker's)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(float(v) * 100).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+    )
+
+
+def _drawdown_fn(key, pdfs, state) -> Iterator[pd.DataFrame]:
+    (etype,) = key
+    if state.exists:
+        peak, dd, n = (int(x) for x in state.get)
+    else:
+        peak, dd, n = None, 0, 0
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows[
+        rows["ts"].notna() & rows["event_id"].notna() & rows["value"].notna()
+    ]
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    for v in rows["value"]:
+        c = drawdown_cents(v)
+        peak = c if peak is None else max(peak, c)
+        dd = max(dd, peak - c)
+        n += 1
+    if n == 0:
+        return
+    state.update((peak, dd, n))
+    yield pd.DataFrame(
+        {
+            "event_type": [etype],
+            "n_events": [n],
+            "peak_dollars": [peak / 100],
+            "max_drawdown_dollars": [dd / 100],
+        }
+    )
+
+
+def drawdown_monitor(df: DataFrame) -> DataFrame:
+    """Live running-peak / max-drawdown of `value` per event type under
+    O(1) keyed state; rows missing ts, event_id, or value are dropped
+    to keep the fold order total."""
+    return (
+        df.select("event_type", "ts", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _drawdown_fn,
+            DRAWDOWN_MONITOR_OUTPUT_SCHEMA,
+            DRAWDOWN_MONITOR_STATE_SCHEMA,
+            "update",
+            "NoTimeout",
+        )
+    )

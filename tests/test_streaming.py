@@ -1243,3 +1243,145 @@ def test_quantile_monitor_array_state_survives_checkpoint_restart(spark, tmp_pat
         k = (num * n + den - 1) // den
         assert getattr(got, f"p{lbl}_dollars") == cents[k - 1] / 100
     assert got.n_distinct == len(set(cents))
+
+
+def test_burst_monitor_trailing_baseline_across_batches(spark, tmp_path):
+    """The burst monitor's hour-bucket state must carry across
+    micro-batches: 24 quiet hours (1 event each) split over two
+    batches, then a 3-event hour in a third file, must emit a full
+    24-bucket baseline with ratio 3.0 and the integer >=2x flag set —
+    and before the baseline fills, ratio/is_burst stay NULL."""
+    from oraaud_kafka_spark.streaming.analytics import burst_monitor
+
+    d = tmp_path / "burst"
+    d.mkdir()
+    rows = [
+        {
+            "event_type": "click",
+            "ts": f"2026-01-01T{h:02d}:30:00",
+            "event_id": h + 1,
+            "value": 1.0,
+        }
+        for h in range(24)
+    ]
+    _write_jsonl(d / "b1.json", rows[:10])
+    _write_jsonl(d / "b2.json", rows[10:])
+    _write_jsonl(
+        d / "b3.json",
+        [
+            {
+                "event_type": "click",
+                "ts": "2026-01-02T00:10:00",
+                "event_id": 100 + i,
+                "value": 1.0,
+            }
+            for i in range(3)
+        ],
+    )
+    # the file source orders batches by modification time; same-second
+    # writes would tie and could deliver b3 first, which the monitor's
+    # lateness floor would then (correctly) treat as making b1/b2
+    # stragglers — pin strictly increasing mtimes so the stream is the
+    # time-ordered slicing the contract covers
+    import os as _os
+
+    for i, f in enumerate(("b1.json", "b2.json", "b3.json")):
+        _os.utime(d / f, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = _stream_json(spark, d, CUSUM_SCHEMA, latestFirst="false")
+    q = _run_to_memory(burst_monitor(stream), "burst", output_mode="update")
+    try:
+        out = spark.table("burst").collect()
+        assert out, "no burst rows emitted"
+        latest = max(out, key=lambda r: r.bar_hour_epoch)
+        assert latest.n_events == 3
+        assert latest.base_hours == 24
+        assert latest.base_sum == 24
+        assert latest.ratio == 3.0
+        assert latest.is_burst == 1
+        # rows emitted before the baseline filled must be NULL-banded
+        partial = [r for r in out if r.base_hours < 24]
+        for r in partial:
+            assert r.ratio is None and r.is_burst is None
+    finally:
+        q.stop()
+
+
+def test_burst_monitor_state_is_horizon_bounded(spark, tmp_path):
+    """After 30 distinct hours the retained histogram must hold only
+    the newest 25 buckets (BURST_MONITOR_KEEP): the emitted baseline
+    keeps exactly 24 buckets and old hours stop contributing."""
+    from oraaud_kafka_spark.streaming.analytics import (
+        BURST_MONITOR_KEEP,
+        burst_monitor,
+    )
+
+    d = tmp_path / "bursthz"
+    d.mkdir()
+    # hours 0..29, hour h carries h+1 events so sums are distinguishable
+    rows = []
+    eid = 0
+    for h in range(30):
+        for _ in range(h + 1):
+            eid += 1
+            rows.append(
+                {
+                    "event_type": "click",
+                    "ts": f"2026-01-{1 + h // 24:02d}T{h % 24:02d}:00:00",
+                    "event_id": eid,
+                    "value": 1.0,
+                }
+            )
+    _write_jsonl(d / "all.json", rows)
+    stream = _stream_json(spark, d, CUSUM_SCHEMA, latestFirst="false")
+    q = _run_to_memory(burst_monitor(stream), "bursthz", output_mode="update")
+    try:
+        latest = max(
+            spark.table("bursthz").collect(), key=lambda r: r.bar_hour_epoch
+        )
+        assert latest.n_events == 30
+        assert latest.base_hours == BURST_MONITOR_KEEP - 1 == 24
+        # baseline = hours 5..28 -> sum of (6..29) = sum(1..29) - sum(1..5)
+        assert latest.base_sum == sum(range(6, 30))
+    finally:
+        q.stop()
+
+
+def test_drawdown_monitor_matches_python_fold_across_batches(spark, tmp_path):
+    """Running peak / max drawdown must fold across micro-batches in
+    (ts, event_id) order exactly like the sequential reference; NULL
+    value rows are dropped."""
+    from oraaud_kafka_spark.streaming.analytics import (
+        drawdown_cents,
+        drawdown_monitor,
+    )
+
+    d = tmp_path / "dd"
+    d.mkdir()
+    b1 = [
+        {"event_type": "click", "ts": "2026-01-01T00:00:00", "event_id": 1, "value": 10.0},
+        {"event_type": "click", "ts": "2026-01-01T00:01:00", "event_id": 2, "value": 4.0},
+        {"event_type": "click", "ts": "2026-01-01T00:02:00", "event_id": 3, "value": 12.5},
+    ]
+    b2 = [
+        {"event_type": "click", "ts": "2026-01-01T00:03:00", "event_id": 4, "value": None},
+        {"event_type": "click", "ts": "2026-01-01T00:04:00", "event_id": 5, "value": 2.005},
+        {"event_type": "click", "ts": "2026-01-01T00:05:00", "event_id": 6, "value": 11.0},
+    ]
+    _write_jsonl(d / "b1.json", b1)
+    _write_jsonl(d / "b2.json", b2)
+    stream = _stream_json(spark, d, CUSUM_SCHEMA, latestFirst="false")
+    q = _run_to_memory(drawdown_monitor(stream), "dd", output_mode="update")
+    try:
+        latest = max(spark.table("dd").collect(), key=lambda r: r.n_events)
+        peak, dd, n = None, 0, 0
+        for v in (10.0, 4.0, 12.5, 2.005, 11.0):
+            c = drawdown_cents(v)
+            peak = c if peak is None else max(peak, c)
+            dd = max(dd, peak - c)
+            n += 1
+        assert drawdown_cents(2.005) == 201  # half-away, not banker's 200
+        assert latest.n_events == n
+        assert latest.peak_dollars == peak / 100
+        assert latest.max_drawdown_dollars == dd / 100
+    finally:
+        q.stop()
