@@ -1385,3 +1385,126 @@ def test_drawdown_monitor_matches_python_fold_across_batches(spark, tmp_path):
         assert latest.max_drawdown_dollars == dd / 100
     finally:
         q.stop()
+
+
+def test_burst_monitor_array_state_survives_checkpoint_restart(spark, tmp_path):
+    """Durability for the burst monitor's ARRAY-typed hour-bucket
+    state: stop after the first batch (12 quiet hours), restart from
+    the checkpoint with the remaining 12 quiet hours + a 4-event hour,
+    and the recovered histogram must complete the 24-bucket baseline
+    and flag the burst exactly as an uninterrupted run would."""
+    from oraaud_kafka_spark.streaming.analytics import burst_monitor
+
+    quiet = [
+        {
+            "event_type": "click",
+            "ts": f"2026-01-01T{h:02d}:15:00",
+            "event_id": h + 1,
+            "value": 1.0,
+        }
+        for h in range(24)
+    ]
+    spike = [
+        {
+            "event_type": "click",
+            "ts": "2026-01-02T00:05:00",
+            "event_id": 200 + i,
+            "value": 1.0,
+        }
+        for i in range(4)
+    ]
+    d = tmp_path / "bm_ckpt"
+    d.mkdir()
+    ckpt = str(tmp_path / "bm_ckpt_state")
+    _write_jsonl(d / "b1.json", quiet[:12])
+
+    emitted: list = []
+
+    def run_once():
+        def collect(batch_df, batch_id):
+            emitted.extend(batch_df.collect())
+
+        stream = _stream_json(spark, d, CUSUM_SCHEMA, latestFirst="false")
+        q = (
+            burst_monitor(stream)
+            .writeStream.foreachBatch(collect)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    n_first = len(emitted)
+    assert n_first
+    assert emitted[-1].base_hours == 11  # 12 buckets: newest + 11 base
+    assert emitted[-1].ratio is None
+    # b1 is already committed in the checkpoint, so batch order across
+    # the restart is fixed without touching mtimes (and back-dating
+    # them would trip the file source's maxFileAge pruning)
+    _write_jsonl(d / "b2.json", quiet[12:] + spike)
+    run_once()
+    latest = max(emitted[n_first:], key=lambda r: r.bar_hour_epoch)
+    assert latest.n_events == 4
+    assert latest.base_hours == 24
+    assert latest.base_sum == 24
+    assert latest.ratio == 4.0
+    assert latest.is_burst == 1
+
+
+def test_drawdown_monitor_state_survives_checkpoint_restart(spark, tmp_path):
+    """Drawdown durability: the running peak from before the stop must
+    still dominate the post-restart trough — max_dd can only be right
+    if (peak, dd, n) state was recovered, since batch 2 alone has a
+    smaller drawdown."""
+    from oraaud_kafka_spark.streaming.analytics import (
+        drawdown_cents,
+        drawdown_monitor,
+    )
+
+    b1 = [
+        {"event_type": "click", "ts": "2026-01-01T00:00:00", "event_id": 1, "value": 50.0},
+        {"event_type": "click", "ts": "2026-01-01T00:01:00", "event_id": 2, "value": 48.0},
+    ]
+    b2 = [
+        {"event_type": "click", "ts": "2026-01-01T00:02:00", "event_id": 3, "value": 10.0},
+        {"event_type": "click", "ts": "2026-01-01T00:03:00", "event_id": 4, "value": 30.0},
+    ]
+    d = tmp_path / "ddm_ckpt"
+    d.mkdir()
+    ckpt = str(tmp_path / "ddm_ckpt_state")
+    _write_jsonl(d / "b1.json", b1)
+
+    emitted: list = []
+
+    def run_once():
+        def collect(batch_df, batch_id):
+            emitted.extend(batch_df.collect())
+
+        stream = _stream_json(spark, d, CUSUM_SCHEMA, latestFirst="false")
+        q = (
+            drawdown_monitor(stream)
+            .writeStream.foreachBatch(collect)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    n_first = len(emitted)
+    assert n_first and emitted[-1].n_events == 2
+    assert emitted[-1].max_drawdown_dollars == 2.0
+    _write_jsonl(d / "b2.json", b2)
+    run_once()
+    latest = max(emitted[n_first:], key=lambda r: r.n_events)
+    assert latest.n_events == 4
+    # peak 50.00 survives the restart; trough 10.00 -> dd 40.00 (a
+    # batch-2-only fold would say peak 30, dd 20 at most)
+    assert latest.peak_dollars == 50.0
+    assert latest.max_drawdown_dollars == 40.0
+    assert drawdown_cents(50.0) - drawdown_cents(10.0) == 4000
