@@ -2312,8 +2312,12 @@ m AS (
   FROM terms
 )
 SELECT n_pos, n_neg, n_thresholds,
-       round(CAST(s AS DOUBLE) / n_pos, 6) AS average_precision,
-       round(CAST(n_pos AS DOUBLE) / (n_pos + n_neg), 6) AS prevalence
+       CASE WHEN n_pos > 0
+            THEN round(CAST(s AS DOUBLE) / n_pos, 6) END
+         AS average_precision,
+       CASE WHEN n_pos + n_neg > 0
+            THEN round(CAST(n_pos AS DOUBLE) / (n_pos + n_neg), 6) END
+         AS prevalence
 FROM m
 """
 
@@ -2358,14 +2362,17 @@ def q_eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("term").alias("s"),
     )
     n_pos, n_neg = F.col("n_pos"), F.col("n_neg")
+    # ANSI guards: a corpus with no positives (or an empty table) must
+    # report NULL, not raise DIVIDE_BY_ZERO (round-6 hazard class)
     return m.select(
         "n_pos",
         "n_neg",
         "n_thresholds",
-        F.round(F.col("s").cast("double") / n_pos, 6).alias(
-            "average_precision"
-        ),
-        F.round(n_pos.cast("double") / (n_pos + n_neg), 6).alias(
-            "prevalence"
-        ),
+        F.when(
+            n_pos > 0, F.round(F.col("s").cast("double") / n_pos, 6)
+        ).alias("average_precision"),
+        F.when(
+            (n_pos + n_neg) > 0,
+            F.round(n_pos.cast("double") / (n_pos + n_neg), 6),
+        ).alias("prevalence"),
     )

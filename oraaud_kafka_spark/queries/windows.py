@@ -443,7 +443,9 @@ g AS (
 SELECT o_orderpriority, n_rows,
        round(CAST(peak_cents AS DOUBLE) / 100, 6) AS peak_dollars,
        round(CAST(max_dd_cents AS DOUBLE) / 100, 6) AS max_drawdown_dollars,
-       round(CAST(max_dd_cents AS DOUBLE) / peak_cents, 6) AS dd_share
+       CASE WHEN peak_cents <> 0
+            THEN round(CAST(max_dd_cents AS DOUBLE) / peak_cents, 6) END
+         AS dd_share
 FROM g
 ORDER BY o_orderpriority
 """
@@ -480,7 +482,13 @@ def q_window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("max_dd_cents").cast("double") / 100, 6).alias(
             "max_drawdown_dollars"
         ),
-        F.round(
-            F.col("max_dd_cents").cast("double") / F.col("peak_cents"), 6
+        # ANSI guard: an all-zero-price series has peak 0 — NULL share,
+        # not DIVIDE_BY_ZERO (round-6 hazard class)
+        F.when(
+            F.col("peak_cents") != 0,
+            F.round(
+                F.col("max_dd_cents").cast("double") / F.col("peak_cents"),
+                6,
+            ),
         ).alias("dd_share"),
     ).orderBy("o_orderpriority")

@@ -308,3 +308,42 @@ def test_burst_detection_matches_python_baseline(spark):
         assert (r.bar_hour, r.n_events, r.base_sum) == (h, n, base)
         assert r.ratio == -neg_ratio
         assert r.is_burst == flag
+
+
+def test_pr_auc_and_drawdown_survive_degenerate_orders(spark, tmp_path):
+    """ANSI-mode hazard pin (the adversarial sweep fabricates only
+    documents/events/embeddings, so orders-based ops need their own):
+    an orders table with zero positives and all-zero prices must
+    return NULL metrics on both engines, not raise DIVIDE_BY_ZERO."""
+    from oraaud_kafka_spark.testing import compare_frames
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, 1, "F", 0.0, "2024-01-0%d 00:00:00" % (i + 1), "3-MEDIUM")
+         for i in range(3)],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate", "o_orderpriority",
+    ).write.parquet(os.path.join(sf_dir, "orders.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"'{sf_dir}/orders.parquet/*.parquet'"
+    )
+
+    ap = registry.QUERIES["q_eval_pr_auc"].__wrapped__(spark, sf_dir)
+    got = ap.toPandas()
+    assert got.average_precision.isna().all()  # no positives -> NULL
+    assert got.prevalence.iloc[0] == 0.0
+    want = con.execute(registry.ORACLES["q_eval_pr_auc"]).fetchdf()
+    assert not compare_frames(got, want)
+
+    dd = registry.QUERIES["q_window_max_drawdown"].__wrapped__(spark, sf_dir)
+    got = dd.toPandas()
+    assert (got.peak_dollars == 0.0).all()
+    assert got.dd_share.isna().all()  # zero peak -> NULL share
+    want = con.execute(registry.ORACLES["q_window_max_drawdown"]).fetchdf()
+    assert not compare_frames(got, want)
