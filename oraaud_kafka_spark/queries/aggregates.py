@@ -917,7 +917,9 @@ g AS (
 )
 SELECT o_orderpriority, n,
        round(sx / 100 / n, 6) AS mean_price,
-       round(2 * six / (n * sx) - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+       CASE WHEN sx <> 0
+            THEN round(2 * six / (n * sx) - CAST(n + 1 AS DOUBLE) / n, 6)
+       END AS gini
 FROM g
 ORDER BY o_orderpriority
 """
@@ -960,12 +962,20 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("six"),
     )
     n, sx, six = F.col("n"), F.col("sx"), F.col("six")
+    # ANSI guard: a group whose cent mass sums to zero (all-zero or
+    # netting refunds) has no defined concentration — NULL, not
+    # DIVIDE_BY_ZERO (adversarial-tpch sweep)
     return g.select(
         "o_orderpriority",
         "n",
         F.round(sx / 100 / n, 6).alias("mean_price"),
-        F.round(
-            F.lit(2) * six / (n * sx) - (n + F.lit(1)).cast("double") / n, 6
+        F.when(
+            sx != 0,
+            F.round(
+                F.lit(2) * six / (n * sx)
+                - (n + F.lit(1)).cast("double") / n,
+                6,
+            ),
         ).alias("gini"),
     ).orderBy("o_orderpriority")
 
@@ -1463,9 +1473,11 @@ cum AS (
                AND CURRENT ROW)
 ),
 d AS (
+  -- an empty arm makes the statistic undefined: emit zero rows, not
+  -- DIVIDE_BY_ZERO (adversarial-tpch sweep)
   SELECT cents, na, nb,
          abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) AS diff
-  FROM cum
+  FROM cum WHERE na > 0 AND nb > 0
 ),
 top AS (
   SELECT cents, na, nb, diff,
@@ -1509,7 +1521,8 @@ def q_agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("fb").over(wc).cast("bigint").alias("cb"),
         F.sum("fa").over(wt).cast("bigint").alias("na"),
         F.sum("fb").over(wt).cast("bigint").alias("nb"),
-    )
+    ).filter((F.col("na") > 0) & (F.col("nb") > 0))
+    # ^ ANSI guard: an empty arm -> zero output rows, not DIVIDE_BY_ZERO
     diff = F.abs(
         F.col("ca").cast("double") / F.col("na")
         - F.col("cb").cast("double") / F.col("nb")
@@ -1794,16 +1807,25 @@ m AS (
          CAST(sum(CAST(fa AS HUGEINT) * r2) AS DOUBLE) / 2 AS ra,
          CAST(sum(CAST(f AS HUGEINT) * f * f - f) AS DOUBLE) AS ties
   FROM ranked
+),
+sig AS (
+  -- empty arm or a single combined row leaves the ties term or the
+  -- variance undefined: NULL z, not DIVIDE_BY_ZERO
+  SELECT na, nb, ra,
+         CASE WHEN na + nb > 1
+              THEN CAST(na AS DOUBLE) * nb / 12
+                   * ((na + nb + 1)
+                      - ties / (CAST(na + nb AS DOUBLE) * (na + nb - 1)))
+         END AS sig2
+  FROM m
 )
 SELECT na, nb,
        round(ra - CAST(na AS DOUBLE) * (na + 1) / 2, 6) AS u_a,
-       round((ra - CAST(na AS DOUBLE) * (na + 1) / 2
-              - CAST(na AS DOUBLE) * nb / 2)
-             / sqrt(CAST(na AS DOUBLE) * nb / 12
-                    * ((na + nb + 1)
-                       - ties / (CAST(na + nb AS DOUBLE)
-                                 * (na + nb - 1)))), 6) AS z
-FROM m
+       CASE WHEN sig2 > 0
+            THEN round((ra - CAST(na AS DOUBLE) * (na + 1) / 2
+                        - CAST(na AS DOUBLE) * nb / 2) / sqrt(sig2), 6)
+       END AS z
+FROM sig
 """
 
 
@@ -1847,18 +1869,35 @@ def q_agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na, nb, ra, ties = (F.col(c) for c in ("na", "nb", "ra", "ties"))
     u_a = ra - na.cast("double") * (na + F.lit(1)) / F.lit(2)
-    z = (u_a - na.cast("double") * nb / F.lit(2)) / F.sqrt(
-        na.cast("double") * nb / F.lit(12)
-        * (
-            (na + nb + F.lit(1))
-            - ties / ((na + nb).cast("double") * (na + nb - F.lit(1)))
-        )
+    # ANSI guards (adversarial-tpch sweep): an empty arm or a single
+    # combined row leaves the ties term or the variance undefined —
+    # NULL z (U is still well-defined), never DIVIDE_BY_ZERO. sig2 > 0
+    # also covers the all-values-tied case, where the tie correction
+    # drives the variance to exactly zero.
+    sig = m.select(
+        "na",
+        "nb",
+        "ra",
+        F.when(
+            (na + nb) > 1,
+            na.cast("double") * nb / F.lit(12)
+            * (
+                (na + nb + F.lit(1))
+                - ties / ((na + nb).cast("double") * (na + nb - F.lit(1)))
+            ),
+        ).alias("sig2"),
     )
-    return m.select(
+    sig2 = F.col("sig2")
+    return sig.select(
         "na",
         "nb",
         F.round(u_a, 6).alias("u_a"),
-        F.round(z, 6).alias("z"),
+        F.when(
+            sig2 > 0,
+            F.round(
+                (u_a - na.cast("double") * nb / F.lit(2)) / F.sqrt(sig2), 6
+            ),
+        ).alias("z"),
     )
 
 
@@ -1897,11 +1936,19 @@ WITH s AS (
   FROM lineitem GROUP BY l_linestatus
 )
 SELECT l_linestatus, n,
-       round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6) AS slope,
-       round((sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx)
-             / nd, 6) AS intercept,
-       round(((nd * sxy - sx * sy) * (nd * sxy - sx * sy))
-             / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6) AS r2
+       -- constant x (zero x-variance) leaves the fit undefined: NULL,
+       -- not DIVIDE_BY_ZERO; r2 additionally needs y-variance
+       CASE WHEN nd * sxx - sx * sx <> 0
+            THEN round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6)
+       END AS slope,
+       CASE WHEN nd * sxx - sx * sx <> 0
+            THEN round((sy - ((nd * sxy - sx * sy)
+                              / (nd * sxx - sx * sx)) * sx) / nd, 6)
+       END AS intercept,
+       CASE WHEN (nd * sxx - sx * sx) * (nd * syy - sy * sy) <> 0
+            THEN round(((nd * sxy - sx * sy) * (nd * sxy - sx * sy))
+                       / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6)
+       END AS r2
 FROM s
 ORDER BY l_linestatus
 """
@@ -1925,15 +1972,23 @@ def q_agg_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(c) for c in ("nd", "sx", "sy", "sxy", "sxx", "syy")
     )
     slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    # ANSI guards (adversarial-tpch sweep): constant x -> no defined
+    # fit; flat y additionally undefines r2 — NULL, not DIVIDE_BY_ZERO
     return s.select(
         "l_linestatus",
         "n",
-        F.round(slope, 6).alias("slope"),
-        F.round((sy - slope * sx) / nd, 6).alias("intercept"),
-        F.round(
-            ((nd * sxy - sx * sy) * (nd * sxy - sx * sy))
-            / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
-            6,
+        F.when(vx != 0, F.round(slope, 6)).alias("slope"),
+        F.when(vx != 0, F.round((sy - slope * sx) / nd, 6)).alias(
+            "intercept"
+        ),
+        F.when(
+            vx * vy != 0,
+            F.round(
+                ((nd * sxy - sx * sy) * (nd * sxy - sx * sy)) / (vx * vy),
+                6,
+            ),
         ).alias("r2"),
     ).orderBy("l_linestatus")
 
@@ -2053,8 +2108,12 @@ m AS (
   FROM ranked
 )
 SELECT n_pos, n_neg,
-       round(u2 / (2 * CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc,
-       round(u2 / (CAST(n_pos AS DOUBLE) * n_neg) - 1, 6) AS gini_rank
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN round(u2 / (2 * CAST(n_pos AS DOUBLE) * n_neg), 6)
+       END AS auc,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN round(u2 / (CAST(n_pos AS DOUBLE) * n_neg) - 1, 6)
+       END AS gini_rank
 FROM m
 """
 
@@ -2095,15 +2154,20 @@ def q_eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("u2"),
     )
     n_pos, n_neg, u2 = (F.col(c) for c in ("n_pos", "n_neg", "u2"))
+    # ANSI guard (adversarial-tpch sweep): a single-class label column
+    # has no ranking to score — NULL, not DIVIDE_BY_ZERO
+    both = (n_pos > 0) & (n_neg > 0)
     return m.select(
         "n_pos",
         "n_neg",
-        F.round(u2 / (F.lit(2) * n_pos.cast("double") * n_neg), 6).alias(
-            "auc"
-        ),
-        F.round(u2 / (n_pos.cast("double") * n_neg) - F.lit(1), 6).alias(
-            "gini_rank"
-        ),
+        F.when(
+            both,
+            F.round(u2 / (F.lit(2) * n_pos.cast("double") * n_neg), 6),
+        ).alias("auc"),
+        F.when(
+            both,
+            F.round(u2 / (n_pos.cast("double") * n_neg) - F.lit(1), 6),
+        ).alias("gini_rank"),
     )
 
 

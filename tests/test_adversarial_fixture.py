@@ -193,3 +193,77 @@ def test_embedding_query_survives_adversarial_vectors(
     spark, adversarial_emb_dir, name
 ):
     registry.QUERIES[name].__wrapped__(spark, adversarial_emb_dir).collect()
+
+
+@pytest.fixture(scope="module")
+def adversarial_tpch_dir(spark, tmp_path_factory):
+    """Hostile orders/lineitem/customer — the relational side the three
+    sweeps above never stress (schema-valid, content-degenerate): zero
+    and negative prices (zero running peak, zero group means), NO
+    urgent/high orders (n_pos = 0 for every label-derived eval), a
+    single-row order group, constant-quantity line statuses (sxx = 0
+    for OLS), a single-class returnflag, one-customer segments
+    (k-anonymity classes of 1, chi-square 1xN), and exact-tie account
+    balances. Every query runs against this dir; part/supplier/nation/
+    region/documents/events/embeddings stay the real fixtures."""
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("adversarial_tpch")
+    hostile = {"orders.parquet", "lineitem.parquet", "customer.parquet"}
+    for name in os.listdir(SF_DIR):
+        if name.endswith(".parquet") and name not in hostile:
+            src = os.path.join(SF_DIR, name)
+            dst = os.path.join(str(base), name)
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copy(src, dst)
+    orders = [
+        # no 1-URGENT / 2-HIGH anywhere -> every pos-label eval sees 0
+        (1, 1, "F", 0.0, "2024-01-01 00:00:00", "3-MEDIUM"),
+        (2, 1, "O", 0.0, "2024-01-01 00:00:00", "3-MEDIUM"),  # date tie
+        (3, 2, "F", 123.455, "2024-01-02 00:00:00", "5-LOW"),  # .5 cent
+        (4, 2, "F", -50.0, "2024-01-03 00:00:00", "5-LOW"),   # refund
+        (5, 3, "P", 10000000.0, "2024-01-04 00:00:00", "4-NOT SPECIFIED"),
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")) \
+        .coalesce(1).write.parquet(os.path.join(str(base), "orders.parquet"))
+    lineitem = [
+        # one status all-constant quantity (sxx = 0), one status single
+        # row, zero quantities/prices, discount at both bin edges,
+        # single returnflag class ('N' only -> confusion tp+fn = 0)
+        (1, 1, 1, 1, 5.0, 0.0, 0.0, 0.0, "N", "F", "2024-01-01 00:00:00"),
+        (1, 2, 1, 2, 5.0, 100.0, 0.10, 0.0, "N", "F", "2024-01-02 00:00:00"),
+        (2, 1, 2, 1, 5.0, 0.0, 0.05, 0.0, "N", "F", "2024-01-03 00:00:00"),
+        (3, 3, 2, 1, 0.0, 50.0, 0.0, 0.0, "N", "O", "2024-01-04 00:00:00"),
+    ]
+    spark.createDataFrame(
+        lineitem,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp")) \
+        .coalesce(1).write.parquet(os.path.join(str(base), "lineitem.parquet"))
+    customer = [
+        # one-customer segments, exact-tie balances, zero balance
+        (1, "Customer#1", 0, 0.0, "BUILDING"),
+        (2, "Customer#2", 0, 0.0, "BUILDING"),   # tie with 1
+        (3, "Customer#3", 1, -10.5, "MACHINERY"),  # lone segment member
+        (4, "Customer#4", 2, 999.99, "AUTOMOBILE"),
+    ]
+    spark.createDataFrame(
+        customer,
+        "c_custkey bigint, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.parquet(os.path.join(str(base), "customer.parquet"))
+    return str(base)
+
+
+@pytest.mark.parametrize("name", sorted(registry.QUERIES))
+def test_query_survives_adversarial_tpch(spark, adversarial_tpch_dir, name):
+    registry.QUERIES[name].__wrapped__(spark, adversarial_tpch_dir).collect()
