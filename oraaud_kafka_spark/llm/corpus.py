@@ -564,7 +564,18 @@ def q_emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pca import power_iteration_top_pc
 
     e = load(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()[0])
+    first = e.select("embedding").first()
+    if first is None:
+        # empty corpus: no component exists — report n_vecs = 0 with
+        # NULL certification flags instead of crashing the dim probe
+        return e.agg(
+            F.count("*").alias("n_vecs"),
+            F.max(F.size("embedding")).alias("n_dims"),
+            F.lit(None).cast("boolean").alias("unit_norm_ok"),
+            F.lit(None).cast("boolean").alias("eigenvalue_positive"),
+            F.lit(None).cast("boolean").alias("converged"),
+        )
+    dim = len(first[0])
     # 16 rounds: the fixture embeddings are near-isotropic (small
     # eigengap), the worst case for power iteration — real text
     # embeddings have a dominant direction (arXiv:1702.01417) and

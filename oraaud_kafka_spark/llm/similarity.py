@@ -443,6 +443,16 @@ def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans import train_kmeans
 
     e = _directional(load(spark, sf_dir, "embeddings"))
+    if not e.select("vec_id").head(1):
+        # empty corpus: nothing to train a quantizer on — emit the same
+        # one-row summary the aggregates below would produce (n=0,
+        # NULL flags), instead of an IndexError out of train_kmeans
+        return spark.createDataFrame(
+            [(0, None, None, None, None)],
+            "n_queries bigint, total_rows bigint,"
+            " per_query_complete boolean, cosine_in_bounds boolean,"
+            " recall_ok boolean",
+        )
     trained = train_kmeans(
         e.select("vec_id", "embedding"), k=N_CENTROIDS, max_iter=4
     )

@@ -82,6 +82,8 @@ def train_kmeans(
         .collect()
     )
     centroids = [(i, [float(x) for x in row[0]]) for i, row in enumerate(init)]
+    if not centroids:
+        raise ValueError("train_kmeans: no vectors to train on")
     if dim is None:
         dim = len(centroids[0][1])
     for _ in range(max_iter):

@@ -267,3 +267,26 @@ def adversarial_tpch_dir(spark, tmp_path_factory):
 @pytest.mark.parametrize("name", sorted(registry.QUERIES))
 def test_query_survives_adversarial_tpch(spark, adversarial_tpch_dir, name):
     registry.QUERIES[name].__wrapped__(spark, adversarial_tpch_dir).collect()
+
+
+@pytest.fixture(scope="module")
+def empty_tables_dir(spark, tmp_path_factory):
+    """Every table present with the CORRECT schema and ZERO rows — the
+    state any production pipeline hits after a filter, an empty
+    partition, or a brand-new ingest directory. Queries must return
+    their defined empty/zero-row form, never crash (this sweep caught
+    the PCA dim-probe NoneType and the k-means empty-init IndexError
+    on arrival)."""
+    base = tmp_path_factory.mktemp("empty_tables")
+    for name in os.listdir(SF_DIR):
+        if name.endswith(".parquet"):
+            src = spark.read.parquet(os.path.join(SF_DIR, name))
+            src.limit(0).coalesce(1).write.parquet(
+                os.path.join(str(base), name)
+            )
+    return str(base)
+
+
+@pytest.mark.parametrize("name", sorted(registry.QUERIES))
+def test_query_survives_empty_tables(spark, empty_tables_dir, name):
+    registry.QUERIES[name].__wrapped__(spark, empty_tables_dir).collect()
