@@ -932,3 +932,63 @@ def test_t_closeness_matches_python_reference(spark, tmp_path_factory, rows):
             for b, g in global_bands.items()
         )
         assert abs(r.tvd - round(float(tvd), 6)) < 2e-6
+
+
+@given(
+    st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=1,
+             max_size=200)
+)
+@settings(max_examples=200, deadline=None)
+def test_winsorized_decomposition_identity(cents):
+    """The engine computes winsorized_sum as (trimmed middle sum over
+    the frequency-collapsed domain) + k*(lo + hi) with lo/hi picked by
+    cumulative-count predicates. Property: that decomposition equals
+    the literal clamp-and-sum over the sorted rows, for ANY integer
+    multiset (ties, negatives, n < 10 all included)."""
+    from collections import Counter
+
+    vals = sorted(cents)
+    n = len(vals)
+    k = n // 10
+    lo, hi = vals[k], vals[n - k - 1]
+    literal = sum(min(max(v, lo), hi) for v in vals)
+
+    # the engine's formulation: per distinct value v with freq f and
+    # exclusive cumulative c, middle take = clamp(c+f, k, n-k) window;
+    # lo = min v with c+f > k, hi = min v with c+f >= n-k
+    freq = Counter(cents)
+    c = 0
+    mid_sum = 0
+    lo_pick = hi_pick = None
+    for v in sorted(freq):
+        f = freq[v]
+        take = max(0, min(c + f, n - k) - max(c, k))
+        mid_sum += v * take
+        if lo_pick is None and c + f > k:
+            lo_pick = v
+        if hi_pick is None and c + f >= n - k:
+            hi_pick = v
+        c += f
+    assert (lo_pick, hi_pick) == (lo, hi)
+    assert mid_sum + k * (lo_pick + hi_pick) == literal
+
+
+@given(
+    st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=1,
+             max_size=200)
+)
+@settings(max_examples=200, deadline=None)
+def test_drawdown_running_fold_equals_pair_max(series):
+    """max over pairs i <= j of (v_i - v_j) — the O(n²) drawdown
+    definition — must equal the O(n) running-max fold the window
+    operator executes."""
+    peak, dd = None, 0
+    for v in series:
+        peak = v if peak is None else max(peak, v)
+        dd = max(dd, peak - v)
+    brute = max(
+        (series[i] - series[j] for i in range(len(series))
+         for j in range(i, len(series))),
+        default=0,
+    )
+    assert dd == max(0, brute)  # fold clamps at 0 (no peak yet = no dd)
