@@ -311,8 +311,15 @@ def _ewma_fn(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.Dat
     level, n = state.get if state.exists else (0.0, 0)
     rows = pd.concat(list(pdfs), ignore_index=True)
     # NULL/NaT-ts rows have no position in the time order — excluded
-    # here exactly as the batch twin q_time_ewma_level excludes them
-    rows = rows[rows["ts"].notna()].sort_values(["ts", "event_id"])
+    # here exactly as the batch twin q_time_ewma_level excludes them;
+    # NULL event_id would leave ties slicing-dependent under the
+    # stable sort, and a NULL value would fold NaN into the level
+    # forever — the same totality rule as the heavy-hitters monitor
+    rows = rows[
+        rows["ts"].notna()
+        & rows["event_id"].notna()
+        & rows["value"].notna()
+    ].sort_values(["ts", "event_id"])
     for v in rows["value"]:
         level = EWMA_ALPHA * float(v) + (1 - EWMA_ALPHA) * level
         n += 1
@@ -479,7 +486,13 @@ def _holt_fn(
     (user_id,) = key
     level, trend, n = state.get if state.exists else (0.0, 0.0, 0)
     rows = pd.concat(list(pdfs), ignore_index=True)
-    rows = rows[rows["ts"].notna()].sort_values(["ts", "event_id"])
+    # same totality rule as the EWMA monitor above (NULL event_id /
+    # value would break slicing determinism or NaN-poison the state)
+    rows = rows[
+        rows["ts"].notna()
+        & rows["event_id"].notna()
+        & rows["value"].notna()
+    ].sort_values(["ts", "event_id"])
     for v in rows["value"]:
         new_level = HOLT_ALPHA * float(v) + (1 - HOLT_ALPHA) * (level + trend)
         trend = HOLT_BETA * (new_level - level) + (1 - HOLT_BETA) * trend
@@ -566,7 +579,11 @@ def cusum_monitor(df: DataFrame, target_mean_cents: dict) -> DataFrame:
         cusum, peak, n = state.get if state.exists else (0.0, 0.0, 0)
         mu = targets.get(etype, 0.0)
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows[rows["ts"].notna() & rows["value"].notna()]
+        rows = rows[
+            rows["ts"].notna()
+            & rows["event_id"].notna()
+            & rows["value"].notna()
+        ]
         rows = rows.sort_values(["ts", "event_id"])
         for v in rows["value"]:
             cusum += _cents(v) - mu

@@ -1508,3 +1508,55 @@ def test_drawdown_monitor_state_survives_checkpoint_restart(spark, tmp_path):
     assert latest.peak_dollars == 50.0
     assert latest.max_drawdown_dollars == 40.0
     assert drawdown_cents(50.0) - drawdown_cents(10.0) == 4000
+
+
+def test_ewma_holt_drop_null_value_rows_without_nan_poison(spark, tmp_path):
+    """A NULL value row must be dropped, not folded as float(nan) —
+    folding it would NaN-poison the keyed level/trend forever. Both
+    smoothers must report the fold over only the valued rows."""
+    from oraaud_kafka_spark.streaming.analytics import (
+        EWMA_ALPHA,
+        HOLT_ALPHA,
+        HOLT_BETA,
+        ewma_levels,
+        holt_levels,
+    )
+
+    rows = [
+        {"user_id": 1, "ts": "2026-01-01T00:00:00", "event_id": 1, "event_type": "view", "value": 10.0},
+        {"user_id": 1, "ts": "2026-01-01T00:01:00", "event_id": 2, "event_type": "view", "value": None},
+        {"user_id": 1, "ts": "2026-01-01T00:02:00", "event_id": 3, "event_type": "view", "value": 20.0},
+    ]
+    d = tmp_path / "nanpoison"
+    d.mkdir()
+    _write_jsonl(d / "b1.json", rows)
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = _stream_json(spark, d, schema, latestFirst="false")
+    q1 = _run_to_memory(ewma_levels(stream), "ewma_nan", output_mode="update")
+    q2 = _run_to_memory(holt_levels(stream), "holt_nan", output_mode="update")
+    try:
+        e = max(spark.table("ewma_nan").collect(), key=lambda r: r.n_events)
+        level = 0.0
+        for v in (10.0, 20.0):
+            level = EWMA_ALPHA * v + (1 - EWMA_ALPHA) * level
+        assert e.n_events == 2
+        assert e.ewma_level == level  # a NaN fold could never equal this
+        h = max(spark.table("holt_nan").collect(), key=lambda r: r.n_events)
+        lv = tr = 0.0
+        for v in (10.0, 20.0):
+            nl = HOLT_ALPHA * v + (1 - HOLT_ALPHA) * (lv + tr)
+            tr = HOLT_BETA * (nl - lv) + (1 - HOLT_BETA) * tr
+            lv = nl
+        assert h.n_events == 2
+        assert h.level == lv and h.trend == tr
+    finally:
+        q1.stop()
+        q2.stop()
