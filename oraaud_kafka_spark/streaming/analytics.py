@@ -972,6 +972,13 @@ FUNNEL_MONITOR_STATE_SCHEMA = StructType(
 
 def _funnel_fn(key, pdfs, state) -> Iterator[pd.DataFrame]:
     (user_id,) = key
+    if user_id is None or (isinstance(user_id, float) and pd.isna(user_id)):
+        # a NULL user (None or NaN depending on the Arrow path) is not
+        # a funnel participant; emitting it would crash the int() cast
+        # below — drain and drop the group
+        for _ in pdfs:
+            pass
+        return
     ts_slots = list(state.get) if state.exists else [None, None, None, None]
     rows = pd.concat(list(pdfs), ignore_index=True)
     # same totality rule as _hh_fn: a NULL in either sort key would

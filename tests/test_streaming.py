@@ -1560,3 +1560,36 @@ def test_ewma_holt_drop_null_value_rows_without_nan_poison(spark, tmp_path):
     finally:
         q1.stop()
         q2.stop()
+
+
+def test_funnel_monitor_drops_null_user_group(spark, tmp_path):
+    """A NULL user_id row forms its own state group; the monitor must
+    drain and drop it (a NULL user is not a funnel participant) rather
+    than crash casting the key, while real users fold normally."""
+    from oraaud_kafka_spark.streaming.analytics import funnel_monitor
+
+    rows = [
+        {"user_id": None, "ts": "2026-01-01T00:00:00", "event_id": 1, "event_type": "signup", "value": 1.0},
+        {"user_id": 7, "ts": "2026-01-01T00:01:00", "event_id": 2, "event_type": "signup", "value": 1.0},
+        {"user_id": 7, "ts": "2026-01-01T00:02:00", "event_id": 3, "event_type": "view", "value": 1.0},
+    ]
+    d = tmp_path / "nulluser"
+    d.mkdir()
+    _write_jsonl(d / "b1.json", rows)
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = _stream_json(spark, d, schema, latestFirst="false")
+    q = _run_to_memory(funnel_monitor(stream), "fnull", output_mode="update")
+    try:
+        out = spark.table("fnull").collect()
+        assert [r.user_id for r in out] == [7]
+        assert out[0].stage == 2
+    finally:
+        q.stop()
