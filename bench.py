@@ -186,24 +186,20 @@ def main() -> None:
     # measured query
     spark.sparkContext._jvm.System.gc()
 
-    # Two full passes over the suite, reported value = min across the
-    # samples. Back-to-back min-of-3 turned out not to be noise-proof:
-    # a sustained interference window (noisy neighbor, GC thrash)
-    # covers all consecutive samples of one query and inflates its
-    # "min" 5-10x. Separating sample groups by a whole suite pass
-    # (~minutes) makes that failure mode require the interference to
-    # span the entire bench. The HEADLINE metric keeps min-of-2 inside
-    # each pass (4 samples); extras — informational, and now 110+
-    # queries — take 1 run per pass (min of 2 pass-separated samples),
-    # which keeps total bench wall time bounded as the suite grows.
+    # Two full passes over the suite with min-of-2 inside each, reported
+    # value = min across all 4 samples. Back-to-back min-of-3 turned out
+    # not to be noise-proof: a sustained interference window (noisy
+    # neighbor, GC thrash) covers all consecutive samples of one query
+    # and inflates its "min" 5-10x. Separating sample groups by a whole
+    # suite pass (~minutes) makes that failure mode require the
+    # interference to span the entire bench.
     samples: dict[str, list[float]] = {}
     extras_names = [n for n in EXTRAS if n in registry.QUERIES]
     for name in extras_names:
         run_once(name)  # warm (headliners were warmed above)
     for _pass in range(2):
         for name in (*names, *extras_names):
-            n_inner = 2 if name in names else 1
-            best = min(run_once(name) for _ in range(n_inner))
+            best = min(run_once(name) for _ in range(2))
             samples.setdefault(name, []).append(best)
 
     timings = {n: round(min(samples[n]), 4) for n in names}
