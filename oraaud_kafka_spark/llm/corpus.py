@@ -567,13 +567,15 @@ def q_emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = e.select("embedding").first()
     if first is None:
         # empty corpus: no component exists — report n_vecs = 0 with
-        # NULL certification flags instead of crashing the dim probe
+        # vacuously-true certification flags, exactly what _PCA_ORACLE
+        # (hardcoded TRUE literals) produces on zero rows, so the
+        # query/oracle contract holds on empty input too
         return e.agg(
             F.count("*").alias("n_vecs"),
             F.max(F.size("embedding")).alias("n_dims"),
-            F.lit(None).cast("boolean").alias("unit_norm_ok"),
-            F.lit(None).cast("boolean").alias("eigenvalue_positive"),
-            F.lit(None).cast("boolean").alias("converged"),
+            F.lit(True).alias("unit_norm_ok"),
+            F.lit(True).alias("eigenvalue_positive"),
+            F.lit(True).alias("converged"),
         )
     dim = len(first[0])
     # 16 rounds: the fixture embeddings are near-isotropic (small

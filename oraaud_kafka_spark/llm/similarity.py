@@ -443,19 +443,23 @@ def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans import train_kmeans
 
     e = _directional(load(spark, sf_dir, "embeddings"))
-    if not e.select("vec_id").head(1):
-        # empty corpus: nothing to train a quantizer on — emit the same
-        # one-row summary the aggregates below would produce (n=0,
-        # NULL flags), instead of an IndexError out of train_kmeans
+    try:
+        trained = train_kmeans(
+            e.select("vec_id", "embedding"), k=N_CENTROIDS, max_iter=4
+        )
+    except ValueError:
+        # empty corpus: nothing to train a quantizer on — emit exactly
+        # what _KMEANS_EVAL_ORACLE produces on zero rows (0 queries,
+        # 0 candidate rows, vacuously-true certifications), so the
+        # query/oracle contract holds on empty input too. Catching
+        # train_kmeans's own emptiness error avoids a pre-check job on
+        # the non-empty hot path.
         return spark.createDataFrame(
-            [(0, None, None, None, None)],
+            [(0, 0, True, True, True)],
             "n_queries bigint, total_rows bigint,"
             " per_query_complete boolean, cosine_in_bounds boolean,"
             " recall_ok boolean",
         )
-    trained = train_kmeans(
-        e.select("vec_id", "embedding"), k=N_CENTROIDS, max_iter=4
-    )
     centroids = spark.createDataFrame(trained, "cid int, cv array<double>")
     lists = _ivf_assign(e.select("vec_id", "embedding"), centroids, 1, "nid")
     probes = _ivf_assign(

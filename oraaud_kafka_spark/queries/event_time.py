@@ -1063,7 +1063,7 @@ SELECT user_id,
              (acc, x) -> {_EWMA_ALPHA} * x + {1 - _EWMA_ALPHA} * acc), 6)
          AS ewma_level
 FROM events
-WHERE ts IS NOT NULL
+WHERE ts IS NOT NULL AND event_id IS NOT NULL AND value IS NOT NULL
 GROUP BY user_id
 ORDER BY user_id
 """
@@ -1071,13 +1071,18 @@ ORDER BY user_id
 
 @query("q_time_ewma_level", oracle=_EWMA_ORACLE)
 def q_time_ewma_level(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NULL-ts events are EXCLUDED from the fold on both engines: a
-    # sequential recurrence needs a total order, and an event with no
-    # timestamp has no position in it (left in, Spark's array_sort on
-    # struct(ts,...) sorts NULL first while DuckDB's ORDER BY ts defaults
-    # NULLS LAST — the same rows fold in different orders and the levels
-    # diverge). The streaming twin (_ewma_fn) drops NaT rows identically.
-    e = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    # Rows missing ts, event_id, or value are EXCLUDED from the fold on
+    # both engines: a sequential recurrence needs a TOTAL order (NULL ts
+    # has no position; NULL event_id leaves ties order-ambiguous —
+    # Spark's array_sort and DuckDB's ORDER BY also disagree on NULL
+    # placement) and a NULL value would NaN-poison the level. The
+    # streaming twin (_ewma_fn) applies the identical rule, so monitor
+    # state over any prefix matches this query on the same rows.
+    e = load(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
     ordered = F.transform(
         F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
         lambda x: x.value,
@@ -1450,7 +1455,9 @@ _HOLT_ORACLE = f"""
 WITH RECURSIVE ev AS (
   SELECT user_id, value,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events WHERE ts IS NOT NULL
+  FROM events
+  WHERE ts IS NOT NULL AND event_id IS NOT NULL
+    AND value IS NOT NULL
 ),
 fold AS (
   SELECT user_id, 0 AS rn, CAST(0 AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
@@ -1474,7 +1481,12 @@ ORDER BY user_id
 
 @query("q_time_holt_trend", oracle=_HOLT_ORACLE)
 def q_time_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    # same fold-totality rule as q_time_ewma_level / the streaming twins
+    e = load(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
     ordered = F.transform(
         F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
         lambda x: x.value,
@@ -2408,9 +2420,13 @@ _BURST_TOPK = 5
 
 _BURST_ORACLE = f"""
 WITH hourly AS (
+  -- NULL ts carries no bucket, and the NULL bucket would sort NULLS
+  -- FIRST in Spark's window vs NULLS LAST in DuckDB's — exclude it
+  -- like every other event-time fold here
   SELECT event_type, date_trunc('hour', ts) AS bar_hour,
          count(*) AS n
-  FROM events GROUP BY event_type, date_trunc('hour', ts)
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, date_trunc('hour', ts)
 ),
 base AS (
   SELECT event_type, bar_hour, n,
@@ -2443,7 +2459,7 @@ def q_time_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 hourly burst candidates per event type: this hour's count
     vs the trailing-24-observed-hours baseline, integer-exact >= 2x
     flag, ranked by rate ratio."""
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bar_hour")
     ).agg(F.count("*").alias("n"))

@@ -563,16 +563,13 @@ def cusum_monitor(df: DataFrame, target_mean_cents: dict) -> DataFrame:
     position or magnitude and are dropped, like the batch twin."""
     targets = {k: float(v) for k, v in target_mean_cents.items()}
 
-    from decimal import ROUND_HALF_UP, Decimal
-
-    def _cents(v: float) -> int:
-        # half-AWAY-FROM-ZERO on the exact binary value — the same
-        # result as Spark's F.round(value * 100) and DuckDB's round()
-        # in the batch twin; Python's builtin round() is banker's
-        # rounding and would drift 1 cent on exact .5 boundaries
-        return int(
-            Decimal(float(v) * 100).quantize(Decimal(1), rounding=ROUND_HALF_UP)
-        )
+    # half-AWAY-FROM-ZERO on the exact binary value — the same result
+    # as Spark's F.round(value * 100) and DuckDB's round() in the
+    # batch twin; Python's builtin round() is banker's rounding and
+    # would drift 1 cent on exact .5 boundaries. ONE shared helper for
+    # every cent-domain monitor (quantile/drawdown delegate too) so a
+    # rounding-rule fix can never desynchronize them.
+    _cents = quantile_cents
 
     def _fn(key, pdfs, state):
         (etype,) = key
@@ -1019,7 +1016,10 @@ def _funnel_fn(key, pdfs, state) -> Iterator[pd.DataFrame]:
 
 def funnel_monitor(df: DataFrame) -> DataFrame:
     """Live per-user funnel progress under 4-slot keyed state; emits
-    each updated user's stage and per-stage first timestamps."""
+    each updated user's stage and per-stage first timestamps. NULL
+    user_id rows are dropped (no participant to attribute them to) —
+    note the batch funnel would surface them as a NULL-user group, so
+    the live/batch parity contract covers non-NULL users."""
     return (
         df.select("user_id", "ts", "event_id", "event_type")
         .groupBy("user_id")
@@ -1161,14 +1161,18 @@ def quantile_monitor(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Streaming burst monitor: the live twin of q_time_burst_detection.
 # Keyed state per event type is the trailing hour-bucket histogram —
-# (epoch-hour, count) parallel arrays truncated to the newest
-# BURST_MONITOR_KEEP hours — so state is bounded by the time horizon,
-# never stream length, and bucket COUNTING is order-free (a pure
-# function of the retained rows' multiset: stronger than the
-# fold-order contract the CUSUM/EWMA family needs). Rows older than
-# the retained horizon are ignored — the same lateness bound a
-# watermark would impose; under time-ordered slicing no row is ever
-# dropped. Each batch emits the newest hour's count against the sum
+# (epoch-hour, count) parallel arrays truncated to the hours within
+# BURST_MONITOR_KEEP-1 of the NEWEST observed hour — so state is
+# bounded by the time horizon, never stream length, and bucket
+# COUNTING is order-free (a pure function of the retained rows'
+# multiset: stronger than the fold-order contract the CUSUM/EWMA
+# family needs; the lateness floor is computed from the max over
+# state AND the whole batch, so within-batch arrival order cannot
+# change it). Rows older than newest - 24h are ignored — the same
+# NEWEST-relative lateness bound a watermark imposes (min-retained-
+# relative would wrongly discard a backfill arriving after a sparse
+# first bucket); under time-ordered slicing no row within the horizon
+# is ever dropped. Each batch emits the newest hour's count against the sum
 # of the 24 preceding retained buckets with the batch operator's
 # integer cross-multiplication flag (n*base_n >= 2*base_sum — no
 # float in the decision); ratio is NULL until a full 24-bucket
@@ -1206,13 +1210,24 @@ def _burst_fn(key, pdfs, state) -> Iterator[pd.DataFrame]:
         hist = {}
     rows = pd.concat(list(pdfs), ignore_index=True)
     rows = rows[rows["ts"].notna()]
-    floor = min(hist) if hist else None
-    for ts in rows["ts"]:
-        h = int(ts.value) // (3600 * 10**9)  # ns -> epoch hour
-        if floor is not None and h < floor:
-            continue  # beyond the retained lateness horizon
+    hours = [
+        int(ts.value) // (3600 * 10**9) for ts in rows["ts"]  # ns -> hour
+    ]
+    # lateness horizon is NEWEST-relative (max over retained state AND
+    # this batch, so counting stays order-free within the batch):
+    # rows older than newest - 24h are beyond what a watermark would
+    # admit; a min(retained)-relative floor would wrongly discard a
+    # backfill batch arriving after a sparse first bucket
+    newest = max([*hist, *hours], default=None)
+    if newest is None:
+        state.update(([], []))
+        return
+    floor = newest - (BURST_MONITOR_KEEP - 1)
+    for h in hours:
+        if h < floor:
+            continue
         hist[h] = hist.get(h, 0) + 1
-    keep = sorted(hist)[-BURST_MONITOR_KEEP:]
+    keep = sorted(h for h in hist if h >= floor)
     hist = {h: hist[h] for h in keep}
     state.update((list(keep), [hist[h] for h in keep]))
     if not keep:
@@ -1288,13 +1303,10 @@ DRAWDOWN_MONITOR_STATE_SCHEMA = StructType(
 
 
 def drawdown_cents(v: float) -> int:
-    """Half-away-from-zero cents — same result as F.round(value*100)
-    and DuckDB round() (Python's builtin round is banker's)."""
-    from decimal import ROUND_HALF_UP, Decimal
-
-    return int(
-        Decimal(float(v) * 100).quantize(Decimal(1), rounding=ROUND_HALF_UP)
-    )
+    """Half-away-from-zero cents — delegates to the one shared
+    cent-conversion rule (see quantile_cents) so the monitors can
+    never disagree on a boundary."""
+    return quantile_cents(v)
 
 
 def _drawdown_fn(key, pdfs, state) -> Iterator[pd.DataFrame]:

@@ -347,3 +347,45 @@ def test_pr_auc_and_drawdown_survive_degenerate_orders(spark, tmp_path):
     assert got.dd_share.isna().all()  # zero peak -> NULL share
     want = con.execute(registry.ORACLES["q_window_max_drawdown"]).fetchdf()
     assert not compare_frames(got, want)
+
+
+def test_burst_detection_parity_with_null_ts_rows(spark, tmp_path):
+    """Review pin: a NULL-ts event must not create a NULL hour bucket —
+    Spark's window sorts NULLS FIRST while DuckDB's sorts NULLS LAST,
+    so an unfiltered NULL bucket silently diverges the baselines. Both
+    engines must agree bit-for-bit with a NULL-ts row present."""
+    from oraaud_kafka_spark.testing import compare_frames
+
+    sf_dir = str(tmp_path)
+    rows = []
+    eid = 0
+    for h in range(30):
+        for _ in range((h % 3) + 1):
+            eid += 1
+            rows.append(
+                (eid, "2026-01-0%dT%02d:00:00" % (1 + h // 24, h % 24),
+                 1, "click", 1.0, "{}")
+            )
+    rows.append((999, None, 2, "click", 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).coalesce(1).write.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{sf_dir}/events.parquet/*.parquet'"
+    )
+    got = registry.QUERIES["q_time_burst_detection"].__wrapped__(
+        spark, sf_dir
+    ).toPandas()
+    want = con.execute(
+        registry.ORACLES["q_time_burst_detection"]
+    ).fetchdf()
+    assert len(got) == 5
+    assert not compare_frames(got, want)
