@@ -45,17 +45,24 @@ def test_driver_window_is_front_list():
 
 def test_verification_ledger_in_sync_with_artifacts():
     """The COVERAGE.md driver-verification ledger is generated from the
-    CORRECTNESS_r*.json artifacts; a new artifact or query must force a
-    regeneration (python scripts/gen_ledger.py --write) or this drifts."""
+    CORRECTNESS_r*.json artifacts; a new QUERY must force a regeneration
+    (python scripts/gen_ledger.py --write) or this drifts.
+
+    The comparison regenerates through the ledger's OWN max recorded
+    round: a post-freeze driver artifact (CORRECTNESS_r{N+1}.json landing
+    after the round-N commit freeze) must NOT redden the suite — that
+    class fired in rounds 7 and 9. Rotation time regenerates with all
+    artifacts, bumping the recorded max."""
     import sys
 
     sys.path.insert(0, str(DOC.parent / "scripts"))
     import gen_ledger
 
-    section = gen_ledger.generate()
     text = DOC.read_text()
     assert gen_ledger.BEGIN in text, "ledger section missing from COVERAGE.md"
     current = text.split(gen_ledger.BEGIN)[1].split(gen_ledger.END)[0]
+    cap = gen_ledger.max_recorded_round(current)
+    section = gen_ledger.generate(max_round=cap)
     expected = section.split(gen_ledger.BEGIN)[1].split(gen_ledger.END)[0]
     assert current == expected, (
         "ledger stale — run: python scripts/gen_ledger.py --write"
