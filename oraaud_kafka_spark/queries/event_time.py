@@ -142,13 +142,88 @@ ORDER BY event_type
 """
 
 
+# Bucket widths for the segmented running max below. 4096-ary keeps the
+# per-task work bounded at every level: with n events, level-0 windows
+# hold <= _LATE_W rows each, the level-1 offset windows (partitioned by
+# superbucket) hold <= _LATE_SB bucket rows each, and the single
+# unpartitioned level-2 window runs over n/(_LATE_W*_LATE_SB) superbucket
+# rows — ~60k at 1e12 events, one comfortable task. Small enough that
+# sf0.01 (~tens of thousands of events) exercises the bucket merge in
+# the driver's hash check, not just in unit tests.
+_LATE_W = 4096
+_LATE_SB = 4096
+
+
 @query("q_time_late_data", oracle=_LATE_ORACLE)
-def q_time_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_time_late_data(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    _w: int = _LATE_W,
+    _sb: int = _LATE_SB,
+) -> DataFrame:
+    """Watermark-lateness accounting: events out-of-order by >= 10 min vs
+    the running max ts over the event_id total order, counted per type.
+
+    Scale shape: the naive form is ONE unpartitioned ordered window over
+    every event — a single task owning the whole table at cluster scale.
+    A running max is an associative prefix scan, so it decomposes into
+    the segmented two-level pattern proven on q_events_concurrency:
+    bucket-local running max (window partitioned by event_id bucket) +
+    per-bucket maxima merged through a bounded superbucket level, final
+    running max = greatest(local, bucket offset). greatest() skips NULLs,
+    matching the NULL-ts semantics of the plain window (max ignores
+    NULLs; an all-NULL prefix stays NULL). The oracle states the
+    semantics with the plain global window; the hash match proves the
+    decomposition exact. _w/_sb are test seams (tiny widths force
+    multi-level merges on small fixtures)."""
     e = load(spark, sf_dir, "events")
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lateness = F.max("ts").over(w).cast("long") - F.col("ts").cast("long")
+    ev = e.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("event_id") / _w).alias("bucket"),
+    ).withColumn("sbucket", F.floor(F.col("bucket") / _sb))
+    # level 0: running max within each bucket (<= _w rows per partition)
+    wl = (
+        Window.partitionBy("bucket")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ev.select(
+        "event_type",
+        "ts",
+        "bucket",
+        "sbucket",
+        F.max("ts").over(wl).alias("local_max"),
+    )
+    # level 1: per-bucket maxima, prefix-maxed within each superbucket
+    # (<= _sb bucket rows per partition)
+    bmax = ev.groupBy("sbucket", "bucket").agg(F.max("ts").alias("bmax"))
+    wb = (
+        Window.partitionBy("sbucket")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bmax = bmax.withColumn("b_prefix", F.max("bmax").over(wb))
+    # level 2: superbucket maxima, one unpartitioned window over the
+    # n/(_w*_sb)-row superbucket table — bounded by construction
+    smax = bmax.groupBy("sbucket").agg(F.max("bmax").alias("smax"))
+    ws = Window.orderBy("sbucket").rowsBetween(Window.unboundedPreceding, -1)
+    soff = smax.select(
+        "sbucket", F.max("smax").over(ws).alias("s_prefix")
+    )
+    offsets = bmax.join(soff, "sbucket").select(
+        "bucket",
+        # everything strictly before this bucket: prior superbuckets'
+        # max, then prior buckets within this superbucket
+        F.greatest("s_prefix", "b_prefix").alias("offset"),
+    )
+    run_max = F.greatest("offset", "local_max")
+    lateness = run_max.cast("long") - F.col("ts").cast("long")
     return (
-        e.select("event_type", lateness.alias("lateness_s"))
+        local.join(offsets, "bucket")
+        .select("event_type", lateness.alias("lateness_s"))
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),

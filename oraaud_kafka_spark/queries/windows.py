@@ -455,16 +455,60 @@ ORDER BY o_orderpriority
 def q_window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest peak-to-trough drop of order value per priority over the
     (o_orderdate, o_orderkey) total order — running-max window minus
-    current, exact in cents, one pass."""
+    current, exact in cents.
+
+    Scale shape (round-10 re-shape): o_orderpriority has FIVE values, so
+    partitioning the running-max window on it alone hands the whole
+    table to 5 tasks at cluster scale. The running max is an associative
+    prefix scan, so it segments on a date bucket exactly like
+    q_events_concurrency's hour-local sweep: month-local running peak
+    (window partitioned by (priority, month) — fine-grained, data-
+    proportional parallelism) + per-month peak maxima prefix-merged
+    within each priority (a window over the bounded priority x month
+    domain, ~84 rows/priority for the 7-year order span), final
+    run_peak = greatest(local, offset). Month bucketing respects the
+    (o_orderdate, o_orderkey) order because month boundaries are date
+    boundaries. The offset table is date-domain-bounded, hence the
+    broadcast hint (see tests/test_broadcast_hints.py). The oracle keeps
+    the plain per-priority window; the hash match proves the segmented
+    decomposition exact."""
     o = load(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        "o_orderdate", "o_orderkey"
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    series = o.select(
+    bucketed = o.select(
         "o_orderpriority",
+        "o_orderdate",
+        "o_orderkey",
         cents.alias("cents"),
-        F.max(cents).over(w).cast("bigint").alias("run_peak"),
+        F.date_trunc("month", "o_orderdate").alias("bucket"),
+    )
+    wl = (
+        Window.partitionBy("o_orderpriority", "bucket")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = bucketed.select(
+        "o_orderpriority",
+        "bucket",
+        "cents",
+        F.max("cents").over(wl).alias("local_peak"),
+    )
+    bmax = bucketed.groupBy("o_orderpriority", "bucket").agg(
+        F.max("cents").alias("bpeak")
+    )
+    wb = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bmax.select(
+        "o_orderpriority", "bucket", F.max("bpeak").over(wb).alias("offset")
+    )
+    series = local.join(
+        F.broadcast(offsets), ["o_orderpriority", "bucket"]
+    ).select(
+        "o_orderpriority",
+        "cents",
+        F.greatest("offset", "local_peak").cast("bigint").alias("run_peak"),
     )
     g = series.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_rows"),

@@ -64,6 +64,10 @@ ALLOWED_UNBOUNDED: dict[str, tuple[str, ...]] = {
     # Hour-bucket offset table: bounded by distinct hours in the time
     # domain, never by event rows (the segmented prefix-sum design).
     "q_events_concurrency": ("grouped-agg", "grouped-agg"),
+    # Month-bucket running-peak offsets: bounded by the priority x
+    # month domain (~5 x 84 rows for the 7-year order span), never by
+    # order rows (same segmented prefix-scan design, round-10 re-shape).
+    "q_window_max_drawdown": ("grouped-agg",),
     # Per-source token totals: bounded by the source-label domain.
     "q_text_source_jsd": ("grouped-agg",) * 4,
     # Per-event-type robust stats: bounded by the event-type domain.
