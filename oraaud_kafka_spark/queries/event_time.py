@@ -1182,15 +1182,14 @@ def q_time_ewma_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # RFM segmentation: the classic customer-analytics operator (recency /
 # frequency / monetary quintiles). Stage 1 collapses events to ONE row
-# per user (partial-agg'd groupBy — the 100 TB pass); stage 2 ranks the
-# user-cardinality table with three ntile(5) windows sharing one
-# global sort each. The global windows run over USERS, not events —
-# orders of magnitude smaller — and at extreme user counts the ntile
-# boundaries would come from approx quantile cutoffs instead (same
-# trade documented on q_profile_table_approx). "Now" is the corpus max
-# timestamp (broadcast scalar), so the query is deterministic. All
-# columns are integer/decimal-exact; ntile ties break on user_id on
-# both engines.
+# per user (partial-agg'd groupBy — the 100 TB pass); stage 2 assigns
+# each user its EXACT ntile(5) score per dimension WITHOUT a global row
+# window (round-10 re-shape: the previous three unpartitioned ntile
+# windows were three global sorts on one task each at scale). The
+# distributed exact-rank machinery lives in _exact_ntile below. "Now"
+# is the corpus max timestamp (broadcast scalar), so the query is
+# deterministic. All columns are integer/decimal-exact; ntile ties
+# break on user_id on both engines.
 _RFM_ORACLE = f"""
 WITH per_user AS (
   SELECT user_id,
@@ -1222,6 +1221,73 @@ ORDER BY user_id
 """
 
 
+def _exact_ntile(base: DataFrame, v, alias: str, k: int = 5, n_buckets: int = 256) -> DataFrame:
+    """(user_id, <alias>) with the EXACT ntile(k) ORDER BY (v, user_id)
+    score, computed without any unpartitioned row window.
+
+    Decomposition (the range-bucketed exact rank):
+    1. ~n_buckets approximate quantile boundaries of v (one pass;
+       bounded driver collect of <= n_buckets doubles, same class as
+       the SRP anchors at llm/dedup.py). Boundary error NEVER affects
+       the result — buckets only partition the work; any value-range
+       bucketing that respects the v order yields the same exact ranks.
+    2. bucket = #boundaries <= v (O(n_buckets) vectorized per row,
+       monotone in v even across the decimal->double cast since equal
+       values share a bucket and the cast is order-preserving).
+    3. row_number within each bucket ordered by (v, user_id) — windows
+       partitioned ~evenly by the quantile boundaries.
+    4. global rank = bucket offset (prefix sum over the <= n_buckets+1
+       counts table, broadcast back) + local row number.
+    5. ntile from rank and the total count n: the first n%k tiles hold
+       floor(n/k)+1 rows, the rest floor(n/k) (standard SQL ntile; the
+       greatest() guard keeps the unused branch ANSI-safe when n < k).
+
+    NULL v sorts LAST (explicit n_buckets+1 bucket), matching DuckDB's
+    default NULLS LAST; the fixture has no NULL per-user aggregates, so
+    this also matches the previous implementation's green history."""
+    proj = base.select(
+        "user_id", v.alias("v"), v.cast("double").alias("vd")
+    )
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    row = proj.agg(F.percentile_approx("vd", qs, 10000).alias("b")).first()
+    bounds = sorted(set(row["b"] or [])) if row is not None else []
+    if bounds:
+        barr = F.lit(bounds)
+        bkt = F.when(F.col("vd").isNull(), F.lit(len(bounds) + 1)).otherwise(
+            F.aggregate(
+                barr,
+                F.lit(0),
+                lambda acc, b: acc + F.when(F.col("vd") >= b, 1).otherwise(0),
+            )
+        )
+    else:
+        bkt = F.when(F.col("vd").isNull(), F.lit(1)).otherwise(F.lit(0))
+    bucketed = proj.withColumn("bkt", bkt)
+    wl = Window.partitionBy("bkt").orderBy("v", "user_id")
+    local = bucketed.select(
+        "user_id", "bkt", F.row_number().over(wl).alias("rn")
+    )
+    counts = bucketed.groupBy("bkt").agg(F.count("*").alias("c"))
+    wo = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bkt", F.coalesce(F.sum("c").over(wo), F.lit(0)).alias("off")
+    )
+    n_tot = bucketed.agg(F.count("*").alias("n"))
+    ranked = (
+        local.join(F.broadcast(offsets), "bkt")
+        .crossJoin(F.broadcast(n_tot))
+        .select("user_id", (F.col("off") + F.col("rn")).alias("rnk"), "n")
+    )
+    q = F.floor(F.col("n") / k)
+    r = F.col("n") % k
+    cut = r * (q + 1)
+    rnk = F.col("rnk")
+    tile = F.when(rnk <= cut, F.floor((rnk - 1) / (q + 1)) + 1).otherwise(
+        r + F.floor((rnk - cut - 1) / F.greatest(q, F.lit(1))) + 1
+    )
+    return ranked.select("user_id", tile.cast("int").alias(alias))
+
+
 @query("q_events_rfm", oracle=_RFM_ORACLE)
 def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
@@ -1237,17 +1303,12 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
-    wr = Window.orderBy(F.col("recency_days").desc(), "user_id")
-    wf = Window.orderBy(F.col("frequency").asc(), "user_id")
-    wm = Window.orderBy(F.col("monetary").asc(), "user_id")
-    scored = base.select(
-        "user_id",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(5).over(wr).alias("r_score"),
-        F.ntile(5).over(wf).alias("f_score"),
-        F.ntile(5).over(wm).alias("m_score"),
+    # ORDER BY recency DESC == ORDER BY -recency ASC (ties on user_id
+    # either way); frequency/monetary rank ascending
+    scored = (
+        base.join(_exact_ntile(base, -F.col("recency_days"), "r_score"), "user_id")
+        .join(_exact_ntile(base, F.col("frequency"), "f_score"), "user_id")
+        .join(_exact_ntile(base, F.col("monetary"), "m_score"), "user_id")
     )
     return scored.select(
         "user_id",

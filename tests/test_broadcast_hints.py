@@ -68,6 +68,11 @@ ALLOWED_UNBOUNDED: dict[str, tuple[str, ...]] = {
     # month domain (~5 x 84 rows for the 7-year order span), never by
     # order rows (same segmented prefix-scan design, round-10 re-shape).
     "q_window_max_drawdown": ("grouped-agg",),
+    # Quantile-bucket offset tables of the exact-ntile machinery: one
+    # per RFM dimension, each <= n_buckets+2 rows by construction (the
+    # grouping key is the bucket index, bounded by the fixed boundary
+    # count, never by user rows).
+    "q_events_rfm": ("grouped-agg",) * 3,
     # Per-source token totals: bounded by the source-label domain.
     "q_text_source_jsd": ("grouped-agg",) * 4,
     # Per-event-type robust stats: bounded by the event-type domain.

@@ -113,3 +113,55 @@ def test_drawdown_segmented_running_peak_matches_plain_window(spark, sf_dir):
         ).alias("dd_share"),
     ).orderBy("o_orderpriority").toPandas()
     assert got.values.tolist() == want.values.tolist()
+
+
+def test_exact_ntile_matches_window_ntile(spark, sf_dir):
+    """The range-bucketed exact rank behind q_events_rfm must reproduce
+    F.ntile exactly for every dimension and direction, including with a
+    tiny bucket count that forces many cross-bucket offsets."""
+    from oraaud_kafka_spark.queries.event_time import _exact_ntile
+
+    e = load(spark, sf_dir, "events")
+    base = e.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("frequency"),
+    )
+    for n_buckets in (2, 7, 256):
+        got = (
+            _exact_ntile(base, F.col("frequency"), "s", n_buckets=n_buckets)
+            .orderBy("user_id")
+            .toPandas()
+        )
+        w = Window.orderBy(F.col("frequency").asc(), "user_id")
+        want = (
+            base.select("user_id", F.ntile(5).over(w).alias("s"))
+            .orderBy("user_id")
+            .toPandas()
+        )
+        assert got.values.tolist() == want.values.tolist(), n_buckets
+    # descending via negation
+    got = (
+        _exact_ntile(base, -F.col("frequency"), "s")
+        .orderBy("user_id")
+        .toPandas()
+    )
+    wd = Window.orderBy(F.col("frequency").desc(), "user_id")
+    want = (
+        base.select("user_id", F.ntile(5).over(wd).alias("s"))
+        .orderBy("user_id")
+        .toPandas()
+    )
+    assert got.values.tolist() == want.values.tolist()
+
+
+def test_exact_ntile_fewer_rows_than_tiles(spark):
+    """n < k: ntile assigns tile i to row i; the ANSI guard must keep
+    the unused q=0 branch from dividing by zero."""
+    from oraaud_kafka_spark.queries.event_time import _exact_ntile
+
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "user_id bigint, v bigint"
+    )
+    got = (
+        _exact_ntile(base, F.col("v"), "s").orderBy("user_id").toPandas()
+    )
+    assert got.values.tolist() == [[1, 1], [2, 2], [3, 3]]
