@@ -440,20 +440,22 @@ def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-checkable eval summary (see _KMEANS_EVAL_ORACLE note); the
     underlying top-k DataFrame is the same plan as before, now feeding
     three single-row aggregates instead of being returned raw."""
-    from ..operators.kmeans import train_kmeans
+    from ..operators.kmeans import EmptyCorpusError, train_kmeans
 
     e = _directional(load(spark, sf_dir, "embeddings"))
     try:
         trained = train_kmeans(
             e.select("vec_id", "embedding"), k=N_CENTROIDS, max_iter=4
         )
-    except ValueError:
+    except EmptyCorpusError:
         # empty corpus: nothing to train a quantizer on — emit exactly
         # what _KMEANS_EVAL_ORACLE produces on zero rows (0 queries,
         # 0 candidate rows, vacuously-true certifications), so the
         # query/oracle contract holds on empty input too. Catching
-        # train_kmeans's own emptiness error avoids a pre-check job on
-        # the non-empty hot path.
+        # train_kmeans's DEDICATED emptiness error (not bare
+        # ValueError) avoids a pre-check job on the non-empty hot path
+        # without masking unrelated training failures as healthy
+        # zero-row results.
         return spark.createDataFrame(
             [(0, 0, True, True, True)],
             "n_queries bigint, total_rows bigint,"

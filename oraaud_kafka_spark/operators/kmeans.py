@@ -24,6 +24,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+class EmptyCorpusError(ValueError):
+    """No vectors to train on. A DEDICATED type so callers that fall
+    back to an empty-corpus result (q_sim_ivf_kmeans_topk) can catch
+    exactly this case without masking unrelated ValueErrors raised
+    inside training (e.g. malformed vectors) as healthy zero-row
+    output (round-9 ADVICE)."""
+
+
 def _lit_vec(vals: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vals])
 
@@ -83,7 +91,7 @@ def train_kmeans(
     )
     centroids = [(i, [float(x) for x in row[0]]) for i, row in enumerate(init)]
     if not centroids:
-        raise ValueError("train_kmeans: no vectors to train on")
+        raise EmptyCorpusError("train_kmeans: no vectors to train on")
     if dim is None:
         dim = len(centroids[0][1])
     for _ in range(max_iter):

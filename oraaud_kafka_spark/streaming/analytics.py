@@ -1161,26 +1161,37 @@ def quantile_monitor(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Streaming burst monitor: the live twin of q_time_burst_detection.
 # Keyed state per event type is the trailing hour-bucket histogram —
-# (epoch-hour, count) parallel arrays truncated to the hours within
-# BURST_MONITOR_KEEP-1 of the NEWEST observed hour — so state is
-# bounded by the time horizon, never stream length, and bucket
-# COUNTING is order-free (a pure function of the retained rows'
-# multiset: stronger than the fold-order contract the CUSUM/EWMA
-# family needs; the lateness floor is computed from the max over
-# state AND the whole batch, so within-batch arrival order cannot
-# change it). Rows older than newest - 24h are ignored — the same
-# NEWEST-relative lateness bound a watermark imposes (min-retained-
-# relative would wrongly discard a backfill arriving after a sparse
-# first bucket); under time-ordered slicing no row within the horizon
-# is ever dropped. Each batch emits the newest hour's count against the sum
-# of the 24 preceding retained buckets with the batch operator's
-# integer cross-multiplication flag (n*base_n >= 2*base_sum — no
-# float in the decision); ratio is NULL until a full 24-bucket
-# baseline exists, exactly like the batch twin's base_n = 24 filter.
+# (epoch-hour, count) parallel arrays truncated to the NEWEST
+# BURST_MONITOR_KEEP OBSERVED buckets. Observed-bucket retention (not
+# a wall-hour horizon) matches the batch twin's ROWS frame exactly:
+# the baseline is the previous 24 OBSERVED buckets regardless of hour
+# gaps, so a sparse stream fills its baseline and reports ratios just
+# like the batch query (round-9 ADVICE: the previous newest-24h
+# horizon kept the streaming ratio NULL across any gap where the
+# batch twin reported one). State stays bounded by the 25-bucket cap,
+# never stream length, and bucket COUNTING is order-free (a pure
+# function of the retained rows' multiset: stronger than the
+# fold-order contract the CUSUM/EWMA family needs). Lateness: a row
+# older than the oldest retained bucket (once 25 are held) creates a
+# bucket that is pruned immediately — the ROWS-frame analog of a
+# watermark drop; under time-ordered slicing no row is ever dropped.
+# Corruption guard (round-9 ADVICE): a SINGLETON bucket more than
+# BURST_MONITOR_MAX_AHEAD hours ahead of every other observed hour is
+# rejected as a corrupt timestamp — previously one such row evicted
+# the whole histogram and silenced the monitor for ~25 h. A genuine
+# post-outage resume delivers multiple events (count >= 2, or nearby
+# buckets), so it passes; the guard is an explicit, documented
+# divergence from the batch twin, which has no notion of corruption.
+# Each batch emits the newest hour's count against the sum of the 24
+# preceding retained buckets with the batch operator's integer
+# cross-multiplication flag (n*base_n >= 2*base_sum — no float in the
+# decision); ratio is NULL until a full 24-bucket baseline exists,
+# exactly like the batch twin's base_n = 24 filter.
 # ---------------------------------------------------------------------------
 
 BURST_MONITOR_BASE = 24
 BURST_MONITOR_KEEP = BURST_MONITOR_BASE + 1
+BURST_MONITOR_MAX_AHEAD = 7 * 24  # singleton buckets further ahead = corrupt
 
 BURST_MONITOR_OUTPUT_SCHEMA = StructType(
     [
@@ -1204,36 +1215,36 @@ BURST_MONITOR_STATE_SCHEMA = StructType(
 def _burst_fn(key, pdfs, state) -> Iterator[pd.DataFrame]:
     (etype,) = key
     if state.exists:
-        hours, counts = state.get
-        hist = dict(zip([int(h) for h in hours], [int(c) for c in counts]))
+        hours_s, counts_s = state.get
+        hist = dict(zip([int(h) for h in hours_s], [int(c) for c in counts_s]))
     else:
         hist = {}
     rows = pd.concat(list(pdfs), ignore_index=True)
     rows = rows[rows["ts"].notna()]
-    hours = [
-        int(ts.value) // (3600 * 10**9) for ts in rows["ts"]  # ns -> hour
-    ]
-    # lateness horizon is NEWEST-relative (max over retained state AND
-    # this batch, so counting stays order-free within the batch):
-    # rows older than newest - 24h are beyond what a watermark would
-    # admit; a min(retained)-relative floor would wrongly discard a
-    # backfill batch arriving after a sparse first bucket
-    newest = max([*hist, *hours], default=None)
-    if newest is None:
-        state.update(([], []))
-        return
-    floor = newest - (BURST_MONITOR_KEEP - 1)
-    for h in hours:
-        if h < floor:
-            continue
+    for ts in rows["ts"]:
+        h = int(ts.value) // (3600 * 10**9)  # ns -> hour
         hist[h] = hist.get(h, 0) + 1
-    keep = sorted(h for h in hist if h >= floor)
+    if not hist:
+        # nothing observed yet for this key (e.g. an all-NULL-ts first
+        # batch): write NO state rather than persisting empty arrays
+        return
+    # corruption guard: strip singleton buckets implausibly far ahead
+    # of every other observed hour (see the block comment above);
+    # deterministic and order-free — a function of the bucket multiset
+    while len(hist) >= 2:
+        top = max(hist)
+        rest_max = max(h for h in hist if h != top)
+        if hist[top] == 1 and top - rest_max > BURST_MONITOR_MAX_AHEAD:
+            del hist[top]
+        else:
+            break
+    # retain the newest KEEP OBSERVED buckets — the batch twin's ROWS
+    # frame (24 PRECEDING .. 1 PRECEDING over observed buckets)
+    keep = sorted(hist)[-BURST_MONITOR_KEEP:]
     hist = {h: hist[h] for h in keep}
     state.update((list(keep), [hist[h] for h in keep]))
-    if not keep:
-        return
     newest = keep[-1]
-    base = [h for h in keep if h < newest][-BURST_MONITOR_BASE:]
+    base = keep[:-1][-BURST_MONITOR_BASE:]
     base_sum = sum(hist[h] for h in base)
     n = hist[newest]
     full = len(base) == BURST_MONITOR_BASE

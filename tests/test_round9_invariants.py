@@ -265,14 +265,22 @@ def test_max_drawdown_matches_python_fold(spark):
     for r in rows:
         seq = [c for _, _, c in sorted(series[r.o_orderpriority])]
         assert r.n_rows == len(seq)
-        peak = dd = 0
+        # seed peak from the FIRST value like the query/monitor fold —
+        # a peak=0 seed diverges on all-negative series (round-9
+        # ADVICE) — and only assert dd_share when peak != 0 (the
+        # query emits NULL there)
+        peak = None
+        dd = 0
         for c in seq:
-            peak = max(peak, c)
+            peak = c if peak is None else max(peak, c)
             dd = max(dd, peak - c)
         assert r.peak_dollars == round(peak / 100, 6)
         assert r.max_drawdown_dollars == round(dd / 100, 6)
-        assert r.dd_share == round(dd / peak, 6)
-        assert 0 <= dd <= peak
+        if peak != 0:
+            assert r.dd_share == round(dd / peak, 6)
+        else:
+            assert r.dd_share is None
+        assert 0 <= dd
 
 
 def test_burst_detection_matches_python_baseline(spark):
