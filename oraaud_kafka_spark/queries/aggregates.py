@@ -2440,3 +2440,332 @@ def q_eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(n_pos.cast("double") / (n_pos + n_neg), 6),
         ).alias("prevalence"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration index — how dominated is each
+# nation's order revenue by its biggest customers? The corpus-curation
+# reading: the same statistic flags a training mix dominated by a few
+# sources (HHI near 1 = concentrated, near 1/n = uniform). Stage 1 is
+# the 100 TB pass: ONE partial-agg'd groupBy collapsing orders to
+# per-(nation, customer) revenue cents (int64 — per-account sums fit
+# comfortably). Nation totals re-aggregate the collapsed frame as
+# exact DECIMAL(38,0) and broadcast back (25-row nation domain, see
+# tests/test_broadcast_hints.py). Share terms follow the KL/chi2
+# float discipline: each (rev/total)^2 rounds to 12 dp into
+# DECIMAL(24,12) so the per-nation sum is order-free; top_share and
+# the /100 denominations are one IEEE division each on identical
+# operands. ANSI guard: a zero-revenue nation yields NULL shares,
+# not DIVIDE_BY_ZERO.
+# ---------------------------------------------------------------------------
+
+_HHI_ORACLE = """
+WITH per_account AS (
+  SELECT c.c_nationkey, o.o_custkey,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_nationkey, o.o_custkey
+),
+totals AS (
+  SELECT c_nationkey,
+         CAST(count(*) AS BIGINT) AS n_accounts,
+         CAST(sum(CAST(rev AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS total,
+         CAST(max(rev) AS BIGINT) AS max_rev
+  FROM per_account GROUP BY c_nationkey
+),
+terms AS (
+  SELECT p.c_nationkey,
+         CAST(round(
+           (CAST(p.rev AS DOUBLE) / CAST(t.total AS DOUBLE))
+           * (CAST(p.rev AS DOUBLE) / CAST(t.total AS DOUBLE)), 12)
+           AS DECIMAL(24,12)) AS term
+  FROM per_account p JOIN totals t USING (c_nationkey)
+  WHERE t.total <> 0
+)
+SELECT t.c_nationkey, t.n_accounts,
+       round(CAST(t.total AS DOUBLE) / 100, 6) AS total_dollars,
+       CASE WHEN t.total <> 0
+            THEN round(CAST(t.max_rev AS DOUBLE)
+                       / CAST(t.total AS DOUBLE), 6) END AS top_share,
+       CASE WHEN t.total <> 0
+            THEN round(CAST((SELECT sum(term) FROM terms x
+                             WHERE x.c_nationkey = t.c_nationkey)
+                            AS DOUBLE), 6) END AS hhi
+FROM totals t
+ORDER BY t.c_nationkey
+"""
+
+
+@query("q_agg_hhi_concentration", oracle=_HHI_ORACLE)
+def q_agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue HHI: sum over customers of squared revenue
+    share, plus account count, total and largest single share."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    per_account = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(cents).cast("bigint").alias("rev"))
+    )
+    totals = per_account.groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("n_accounts"),
+        F.sum(F.col("rev").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("total"),
+        F.max("rev").cast("bigint").alias("max_rev"),
+    )
+    share = F.col("rev").cast("double") / F.col("total").cast("double")
+    terms = (
+        per_account.join(F.broadcast(totals), "c_nationkey")
+        .filter(F.col("total") != 0)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.round(share * share, 12).cast("decimal(24,12)")).alias(
+                "hhi_raw"
+            )
+        )
+    )
+    out = totals.join(F.broadcast(terms), "c_nationkey", "left")
+    return out.select(
+        "c_nationkey",
+        "n_accounts",
+        F.round(F.col("total").cast("double") / 100, 6).alias("total_dollars"),
+        F.when(
+            F.col("total") != 0,
+            F.round(
+                F.col("max_rev").cast("double") / F.col("total").cast("double"),
+                6,
+            ),
+        ).alias("top_share"),
+        F.when(
+            F.col("total") != 0,
+            F.round(F.col("hhi_raw").cast("double"), 6),
+        ).alias("hhi"),
+    ).orderBy("c_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa — chance-corrected agreement between two raters, the
+# eval-kit leg for LABEL QUALITY (two annotation pipelines, a model vs
+# a heuristic gate, two dedup policies): accuracy alone overstates
+# agreement when classes are imbalanced; kappa subtracts the agreement
+# two independent raters with these margins would reach by luck.
+# Raters here are deterministic fixture stand-ins (the AB-test
+# precedent): A = order value >= $150k, B = order has >= 4 line items
+# (positively correlated, so kappa lands meaningfully above 0). All
+# four cells are exact int64 from ONE conditional-sum reduce over the
+# joined frame; po/pe/kappa are fixed-shape IEEE expressions over
+# those identical integers (margin products cast to double BEFORE
+# multiplying — n_a1*n_b1 overflows int64 at 100 TB row counts).
+# Guards: empty input and pe = 1 (both raters constant) yield NULL.
+# ---------------------------------------------------------------------------
+
+_KAPPA_ORACLE = """
+WITH base AS (
+  SELECT CAST(round(o.o_totalprice * 100) >= 15000000 AS INTEGER) AS a,
+         CAST(li.n_items >= 4 AS INTEGER) AS b
+  FROM orders o
+  JOIN (SELECT l_orderkey, count(*) AS n_items
+        FROM lineitem GROUP BY l_orderkey) li
+    ON li.l_orderkey = o.o_orderkey
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a * b) AS BIGINT) AS n11,
+         CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+         CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM base
+),
+r AS (
+  SELECT n, n11, n10, n01, n00,
+         CAST(n11 + n00 AS DOUBLE) / n AS po,
+         (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+          + CAST(n00 + n01 AS DOUBLE) * (n00 + n10))
+           / (CAST(n AS DOUBLE) * n) AS pe
+  FROM m WHERE n > 0
+)
+SELECT n, n11, n10, n01, n00,
+       round(po, 6) AS po,
+       round(pe, 6) AS pe,
+       CASE WHEN pe <> 1.0
+            THEN round((po - pe) / (1.0 - pe), 6) END AS kappa
+FROM r
+"""
+
+
+@query("q_eval_cohens_kappa", oracle=_KAPPA_ORACLE)
+def q_eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement between the value>=150k and
+    >=4-line-items raters: exact 2x2 cells, po/pe/kappa."""
+    o = load(spark, sf_dir, "orders")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_items"))
+    )
+    base = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        (F.round(F.col("o_totalprice") * 100) >= 15000000)
+        .cast("int")
+        .alias("a"),
+        (F.col("n_items") >= 4).cast("int").alias("b"),
+    )
+    a, b = F.col("a"), F.col("b")
+    m = base.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(a * b).cast("bigint").alias("n11"),
+        F.sum(a * (F.lit(1) - b)).cast("bigint").alias("n10"),
+        F.sum((F.lit(1) - a) * b).cast("bigint").alias("n01"),
+        F.sum((F.lit(1) - a) * (F.lit(1) - b)).cast("bigint").alias("n00"),
+    ).filter(F.col("n") > 0)
+    n = F.col("n")
+    n11, n10, n01, n00 = (F.col(c) for c in ("n11", "n10", "n01", "n00"))
+    po = (n11 + n00).cast("double") / n
+    pe = (
+        (n11 + n10).cast("double") * (n11 + n01)
+        + (n00 + n01).cast("double") * (n00 + n10)
+    ) / (n.cast("double") * n)
+    r = m.select("n", "n11", "n10", "n01", "n00", po.alias("po_raw"), pe.alias("pe_raw"))
+    return r.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round("po_raw", 6).alias("po"),
+        F.round("pe_raw", 6).alias("pe"),
+        F.when(
+            F.col("pe_raw") != 1.0,
+            F.round(
+                (F.col("po_raw") - F.col("pe_raw")) / (F.lit(1.0) - F.col("pe_raw")),
+                6,
+            ),
+        ).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between two categorical columns (segment x
+# nation) — the feature-relevance companion to q_agg_chi2_independence
+# (chi2 answers "is there dependence", MI answers "how many nats does
+# knowing one buy about the other"), with entropies and normalized MI
+# so the number is comparable across column pairs. Identical scale
+# shape to chi2: ONE partial-agg'd groupBy collapses the scan onto the
+# bounded segment x nation cell domain (<= 5 x 25 rows); margins are
+# windows over that collapsed frame; entropies re-aggregate the tiny
+# cell frame (no second scan). Float discipline: each p*ln(...) term
+# rounds to 12 dp into DECIMAL(24,12) (order-free sums, cell count
+# bounds the rounding error); probabilities are CAST(x AS DOUBLE)/n on
+# identical int64 operands both engines. NMI guards zero entropy.
+# ---------------------------------------------------------------------------
+
+_MI_ORACLE = """
+WITH cells AS (
+  SELECT c_mktsegment AS seg, c_nationkey AS nat, count(*) AS o
+  FROM customer GROUP BY c_mktsegment, c_nationkey
+),
+margins AS (
+  SELECT seg, nat, o,
+         CAST(sum(o) OVER (PARTITION BY seg) AS BIGINT) AS row_t,
+         CAST(sum(o) OVER (PARTITION BY nat) AS BIGINT) AS col_t,
+         CAST(sum(o) OVER () AS BIGINT) AS n
+  FROM cells
+),
+mi AS (
+  SELECT max(n) AS n, count(*) AS n_cells,
+         sum(CAST(round(
+           (CAST(o AS DOUBLE) / n)
+           * ln((CAST(o AS DOUBLE) / n)
+                / ((CAST(row_t AS DOUBLE) / n)
+                   * (CAST(col_t AS DOUBLE) / n))), 12)
+           AS DECIMAL(24,12))) AS mi_raw
+  FROM margins
+),
+hx AS (
+  SELECT sum(CAST(round(
+           -(CAST(t AS DOUBLE) / n) * ln(CAST(t AS DOUBLE) / n), 12)
+           AS DECIMAL(24,12))) AS h
+  FROM (SELECT seg, sum(o) AS t, (SELECT sum(o) FROM cells) AS n
+        FROM cells GROUP BY seg)
+),
+hy AS (
+  SELECT sum(CAST(round(
+           -(CAST(t AS DOUBLE) / n) * ln(CAST(t AS DOUBLE) / n), 12)
+           AS DECIMAL(24,12))) AS h
+  FROM (SELECT nat, sum(o) AS t, (SELECT sum(o) FROM cells) AS n
+        FROM cells GROUP BY nat)
+)
+SELECT CAST(mi.n AS BIGINT) AS n,
+       CAST(mi.n_cells AS BIGINT) AS n_cells,
+       round(CAST(mi.mi_raw AS DOUBLE), 6) AS mi_nats,
+       round(CAST(hx.h AS DOUBLE), 6) AS h_seg,
+       round(CAST(hy.h AS DOUBLE), 6) AS h_nat,
+       CASE WHEN CAST(hx.h AS DOUBLE) * CAST(hy.h AS DOUBLE) > 0
+            THEN round(CAST(mi.mi_raw AS DOUBLE)
+                       / sqrt(CAST(hx.h AS DOUBLE) * CAST(hy.h AS DOUBLE)), 6)
+       END AS nmi
+FROM mi, hx, hy
+"""
+
+
+@query("q_agg_mutual_information", oracle=_MI_ORACLE)
+def q_agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MI(segment; nation) in nats with marginal entropies and
+    sqrt-normalized MI, exact 12-dp decimal term sums."""
+    from pyspark.sql import Window
+
+    cells = (
+        load(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").alias("nat"),
+        )
+        .agg(F.count("*").alias("o"))
+    )
+    margins = cells.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("seg")).cast("bigint").alias("row_t"),
+        F.sum("o").over(Window.partitionBy("nat")).cast("bigint").alias("col_t"),
+        F.sum("o").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    p = F.col("o").cast("double") / F.col("n")
+    px = F.col("row_t").cast("double") / F.col("n")
+    py = F.col("col_t").cast("double") / F.col("n")
+    term = F.round(p * F.log(p / (px * py)), 12).cast("decimal(24,12)")
+    mi = margins.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.sum(term.alias("t")).alias("mi_raw"),
+    )
+
+    def _entropy(keycol: str):
+        tot = cells.agg(F.sum("o").alias("n"))
+        g = cells.groupBy(keycol).agg(F.sum("o").alias("t"))
+        pk = F.col("t").cast("double") / F.col("n")
+        return (
+            g.crossJoin(F.broadcast(tot))
+            .agg(
+                F.sum(
+                    F.round(-pk * F.log(pk), 12).cast("decimal(24,12)")
+                ).alias("h")
+            )
+        )
+
+    hx = _entropy("seg").withColumnRenamed("h", "hx_raw")
+    hy = _entropy("nat").withColumnRenamed("h", "hy_raw")
+    out = mi.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    hxd = F.col("hx_raw").cast("double")
+    hyd = F.col("hy_raw").cast("double")
+    return out.select(
+        "n",
+        "n_cells",
+        F.round(F.col("mi_raw").cast("double"), 6).alias("mi_nats"),
+        F.round(hxd, 6).alias("h_seg"),
+        F.round(hyd, 6).alias("h_nat"),
+        F.when(
+            hxd * hyd > 0,
+            F.round(F.col("mi_raw").cast("double") / F.sqrt(hxd * hyd), 6),
+        ).alias("nmi"),
+    )

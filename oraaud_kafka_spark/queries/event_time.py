@@ -197,8 +197,13 @@ def q_time_late_data(
         "sbucket",
         F.max("ts").over(wl).alias("local_max"),
     )
-    # level 1: per-bucket maxima, prefix-maxed within each superbucket
-    # (<= _sb bucket rows per partition)
+    # Level 1: per-bucket maxima, prefix-maxed within each superbucket
+    # (<= _sb bucket rows per partition). A SECOND map-side-combined
+    # pass over the scan, deliberately NOT derived from the window
+    # output: that would share the window's shuffle via ReusedExchange
+    # but re-sort the full table to recompute the window here, while a
+    # fresh 2-column scan + partial_max ships only n/_w bucket rows
+    # through its exchange.
     bmax = ev.groupBy("sbucket", "bucket").agg(F.max("ts").alias("bmax"))
     wb = (
         Window.partitionBy("sbucket")
@@ -208,13 +213,24 @@ def q_time_late_data(
     bmax = bmax.withColumn("b_prefix", F.max("bmax").over(wb))
     # level 2: superbucket maxima, one unpartitioned window over the
     # n/(_w*_sb)-row superbucket table — bounded by construction
-    smax = bmax.groupBy("sbucket").agg(F.max("bmax").alias("smax"))
+    smax = bmax.groupBy("sbucket").agg(
+        # consumes b_prefix's input frame; max(bmax) == superbucket max
+        F.max("bmax").alias("smax")
+    )
     ws = Window.orderBy("sbucket").rowsBetween(Window.unboundedPreceding, -1)
     soff = smax.select(
-        "sbucket", F.max("smax").over(ws).alias("s_prefix")
+        F.col("sbucket").alias("s_sb"),
+        F.max("smax").over(ws).alias("s_prefix"),
     )
-    offsets = bmax.join(soff, "sbucket").select(
-        "bucket",
+    # NULL-SAFE join keys throughout: a NULL event_id row keeps its
+    # NULL-bucket group (matching the plain window's NULLS-handling),
+    # and plain equi-keys would make Catalyst infer isnotnull filters
+    # on one branch only, breaking the exchange reuse that keeps this
+    # a single-scan plan (plan-pinned in tests/test_plans.py)
+    offsets = bmax.join(
+        soff, F.col("sbucket").eqNullSafe(F.col("s_sb"))
+    ).select(
+        F.col("bucket").alias("o_bucket"),
         # everything strictly before this bucket: prior superbuckets'
         # max, then prior buckets within this superbucket
         F.greatest("s_prefix", "b_prefix").alias("offset"),
@@ -222,7 +238,7 @@ def q_time_late_data(
     run_max = F.greatest("offset", "local_max")
     lateness = run_max.cast("long") - F.col("ts").cast("long")
     return (
-        local.join(offsets, "bucket")
+        local.join(offsets, F.col("bucket").eqNullSafe(F.col("o_bucket")))
         .select("event_type", lateness.alias("lateness_s"))
         .groupBy("event_type")
         .agg(
@@ -1267,12 +1283,18 @@ def _exact_ntile(base: DataFrame, v, alias: str, k: int = 5, n_buckets: int = 25
     local = bucketed.select(
         "user_id", "bkt", F.row_number().over(wl).alias("rn")
     )
-    counts = bucketed.groupBy("bkt").agg(F.count("*").alias("c"))
+    # bucket counts and the total come from the window OUTPUT (already
+    # hash-partitioned on bkt) and the tiny counts frame respectively —
+    # no extra pass over the user table
+    # max(rn) within a bucket IS the bucket's row count (row_number
+    # is dense 1..c), and consuming the window column keeps Catalyst
+    # from pruning the window and rescanning the user table
+    counts = local.groupBy("bkt").agg(F.max("rn").cast("bigint").alias("c"))
     wo = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "bkt", F.coalesce(F.sum("c").over(wo), F.lit(0)).alias("off")
     )
-    n_tot = bucketed.agg(F.count("*").alias("n"))
+    n_tot = counts.agg(F.sum("c").alias("n"))
     ranked = (
         local.join(F.broadcast(offsets), "bkt")
         .crossJoin(F.broadcast(n_tot))

@@ -492,6 +492,13 @@ def q_window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.max("cents").over(wl).alias("local_peak"),
     )
+    # Per-bucket maxima are a SECOND map-side-combined pass over the
+    # scan, deliberately NOT derived from the window output: consuming
+    # local_peak would share the window's shuffle via ReusedExchange
+    # but re-SORT the full table a second time to recompute the window
+    # in this branch, while a fresh columnar scan + partial_max ships
+    # only priority x month rows through its exchange. Two cheap scans
+    # beat one scan + one extra full-table sort at 100 TB.
     bmax = bucketed.groupBy("o_orderpriority", "bucket").agg(
         F.max("cents").alias("bpeak")
     )
@@ -501,10 +508,20 @@ def q_window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = bmax.select(
-        "o_orderpriority", "bucket", F.max("bpeak").over(wb).alias("offset")
+        F.col("o_orderpriority").alias("r_pri"),
+        F.col("bucket").alias("r_bucket"),
+        F.max("bpeak").over(wb).alias("offset"),
     )
+    # NULL-SAFE join keys, for two reasons: (1) a NULL priority/date is
+    # its own window-partition group in the plain form (both engines),
+    # so an inner equi-join dropping NULL keys would change semantics;
+    # (2) plain equi-keys make Catalyst infer isnotnull filters on ONE
+    # branch only, breaking the exchange reuse that keeps this a
+    # single-scan plan (plan-pinned in tests/test_plans.py).
     series = local.join(
-        F.broadcast(offsets), ["o_orderpriority", "bucket"]
+        F.broadcast(offsets),
+        local["o_orderpriority"].eqNullSafe(F.col("r_pri"))
+        & local["bucket"].eqNullSafe(F.col("r_bucket")),
     ).select(
         "o_orderpriority",
         "cents",

@@ -73,6 +73,9 @@ ALLOWED_UNBOUNDED: dict[str, tuple[str, ...]] = {
     # grouping key is the bucket index, bounded by the fixed boundary
     # count, never by user rows).
     "q_events_rfm": ("grouped-agg",) * 3,
+    # Nation-keyed revenue totals and HHI term sums: grouping key is
+    # c_nationkey, bounded by the 25-nation data-model domain.
+    "q_agg_hhi_concentration": ("grouped-agg",) * 2,
     # Per-source token totals: bounded by the source-label domain.
     "q_text_source_jsd": ("grouped-agg",) * 4,
     # Per-event-type robust stats: bounded by the event-type domain.

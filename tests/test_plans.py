@@ -865,15 +865,53 @@ def test_winsorized_mean_value_bounded(spark):
     assert "Join" not in plan
 
 
-def test_max_drawdown_single_scan_one_window(spark):
-    """The running-max pass is ONE window over the per-priority time
-    order followed by a partial-agg'd reduce: one orders scan, exactly
-    one Window operator, no join."""
+def test_max_drawdown_segmented_scan_shape(spark):
+    """Round-10 re-shape: the running peak segments on (priority,
+    month). Pins: the row-cardinality window carries the month bucket
+    (never priority alone), the maxima branch is a map-side-combined
+    second scan (partial_max — ships only priority x month rows, no
+    second full-table sort), and the bounded offsets broadcast back."""
+    import re
+
     df = registry.QUERIES["q_window_max_drawdown"](spark, SF_DIR)
-    plan = _plan(df)
-    assert plan.count("Scan parquet") == 1
-    assert plan.count("Window") == 1
-    assert "Join" not in plan
+    plan = _plan(df, execute=True)
+    assert plan.count("Scan parquet") == 2
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "o_orderdate" in spec:
+            assert "bucket" in spec, f"priority-only window: {spec}"
+    assert "partial_max" in plan  # maxima branch combines map-side
+    assert "BroadcastHashJoin" in plan
+
+
+def test_late_data_segmented_no_event_cardinality_global_window(spark):
+    """Round-10 re-shape: the running max over the event_id order is
+    the two-level segmented prefix max. Pins: TWO events scans (the
+    window pass + the map-side-combined bucket-maxima pass — no second
+    full-table sort), the event-cardinality window partitioned by the
+    event_id bucket, and at most one single-partition exchange (the
+    bounded superbucket level) in the whole plan."""
+    df = registry.QUERIES["q_time_late_data"](spark, SF_DIR)
+    plan = _plan(df, execute=True)
+    assert plan.count("Scan parquet") == 2
+    assert "hashpartitioning(bucket" in plan
+    assert "partial_max" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_rfm_no_global_row_windows(spark):
+    """Round-10 re-shape: each ntile(5) comes from the range-bucketed
+    exact rank. Pins: every row-cardinality window partitions on the
+    quantile bucket (three bkt-partitioned exchanges, one per
+    dimension) and the only single-partition exchanges are over the
+    bounded bucket-count frames."""
+    df = registry.QUERIES["q_events_rfm"](spark, SF_DIR)
+    plan = _plan(df, execute=True)
+    assert plan.count("hashpartitioning(bkt") >= 3
+    # the previous shape had three unpartitioned ntile windows =
+    # three single-partition sorts over the whole user table; now the
+    # only SinglePartition exchanges feed the <= n_buckets+2-row
+    # offset windows
+    assert "ntile" not in plan
 
 
 def test_burst_detection_windows_over_buckets_only(spark):

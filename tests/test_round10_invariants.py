@@ -264,3 +264,84 @@ def test_burst_monitor_all_null_ts_first_batch_writes_no_state():
     out = list(_burst_fn(("click",), [pdf], state))
     assert out == []
     assert not state.updated
+
+
+def test_funnel_monitor_idle_timeout_evicts_and_rearms():
+    """The state-TTL lever: a timed-out group removes its slots and
+    emits nothing; with idle_timeout set, every update re-arms the
+    processing-time timeout."""
+    import pandas as pd
+
+    from oraaud_kafka_spark.streaming.analytics import _funnel_fn
+
+    class _TtlState(_FakeState):
+        def __init__(self, value=None, timed_out=False):
+            super().__init__(value)
+            self.hasTimedOut = timed_out
+            self.removed = False
+            self.timeout_set = None
+
+        def remove(self):
+            self._v = None
+            self.removed = True
+
+        def setTimeoutDuration(self, d):
+            self.timeout_set = d
+
+    # timed-out group: state dropped, nothing emitted
+    st = _TtlState(value=(1, None, None, None), timed_out=True)
+    out = list(_funnel_fn((7,), iter(()), st, idle_timeout="30 days"))
+    assert out == [] and st.removed
+
+    # live group: update re-arms the timeout
+    st = _TtlState()
+    pdf = pd.DataFrame(
+        {
+            "user_id": [7],
+            "ts": [pd.Timestamp("2026-01-01")],
+            "event_id": [1],
+            "event_type": ["signup"],
+        }
+    )
+    out = list(_funnel_fn((7,), [pdf], st, idle_timeout="30 days"))
+    assert out[0].iloc[0]["stage"] == 1
+    assert st.timeout_set == "30 days"
+
+
+def test_zorder_write_quantile_buckets_narrow_both_columns(spark, tmp_path, sf_dir):
+    """Round-10 re-shape: the Morton key's per-column normalization is
+    approxQuantile bucketing (bounded driver collect), not a global
+    percent_rank window. The layout property is unchanged: with files
+    laid along the Z-curve, BOTH columns' per-file min/max spans are
+    a fraction of the global span."""
+    import os
+
+    from oraaud_kafka_spark.sources.tabular import zorder_write
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+    out = str(tmp_path / "zorder10")
+    zorder_write(li, out, ("l_orderkey", "l_partkey"), n_files=8)
+    import pyarrow.parquet as pq
+
+    spans = {"l_orderkey": [], "l_partkey": []}
+    glob_min: dict = {}
+    glob_max: dict = {}
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        for c in spans:
+            idx = md.schema.to_arrow_schema().get_field_index(c)
+            lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            spans[c].append(hi - lo)
+            glob_min[c] = min(glob_min.get(c, lo), lo)
+            glob_max[c] = max(glob_max.get(c, hi), hi)
+    for c, ss in spans.items():
+        assert len(ss) >= 4
+        avg_span = sum(ss) / len(ss)
+        # z-curve locality: average per-file span well under the table span
+        assert avg_span < 0.7 * (glob_max[c] - glob_min[c]), c
