@@ -247,28 +247,42 @@ def zorder_write(
     columns — the data-skipping layout (Delta OPTIMIZE ZORDER BY /
     Iceberg sort orders) that makes BOTH columns' per-file min/max
     statistics selective, so point/range predicates on EITHER column
-    prune files at plan time. Each column is rank-normalized to 16 bits
-    (percent_rank — distribution-proof, skew cannot collapse buckets),
-    the Morton key interleaves them, and repartitionByRange + a
-    within-partition sort cluster the curve. At 100 TB this is the
+    prune files at plan time. Each column is quantile-normalized to 8
+    bits (255 approxQuantile boundaries per column — distribution-
+    proof like a rank, skew cannot collapse buckets, but a bounded
+    driver collect instead of the global percent_rank window the
+    round-9 audit flagged: no single task ever owns the table), the
+    Morton key interleaves the two bucket ids, and repartitionByRange
+    + a within-partition sort cluster the curve. At 100 TB this is the
     difference between a scan touching every file and touching
     ~1/n_files of them for a 2-D selective predicate; the range
     exchange samples the key, it never globally sorts the data twice.
-
-    Scale note: percent_rank here runs one global-window pass, which
-    single-tasks at extreme row counts — on a real cluster swap the
-    rank normalization for approxQuantile-derived bucket boundaries
-    (or direct bit truncation when the columns are already uniform
-    ids); the Morton interleave and the range-partitioned write are
-    unchanged.
+    Boundary inaccuracy only skews bucket SIZES a little — file-level
+    min/max selectivity is preserved for any order-respecting
+    bucketing, the same argument as q_events_rfm's exact-ntile
+    machinery.
     """
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     c1, c2 = cols
-    b1 = (F.percent_rank().over(Window.orderBy(c1)) * 65535).cast("long")
-    b2 = (F.percent_rank().over(Window.orderBy(c2)) * 65535).cast("long")
-    keyed = df.withColumn("__z", _morton_interleave(b1, b2))
+    qs = [i / 256 for i in range(1, 256)]
+
+    def bucket(col: str, bounds: list[float]):
+        if not bounds:
+            return F.lit(0).cast("long")
+        return F.aggregate(
+            F.lit(bounds),
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col(col).cast("double") >= b, 1).otherwise(0),
+        ).cast("long")
+
+    bounds1, bounds2 = (
+        sorted(set(b)) for b in df.stat.approxQuantile([c1, c2], qs, 0.001)
+    )
+    keyed = df.withColumn(
+        "__z", _morton_interleave(bucket(c1, bounds1), bucket(c2, bounds2))
+    )
     (
         keyed.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")

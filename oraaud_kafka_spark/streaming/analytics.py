@@ -967,7 +967,14 @@ FUNNEL_MONITOR_STATE_SCHEMA = StructType(
 )
 
 
-def _funnel_fn(key, pdfs, state) -> Iterator[pd.DataFrame]:
+def _funnel_fn(key, pdfs, state, idle_timeout=None) -> Iterator[pd.DataFrame]:
+    if getattr(state, "hasTimedOut", False):
+        # state TTL fired: the user has been idle past idle_timeout —
+        # drop their slots. A later event restarts their funnel from
+        # scratch, exactly the conversion-window trade
+        # q_events_funnel_window makes in batch.
+        state.remove()
+        return
     (user_id,) = key
     if user_id is None or (isinstance(user_id, float) and pd.isna(user_id)):
         # a NULL user (None or NaN depending on the Arrow path) is not
@@ -997,6 +1004,8 @@ def _funnel_fn(key, pdfs, state) -> Iterator[pd.DataFrame]:
         elif ts_slots[i - 1] is not None and ts_us > ts_slots[i - 1]:
             ts_slots[i] = ts_us
     state.update(tuple(ts_slots))
+    if idle_timeout is not None:
+        state.setTimeoutDuration(idle_timeout)
     stage = 0
     for t in ts_slots:
         if t is None:
@@ -1014,21 +1023,36 @@ def _funnel_fn(key, pdfs, state) -> Iterator[pd.DataFrame]:
     )
 
 
-def funnel_monitor(df: DataFrame) -> DataFrame:
+def funnel_monitor(df: DataFrame, *, idle_timeout: str | None = None) -> DataFrame:
     """Live per-user funnel progress under 4-slot keyed state; emits
     each updated user's stage and per-stage first timestamps. NULL
     user_id rows are dropped (no participant to attribute them to) —
     note the batch funnel would surface them as a NULL-user group, so
-    the live/batch parity contract covers non-NULL users."""
+    the live/batch parity contract covers non-NULL users.
+
+    ``idle_timeout`` (e.g. ``"30 days"``) arms a processing-time state
+    TTL: users idle past it are evicted, bounding total state at
+    O(active users in the window) instead of O(all users ever seen) —
+    the documented unbounded-cardinality lever. An evicted user's next
+    event restarts their funnel, the same conversion-window trade
+    q_events_funnel_window makes in batch; parity with the batch
+    funnel holds exactly when no eviction fires (the default)."""
+    if idle_timeout is None:
+        fn, timeout_conf = _funnel_fn, "NoTimeout"
+    else:
+        def fn(key, pdfs, state):
+            return _funnel_fn(key, pdfs, state, idle_timeout=idle_timeout)
+
+        timeout_conf = "ProcessingTimeTimeout"
     return (
         df.select("user_id", "ts", "event_id", "event_type")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _funnel_fn,
+            fn,
             FUNNEL_MONITOR_OUTPUT_SCHEMA,
             FUNNEL_MONITOR_STATE_SCHEMA,
             "update",
-            "NoTimeout",
+            timeout_conf,
         )
     )
 
