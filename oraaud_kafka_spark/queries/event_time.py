@@ -1237,68 +1237,114 @@ ORDER BY user_id
 """
 
 
-def _exact_ntile(base: DataFrame, v, alias: str, k: int = 5, n_buckets: int = 256) -> DataFrame:
-    """(user_id, <alias>) with the EXACT ntile(k) ORDER BY (v, user_id)
-    score, computed without any unpartitioned row window.
+# common exact carrier for the melted rank values: recency (int),
+# frequency (bigint), and monetary (decimal(28,4)) all embed losslessly
+# and order-preservingly
+_NTILE_DEC = "decimal(38,6)"
+
+
+def _exact_ntile_multi(
+    base: DataFrame,
+    dims: list[tuple[str, object]],
+    k: int = 5,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """(user_id, <alias>...) with the EXACT ntile(k) ORDER BY (v,
+    user_id) score per dimension, computed without any unpartitioned
+    row window — and with ALL dimensions fused into ONE melted pass
+    (the three-branch form cost ~6 shuffles per dimension in fixed
+    stage overhead; this is 3 total).
 
     Decomposition (the range-bucketed exact rank):
-    1. ~n_buckets approximate quantile boundaries of v (one pass;
-       bounded driver collect of <= n_buckets doubles, same class as
-       the SRP anchors at llm/dedup.py). Boundary error NEVER affects
-       the result — buckets only partition the work; any value-range
-       bucketing that respects the v order yields the same exact ranks.
-    2. bucket = #boundaries <= v (O(n_buckets) vectorized per row,
+    1. melt: explode each user row into (dim, v) rows — map-side only.
+    2. ~n_buckets approximate quantile boundaries per dim from ONE
+       grouped aggregate (bounded driver collect of <= dims x
+       n_buckets doubles, same class as the SRP anchors at
+       llm/dedup.py). Boundary error NEVER affects the result —
+       buckets only partition the work; any value-range bucketing that
+       respects the v order yields the same exact ranks.
+    3. bucket = #boundaries <= v (O(n_buckets) vectorized per row,
+       CASE-dispatched per dim, lazy so each row pays one dim's scan;
        monotone in v even across the decimal->double cast since equal
        values share a bucket and the cast is order-preserving).
-    3. row_number within each bucket ordered by (v, user_id) — windows
-       partitioned ~evenly by the quantile boundaries.
-    4. global rank = bucket offset (prefix sum over the <= n_buckets+1
-       counts table, broadcast back) + local row number.
-    5. ntile from rank and the total count n: the first n%k tiles hold
-       floor(n/k)+1 rows, the rest floor(n/k) (standard SQL ntile; the
-       greatest() guard keeps the unused branch ANSI-safe when n < k).
+    4. row_number within each (dim, bucket) ordered by (v, user_id) —
+       windows partitioned ~evenly by the quantile boundaries.
+    5. global rank = bucket offset (prefix sum over the <= dims x
+       (n_buckets+2) counts table, broadcast back) + local row number.
+    6. ntile from rank and the per-dim total n: the first n%k tiles
+       hold floor(n/k)+1 rows, the rest floor(n/k) (standard SQL
+       ntile; the greatest() guard keeps the unused branch ANSI-safe
+       when n < k).
+    7. regroup by user_id — one shuffle pivots the per-dim tiles back
+       to one row per user.
 
     NULL v sorts LAST (explicit n_buckets+1 bucket), matching DuckDB's
-    default NULLS LAST; the fixture has no NULL per-user aggregates, so
-    this also matches the previous implementation's green history."""
-    proj = base.select(
-        "user_id", v.alias("v"), v.cast("double").alias("vd")
+    default NULLS LAST; the fixture has no NULL per-user aggregates,
+    so this also matches the pre-round-10 implementation's green
+    history."""
+    structs = [
+        F.struct(F.lit(a).alias("dim"), v.cast(_NTILE_DEC).alias("v"))
+        for a, v in dims
+    ]
+    melted = base.select(
+        "user_id", F.explode(F.array(*structs)).alias("x")
+    ).select(
+        "user_id",
+        F.col("x.dim").alias("dim"),
+        F.col("x.v").alias("v"),
+        F.col("x.v").cast("double").alias("vd"),
     )
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    row = proj.agg(F.percentile_approx("vd", qs, 10000).alias("b")).first()
-    bounds = sorted(set(row["b"] or [])) if row is not None else []
-    if bounds:
-        barr = F.lit(bounds)
-        bkt = F.when(F.col("vd").isNull(), F.lit(len(bounds) + 1)).otherwise(
+    brows = melted.groupBy("dim").agg(
+        F.percentile_approx("vd", qs, 10000).alias("b")
+    ).collect()
+    bounds = {r["dim"]: sorted(set(r["b"] or [])) for r in brows}
+
+    def _bkt_for(bs: list[float]):
+        if not bs:
+            return F.when(F.col("vd").isNull(), F.lit(1)).otherwise(F.lit(0))
+        return F.when(F.col("vd").isNull(), F.lit(len(bs) + 1)).otherwise(
             F.aggregate(
-                barr,
+                F.lit(bs),
                 F.lit(0),
                 lambda acc, b: acc + F.when(F.col("vd") >= b, 1).otherwise(0),
             )
         )
-    else:
-        bkt = F.when(F.col("vd").isNull(), F.lit(1)).otherwise(F.lit(0))
-    bucketed = proj.withColumn("bkt", bkt)
-    wl = Window.partitionBy("bkt").orderBy("v", "user_id")
+
+    bkt = None
+    for a, _ in dims:
+        expr = _bkt_for(bounds.get(a, []))
+        bkt = (
+            expr
+            if bkt is None
+            else F.when(F.col("dim") == a, expr).otherwise(bkt)
+        )
+    bucketed = melted.withColumn("bkt", bkt)
+    wl = Window.partitionBy("dim", "bkt").orderBy("v", "user_id")
     local = bucketed.select(
-        "user_id", "bkt", F.row_number().over(wl).alias("rn")
+        "user_id", "dim", "bkt", F.row_number().over(wl).alias("rn")
     )
-    # bucket counts and the total come from the window OUTPUT (already
-    # hash-partitioned on bkt) and the tiny counts frame respectively —
-    # no extra pass over the user table
-    # max(rn) within a bucket IS the bucket's row count (row_number
-    # is dense 1..c), and consuming the window column keeps Catalyst
-    # from pruning the window and rescanning the user table
-    counts = local.groupBy("bkt").agg(F.max("rn").cast("bigint").alias("c"))
-    wo = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    # max(rn) within a (dim, bucket) IS its row count (row_number is
+    # dense 1..c), and consuming the window column keeps Catalyst from
+    # pruning the window and rescanning the melted frame
+    counts = local.groupBy("dim", "bkt").agg(
+        F.max("rn").cast("bigint").alias("c")
+    )
+    wo = (
+        Window.partitionBy("dim")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = counts.select(
-        "bkt", F.coalesce(F.sum("c").over(wo), F.lit(0)).alias("off")
+        "dim",
+        "bkt",
+        F.coalesce(F.sum("c").over(wo), F.lit(0)).alias("off"),
     )
-    n_tot = counts.agg(F.sum("c").alias("n"))
+    n_dim = counts.groupBy("dim").agg(F.sum("c").alias("n"))
     ranked = (
-        local.join(F.broadcast(offsets), "bkt")
-        .crossJoin(F.broadcast(n_tot))
-        .select("user_id", (F.col("off") + F.col("rn")).alias("rnk"), "n")
+        local.join(F.broadcast(offsets), ["dim", "bkt"])
+        .join(F.broadcast(n_dim), "dim")
+        .select("user_id", "dim", (F.col("off") + F.col("rn")).alias("rnk"), "n")
     )
     q = F.floor(F.col("n") / k)
     r = F.col("n") % k
@@ -1307,7 +1353,18 @@ def _exact_ntile(base: DataFrame, v, alias: str, k: int = 5, n_buckets: int = 25
     tile = F.when(rnk <= cut, F.floor((rnk - 1) / (q + 1)) + 1).otherwise(
         r + F.floor((rnk - cut - 1) / F.greatest(q, F.lit(1))) + 1
     )
-    return ranked.select("user_id", tile.cast("int").alias(alias))
+    tiled = ranked.select("user_id", "dim", tile.cast("int").alias("tile"))
+    return tiled.groupBy("user_id").agg(
+        *[
+            F.max(F.when(F.col("dim") == a, F.col("tile"))).alias(a)
+            for a, _ in dims
+        ]
+    )
+
+
+def _exact_ntile(base: DataFrame, v, alias: str, k: int = 5, n_buckets: int = 256) -> DataFrame:
+    """Single-dimension form of _exact_ntile_multi (see there)."""
+    return _exact_ntile_multi(base, [(alias, v)], k, n_buckets)
 
 
 @query("q_events_rfm", oracle=_RFM_ORACLE)
@@ -1326,12 +1383,17 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "monetary",
     )
     # ORDER BY recency DESC == ORDER BY -recency ASC (ties on user_id
-    # either way); frequency/monetary rank ascending
-    scored = (
-        base.join(_exact_ntile(base, -F.col("recency_days"), "r_score"), "user_id")
-        .join(_exact_ntile(base, F.col("frequency"), "f_score"), "user_id")
-        .join(_exact_ntile(base, F.col("monetary"), "m_score"), "user_id")
+    # either way); frequency/monetary rank ascending. One fused melted
+    # pass ranks all three dimensions (see _exact_ntile_multi).
+    scores = _exact_ntile_multi(
+        base,
+        [
+            ("r_score", -F.col("recency_days")),
+            ("f_score", F.col("frequency")),
+            ("m_score", F.col("monetary")),
+        ],
     )
+    scored = base.join(scores, "user_id")
     return scored.select(
         "user_id",
         "recency_days",

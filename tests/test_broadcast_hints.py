@@ -68,11 +68,11 @@ ALLOWED_UNBOUNDED: dict[str, tuple[str, ...]] = {
     # month domain (~5 x 84 rows for the 7-year order span), never by
     # order rows (same segmented prefix-scan design, round-10 re-shape).
     "q_window_max_drawdown": ("grouped-agg",),
-    # Quantile-bucket offset tables of the exact-ntile machinery: one
-    # per RFM dimension, each <= n_buckets+2 rows by construction (the
-    # grouping key is the bucket index, bounded by the fixed boundary
-    # count, never by user rows).
-    "q_events_rfm": ("grouped-agg",) * 3,
+    # Quantile-bucket offset table and per-dimension totals of the
+    # fused exact-ntile machinery: grouping keys are (dim, bucket) and
+    # dim — bounded by dims x (n_buckets+2) and by the dimension count
+    # respectively, never by user rows.
+    "q_events_rfm": ("grouped-agg",) * 2,
     # Nation-keyed revenue totals and HHI term sums: grouping key is
     # c_nationkey, bounded by the 25-nation data-model domain.
     "q_agg_hhi_concentration": ("grouped-agg",) * 2,

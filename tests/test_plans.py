@@ -899,19 +899,20 @@ def test_late_data_segmented_no_event_cardinality_global_window(spark):
 
 
 def test_rfm_no_global_row_windows(spark):
-    """Round-10 re-shape: each ntile(5) comes from the range-bucketed
-    exact rank. Pins: every row-cardinality window partitions on the
-    quantile bucket (three bkt-partitioned exchanges, one per
-    dimension) and the only single-partition exchanges are over the
-    bounded bucket-count frames."""
+    """Round-10 re-shape: all three ntile(5) scores come from ONE
+    fused melted pass of the range-bucketed exact rank. Pins: the
+    row-cardinality window partitions on (dim, quantile bucket), no
+    ntile node exists anywhere, and no SinglePartition exchange feeds
+    a row-cardinality operator (the offsets window partitions on dim)."""
     df = registry.QUERIES["q_events_rfm"](spark, SF_DIR)
     plan = _plan(df, execute=True)
-    assert plan.count("hashpartitioning(bkt") >= 3
+    assert "hashpartitioning(dim" in plan
     # the previous shape had three unpartitioned ntile windows =
-    # three single-partition sorts over the whole user table; now the
-    # only SinglePartition exchanges feed the <= n_buckets+2-row
-    # offset windows
+    # three single-partition sorts over the whole user table
     assert "ntile" not in plan
+    # the one allowed SinglePartition exchange is the now_ts global
+    # max(ts) scalar (partial-agg'd, one row) — never a row sort
+    assert plan.count("Exchange SinglePartition") <= 1
 
 
 def test_burst_detection_windows_over_buckets_only(spark):
