@@ -345,3 +345,58 @@ def test_zorder_write_quantile_buckets_narrow_both_columns(spark, tmp_path, sf_d
         avg_span = sum(ss) / len(ss)
         # z-curve locality: average per-file span well under the table span
         assert avg_span < 0.7 * (glob_max[c] - glob_min[c]), c
+
+
+def test_late_data_segmented_scan_property(spark, tmp_path):
+    """Property check over adversarial shapes the fixture can't cover:
+    random sparse/duplicate/NULL event streams at several bucket
+    widths must match a pure-Python replay of the global running-max
+    fold (hypothesis deadline disabled — each case runs Spark jobs)."""
+    import os
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=500),  # event_id
+                st.one_of(
+                    st.none(),
+                    st.integers(min_value=0, max_value=100_000),  # ts s
+                ),
+            ),
+            min_size=1,
+            max_size=60,
+            unique_by=lambda r: r[0],
+        ),
+        w=st.sampled_from([2, 7, 64]),
+        sb=st.sampled_from([2, 8]),
+    )
+    def check(rows, w, sb):
+        d = str(tmp_path / f"p{abs(hash((tuple(rows), w, sb))) % 10**9}")
+        os.makedirs(d, exist_ok=True)
+        spark.createDataFrame(
+            [(eid, "t", ts) for eid, ts in rows],
+            "event_id bigint, event_type string, ts_s bigint",
+        ).select(
+            "event_id",
+            "event_type",
+            F.to_timestamp(F.from_unixtime("ts_s")).alias("ts"),
+        ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        fn = registry.QUERIES["q_time_late_data"].__wrapped__
+        got = fn(spark, d, _w=w, _sb=sb).toPandas()
+
+        # pure-Python replay of the plain global window
+        seq = sorted(rows)
+        run = None
+        n = late = 0
+        for _, ts in seq:
+            if ts is not None and (run is None or ts > run):
+                run = ts
+            n += 1
+            if ts is not None and run is not None and run - ts >= 600:
+                late += 1
+        assert got.values.tolist() == [["t", n, late]]
+
+    check()
