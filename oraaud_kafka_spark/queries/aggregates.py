@@ -289,7 +289,12 @@ def q_agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-            F.count("*").alias("exact_orders"),
+            # count(col), not count(*): count(DISTINCT x) ignores NULLs,
+            # and the deduped frame keeps one (flag, NULL) row per group
+            # — counting it would diverge from the oracle on a fixture
+            # with NULL orderkeys while count(col) contributes 0 and the
+            # group still survives
+            F.count("l_orderkey").alias("exact_orders"),
         )
         .select(
             "l_returnflag",

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.segmented import segmented_running_max
 from ..registry import query
 from ..tables import load
 from . import DEC, davg, dsum, sql_davg, sql_dsum, sql_to_dbl, to_dbl
@@ -170,13 +171,13 @@ def q_time_late_data(
     A running max is an associative prefix scan, so it decomposes into
     the segmented two-level pattern proven on q_events_concurrency:
     bucket-local running max (window partitioned by event_id bucket) +
-    per-bucket maxima merged through a bounded superbucket level, final
-    running max = greatest(local, bucket offset). greatest() skips NULLs,
-    matching the NULL-ts semantics of the plain window (max ignores
-    NULLs; an all-NULL prefix stays NULL). The oracle states the
-    semantics with the plain global window; the hash match proves the
-    decomposition exact. _w/_sb are test seams (tiny widths force
-    multi-level merges on small fixtures)."""
+    per-bucket maxima merged through a bounded superbucket level (the
+    shared operators/segmented.py helper — NULL semantics, the
+    two-scans-beat-a-sort trade, and the null-safe joins are documented
+    there once). The oracle states the semantics with the plain global
+    window; the hash match proves the decomposition exact. _w/_sb are
+    test seams (tiny widths force multi-level merges on small
+    fixtures)."""
     e = load(spark, sf_dir, "events")
     ev = e.select(
         "event_type",
@@ -184,62 +185,17 @@ def q_time_late_data(
         "ts",
         F.floor(F.col("event_id") / _w).alias("bucket"),
     ).withColumn("sbucket", F.floor(F.col("bucket") / _sb))
-    # level 0: running max within each bucket (<= _w rows per partition)
-    wl = (
-        Window.partitionBy("bucket")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    ranked = segmented_running_max(
+        ev,
+        value="ts",
+        order_cols=("event_id",),
+        bucket="bucket",
+        superbucket="sbucket",
+        out="run_max",
     )
-    local = ev.select(
-        "event_type",
-        "ts",
-        "bucket",
-        "sbucket",
-        F.max("ts").over(wl).alias("local_max"),
-    )
-    # Level 1: per-bucket maxima, prefix-maxed within each superbucket
-    # (<= _sb bucket rows per partition). A SECOND map-side-combined
-    # pass over the scan, deliberately NOT derived from the window
-    # output: that would share the window's shuffle via ReusedExchange
-    # but re-sort the full table to recompute the window here, while a
-    # fresh 2-column scan + partial_max ships only n/_w bucket rows
-    # through its exchange.
-    bmax = ev.groupBy("sbucket", "bucket").agg(F.max("ts").alias("bmax"))
-    wb = (
-        Window.partitionBy("sbucket")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    bmax = bmax.withColumn("b_prefix", F.max("bmax").over(wb))
-    # level 2: superbucket maxima, one unpartitioned window over the
-    # n/(_w*_sb)-row superbucket table — bounded by construction
-    smax = bmax.groupBy("sbucket").agg(
-        # consumes b_prefix's input frame; max(bmax) == superbucket max
-        F.max("bmax").alias("smax")
-    )
-    ws = Window.orderBy("sbucket").rowsBetween(Window.unboundedPreceding, -1)
-    soff = smax.select(
-        F.col("sbucket").alias("s_sb"),
-        F.max("smax").over(ws).alias("s_prefix"),
-    )
-    # NULL-SAFE join keys throughout: a NULL event_id row keeps its
-    # NULL-bucket group (matching the plain window's NULLS-handling),
-    # and plain equi-keys would make Catalyst infer isnotnull filters
-    # on one branch only, breaking the exchange reuse that keeps this
-    # a single-scan plan (plan-pinned in tests/test_plans.py)
-    offsets = bmax.join(
-        soff, F.col("sbucket").eqNullSafe(F.col("s_sb"))
-    ).select(
-        F.col("bucket").alias("o_bucket"),
-        # everything strictly before this bucket: prior superbuckets'
-        # max, then prior buckets within this superbucket
-        F.greatest("s_prefix", "b_prefix").alias("offset"),
-    )
-    run_max = F.greatest("offset", "local_max")
-    lateness = run_max.cast("long") - F.col("ts").cast("long")
+    lateness = F.col("run_max").cast("long") - F.col("ts").cast("long")
     return (
-        local.join(offsets, F.col("bucket").eqNullSafe(F.col("o_bucket")))
-        .select("event_type", lateness.alias("lateness_s"))
+        ranked.select("event_type", lateness.alias("lateness_s"))
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -1294,26 +1250,20 @@ def _exact_ntile_multi(
         F.col("x.v").alias("v"),
         F.col("x.v").cast("double").alias("vd"),
     )
+    from ..operators.bucketing import boundary_bucket
+
     qs = [i / n_buckets for i in range(1, n_buckets)]
     brows = melted.groupBy("dim").agg(
         F.percentile_approx("vd", qs, 10000).alias("b")
     ).collect()
     bounds = {r["dim"]: sorted(set(r["b"] or [])) for r in brows}
 
-    def _bkt_for(bs: list[float]):
-        if not bs:
-            return F.when(F.col("vd").isNull(), F.lit(1)).otherwise(F.lit(0))
-        return F.when(F.col("vd").isNull(), F.lit(len(bs) + 1)).otherwise(
-            F.aggregate(
-                F.lit(bs),
-                F.lit(0),
-                lambda acc, b: acc + F.when(F.col("vd") >= b, 1).otherwise(0),
-            )
-        )
-
+    # NULLS LAST: DuckDB's ntile default, see operators/bucketing.py
     bkt = None
     for a, _ in dims:
-        expr = _bkt_for(bounds.get(a, []))
+        expr = boundary_bucket(
+            F.col("vd"), bounds.get(a, []), nulls_last=True
+        )
         bkt = (
             expr
             if bkt is None
@@ -1354,17 +1304,23 @@ def _exact_ntile_multi(
         r + F.floor((rnk - cut - 1) / F.greatest(q, F.lit(1))) + 1
     )
     tiled = ranked.select("user_id", "dim", tile.cast("int").alias("tile"))
+    # expose the key under a distinct name so callers can join back
+    # NULL-SAFELY: a NULL user_id is a group both here (groupBy keeps
+    # the NULL group) and in the oracle's ntile output, and a plain
+    # inner equi-join would silently drop it
     return tiled.groupBy("user_id").agg(
         *[
             F.max(F.when(F.col("dim") == a, F.col("tile"))).alias(a)
             for a, _ in dims
         ]
-    )
+    ).withColumnRenamed("user_id", "ntile_user_id")
 
 
 def _exact_ntile(base: DataFrame, v, alias: str, k: int = 5, n_buckets: int = 256) -> DataFrame:
     """Single-dimension form of _exact_ntile_multi (see there)."""
-    return _exact_ntile_multi(base, [(alias, v)], k, n_buckets)
+    return _exact_ntile_multi(base, [(alias, v)], k, n_buckets).withColumnRenamed(
+        "ntile_user_id", "user_id"
+    )
 
 
 @query("q_events_rfm", oracle=_RFM_ORACLE)
@@ -1393,7 +1349,11 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("m_score", F.col("monetary")),
         ],
     )
-    scored = base.join(scores, "user_id")
+    # null-safe: the oracle's ntile windows score a NULL-user group
+    # too; a plain equi-join would drop it (round-10 review finding)
+    scored = base.join(
+        scores, base["user_id"].eqNullSafe(scores["ntile_user_id"])
+    ).drop("ntile_user_id")
     return scored.select(
         "user_id",
         "recency_days",

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.segmented import segmented_running_max
 from ..registry import query
 from ..tables import load
 from . import DEC, to_dbl
@@ -466,11 +467,14 @@ def q_window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     proportional parallelism) + per-month peak maxima prefix-merged
     within each priority (a window over the bounded priority x month
     domain, ~84 rows/priority for the 7-year order span), final
-    run_peak = greatest(local, offset). Month bucketing respects the
-    (o_orderdate, o_orderkey) order because month boundaries are date
-    boundaries. The offset table is date-domain-bounded, hence the
-    broadcast hint (see tests/test_broadcast_hints.py). The oracle keeps
-    the plain per-priority window; the hash match proves the segmented
+    run_peak = greatest(local, offset) — the shared
+    operators/segmented.py helper (NULL semantics, the
+    two-scans-beat-a-sort trade, and the null-safe joins are documented
+    there once). Month bucketing respects the (o_orderdate, o_orderkey)
+    order because month boundaries are date boundaries. The offset
+    table is date-domain-bounded, hence the broadcast hint (see
+    tests/test_broadcast_hints.py). The oracle keeps the plain
+    per-priority window; the hash match proves the segmented
     decomposition exact."""
     o = load(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
@@ -481,51 +485,19 @@ def q_window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.alias("cents"),
         F.date_trunc("month", "o_orderdate").alias("bucket"),
     )
-    wl = (
-        Window.partitionBy("o_orderpriority", "bucket")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    local = bucketed.select(
-        "o_orderpriority",
-        "bucket",
-        "cents",
-        F.max("cents").over(wl).alias("local_peak"),
-    )
-    # Per-bucket maxima are a SECOND map-side-combined pass over the
-    # scan, deliberately NOT derived from the window output: consuming
-    # local_peak would share the window's shuffle via ReusedExchange
-    # but re-SORT the full table a second time to recompute the window
-    # in this branch, while a fresh columnar scan + partial_max ships
-    # only priority x month rows through its exchange. Two cheap scans
-    # beat one scan + one extra full-table sort at 100 TB.
-    bmax = bucketed.groupBy("o_orderpriority", "bucket").agg(
-        F.max("cents").alias("bpeak")
-    )
-    wb = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = bmax.select(
-        F.col("o_orderpriority").alias("r_pri"),
-        F.col("bucket").alias("r_bucket"),
-        F.max("bpeak").over(wb).alias("offset"),
-    )
-    # NULL-SAFE join keys, for two reasons: (1) a NULL priority/date is
-    # its own window-partition group in the plain form (both engines),
-    # so an inner equi-join dropping NULL keys would change semantics;
-    # (2) plain equi-keys make Catalyst infer isnotnull filters on ONE
-    # branch only, breaking the exchange reuse that keeps this a
-    # single-scan plan (plan-pinned in tests/test_plans.py).
-    series = local.join(
-        F.broadcast(offsets),
-        local["o_orderpriority"].eqNullSafe(F.col("r_pri"))
-        & local["bucket"].eqNullSafe(F.col("r_bucket")),
+    series = segmented_running_max(
+        bucketed,
+        value="cents",
+        order_cols=("o_orderdate", "o_orderkey"),
+        bucket="bucket",
+        partition=("o_orderpriority",),
+        # priority x month domain is calendar-bounded, never row-bounded
+        broadcast_offsets=True,
+        out="run_peak_raw",
     ).select(
         "o_orderpriority",
         "cents",
-        F.greatest("offset", "local_peak").cast("bigint").alias("run_peak"),
+        F.col("run_peak_raw").cast("bigint").alias("run_peak"),
     )
     g = series.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_rows"),

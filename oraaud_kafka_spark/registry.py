@@ -117,8 +117,10 @@ _FRONT = (
     "q_profile_table",
     "q_crosstab_margins",
     "q_filter_null_logic",
-    "q_join_null_safe",
-    # (b) re-shaped this round — fresh driver row required
+    # (b) re-shaped this round — fresh driver row required. Includes
+    # q_agg_approx_count_distinct (dedup-first form, late round-10
+    # re-shape), which displaces q_join_null_safe to the round-11 head.
+    "q_agg_approx_count_distinct",
     "q_events_rfm",
     "q_window_max_drawdown",
     # (c) new this round — verified the round they ship
@@ -137,6 +139,7 @@ _FRONT = (
 # this list into _FRONT (plus any round-10 late additions).
 _NEXT = (
     # r5-aged rows displaced from the round-10 window
+    "q_join_null_safe",
     "q_join_fuzzy_levenshtein",
     "q_agg_median",
     "q_agg_weighted_avg",
@@ -189,7 +192,6 @@ _NEXT = (
     "q_join_range_events",
     "q_join_asof",
     "q_join_skew_salted",
-    "q_agg_approx_count_distinct",
     "q_sort_top10_global",
     "q_sort_multi_nulls",
     "q_sort_by_expression",

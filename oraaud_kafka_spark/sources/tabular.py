@@ -263,25 +263,54 @@ def zorder_write(
     machinery.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def rank_key(name: str):
+        """Order-preserving DOUBLE view of any supported column type —
+        approxQuantile only accepts numerics, but the replaced
+        percent_rank normalization handled every orderable type, so
+        each type gets a monotone numeric embedding instead of a
+        crash: numerics cast, date/timestamp via epoch micros, strings
+        via their first 7 UTF-8 bytes as a big-endian integer (Spark
+        compares strings bytewise, and 56 bits fit a double exactly;
+        ties beyond 7 bytes just share a bucket — bucketing only needs
+        monotone-non-strict)."""
+        dt = df.schema[name].dataType
+        c = F.col(name)
+        if isinstance(dt, T.NumericType) or isinstance(dt, T.BooleanType):
+            return c.cast("double")
+        if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+            return F.unix_micros(c.cast("timestamp")).cast("double")
+        if isinstance(dt, T.StringType):
+            return F.conv(
+                F.rpad(F.substring(F.hex(F.encode(c, "UTF-8")), 1, 14), 14, "0"),
+                16,
+                10,
+            ).cast("double")
+        raise ValueError(
+            f"zorder_write: column {name!r} has unsupported type {dt} — "
+            "numeric, boolean, date/timestamp, and string columns are "
+            "z-orderable"
+        )
+
+    from ..operators.bucketing import boundary_bucket
 
     c1, c2 = cols
+    k1, k2 = rank_key(c1), rank_key(c2)
     qs = [i / 256 for i in range(1, 256)]
-
-    def bucket(col: str, bounds: list[float]):
-        if not bounds:
-            return F.lit(0).cast("long")
-        return F.aggregate(
-            F.lit(bounds),
-            F.lit(0),
-            lambda acc, b: acc
-            + F.when(F.col(col).cast("double") >= b, 1).otherwise(0),
-        ).cast("long")
-
+    proj = df.select(k1.alias("__k1"), k2.alias("__k2"))
     bounds1, bounds2 = (
-        sorted(set(b)) for b in df.stat.approxQuantile([c1, c2], qs, 0.001)
+        sorted(v for v in set(b) if v == v)  # drop NaN from all-null cols
+        for b in proj.stat.approxQuantile(["__k1", "__k2"], qs, 0.001)
     )
+    # NULLS FIRST (bucket 0), like the replaced percent_rank layout —
+    # see operators/bucketing.py for why the convention is explicit
     keyed = df.withColumn(
-        "__z", _morton_interleave(bucket(c1, bounds1), bucket(c2, bounds2))
+        "__z",
+        _morton_interleave(
+            boundary_bucket(k1, bounds1, nulls_last=False).cast("long"),
+            boundary_bucket(k2, bounds2, nulls_last=False).cast("long"),
+        ),
     )
     (
         keyed.repartitionByRange(n_files, "__z")

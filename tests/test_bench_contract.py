@@ -118,7 +118,9 @@ def test_no_per_query_regression_between_recorded_rounds():
         for q, v in {**e["queries"], **e.get("queries_extra", {})}.items():
             cur_q[q] = min(cur_q.get(q, v), v)
     baseline: dict[str, float] = {}
-    for e in same_sf[-5 : -len(cur_entries) - 1]:
+    # the up-to-3 entries IMMEDIATELY before the current pair — no gap
+    # (an entry in neither set would never be regression-checked)
+    for e in same_sf[-len(cur_entries) - 3 : -len(cur_entries)]:
         for q, v in {**e["queries"], **e.get("queries_extra", {})}.items():
             baseline[q] = min(baseline.get(q, v), v)
     if not baseline:
@@ -140,8 +142,39 @@ def test_no_per_query_regression_between_recorded_rounds():
         # are caught by the plan pins, not wall time
         and cur_q[q] > 0.5
     }
+    n_base = len(same_sf[-len(cur_entries) - 3 : -len(cur_entries)])
     assert not slow, (
-        f"history entry {len(same_sf)} regressed >2x (environment-"
-        f"normalized, factor {env_factor:.2f}) vs the min of the "
-        f"previous {min(3, len(same_sf) - 1)} entries on: {slow}"
+        f"latest {len(cur_entries)} entr{'ies' if len(cur_entries) > 1 else 'y'} "
+        f"regressed >2x (environment-normalized, factor {env_factor:.2f}) "
+        f"vs the min of the {n_base} preceding entr"
+        f"{'ies' if n_base > 1 else 'y'} on: {slow}"
+    )
+
+
+def test_headline_total_never_doubles_unnormalized():
+    """Backstop for the env-factor normalization above: a code change
+    that slows the WHOLE suite uniformly raises the median ratio and
+    slips through the per-query gate by design. The headline total
+    (min-of-4-sampled, the judge's metric) gets a plain un-normalized
+    2x ceiling against the best of the 3 preceding same-sf entries —
+    observed cross-day environment swings on this box stay within
+    ~1.4x on the headline total, so 2x headroom separates slow days
+    from real suite-wide regressions."""
+    import pytest
+
+    hist_path = os.path.join(REPO, "bench_history.jsonl")
+    if not os.path.exists(hist_path):
+        pytest.skip("no bench history yet")
+    with open(hist_path) as f:
+        entries = [json.loads(ln) for ln in f if ln.strip()]
+    sf = entries[-1].get("sf")
+    same_sf = [e for e in entries if e.get("sf") == sf]
+    if len(same_sf) < 2:
+        pytest.skip(f"fewer than two history entries at sf={sf}")
+    cur = same_sf[-1]["value"]
+    best_prev = min(e["value"] for e in same_sf[-4:-1])
+    assert cur <= 2.0 * best_prev, (
+        f"headline total {cur}s is >2x the best of the preceding "
+        f"entries ({best_prev}s) — suite-wide regression, not a noisy "
+        f"single query"
     )
