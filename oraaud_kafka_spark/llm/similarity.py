@@ -462,7 +462,24 @@ def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             " per_query_complete boolean, cosine_in_bounds boolean,"
             " recall_ok boolean",
         )
-    centroids = spark.createDataFrame(trained, "cid int, cv array<double>")
+    # literal structs, not createDataFrame: a Python-list frame is a
+    # pickled RDD that spins up a Python worker on EVERY execution of
+    # the plan (same fix as q_graph_degree_profile); the literal form
+    # is a pure-JVM LocalRelation — k x dim doubles folded into the
+    # expression, zero Python at execution time
+    centroids = spark.range(1).select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(cid).cast("int").alias("cid"),
+                        F.lit([float(x) for x in cv]).alias("cv"),
+                    )
+                    for cid, cv in trained
+                ]
+            )
+        )
+    )
     lists = _ivf_assign(e.select("vec_id", "embedding"), centroids, 1, "nid")
     probes = _ivf_assign(
         e.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding"),

@@ -129,11 +129,35 @@ def q_graph_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for t in sorted(set(outs) | set(ins))
     ]
-    j = spark.createDataFrame(
-        rows,
+    schema = (
         "event_type string, out_deg bigint, out_w bigint, "
-        "in_deg bigint, in_w bigint",
+        "in_deg bigint, in_w bigint"
     )
+    if rows:
+        # inline literal structs, NOT createDataFrame: a Python-list
+        # DataFrame is backed by a pickled RDD, so EVERY execution of
+        # the plan spins up a Python worker to re-deserialize the
+        # |types| rows (~0.5-1.3 s per run measured in bench context).
+        # The literal form is a pure-JVM LocalRelation — no Python at
+        # execution time.
+        j = spark.range(1).select(
+            F.inline(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("event_type"),
+                            F.lit(od).cast("bigint").alias("out_deg"),
+                            F.lit(ow).cast("bigint").alias("out_w"),
+                            F.lit(idg).cast("bigint").alias("in_deg"),
+                            F.lit(iw).cast("bigint").alias("in_w"),
+                        )
+                        for t, od, ow, idg, iw in rows
+                    ]
+                )
+            )
+        )
+    else:
+        j = spark.createDataFrame([], schema)
     return j.select(
         "event_type",
         "out_deg",

@@ -136,6 +136,14 @@ def _classify(node) -> str:
         if nn in _ROW_PRESERVING and node.children().length() == 1:
             node = node.children().apply(0)
             continue
+        if nn == "Generate" and node.children().length() == 1:
+            # Generate amplifies rows only by its generator: over a
+            # literal array (the F.inline(F.array(*lits)) pattern that
+            # replaced pickled-RDD driver frames) the amplification is
+            # the literal's length — bounded; over a data column the
+            # CHILD is a scan/join and classifies (and flags) itself
+            node = node.children().apply(0)
+            continue
         return nn
 
 
