@@ -51,10 +51,50 @@ registry.load_all()
 EXTRAS = [n for n in registry.all_queries() if n not in HEADLINE]
 
 
+def _load1() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover - non-POSIX
+        return -1.0
+
+
+def _other_jvms() -> int:
+    """Concurrent JVM count — the dominant noise source on this box
+    (round-10's official bench ran 1.28x over an identical-code run 70
+    minutes earlier; the per-query inflation profile matched scheduler
+    contention). Counted BEFORE this bench's own session starts, so any
+    nonzero value means a competing JVM."""
+    n = 0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                argv0 = f.read().split(b"\0", 1)[0]
+        except OSError:
+            continue
+        if argv0.endswith(b"java") or argv0.endswith(b"java.exe"):
+            n += 1
+    return n
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # Machine-load context recorded into every bench entry so a noisy
+    # run can never masquerade as a code regression again (round-11
+    # verdict item). Captured before our own JVM exists.
+    load_start = _load1()
+    jvms_other = _other_jvms()
+    noisy = load_start >= 4.0 or jvms_other > 0
+    if noisy:
+        print(
+            f"# WARNING high machine load at bench start "
+            f"(load1={load_start}, other JVMs={jvms_other}) — an extra "
+            "headline pass will run so the min can land in a quieter "
+            "window",
+            file=sys.stderr,
+        )
     spark = get_spark(app_name="oraaud-kafka-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry.load_all()
@@ -104,6 +144,15 @@ def main() -> None:
             best = min(run_once(name) for _ in range(n_inner))
             samples.setdefault(name, []).append(best)
 
+    if noisy:
+        # third pass over the HEADLINE only (~seconds): under start-time
+        # contention the min of the earlier passes may never have seen a
+        # quiet scheduler window; one more widely-separated pass gives
+        # the official metric that chance without re-running the extras
+        for name in names:
+            best = min(run_once(name) for _ in range(2))
+            samples[name].append(best)
+
     timings = {n: round(min(samples[n]), 4) for n in names}
     for name in names:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
@@ -139,6 +188,10 @@ def main() -> None:
         # each of 2 whole-suite-separated passes (see comment above) —
         # recorded so a loaded-machine driver run is identifiable
         "best_of": 4,
+        # load context: 1-minute loadavg at start (before our JVM) —
+        # the regression gate uses this to tell a noisy run from a
+        # real regression; full context goes to the history entry
+        "load1": load_start,
         **ingest,
         "queries_extra_total_sec": round(sum(extras.values()), 4),
         "queries": timings,
@@ -150,6 +203,9 @@ def main() -> None:
     try:
         with open(hist_path, "a") as f:
             f.write(json.dumps({**record, "queries_extra": extras,
+                                "load1_end": _load1(),
+                                "jvms_other": jvms_other,
+                                "extra_headline_pass": noisy,
                                 "ts": int(time.time())}) + "\n")
     except OSError as e:
         # best-effort telemetry: a read-only checkout or full disk must

@@ -89,17 +89,22 @@ def segmented_running_max(
             .orderBy(superbucket)
             .rowsBetween(Window.unboundedPreceding, -1)
         )
+        # rename EVERY join key on the soff side (not just superbucket):
+        # soff shares bmax's lineage, so bmax[k]/soff[k] column refs are
+        # the classic Spark self-join ambiguity — unique names make the
+        # condition resolve by name alone, same discipline as the outer
+        # join below
         soff = smax.select(
-            *keys,
+            *[F.col(k).alias(f"__s_{k}") for k in keys],
             F.col(superbucket).alias("__s_sb"),
             F.max("__smax").over(ws).alias("__s_prefix"),
         )
         cond = F.col(superbucket).eqNullSafe(F.col("__s_sb"))
         for k in keys:
-            cond = cond & bmax[k].eqNullSafe(soff[k])
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__s_{k}"))
         offsets = bmax.join(soff, cond).select(
-            *[bmax[k] for k in keys],
-            bmax[bucket],
+            *keys,
+            bucket,
             # everything strictly before this bucket: prior
             # superbuckets' max, then prior buckets within this one
             F.greatest("__s_prefix", "__b_prefix").alias("__offset"),

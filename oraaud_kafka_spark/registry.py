@@ -68,7 +68,7 @@ _loaded = False
 #       (q_time_late_data, the third re-shape, is already in (a));
 #   (c) the 3 operators NEW this round (HHI concentration, Cohen's
 #       kappa, mutual information) — new ops get their driver row the
-#       round they ship. (b)+(c) displace the 5 youngest r5-aged rows
+#       round they ship. (b)+(c) displace the 6 youngest r5-aged rows
 #       to round 11 (6 rounds stale once — accepted by round-9
 #       VERDICT #5's throttle rule).
 _FRONT = (

@@ -251,7 +251,10 @@ def zorder_write(
     bits (255 approxQuantile boundaries per column — distribution-
     proof like a rank, skew cannot collapse buckets, but a bounded
     driver collect instead of the global percent_rank window the
-    round-9 audit flagged: no single task ever owns the table), the
+    round-9 audit flagged: no single task ever owns the table; string
+    columns additionally strip their longest common prefix first, so
+    constant-prefix columns like c_name keep a diverse bucket domain
+    — see rank_key), the
     Morton key interleaves the two bucket ids, and repartitionByRange
     + a within-partition sort cluster the curve. At 100 TB this is the
     difference between a scan touching every file and touching
@@ -265,16 +268,48 @@ def zorder_write(
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    # Strings embed via 7 UTF-8 bytes — but common-prefix columns
+    # (TPC-H c_name 'Customer#000000042') share their first 7 bytes, so
+    # a raw prefix collapses every row into one bucket and the Morton
+    # key silently degenerates to the other column. Strip the longest
+    # common prefix first: Spark compares strings bytewise, so
+    # LCP(min, max) == LCP(all rows), and one map-side-combined min/max
+    # agg (a single narrow job, only when string columns are z-ordered,
+    # two strings of driver state per column) recovers the bytes that
+    # actually discriminate.
+    str_cols = [
+        n for n in cols if isinstance(df.schema[n].dataType, T.StringType)
+    ]
+    lcp: dict[str, int] = {}
+    if str_cols:
+        aggs = [
+            a
+            for i, n in enumerate(str_cols)
+            for a in (F.min(n).alias(f"__lo{i}"), F.max(n).alias(f"__hi{i}"))
+        ]
+        row = df.agg(*aggs).first()
+        for i, n in enumerate(str_cols):
+            lo, hi = row[f"__lo{i}"], row[f"__hi{i}"]
+            if lo is None or hi is None:
+                lcp[n] = 0
+                continue
+            lb, hb = lo.encode("utf-8"), hi.encode("utf-8")
+            k = 0
+            while k < min(len(lb), len(hb)) and lb[k] == hb[k]:
+                k += 1
+            lcp[n] = k
+
     def rank_key(name: str):
         """Order-preserving DOUBLE view of any supported column type —
         approxQuantile only accepts numerics, but the replaced
         percent_rank normalization handled every orderable type, so
         each type gets a monotone numeric embedding instead of a
         crash: numerics cast, date/timestamp via epoch micros, strings
-        via their first 7 UTF-8 bytes as a big-endian integer (Spark
-        compares strings bytewise, and 56 bits fit a double exactly;
-        ties beyond 7 bytes just share a bucket — bucketing only needs
-        monotone-non-strict)."""
+        via 7 UTF-8 bytes past the column's longest common prefix as a
+        big-endian integer (56 bits fit a double exactly; ties beyond
+        those 7 bytes just share a bucket — bucketing only needs
+        monotone-non-strict, and monotonicity is unaffected by
+        dropping a shared prefix)."""
         dt = df.schema[name].dataType
         c = F.col(name)
         if isinstance(dt, T.NumericType) or isinstance(dt, T.BooleanType):
@@ -283,7 +318,13 @@ def zorder_write(
             return F.unix_micros(c.cast("timestamp")).cast("double")
         if isinstance(dt, T.StringType):
             return F.conv(
-                F.rpad(F.substring(F.hex(F.encode(c, "UTF-8")), 1, 14), 14, "0"),
+                F.rpad(
+                    F.substring(
+                        F.hex(F.encode(c, "UTF-8")), 1 + 2 * lcp[name], 14
+                    ),
+                    14,
+                    "0",
+                ),
                 16,
                 10,
             ).cast("double")

@@ -67,3 +67,37 @@ def test_verification_ledger_in_sync_with_artifacts():
     assert current == expected, (
         "ledger stale — run: python scripts/gen_ledger.py --write"
     )
+
+
+def test_ledger_freshness_warns_on_unrecorded_artifact():
+    """Non-gating freshness probe (round-11 advice): capping the sync
+    test at the ledger's own max round means a CORRECTNESS artifact
+    that lands WITHOUT a regeneration is never flagged again. A
+    post-freeze artifact (newest round == ledger max + 1) is the normal
+    between-rounds state and stays silent; anything older than that
+    means the rotation-time regeneration was skipped — warn loudly (a
+    hard fail would redden every post-freeze commit, the rounds-7/9
+    failure class this design replaced)."""
+    import glob
+    import sys
+    import warnings
+
+    sys.path.insert(0, str(DOC.parent / "scripts"))
+    import gen_ledger
+
+    arts = glob.glob(str(DOC.parent / "CORRECTNESS_r*.json"))
+    if not arts:
+        return
+    newest = max(
+        int(re.search(r"r0*(\d+)", Path(p).name).group(1)) for p in arts
+    )
+    current = DOC.read_text().split(gen_ledger.BEGIN)[1].split(gen_ledger.END)[0]
+    cap = gen_ledger.max_recorded_round(current) or 0
+    if newest > cap + 1:
+        warnings.warn(
+            f"COVERAGE.md ledger records through r{cap} but "
+            f"CORRECTNESS_r{newest}.json exists — a rotation-time "
+            "regeneration was skipped; run: "
+            "python scripts/gen_ledger.py --write",
+            stacklevel=1,
+        )
