@@ -103,6 +103,59 @@ def _mh_b(i: int) -> int:
     return 12289 * i + 1
 
 
+# The ONE construction of the production MinHash pipeline, shared by
+# the LSH query, both calibration evals, and the cluster query — the
+# evals exist to calibrate THIS banding, so any change to shingling,
+# hash width, permutation constants, or band keys automatically stays
+# in lockstep across all of them (and across the SQL twins below,
+# which are generated from the same _mh_a/_mh_b/N_* constants).
+
+def mh_shingles(toks_col: str = "toks"):
+    """Word-3-gram shingle array from a token-array column."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks_col) - 2),
+        lambda i: F.array_join(F.slice(F.col(toks_col), i, 3), " "),
+    )
+
+
+def mh_base_hash(s):
+    """48-bit integer from the first 12 hex digits of md5 — ONE md5
+    per shingle (the hot loop at corpus scale)."""
+    return F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
+
+
+def _mh_perm(i: int):
+    # one-arg closure: a two-parameter lambda would make transform()
+    # pass the ARRAY INDEX as the second argument
+    return lambda h: (F.lit(_mh_a(i)) * h + _mh_b(i)) % _MH_P
+
+
+def mh_signature_cols(bhs_col: str = "bhs"):
+    """The 16 minhash signature columns h0..h15 from a base-hash
+    array column."""
+    return [
+        F.array_min(F.transform(F.col(bhs_col), _mh_perm(i))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+
+
+def mh_band_cols():
+    """The 4 band-key columns band0..band3 from signature columns
+    h0..h15 (md5 over each band's 4 entries)."""
+    return [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"h{b * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+        ).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+
+
 _SHINGLES_SQL = """
   SELECT doc_id,
          list_transform(range(1, len(toks) - 1),
@@ -166,44 +219,11 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("toks") >= 3
         )
     )
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.size("toks") - 2),
-        lambda i: F.array_join(F.slice(F.col("toks"), i, 3), " "),
+    hashed = tokenized.select(
+        "doc_id", F.transform(mh_shingles(), mh_base_hash).alias("bhs")
     )
-    # One md5 per shingle (the hot loop), folded to 48 bits in-array.
-    base_hashes = F.transform(
-        shingles,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
-    )
-    hashed = tokenized.select("doc_id", base_hashes.alias("bhs"))
-
-    def _perm(i: int):
-        # one-arg closure: a two-parameter lambda would make transform()
-        # pass the ARRAY INDEX as the second argument
-        return lambda h: (F.lit(_mh_a(i)) * h + _mh_b(i)) % _MH_P
-
-    sigs = hashed.select(
-        "doc_id",
-        *[
-            F.array_min(F.transform(F.col("bhs"), _perm(i))).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ],
-    )
-    bands = sigs.select(
-        "doc_id",
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"h{b * ROWS_PER_BAND + r}").cast("string")
-                        for r in range(ROWS_PER_BAND)
-                    ],
-                )
-            ).alias(f"band{b}")
-            for b in range(N_BANDS)
-        ],
-    )
+    sigs = hashed.select("doc_id", *mh_signature_cols())
+    bands = sigs.select("doc_id", *mh_band_cols())
     band_rows = bands.select(
         "doc_id",
         F.explode(
@@ -915,28 +935,13 @@ def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("toks") >= 3
         )
     )
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.size("toks") - 2),
-        lambda i: F.array_join(F.slice(F.col("toks"), i, 3), " "),
-    )
-    base_hashes = F.transform(
-        shingles,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
-    )
+    shingles = mh_shingles()
     hashed = tokenized.select(
-        "doc_id", shingles.alias("shs"), base_hashes.alias("bhs")
-    )
-
-    def _perm(i: int):
-        return lambda h: (F.lit(_mh_a(i)) * h + _mh_b(i)) % _MH_P
-
-    sigs = hashed.select(
         "doc_id",
-        *[
-            F.array_min(F.transform(F.col("bhs"), _perm(i))).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ],
+        shingles.alias("shs"),
+        F.transform(shingles, mh_base_hash).alias("bhs"),
     )
+    sigs = hashed.select("doc_id", *mh_signature_cols())
     sets = hashed.select(
         "doc_id",
         F.array_distinct("shs").alias("sh"),
@@ -1048,56 +1053,28 @@ def q_dedup_minhash_multiband_eval(
     d = load(spark, sf_dir, "documents").filter(
         F.col("doc_id") % _MH_MB_EVAL_MOD == 0
     )
-    toks = F.split("text", " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 2),
-            lambda i: F.array_join(F.slice(F.col("toks"), i, 3), " "),
-        )
-    )
-    base_hashes = F.transform(
-        F.col("shs"),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
-    )
-
-    def _perm(i: int):
-        return lambda h: (F.lit(_mh_a(i)) * h + _mh_b(i)) % _MH_P
-
     keyed = spread(
-        d.select("doc_id", "lang", toks.alias("toks"))
+        d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= 3)
-        .select("doc_id", "lang", shingles.alias("shs"))
-        .select("doc_id", "lang", "shs", base_hashes.alias("bhs"))
+        # distinct shingles: the Jaccard ground truth is set-based, and
+        # min-hash over the multiset equals min-hash over its support
+        .select(
+            "doc_id", "lang", F.array_distinct(mh_shingles()).alias("shs")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "shs",
+            F.transform(F.col("shs"), mh_base_hash).alias("bhs"),
+        )
         .select(
             "doc_id",
             "lang",
             "shs",
             F.size("shs").alias("n_sh"),
-            *[
-                F.array_min(F.transform(F.col("bhs"), _perm(i))).alias(
-                    f"h{i}"
-                )
-                for i in range(N_HASHES)
-            ],
+            *mh_signature_cols(),
         )
-        .select(
-            "doc_id",
-            "lang",
-            "shs",
-            "n_sh",
-            *[
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"h{b * ROWS_PER_BAND + r}").cast("string")
-                            for r in range(ROWS_PER_BAND)
-                        ],
-                    )
-                ).alias(f"band{b}")
-                for b in range(N_BANDS)
-            ],
-        )
+        .select("doc_id", "lang", "shs", "n_sh", *mh_band_cols())
     )
     pairs = triangle_self_join(
         keyed, block_cols=["lang"], id_col="doc_id", n_sub=4

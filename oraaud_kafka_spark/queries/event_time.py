@@ -2725,6 +2725,8 @@ ORDER BY click_hour
 
 @query("q_time_interval_latency", oracle=_INTERVAL_LAT_ORACLE)
 def q_time_interval_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.interval import interval_join_cond, interval_latency_rollup
+
     e = load(spark, sf_dir, "events")
     c = e.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
@@ -2732,30 +2734,6 @@ def q_time_interval_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = e.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
     )
-    lag_us = F.unix_micros("p_ts") - F.unix_micros("c_ts")
-    return (
-        c.join(
-            p,
-            (F.col("c_user") == F.col("p_user"))
-            & (F.col("p_ts") > F.col("c_ts"))
-            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTE")),
-        )
-        .groupBy(F.window("c_ts", "1 hour").alias("w"))
-        .agg(
-            F.count("*").alias("n_pairs"),
-            F.sum(lag_us).alias("sum_lag_us"),
-            F.max(lag_us).alias("max_lag_us"),
-        )
-        .select(
-            F.col("w.start").alias("click_hour"),
-            "n_pairs",
-            "sum_lag_us",
-            "max_lag_us",
-            (
-                F.col("sum_lag_us").cast("double")
-                / F.col("n_pairs")
-                / F.lit(1000000)
-            ).alias("avg_lag_s"),
-        )
-        .orderBy("click_hour")
-    )
+    return interval_latency_rollup(
+        c.join(p, interval_join_cond("30 minutes"))
+    ).orderBy("click_hour")

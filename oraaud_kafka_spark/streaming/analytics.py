@@ -11,6 +11,7 @@ state; nothing here collects to the driver.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 from typing import Any
 
@@ -27,6 +28,39 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+_DUR_UNIT_MS = {
+    "millisecond": 1, "milliseconds": 1, "ms": 1,
+    "second": 1000, "seconds": 1000, "sec": 1000, "secs": 1000,
+    "minute": 60_000, "minutes": 60_000, "min": 60_000, "mins": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000,
+}
+
+
+def duration_ms(duration: int | str) -> int:
+    """'<n> <unit>' (or plain int milliseconds) -> int milliseconds.
+
+    GroupState.setTimeoutDuration accepts ONLY int ms — the
+    CalendarInterval string form raises PySparkTypeError
+    (SPARK-40437 unimplemented) — so every monitor's human-readable
+    idle_timeout knob parses HERE, once, at query-build time; a typo
+    fails the build instead of the first micro-batch."""
+    if isinstance(duration, int) and not isinstance(duration, bool):
+        ms = duration
+    else:
+        m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]+)\s*", str(duration))
+        unit = m.group(2).lower() if m else None
+        if unit not in _DUR_UNIT_MS:
+            raise ValueError(
+                f"duration {duration!r} not understood — pass int "
+                "milliseconds or '<n> <unit>' with unit one of "
+                f"{sorted(set(_DUR_UNIT_MS))}"
+            )
+        ms = int(m.group(1)) * _DUR_UNIT_MS[unit]
+    if ms <= 0:
+        raise ValueError(f"duration must be positive, got {duration!r}")
+    return ms
 
 
 def with_event_time(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
@@ -144,6 +178,8 @@ def interval_latency_monitor(
     advances — append mode emits each window exactly once, finished.
     At scale the join shuffles on user_id only; nothing here is keyed
     by the unbounded (user x hour) product."""
+    from ..operators.interval import interval_join_cond, interval_latency_rollup
+
     c = clicks.select(
         F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
     )
@@ -153,33 +189,12 @@ def interval_latency_monitor(
     joined = stream_stream_join(
         c,
         p,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("p_ts") > F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {max_lag}")),
+        interval_join_cond(max_lag),
         left_ts="c_ts",
         right_ts="p_ts",
         delay=delay,
     )
-    lag_us = F.unix_micros("p_ts") - F.unix_micros("c_ts")
-    return (
-        joined.groupBy(F.window("c_ts", window).alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.sum(lag_us).alias("sum_lag_us"),
-            F.max(lag_us).alias("max_lag_us"),
-        )
-        .select(
-            F.col("w.start").alias("click_hour"),
-            "n_pairs",
-            "sum_lag_us",
-            "max_lag_us",
-            (
-                F.col("sum_lag_us").cast("double")
-                / F.col("n_pairs")
-                / F.lit(1000000)
-            ).alias("avg_lag_s"),
-        )
-    )
+    return interval_latency_rollup(joined, window=window)
 
 
 # ---------------------------------------------------------------------------
@@ -1101,8 +1116,11 @@ def funnel_monitor(df: DataFrame, *, idle_timeout: str | None = None) -> DataFra
     if idle_timeout is None:
         fn, timeout_conf = _funnel_fn, "NoTimeout"
     else:
+        # parse once at build time: setTimeoutDuration takes int ms only
+        timeout_ms = duration_ms(idle_timeout)
+
         def fn(key, pdfs, state):
-            return _funnel_fn(key, pdfs, state, idle_timeout=idle_timeout)
+            return _funnel_fn(key, pdfs, state, idle_timeout=timeout_ms)
 
         timeout_conf = "ProcessingTimeTimeout"
     return (
@@ -1252,8 +1270,11 @@ def quantile_monitor(
     if idle_timeout is None:
         fn, timeout_conf = _quantile_fn, "NoTimeout"
     else:
+        # parse once at build time: setTimeoutDuration takes int ms only
+        timeout_ms = duration_ms(idle_timeout)
+
         def fn(key, pdfs, state):
-            return _quantile_fn(key, pdfs, state, idle_timeout=idle_timeout)
+            return _quantile_fn(key, pdfs, state, idle_timeout=timeout_ms)
 
         timeout_conf = "ProcessingTimeTimeout"
     return (
@@ -1482,8 +1503,11 @@ def drawdown_monitor(
     if idle_timeout is None:
         fn, timeout_conf = _drawdown_fn, "NoTimeout"
     else:
+        # parse once at build time: setTimeoutDuration takes int ms only
+        timeout_ms = duration_ms(idle_timeout)
+
         def fn(key, pdfs, state):
-            return _drawdown_fn(key, pdfs, state, idle_timeout=idle_timeout)
+            return _drawdown_fn(key, pdfs, state, idle_timeout=timeout_ms)
 
         timeout_conf = "ProcessingTimeTimeout"
     return (

@@ -288,9 +288,17 @@ def test_funnel_monitor_idle_timeout_evicts_and_rearms():
         def setTimeoutDuration(self, d):
             self.timeout_set = d
 
+    # the wrapper parses the human-readable knob to int ms at build
+    # time (GroupState.setTimeoutDuration rejects strings) and the fold
+    # fn receives milliseconds
+    from oraaud_kafka_spark.streaming.analytics import duration_ms
+
+    ttl_ms = duration_ms("30 days")
+    assert ttl_ms == 30 * 86_400_000
+
     # timed-out group: state dropped, nothing emitted
     st = _TtlState(value=(1, None, None, None), timed_out=True)
-    out = list(_funnel_fn((7,), iter(()), st, idle_timeout="30 days"))
+    out = list(_funnel_fn((7,), iter(()), st, idle_timeout=ttl_ms))
     assert out == [] and st.removed
 
     # live group: update re-arms the timeout
@@ -303,9 +311,9 @@ def test_funnel_monitor_idle_timeout_evicts_and_rearms():
             "event_type": ["signup"],
         }
     )
-    out = list(_funnel_fn((7,), [pdf], st, idle_timeout="30 days"))
+    out = list(_funnel_fn((7,), [pdf], st, idle_timeout=ttl_ms))
     assert out[0].iloc[0]["stage"] == 1
-    assert st.timeout_set == "30 days"
+    assert st.timeout_set == ttl_ms
 
 
 def test_zorder_write_quantile_bucketing(spark, tmp_path, sf_dir):

@@ -174,26 +174,34 @@ def test_quantile_monitor_idle_timeout_evicts_and_rearms():
     timeout and re-arms on every update."""
     import pandas as pd
 
-    from oraaud_kafka_spark.streaming.analytics import _quantile_fn
+    from oraaud_kafka_spark.streaming.analytics import (
+        _quantile_fn,
+        duration_ms,
+    )
 
+    ttl_ms = duration_ms("30 days")
     st = _TtlFakeState(value=([100], [3]), timed_out=True)
-    out = list(_quantile_fn(("click",), iter(()), st, idle_timeout="30 days"))
+    out = list(_quantile_fn(("click",), iter(()), st, idle_timeout=ttl_ms))
     assert out == [] and st.removed
 
     st = _TtlFakeState()
     pdf = pd.DataFrame({"event_type": ["click"] * 2, "value": [1.0, 2.0]})
-    out = list(_quantile_fn(("click",), [pdf], st, idle_timeout="30 days"))
+    out = list(_quantile_fn(("click",), [pdf], st, idle_timeout=ttl_ms))
     assert out[0].iloc[0]["n_events"] == 2
-    assert st.timeout_set == "30 days"
+    assert st.timeout_set == ttl_ms
 
 
 def test_drawdown_monitor_idle_timeout_evicts_and_rearms():
     import pandas as pd
 
-    from oraaud_kafka_spark.streaming.analytics import _drawdown_fn
+    from oraaud_kafka_spark.streaming.analytics import (
+        _drawdown_fn,
+        duration_ms,
+    )
 
+    ttl_ms = duration_ms("30 days")
     st = _TtlFakeState(value=(500, 100, 7), timed_out=True)
-    out = list(_drawdown_fn(("click",), iter(()), st, idle_timeout="30 days"))
+    out = list(_drawdown_fn(("click",), iter(()), st, idle_timeout=ttl_ms))
     assert out == [] and st.removed
 
     st = _TtlFakeState()
@@ -205,6 +213,91 @@ def test_drawdown_monitor_idle_timeout_evicts_and_rearms():
             "value": [5.0, 3.0],
         }
     )
-    out = list(_drawdown_fn(("click",), [pdf], st, idle_timeout="30 days"))
+    out = list(_drawdown_fn(("click",), [pdf], st, idle_timeout=ttl_ms))
     assert out[0].iloc[0]["max_drawdown_dollars"] == 2.0
-    assert st.timeout_set == "30 days"
+    assert st.timeout_set == ttl_ms
+
+
+def test_duration_ms_parses_and_rejects():
+    """The one shared TTL parser: GroupState.setTimeoutDuration takes
+    ONLY int ms (the CalendarInterval string form raises,
+    SPARK-40437), so every monitor converts at build time — and a bad
+    knob must fail the BUILD, not the first micro-batch."""
+    import pytest
+
+    from oraaud_kafka_spark.streaming.analytics import duration_ms
+
+    assert duration_ms("30 days") == 30 * 86_400_000
+    assert duration_ms("1 hour") == 3_600_000
+    assert duration_ms("90 seconds") == 90_000
+    assert duration_ms("250 ms") == 250
+    assert duration_ms(1234) == 1234
+    for bad in ("soon", "3 fortnights", "0 days", "-5 minutes", 0, -1, True):
+        with pytest.raises((ValueError, TypeError)):
+            v = duration_ms(bad)
+            raise TypeError(f"accepted {bad!r} -> {v}")
+
+
+def test_monitor_idle_timeout_runs_through_real_stream(spark, tmp_path):
+    """The TTL path through a REAL applyInPandasWithState run: with
+    idle_timeout set, the first micro-batch calls
+    state.setTimeoutDuration — which rejects strings — so this drives
+    each monitor end-to-end and checks normal output (the fake-state
+    unit tests above cannot catch an argument-type mismatch against
+    the actual GroupState API)."""
+    import json
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from oraaud_kafka_spark.streaming.analytics import (
+        drawdown_monitor,
+        funnel_monitor,
+        quantile_monitor,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    d = tmp_path / "ttl_events"
+    d.mkdir()
+    rows = [
+        {"event_id": i, "ts": f"2024-05-04 10:0{i}:00", "user_id": 7,
+         "event_type": t, "value": float(10 - i)}
+        for i, t in enumerate(["signup", "view", "click", "purchase"])
+    ]
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in rows[:2]))
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in rows[2:]))
+    for name, build in (
+        ("ttl_funnel", lambda s: funnel_monitor(s, idle_timeout="30 days")),
+        ("ttl_quant", lambda s: quantile_monitor(s, idle_timeout="30 days")),
+        ("ttl_dd", lambda s: drawdown_monitor(s, idle_timeout="30 days")),
+    ):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+        q = (
+            build(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        assert spark.table(name).count() > 0, name
