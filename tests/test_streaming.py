@@ -1664,3 +1664,77 @@ def test_interval_latency_monitor_matches_batch_twin(spark, tmp_path):
         assert got.equals(want), f"\ngot:\n{got}\nwant:\n{want}"
     finally:
         q.stop()
+
+
+def test_interval_latency_monitor_drops_late_purchase(spark, tmp_path):
+    """The join-state GC contract at stream scale: once both watermarks
+    have advanced past a row's join window, a late-arriving purchase is
+    DROPPED (its click's buffered state is gone) — the bounded-state
+    trade the monitor's delay knob makes, and the reason its state
+    cannot grow with the stream. Batch 1 on each side advances the
+    watermark far beyond the click; batch 2 delivers a purchase that
+    would have matched — no pair may appear."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from oraaud_kafka_spark.streaming.analytics import (
+        interval_latency_monitor,
+    )
+
+    def write_batches(name, batches):
+        d = tmp_path / name
+        d.mkdir()
+        for i, rows in enumerate(batches):
+            p = d / f"b{i}.json"
+            _write_jsonl(p, rows)
+            # file-source batch order follows modification time; pin it
+            ts = time.time() + i * 10
+            os.utime(p, (ts, ts))
+        schema = StructType(
+            [
+                StructField("user_id", LongType()),
+                StructField("ts_us", LongType()),
+            ]
+        )
+        return _stream_json(spark, d, schema).select(
+            "user_id", F.timestamp_micros("ts_us").alias("ts")
+        )
+
+    def us(s):
+        return int(pd.Timestamp(s).value) // 1000
+
+    clicks = write_batches(
+        "lateclicks",
+        [
+            [{"user_id": 1, "ts_us": us("2024-05-04 10:00:00")},
+             # watermark sentinel: far future, unmatched user
+             {"user_id": -1, "ts_us": us("2024-05-04 20:00:00")}],
+            [{"user_id": -1, "ts_us": us("2024-05-04 21:00:00")}],
+            [{"user_id": -1, "ts_us": us("2024-05-04 22:00:00")}],
+        ],
+    )
+    purchases = write_batches(
+        "latepurch",
+        [
+            [{"user_id": -2, "ts_us": us("2024-05-04 20:00:00")}],
+            [{"user_id": -2, "ts_us": us("2024-05-04 21:00:00")}],
+            # would match the 10:00 click (within 30 min) but arrives
+            # two full batches after both watermarks (delay 1h) passed
+            # 19:00 — the click's join state is evicted by now
+            # (watermark advance and state eviction apply with a
+            # one-batch lag, so the drop needs the extra batch)
+            [{"user_id": 1, "ts_us": us("2024-05-04 10:05:00")},
+             {"user_id": -2, "ts_us": us("2024-05-04 22:00:00")}],
+        ],
+    )
+    q = _run_to_memory(
+        interval_latency_monitor(clicks, purchases, delay="1 hour"),
+        "ilat_late",
+        output_mode="append",
+    )
+    try:
+        assert spark.table("ilat_late").count() == 0
+    finally:
+        q.stop()
