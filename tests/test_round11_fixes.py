@@ -1,12 +1,19 @@
-"""Round-11 advice fixes, each pinned by a test that fails on the
-round-10 code:
+"""Round-11 fixes and hardening, each pinned by a test that fails on
+the round-10 code:
 
 - z-order string keys must strip the column's longest common prefix
   before the 7-byte embedding (common-prefix columns like TPC-H c_name
   otherwise collapse into ONE bucket and the Morton key silently
   degenerates to the other column);
 - segmented_running_max's partition+superbucket combination resolves
-  its shared-lineage join unambiguously and matches the plain window.
+  its shared-lineage join unambiguously and matches the plain window;
+- the monitor state-TTL knob (funnel/quantile/drawdown): parsed to int
+  milliseconds at build time (GroupState.setTimeoutDuration rejects
+  the string form, SPARK-40437), evicts + re-arms on the fake-state
+  unit surface, survives the REAL applyInPandasWithState path, and a
+  real ProcessingTimeTimeout eviction restarts the key's series;
+- the stream-stream interval-join monitor recovers buffered join state
+  across a checkpoint restart.
 """
 
 from __future__ import annotations
