@@ -197,6 +197,76 @@ def interval_latency_monitor(
     return interval_latency_rollup(joined, window=window)
 
 
+def conversion_rate_monitor(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    *,
+    max_lag: str = "30 minutes",
+    delay: str = "1 hour",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Live per-window conversion RATE: the LEFT-OUTER complement of
+    interval_latency_monitor — every click counted, converted or not
+    (the streaming twin of the pending batch query
+    q_time_conversion_rate; parity-pinned byte-equal in
+    tests/test_streaming.py).
+
+    THREE chained stateful operators, each state-bounded by the same
+    watermark: (1) the left-outer time-interval join — matched rows
+    emit as purchases arrive, the NULL-padded row for a never-matched
+    click emits exactly once, when the watermark passes its join
+    window and no purchase can ever match; (2) dropDuplicatesWithin-
+    Watermark on the click's event_id collapses the one-click-many-
+    purchases fan-out to one row per click (streams cannot
+    count_distinct; the pick is value-deterministic because every
+    matched duplicate carries converted=1 and the NULL row is mutually
+    exclusive with matches); (3) the tumbling rollup closes each
+    click-hour window once, in append mode. The clicks input must
+    carry a unique ``event_id``. NOTE: do NOT re-apply withWatermark
+    between stages — the join's output watermark propagates, and
+    redefining it is an analysis error under multi-stateful-operator
+    plans."""
+    from ..operators.interval import interval_join_cond
+
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    joined = stream_stream_join(
+        c,
+        p,
+        interval_join_cond(max_lag),
+        left_ts="c_ts",
+        right_ts="p_ts",
+        delay=delay,
+        how="left_outer",
+    )
+    per_click = joined.select(
+        "click_id",
+        "c_ts",
+        F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("converted"),
+    ).dropDuplicatesWithinWatermark(["click_id"])
+    return (
+        per_click.groupBy(F.window("c_ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum("converted").alias("n_converted"),
+        )
+        .select(
+            F.col("w.start").alias("click_hour"),
+            "n_clicks",
+            "n_converted",
+            (
+                F.col("n_converted").cast("double") / F.col("n_clicks")
+            ).alias("conversion_rate"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # R-6/R-10 in-stream: retry-until-complete as a custom stateful operator.
 #

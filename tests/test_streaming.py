@@ -1618,6 +1618,9 @@ def test_interval_latency_monitor_matches_batch_twin(spark, tmp_path):
         .toPandas()
     )
 
+    import os
+    import time
+
     def write_side(name, etype, sentinel_us):
         d = tmp_path / name
         d.mkdir()
@@ -1627,12 +1630,20 @@ def test_interval_latency_monitor_matches_batch_twin(spark, tmp_path):
             for u, t in zip(rows["user_id"], rows["ts"])
         ]
         third = max(1, len(recs) // 3)
+        base = time.time()
         for i in range(3):
             chunk = recs[i * third :] if i == 2 else recs[i * third : (i + 1) * third]
-            _write_jsonl(d / f"b{i}.json", chunk)
+            p = d / f"b{i}.json"
+            _write_jsonl(p, chunk)
+            # file-source batch order is MTIME order; files written in
+            # the same instant land in ONE batch (all-at-once degrades
+            # the test to a single big batch), so pin increasing mtimes
+            os.utime(p, (base + i * 10, base + i * 10))
         # sentinel: far-future row for a user the fixture never uses —
         # advances this side's watermark so every real window closes
-        _write_jsonl(d / "zz_sentinel.json", [{"user_id": -1, "ts_us": sentinel_us}])
+        p = d / "zz_sentinel.json"
+        _write_jsonl(p, [{"user_id": -1, "ts_us": sentinel_us}])
+        os.utime(p, (base + 40, base + 40))
         schema = StructType(
             [StructField("user_id", LongType()), StructField("ts_us", LongType())]
         )
@@ -1736,5 +1747,93 @@ def test_interval_latency_monitor_drops_late_purchase(spark, tmp_path):
     )
     try:
         assert spark.table("ilat_late").count() == 0
+    finally:
+        q.stop()
+
+
+def test_conversion_rate_monitor_matches_batch_twin(spark, tmp_path):
+    """The left-outer interval join + watermark dedup + tumbling rollup
+    (THREE chained stateful operators) must emit, in append mode,
+    exactly the pending batch query q_time_conversion_rate's rows once
+    sentinels advance both watermarks past the fixture — including the
+    never-converted clicks the inner-join latency monitor cannot see."""
+    import pandas as pd
+
+    from oraaud_kafka_spark.queries.pending import q_time_conversion_rate
+    from oraaud_kafka_spark.streaming.analytics import (
+        conversion_rate_monitor,
+    )
+    from oraaud_kafka_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    e = (
+        load(spark, SF_DIR, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+        .toPandas()
+    )
+
+    import os
+    import time
+
+    def write_side(name, etype, sentinel_us):
+        d = tmp_path / name
+        d.mkdir()
+        rows = e[e["event_type"] == etype].sort_values("ts")
+        recs = [
+            {"event_id": int(i), "user_id": int(u), "ts_us": int(t.value) // 1000}
+            for i, u, t in zip(rows["event_id"], rows["user_id"], rows["ts"])
+        ]
+        third = max(1, len(recs) // 3)
+        base = time.time()
+        for i in range(3):
+            chunk = recs[i * third :] if i == 2 else recs[i * third : (i + 1) * third]
+            p = d / f"b{i}.json"
+            _write_jsonl(p, chunk)
+            # pin increasing mtimes: same-instant files collapse into
+            # ONE batch (file-source order is mtime-based) and the
+            # sentinel could even land FIRST, making everything late
+            os.utime(p, (base + i * 10, base + i * 10))
+        p = d / "zz_sentinel.json"
+        _write_jsonl(
+            p, [{"event_id": -9, "user_id": -1, "ts_us": sentinel_us}]
+        )
+        os.utime(p, (base + 40, base + 40))
+        schema = StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("user_id", LongType()),
+                StructField("ts_us", LongType()),
+            ]
+        )
+        return _stream_json(spark, d, schema).select(
+            "event_id", "user_id", F.timestamp_micros("ts_us").alias("ts")
+        )
+
+    future_us = int(pd.Timestamp("2030-01-01").value) // 1000
+    clicks = write_side("cvr_clicks", "click", future_us)
+    purchases = write_side(
+        "cvr_purch", "purchase", future_us + 86400_000_000 * 180
+    )
+    q = _run_to_memory(
+        conversion_rate_monitor(clicks, purchases), "cvr_live",
+        output_mode="append",
+    )
+    try:
+        got = spark.table("cvr_live").toPandas()
+        # the click sentinel forms its own (unconverted) far-future
+        # window; every fixture window must match the batch twin
+        got = (
+            got[got["click_hour"] < pd.Timestamp("2029-01-01")]
+            .sort_values("click_hour")
+            .reset_index(drop=True)
+        )
+        want = (
+            q_time_conversion_rate(spark, SF_DIR)
+            .toPandas()
+            .sort_values("click_hour")
+            .reset_index(drop=True)
+        )
+        assert len(want) > 0
+        assert got.equals(want), f"\ngot:\n{got}\nwant:\n{want}"
     finally:
         q.stop()
