@@ -1,14 +1,15 @@
-"""Round-12 registration queue: operators built and locally
-parity-tested THIS round but deliberately NOT registered yet.
+"""Forward registration queues: operators built and locally
+parity-tested ahead of time but deliberately NOT registered yet.
 
 The driver-window throttle (round-9 rule, re-affirmed by the round-10
 verdict) admits ~3 new registered operators per round so the
 never-driver-checked backlog stays at zero; round 11 shipped its three
-(interval latency, KLL rollup, MinHash banding eval). These three are
-the round-12 batch — fully implemented with DuckDB oracles and swept by
-tests/test_pending_r12.py at sf0.001 AND the driver's sf0.01, so
-round-12 registration is a @query decorator + _FRONT placement, nothing
-else.
+(interval latency, KLL rollup, MinHash banding eval). PENDING_R12 is
+the round-12 batch and PENDING_R13 the round-13 batch — each fully
+implemented with DuckDB oracles and swept by tests/test_pending_r12.py
+/ test_pending_r13.py at sf0.001 AND the driver's sf0.01, so
+registration in its round is a @query decorator + _FRONT placement,
+nothing else.
 
 Keeping them out of the registry (this module is NOT in
 registry._MODULES) means: no COVERAGE.md count drift, no "never" ledger
@@ -134,11 +135,25 @@ def q_agg_theta_audience_overlap(
 # half-open merge rule exactly: an event starts a new session iff its
 # time >= the running max of (ts_i + gap_i) over all earlier events of
 # the key, session end = max event end (verified hash-equal on 9,785
-# fixture sessions).
+# fixture sessions). The gap expression and rollup live ONCE in
+# operators/sessions.py, shared with the streaming twin
+# dynamic_session_monitor (parity-pinned in tests/test_streaming.py).
 # ---------------------------------------------------------------------------
 
-_DG_CLICK_US = 1_800_000_000  # 30 min
-_DG_OTHER_US = 600_000_000  # 10 min
+
+def _dg_us(duration: str) -> int:
+    from ..streaming.analytics import duration_ms
+
+    return duration_ms(duration) * 1000
+
+
+def _dg_gaps() -> tuple[int, int]:
+    from ..operators.sessions import CLICK_GAP, OTHER_GAP
+
+    return _dg_us(CLICK_GAP), _dg_us(OTHER_GAP)
+
+
+_DG_CLICK_US, _DG_OTHER_US = _dg_gaps()
 
 DYNAMIC_GAP_ORACLE = f"""
 WITH t AS (
@@ -167,22 +182,10 @@ ORDER BY user_id, s_start
 
 
 def q_time_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events").filter(
-        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
-    )
-    gap = F.when(F.col("event_type") == "click", F.lit("30 minutes")).otherwise(
-        F.lit("10 minutes")
-    )
-    return (
-        e.groupBy("user_id", F.session_window("ts", gap).alias("w"))
-        .agg(F.count("*").alias("n"))
-        .select(
-            "user_id",
-            F.col("w.start").alias("s_start"),
-            F.col("w.end").alias("s_end"),
-            "n",
-        )
-        .orderBy("user_id", "s_start")
+    from ..operators.sessions import session_rollup
+
+    return session_rollup(load(spark, sf_dir, "events")).orderBy(
+        "user_id", "s_start"
     )
 
 
@@ -257,5 +260,345 @@ PENDING_R12 = {
     "q_time_conversion_rate": (
         q_time_conversion_rate,
         CONVERSION_RATE_ORACLE,
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
+# SRP banding-recall calibration for cosine RANGE SEARCH (round-13
+# queue): the threshold-retrieval complement of the top-k evals. On the
+# deterministic vec_id % 2 slice, bucket EVERY vector pair by its exact
+# cosine tier and report, per tier, how many pairs the B x r
+# signed-random-projection banding would catch — overall and per band.
+# This is the empirical S-curve P(caught | cosine tier) that sizes
+# (B, r) for a production "all pairs with cosine >= tau" sweep, exactly
+# as q_dedup_minhash_multiband_eval sizes the Jaccard banding: tier 0
+# (cosine < 0) measures the false-positive floor, the top tier the
+# recall on genuinely close pairs; the analytic curve per bit is
+# P(sign agree) = 1 - theta/pi (Charikar, STOC'02). Anchors are the
+# lowest B*r directional vec_ids — data-derived, so both engines
+# reconstruct the identical hyperplanes with no RNG. The exhaustive
+# pair join is the CALIBRATION harness, deliberately slice-bounded and
+# width-bounded through triangle_self_join; a production range search
+# runs only the banded equality join this query measures. Sign bits and
+# cosine tiers compare sequential-fold doubles that are bit-identical
+# across engines (see llm/similarity docstring), so every count is
+# deterministic and integer-exact.
+# ---------------------------------------------------------------------------
+
+_RS_MOD = 2  # calibration slice = every 2nd vector
+# (B=6, r=4) measured monotone on the fixture at both SFs
+# (tier0 FP floor ~0.25 -> tier3 recall ~0.76); r=6 was too strict
+# (tier-3 recall collapsed to 0), r=3 too loose (FP floor ~0.5)
+_RS_BANDS = 6
+_RS_BITS = 4  # sign bits per band -> B*r = 24 anchor vectors
+_RS_N_ANCHORS = _RS_BANDS * _RS_BITS
+# tier edges chosen for the fixture's cosine range (max ~0.51): the
+# production tau for this corpus would sit in tier 3 (>= 0.4)
+_RS_TIER_SQL = (
+    "CASE WHEN {c} >= 0.4 THEN 3 WHEN {c} >= 0.2 THEN 2 "
+    "WHEN {c} >= 0.0 THEN 1 ELSE 0 END"
+)
+
+
+def _rs_oracle() -> str:
+    from ..llm.similarity import (
+        _sql_directional_cte,
+        _sql_dot,
+        _sql_norm,
+    )
+
+    band_cols = ", ".join(
+        f"substring(bits, {1 + b * _RS_BITS}, {_RS_BITS}) AS band{b}"
+        for b in range(_RS_BANDS)
+    )
+    band_eq = ", ".join(
+        f"CAST(a.band{b} = b.band{b} AS INT) AS c{b}"
+        for b in range(_RS_BANDS)
+    )
+    caught = "greatest(" + ", ".join(
+        f"c{b}" for b in range(_RS_BANDS)
+    ) + ")"
+    return f"""
+WITH {_sql_directional_cte()},
+anch AS (SELECT vec_id AS aid, embedding AS av FROM embeddings
+         WHERE vec_id < {_RS_N_ANCHORS}),
+sliced AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % {_RS_MOD} = 0),
+bucketed AS (
+  SELECT e.vec_id, e.embedding,
+         string_agg(CASE WHEN {_sql_dot('e.embedding', 'a.av')} >= 0
+                    THEN '1' ELSE '0' END, '' ORDER BY a.aid) AS bits
+  FROM sliced e, anch a
+  GROUP BY e.vec_id, e.embedding
+),
+banded AS (
+  SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm, {band_cols}
+  FROM bucketed
+),
+pairs AS (
+  SELECT {_RS_TIER_SQL.format(c='cosine')} AS cos_tier,
+         {", ".join(f"c{b}" for b in range(_RS_BANDS))}
+  FROM (
+    SELECT {_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+             AS cosine,
+           {band_eq}
+    FROM banded a JOIN banded b ON a.vec_id < b.vec_id
+  )
+)
+SELECT cos_tier,
+       count(*) AS n_pairs,
+       CAST(sum({caught}) AS BIGINT) AS n_caught,
+       CAST(sum({caught}) AS DOUBLE) / count(*) AS catch_rate,
+       {", ".join(f"CAST(sum(c{b}) AS BIGINT) AS n_caught_b{b}" for b in range(_RS_BANDS))}
+FROM pairs
+GROUP BY cos_tier
+ORDER BY cos_tier
+"""
+
+
+RANGE_SEARCH_EVAL_ORACLE = _rs_oracle()
+
+
+def q_sim_range_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import _directional, _dot, _norm
+    from ..operators.triangle import triangle_self_join
+    from ..tables import spread
+
+    e = _directional(load(spark, sf_dir, "embeddings"))
+    anchors = e.filter(F.col("vec_id") < _RS_N_ANCHORS).select(
+        F.col("vec_id").alias("aid"), F.col("embedding").alias("av")
+    )
+    sliced = e.filter(F.col("vec_id") % _RS_MOD == 0).select(
+        "vec_id", "embedding"
+    )
+    # sign bits against the broadcast anchors, assembled in aid order
+    # (the q_sim_lsh_bucketed_topk bucket construction, widened to B*r)
+    bucketed = (
+        F.broadcast(anchors)
+        .crossJoin(spread(sliced))
+        .withColumn(
+            "bit",
+            F.struct(
+                F.col("aid"),
+                F.when(_dot(F.col("embedding"), F.col("av")) >= 0, "1")
+                .otherwise("0")
+                .alias("bit"),
+            ),
+        )
+        .groupBy("vec_id", "embedding")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("bit")), lambda x: x.bit
+                ),
+                "",
+            ).alias("bits")
+        )
+    )
+    banded = bucketed.select(
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        *[
+            F.substring("bits", 1 + b * _RS_BITS, _RS_BITS).alias(f"band{b}")
+            for b in range(_RS_BANDS)
+        ],
+    )
+    pairs = triangle_self_join(
+        banded, block_cols=[], id_col="vec_id", n_sub=4
+    )
+    cosine = _dot(F.col("embedding_a"), F.col("embedding_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    scored = pairs.select(
+        cosine.alias("cosine"),
+        *[
+            (F.col(f"band{b}_a") == F.col(f"band{b}_b"))
+            .cast("int")
+            .alias(f"c{b}")
+            for b in range(_RS_BANDS)
+        ],
+    ).select(
+        F.expr(_RS_TIER_SQL.format(c="cosine")).alias("cos_tier"),
+        *[f"c{b}" for b in range(_RS_BANDS)],
+    )
+    return (
+        scored.groupBy("cos_tier")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                F.greatest(*[F.col(f"c{b}") for b in range(_RS_BANDS)])
+            ).alias("n_caught"),
+            *[
+                F.sum(f"c{b}").alias(f"n_caught_b{b}")
+                for b in range(_RS_BANDS)
+            ],
+        )
+        .select(
+            "cos_tier",
+            "n_pairs",
+            "n_caught",
+            (F.col("n_caught").cast("double") / F.col("n_pairs")).alias(
+                "catch_rate"
+            ),
+            *[f"n_caught_b{b}" for b in range(_RS_BANDS)],
+        )
+        .orderBy("cos_tier")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Additive Holt-Winters (triple exponential smoothing; Hyndman &
+# Athanasopoulos ch. 8.3) per event type over the HOURLY revenue series
+# — the seasonal rung above q_time_holt_trend on the forecasting ladder
+# (naive -> seasonal-naive -> EWMA -> Holt -> Holt-Winters), for the
+# series q_time_seasonality_strength already showed carries an
+# hour-of-day signal. Level + trend + a 24-slot hour-of-day seasonal
+# vector fold together, zero-seeded like the EWMA/Holt twins; the
+# one-step forecast is level + trend + season[(last_hour + 1) % 24].
+# Scale shape: raw events collapse to the bounded (type x hour) grain
+# in ONE map+partial-agg pass; the sequential fold then runs over
+# hourly buckets only, with O(m)=O(24) state per key — never
+# event-cardinality work or state. Both engines run the IDENTICAL
+# fixed-shape IEEE op sequence (Spark folds a struct(l, b, s[24])
+# accumulator with F.aggregate; the oracle replays the same recurrence
+# with a recursive CTE carrying 24 seasonal columns), so the 6-dp round
+# only swallows cross-libm noise, never reordering.
+# ---------------------------------------------------------------------------
+
+_HWS_ALPHA, _HWS_BETA, _HWS_GAMMA = 0.3, 0.1, 0.2
+_HWS_M = 24  # season length: hour of day
+
+
+def _hws_oracle() -> str:
+    a, b, g = _HWS_ALPHA, _HWS_BETA, _HWS_GAMMA
+    s_prev = (
+        "(CASE e.hod "
+        + " ".join(f"WHEN {k} THEN f.s{k}" for k in range(_HWS_M))
+        + " END)"
+    )
+    new_l = f"{a} * (e.y - {s_prev}) + {1 - a} * (f.l + f.b)"
+    seed_s = ", ".join(f"CAST(0 AS DOUBLE) AS s{k}" for k in range(_HWS_M))
+    step_s = ", ".join(
+        f"CASE WHEN e.hod = {k} THEN {g} * (e.y - (f.l + f.b)) "
+        f"+ {1 - g} * f.s{k} ELSE f.s{k} END"
+        for k in range(_HWS_M)
+    )
+    s_next = (
+        "(CASE (f.hod + 1) % 24 "
+        + " ".join(f"WHEN {k} THEN f.s{k}" for k in range(_HWS_M))
+        + " END)"
+    )
+    return f"""
+WITH RECURSIVE hourly AS (
+  SELECT event_type,
+         CAST(extract(hour FROM date_trunc('hour', ts)) AS INT) AS hod,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY date_trunc('hour', ts)) AS rn
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+fold AS (
+  SELECT event_type, 0 AS rn, 0 AS hod,
+         CAST(0 AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b, {seed_s}
+  FROM (SELECT DISTINCT event_type FROM hourly)
+  UNION ALL
+  SELECT e.event_type, e.rn, e.hod,
+         {new_l},
+         {b} * (({new_l}) - f.l) + {1 - b} * f.b,
+         {step_s}
+  FROM fold f JOIN hourly e
+    ON e.event_type = f.event_type AND e.rn = f.rn + 1
+),
+last AS (SELECT event_type AS le, max(rn) AS mx FROM fold
+         GROUP BY event_type)
+SELECT f.event_type, CAST(f.rn AS BIGINT) AS n_hours,
+       round(f.l, 6) AS level, round(f.b, 6) AS trend,
+       round({s_next}, 6) AS season_next,
+       round(f.l + f.b + {s_next}, 6) AS forecast_next
+FROM fold f JOIN last ON last.le = f.event_type AND f.rn = last.mx
+ORDER BY f.event_type
+"""
+
+
+HOLT_WINTERS_ORACLE = _hws_oracle()
+
+
+def q_time_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("double")
+        .alias("y")
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("h", "y"))),
+        lambda x: F.struct(
+            F.hour(x.h).cast("int").alias("hod"), x.y.alias("y")
+        ),
+    )
+    a, b_, g = F.lit(_HWS_ALPHA), F.lit(_HWS_BETA), F.lit(_HWS_GAMMA)
+    one_a = F.lit(1 - _HWS_ALPHA)
+    one_b = F.lit(1 - _HWS_BETA)
+    one_g = F.lit(1 - _HWS_GAMMA)
+
+    def step(acc, x):
+        s_prev = F.element_at(acc.s, x.hod + 1)
+        new_l = a * (x.y - s_prev) + one_a * (acc.l + acc.b)
+        new_s = g * (x.y - (acc.l + acc.b)) + one_g * s_prev
+        return F.struct(
+            new_l.alias("l"),
+            (b_ * (new_l - acc.l) + one_b * acc.b).alias("b"),
+            F.transform(
+                acc.s,
+                lambda v, i: F.when(i == x.hod, new_s).otherwise(v),
+            ).alias("s"),
+            x.hod.alias("hod"),
+        )
+
+    folded = F.aggregate(
+        ordered,
+        F.struct(
+            F.lit(0.0).alias("l"),
+            F.lit(0.0).alias("b"),
+            F.array_repeat(F.lit(0.0), _HWS_M).alias("s"),
+            F.lit(0).cast("int").alias("hod"),
+        ),
+        step,
+    )
+    season_next = F.element_at(
+        F.col("hw.s"), (F.col("hw.hod") + 1) % _HWS_M + 1
+    )
+    return (
+        hourly.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_hours"), folded.alias("hw"))
+        .select(
+            "event_type",
+            "n_hours",
+            F.round(F.col("hw.l"), 6).alias("level"),
+            F.round(F.col("hw.b"), 6).alias("trend"),
+            F.round(season_next, 6).alias("season_next"),
+            F.round(
+                F.col("hw.l") + F.col("hw.b") + season_next, 6
+            ).alias("forecast_next"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PENDING_R13 = {
+    "q_sim_range_search_eval": (
+        q_sim_range_search_eval,
+        RANGE_SEARCH_EVAL_ORACLE,
+    ),
+    "q_time_holt_winters": (
+        q_time_holt_winters,
+        HOLT_WINTERS_ORACLE,
     ),
 }

@@ -267,6 +267,29 @@ def conversion_rate_monitor(
     )
 
 
+def dynamic_session_monitor(
+    events: DataFrame, *, delay: str = "1 hour"
+) -> DataFrame:
+    """Live dynamic-gap sessionization: the streaming twin of the
+    pending batch query q_time_session_dynamic_gap (parity-pinned
+    byte-equal in tests/test_streaming.py). Each event keeps its user's
+    session alive for a PER-EVENT gap (clicks 30 min, everything else
+    10 min — Spark-4 dynamic session windows); the gap expression and
+    rollup live ONCE in operators/sessions.py, shared with the batch
+    twin.
+
+    One stateful operator: the engine merges session state per
+    (user_id, window) as events arrive and closes a session exactly
+    once, when the watermark passes its end — append mode emits
+    finished sessions only. State is bounded by the number of OPEN
+    sessions (watermark + gap GC), never by stream length; the shuffle
+    is on user_id, the same single-exchange shape as the batch side.
+    The input must carry (user_id, ts, event_type)."""
+    from ..operators.sessions import session_rollup
+
+    return session_rollup(with_event_time(events, "ts", delay))
+
+
 # ---------------------------------------------------------------------------
 # R-6/R-10 in-stream: retry-until-complete as a custom stateful operator.
 #

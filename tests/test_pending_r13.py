@@ -1,0 +1,46 @@
+"""Parity sweep for the round-13 registration queue
+(oraaud_kafka_spark/queries/pending.py PENDING_R13): each pending
+operator runs Spark-vs-DuckDB at the local test SF exactly the way the
+driver gate will once it is registered — so registration adds only the
+@query decorator and a _FRONT slot, never cold code."""
+
+from __future__ import annotations
+
+import pytest
+
+from oraaud_kafka_spark.queries.pending import PENDING_R13
+from oraaud_kafka_spark.testing import compare_frames, run_oracle
+
+from .conftest import SF_DIR
+
+
+@pytest.mark.parametrize("name", sorted(PENDING_R13))
+def test_pending_r13_matches_oracle(spark, name):
+    fn, oracle = PENDING_R13[name]
+    got = fn(spark, SF_DIR).toPandas()
+    probs = compare_frames(got, run_oracle(oracle, SF_DIR))
+    assert not probs, f"{name}: {probs}"
+    assert len(got) > 0, f"{name}: empty result at {SF_DIR}"
+
+
+def test_range_search_scurve_is_monotone(spark):
+    """The empirical catch rate must rise with the cosine tier — the
+    property that makes the S-curve usable for sizing (B, r)."""
+    fn, _ = PENDING_R13["q_sim_range_search_eval"]
+    got = fn(spark, SF_DIR).toPandas().sort_values("cos_tier")
+    rates = got["catch_rate"].tolist()
+    assert rates == sorted(rates), f"catch_rate not monotone: {rates}"
+    # tier 0 (cosine < 0) is the false-positive floor: strictly below
+    # the top tier's recall, or the banding carries no signal at all
+    assert rates[0] < rates[-1]
+
+
+def test_holt_winters_season_bounded_state(spark):
+    """Every type folds to exactly one row with a finite forecast; the
+    seasonal slot index stays inside the 24-slot vector (the O(m) state
+    claim)."""
+    fn, _ = PENDING_R13["q_time_holt_winters"]
+    got = fn(spark, SF_DIR).toPandas()
+    assert (got["n_hours"] > 0).all()
+    assert got["forecast_next"].notna().all()
+    assert len(got) == got["event_type"].nunique()

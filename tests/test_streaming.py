@@ -1837,3 +1837,99 @@ def test_conversion_rate_monitor_matches_batch_twin(spark, tmp_path):
         assert got.equals(want), f"\ngot:\n{got}\nwant:\n{want}"
     finally:
         q.stop()
+
+
+def test_dynamic_session_monitor_matches_batch_twin(spark, tmp_path):
+    """The dynamic-gap session monitor must emit, in append mode,
+    exactly the pending batch query q_time_session_dynamic_gap's rows
+    once a far-future sentinel advances the watermark past every
+    fixture session — under genuinely incremental multi-batch input."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from oraaud_kafka_spark.queries.pending import q_time_session_dynamic_gap
+    from oraaud_kafka_spark.streaming.analytics import dynamic_session_monitor
+    from oraaud_kafka_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    e = (
+        load(spark, SF_DIR, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("event_id", "user_id", "ts", "event_type")
+        .toPandas()
+        .sort_values("ts")
+    )
+    d = tmp_path / "dyn_sessions"
+    d.mkdir()
+    recs = [
+        {
+            "event_id": int(i),
+            "user_id": int(u),
+            "ts_us": int(t.value) // 1000,
+            "event_type": str(et),
+        }
+        for i, u, t, et in zip(
+            e["event_id"], e["user_id"], e["ts"], e["event_type"]
+        )
+    ]
+    third = max(1, len(recs) // 3)
+    base = time.time()
+    for i in range(3):
+        chunk = recs[i * third :] if i == 2 else recs[i * third : (i + 1) * third]
+        p = d / f"b{i}.json"
+        _write_jsonl(p, chunk)
+        # pin increasing mtimes (file-source order is mtime-based)
+        os.utime(p, (base + i * 10, base + i * 10))
+    sentinel = d / "zz_sentinel.json"
+    _write_jsonl(
+        sentinel,
+        [
+            {
+                "event_id": -9,
+                "user_id": -1,
+                "ts_us": int(pd.Timestamp("2030-01-01").value) // 1000,
+                "event_type": "view",
+            }
+        ],
+    )
+    os.utime(sentinel, (base + 40, base + 40))
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    stream = _stream_json(spark, d, schema).select(
+        "user_id",
+        F.timestamp_micros("ts_us").alias("ts"),
+        "event_type",
+    )
+    q = _run_to_memory(
+        dynamic_session_monitor(stream), "dyn_sessions_live",
+        output_mode="append",
+    )
+    try:
+        got = spark.table("dyn_sessions_live").toPandas()
+        # the sentinel's own far-future session stays open (the
+        # watermark never passes it) or emits under user -1; drop it
+        got = (
+            got[got["user_id"] >= 0]
+            .sort_values(["user_id", "s_start"])
+            .reset_index(drop=True)
+        )
+        want = (
+            q_time_session_dynamic_gap(spark, SF_DIR)
+            .toPandas()
+            .sort_values(["user_id", "s_start"])
+            .reset_index(drop=True)
+        )
+        assert len(want) > 0
+        assert got.equals(want), (
+            f"\ngot {len(got)} rows:\n{got.head()}\nwant {len(want)}:\n{want.head()}"
+        )
+    finally:
+        q.stop()
