@@ -1013,13 +1013,15 @@ def q_text_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # KenLM 5-gram the CCNet pipeline ships (Wenzek et al. 2020,
 # arXiv:1911.00359): P(t_i | t_{i-1}) = (c2(t_{i-1}, t_i) + 1) /
 # (c1(t_{i-1}) + V). Captures word-ORDER garbling that any unigram
-# model is blind to. Scale shape: the bigram count table is bounded by
-# observed vocab^2 (far below it in practice — Heaps' law) and joins
-# the per-doc transition stream on its (prev, cur) hash key; the
-# unigram context table, like the unigram scorer's vocab, is
-# corpus-derived and UNBOUNDED on raw web text, so neither count-table
-# join carries a broadcast hint — AQE decides from the built size;
-# only the 1-row scalar V broadcasts. Per-transition
+# model is blind to. Scale shape: the per-pair logprob is computed
+# ONCE on the pair-count table (bounded by observed vocab^2 — far
+# below it in practice, Heaps' law — and joined to the unigram
+# context), and the transition stream joins it ONCE on the composite
+# (prev, cur) key — never a full-stream join on the bare prev key,
+# which would put every transition out of a stopword on one reducer.
+# The count tables are corpus-derived and UNBOUNDED on raw web text,
+# so the pair join carries no broadcast hint — AQE decides from the
+# built size; only the 1-row scalar V broadcasts. Per-transition
 # logprobs round to 12 decimals and convert to EXACT decimals before
 # the per-doc sum, so the aggregation is an order-independent
 # partial-agg'd SUM (no per-doc sorted collect) — same float
@@ -1083,13 +1085,22 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.explode(bigram_structs).alias("b")
     ).select("doc_id", "lang", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
     c2 = bg.groupBy("prev", "cur").agg(F.count("*").alias("n2"))
-    lp = (
-        bg.join(c2, ["prev", "cur"])
-        .join(uni.withColumnRenamed("tok", "prev"), "prev")
+    # The (prev, cur) -> logprob mapping is a pure function of the
+    # PAIR, so compute it once on the vocab^2-bounded pair table (c2
+    # joined to the unigram context — both count tables, both tiny
+    # next to the transition stream) instead of joining the raw stream
+    # twice. The stream then joins ONCE on (prev, cur) — eliminating
+    # the former second full-stream join on the bare `prev` key, which
+    # was also the stopword-skew hazard at corpus scale (every
+    # transition out of 'the' landed on one reducer; the composite
+    # (prev, cur) key spreads a stopword's fan-out across its
+    # successors).
+    pair_lp = (
+        c2.join(uni.withColumnRenamed("tok", "prev"), "prev")
         .crossJoin(F.broadcast(v))
         .select(
-            "doc_id",
-            "lang",
+            "prev",
+            "cur",
             F.round(
                 F.log(
                     (F.col("n2") + 1).cast("double")
@@ -1100,6 +1111,9 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(20,12)")
             .alias("lp_dec"),
         )
+    )
+    lp = bg.join(pair_lp, ["prev", "cur"]).select(
+        "doc_id", "lang", "lp_dec"
     )
     # INTEGER-EXACT 6-dp average: sum the 12-dp terms as exact
     # picounits and round-half-away via integral division. The previous
