@@ -35,6 +35,41 @@ def test_range_search_scurve_is_monotone(spark):
     assert rates[0] < rates[-1]
 
 
+def test_cdc_chunking_is_shift_robust(spark):
+    """The CDC property: prepending one byte re-chunks only the local
+    neighborhood, so a shifted copy still shares most chunk hashes
+    with the original — the exact failure mode whole-payload and
+    fixed-stride dedup cannot survive."""
+    from pyspark.sql import functions as F
+
+    from oraaud_kafka_spark.queries.pending import _cdc_chunks
+    from oraaud_kafka_spark.tables import load
+
+    text = (
+        load(spark, SF_DIR, "documents")
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()[0]["text"]
+    )
+    df = spark.createDataFrame(
+        [(0, text), (1, "X" + text)], ["doc_id", "text"]
+    )
+    got = (
+        df.select(
+            "doc_id",
+            F.explode(_cdc_chunks(F.col("text"), F.length("text"))).alias("c"),
+        )
+        .select("doc_id", F.col("c.h").alias("h"))
+        .toPandas()
+    )
+    a = set(got[got.doc_id == 0]["h"])
+    b = set(got[got.doc_id == 1]["h"])
+    shared = len(a & b)
+    assert shared >= 0.5 * len(a), (
+        f"shifted copy shares only {shared}/{len(a)} chunks"
+    )
+
+
 def test_holt_winters_season_bounded_state(spark):
     """Every type folds to exactly one row with a finite forecast; the
     seasonal slot index stays inside the 24-slot vector (the O(m) state
