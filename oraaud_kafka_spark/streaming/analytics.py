@@ -267,6 +267,150 @@ def conversion_rate_monitor(
     )
 
 
+# ---------------------------------------------------------------------------
+# Streaming Holt-Winters (level + trend + 24-slot hour-of-day season):
+# the live counterpart of the pending batch operator q_time_holt_winters
+# (queries/pending.py), completing the forecasting monitor ladder
+# (ewma_levels -> holt_levels -> hw_levels). The batch twin folds over
+# the bounded HOURLY grain, so the monitor's keyed state is the HW
+# triple over CLOSED hour buckets — (level, trend, season[24],
+# n_hours, last folded hod) — plus exactly ONE open bucket
+# (hour, cents): O(m)=O(24) scalars per key regardless of stream
+# length. Within a batch, events bucket to hours; every bucket
+# strictly older than the newest observed hour closes IN HOUR ORDER
+# and folds one HW step with the identical IEEE op shapes as the
+# batch fold; the newest bucket stays open across batches. An event
+# older than the open bucket is a late arrival to an already-folded
+# hour and drops (the burst_monitor aging rule — the watermark analog
+# applyInPandasWithState cannot express natively), so the monitor
+# reproduces the batch fold exactly whenever buckets arrive
+# hour-ordered — the condition the parity test constructs and
+# event-time streams approximate. Cents use the shared
+# half-away-from-zero rule; output rounds via BigDecimal-equivalent
+# HALF_UP so emitted rows are byte-comparable to the batch twin.
+# ---------------------------------------------------------------------------
+
+HW_SEASON_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_hours", LongType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("season_next", DoubleType()),
+        StructField("forecast_next", DoubleType()),
+    ]
+)
+HW_SEASON_STATE_SCHEMA = StructType(
+    [
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("season", ArrayType(DoubleType())),
+        StructField("n_hours", LongType()),
+        StructField("last_hod", LongType()),
+        StructField("open_hour_us", LongType()),
+        StructField("open_cents", LongType()),
+    ]
+)
+
+HW_SEASON_ALPHA, HW_SEASON_BETA, HW_SEASON_GAMMA = 0.3, 0.1, 0.2
+_HW_M = 24
+_HOUR_US = 3_600_000_000
+
+
+def _round6_half_up(v: float) -> float:
+    """F.round(double, 6) parity: Spark rounds the SHORTEST-REPR
+    decimal of the double HALF_UP (BigDecimal.valueOf), which is
+    Decimal(repr(v)) in Python — NOT banker's round()."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(v))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _hw_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state
+) -> Iterator[pd.DataFrame]:
+    (event_type,) = key
+    if state.exists:
+        level, trend, season, n_hours, last_hod, open_hour, open_cents = (
+            state.get
+        )
+        season = list(season)
+    else:
+        level, trend, season = 0.0, 0.0, [0.0] * _HW_M
+        n_hours, last_hod, open_hour, open_cents = 0, -1, -1, 0
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows[rows["ts"].notna() & rows["value"].notna()]
+    buckets: dict[int, int] = {}
+    for ts, v in zip(rows["ts"], rows["value"]):
+        hour_us = (int(ts.value) // 1000) // _HOUR_US * _HOUR_US
+        buckets[hour_us] = buckets.get(hour_us, 0) + quantile_cents(v)
+
+    def fold(hour_us: int, cents: int) -> None:
+        nonlocal level, trend, n_hours, last_hod
+        hod = (hour_us // _HOUR_US) % _HW_M
+        y = float(cents)
+        s_prev = season[hod]
+        # identical op shapes to the batch F.aggregate fold
+        new_l = HW_SEASON_ALPHA * (y - s_prev) + (1 - HW_SEASON_ALPHA) * (
+            level + trend
+        )
+        new_s = HW_SEASON_GAMMA * (y - (level + trend)) + (
+            1 - HW_SEASON_GAMMA
+        ) * s_prev
+        trend = HW_SEASON_BETA * (new_l - level) + (1 - HW_SEASON_BETA) * trend
+        level = new_l
+        season[hod] = new_s
+        n_hours += 1
+        last_hod = hod
+
+    for hour_us in sorted(buckets):
+        cents = buckets[hour_us]
+        if open_hour == -1:
+            open_hour, open_cents = hour_us, cents
+        elif hour_us < open_hour:
+            continue  # late arrival to a closed hour: drop
+        elif hour_us == open_hour:
+            open_cents += cents
+        else:
+            fold(open_hour, open_cents)
+            open_hour, open_cents = hour_us, cents
+    state.update(
+        (level, trend, season, n_hours, last_hod, open_hour, open_cents)
+    )
+    s_next = season[(last_hod + 1) % _HW_M] if last_hod >= 0 else 0.0
+    yield pd.DataFrame(
+        {
+            "event_type": [event_type],
+            "n_hours": [n_hours],
+            "level": [_round6_half_up(level)],
+            "trend": [_round6_half_up(trend)],
+            "season_next": [_round6_half_up(s_next)],
+            "forecast_next": [_round6_half_up(level + trend + s_next)],
+        }
+    )
+
+
+def hw_levels(df: DataFrame) -> DataFrame:
+    """Per-type zero-seeded Holt-Winters over (event_type, ts, value)
+    rows; emits the closed-bucket state each micro-batch the key
+    appears in. Update-mode sinks keep the latest row per key."""
+    return (
+        df.select("event_type", "ts", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _hw_fn,
+            HW_SEASON_OUTPUT_SCHEMA,
+            HW_SEASON_STATE_SCHEMA,
+            "update",
+            "NoTimeout",
+        )
+    )
+
+
 def dynamic_session_monitor(
     events: DataFrame, *, delay: str = "1 hour"
 ) -> DataFrame:

@@ -1933,3 +1933,136 @@ def test_dynamic_session_monitor_matches_batch_twin(spark, tmp_path):
         )
     finally:
         q.stop()
+
+
+def test_hw_monitor_matches_batch_twin(spark, tmp_path):
+    """The streaming Holt-Winters monitor, fed the fixture hour-ordered
+    across three batches plus one far-future sentinel per type (whose
+    own bucket stays open, never folded), must land on EXACTLY the
+    pending batch query q_time_holt_winters's rows — level, trend,
+    season slot and forecast, byte-equal after the shared HALF_UP
+    6-dp round."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from oraaud_kafka_spark.queries.pending import q_time_holt_winters
+    from oraaud_kafka_spark.streaming.analytics import hw_levels
+    from oraaud_kafka_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    e = (
+        load(spark, SF_DIR, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select("ts", "event_type", "value")
+        .toPandas()
+        .sort_values("ts")
+    )
+    d = tmp_path / "hw_events"
+    d.mkdir()
+    recs = [
+        {
+            "ts_us": int(t.value) // 1000,
+            "event_type": str(et),
+            "value": float(v),
+        }
+        for t, et, v in zip(e["ts"], e["event_type"], e["value"])
+    ]
+    third = max(1, len(recs) // 3)
+    base = time.time()
+    for i in range(3):
+        chunk = recs[i * third :] if i == 2 else recs[i * third : (i + 1) * third]
+        p = d / f"b{i}.json"
+        _write_jsonl(p, chunk)
+        os.utime(p, (base + i * 10, base + i * 10))
+    sentinel_us = int(pd.Timestamp("2030-01-01").value) // 1000
+    p = d / "zz_sentinel.json"
+    _write_jsonl(
+        p,
+        [
+            {"ts_us": sentinel_us, "event_type": et, "value": 0.0}
+            for et in sorted(e["event_type"].unique())
+        ],
+    )
+    os.utime(p, (base + 40, base + 40))
+    schema = StructType(
+        [
+            StructField("ts_us", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = _stream_json(spark, d, schema).select(
+        F.timestamp_micros("ts_us").alias("ts"), "event_type", "value"
+    )
+    q = _run_to_memory(hw_levels(stream), "hw_live", output_mode="update")
+    try:
+        got = spark.table("hw_live").toPandas()
+        # update mode re-emits per batch; the final state per type is
+        # the row with the max folded-bucket count
+        got = (
+            got.sort_values("n_hours")
+            .groupby("event_type", as_index=False)
+            .last()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        want = (
+            q_time_holt_winters(spark, SF_DIR)
+            .toPandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        assert len(want) > 0
+        got = got[want.columns.tolist()]
+        assert got.equals(want), f"\ngot:\n{got}\nwant:\n{want}"
+    finally:
+        q.stop()
+
+
+def test_hw_monitor_drops_late_events_to_closed_hours():
+    """An event older than the open bucket belongs to an hour already
+    folded into the HW state; it must be dropped (the burst_monitor
+    aging rule), never folded out of order or double-counted."""
+    import pandas as pd
+
+    from oraaud_kafka_spark.streaming.analytics import _hw_fn
+
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    def batch(rows):
+        return [
+            pd.DataFrame(
+                {
+                    "ts": [pd.Timestamp(h * 3600, unit="s") for h, _ in rows],
+                    "value": [float(v) for _, v in rows],
+                }
+            )
+        ]
+
+    state = _FakeState()
+    # hours 0 and 1 arrive: hour 0 folds, hour 1 stays open
+    out1 = list(_hw_fn(("click",), batch([(0, 10.0), (1, 20.0)]), state))[0]
+    assert out1["n_hours"].iloc[0] == 1
+    snapshot = state.get
+    # a late event for the already-folded hour 0 must change nothing
+    out2 = list(_hw_fn(("click",), batch([(0, 99.0)]), state))[0]
+    assert out2["n_hours"].iloc[0] == 1
+    assert state.get == snapshot
+    # a later hour closes the open bucket: now 2 folded
+    out3 = list(_hw_fn(("click",), batch([(2, 5.0)]), state))[0]
+    assert out3["n_hours"].iloc[0] == 2
