@@ -142,9 +142,15 @@ def q_agg_theta_audience_overlap(
 
 
 def _dg_us(duration: str) -> int:
-    from ..streaming.analytics import duration_ms
+    """'N minutes' -> microseconds; strict so a unit change in
+    operators/sessions.py fails loudly here instead of silently
+    diverging the oracle."""
+    import re
 
-    return duration_ms(duration) * 1000
+    m = re.fullmatch(r"(\d+) minutes", duration)
+    if m is None:
+        raise ValueError(f"expected 'N minutes', got {duration!r}")
+    return int(m.group(1)) * 60_000_000
 
 
 def _dg_gaps() -> tuple[int, int]:
@@ -633,9 +639,14 @@ def _cdc_bounds(text, n):
     return F.concat(F.array(F.lit(0)), inner, F.array(n))
 
 
-def _cdc_chunks(text, n):
-    """array<struct<h, len>> of content-defined chunks of ``text``."""
-    bounds = _cdc_bounds(text, n)
+def _cdc_chunks(text, bounds):
+    """array<struct<h, len>> of content-defined chunks of ``text``
+    given its materialized ``bounds`` column. The caller MUST
+    single-eval the bounds expression behind a Generate barrier (the
+    q_dedup_containment_eval explode trick) — referenced naked, the
+    O(n)-md5 bounds subtree would be re-inlined by CollapseProject
+    into every one of this lambda's five references and re-evaluated
+    per chunk, turning the linear scan quadratic."""
     return F.transform(
         F.sequence(F.lit(0), F.size(bounds) - 2),
         lambda j: F.struct(
@@ -704,10 +715,19 @@ LIMIT {_CDC_TOP}
 
 def q_multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    chunks = d.select(
+    # single-eval barrier: bounds (one md5 per byte position) must be
+    # computed exactly once per row — see _cdc_chunks docstring
+    bounded = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.array(_cdc_bounds(F.col("text"), F.length("text")))
+        ).alias("bounds"),
+    )
+    chunks = bounded.select(
         "doc_id",
         F.explode(
-            _cdc_chunks(F.col("text"), F.length("text"))
+            _cdc_chunks(F.col("text"), F.col("bounds"))
         ).alias("c"),
     ).select("doc_id", F.col("c.h").alias("h"), F.col("c.len").alias("len"))
     agg = chunks.groupBy(F.col("h").alias("chunk_md5")).agg(

@@ -280,12 +280,14 @@ def conversion_rate_monitor(
 # strictly older than the newest observed hour closes IN HOUR ORDER
 # and folds one HW step with the identical IEEE op shapes as the
 # batch fold; the newest bucket stays open across batches. An event
-# older than the open bucket is a late arrival to an already-folded
-# hour and drops (the burst_monitor aging rule — the watermark analog
-# applyInPandasWithState cannot express natively), so the monitor
-# reproduces the batch fold exactly whenever buckets arrive
-# hour-ordered — the condition the parity test constructs and
-# event-time streams approximate. Cents use the shared
+# at or before the last FOLDED hour is a true late arrival and drops
+# (the burst_monitor aging rule — the watermark analog
+# applyInPandasWithState cannot express natively); a mid-gap hour
+# between the last folded hour and the open bucket is NOT late — it
+# still folds in hour order before the open bucket does. So the
+# monitor reproduces the batch fold exactly whenever no event arrives
+# after its hour has been folded past — the condition the parity test
+# constructs and event-time streams approximate. Cents use the shared
 # half-away-from-zero rule; output rounds via BigDecimal-equivalent
 # HALF_UP so emitted rows are byte-comparable to the batch twin.
 # ---------------------------------------------------------------------------
@@ -306,7 +308,7 @@ HW_SEASON_STATE_SCHEMA = StructType(
         StructField("trend", DoubleType()),
         StructField("season", ArrayType(DoubleType())),
         StructField("n_hours", LongType()),
-        StructField("last_hod", LongType()),
+        StructField("last_folded_hour_us", LongType()),
         StructField("open_hour_us", LongType()),
         StructField("open_cents", LongType()),
     ]
@@ -335,22 +337,35 @@ def _hw_fn(
 ) -> Iterator[pd.DataFrame]:
     (event_type,) = key
     if state.exists:
-        level, trend, season, n_hours, last_hod, open_hour, open_cents = (
-            state.get
-        )
+        (
+            level,
+            trend,
+            season,
+            n_hours,
+            last_folded,
+            open_hour,
+            open_cents,
+        ) = state.get
         season = list(season)
     else:
         level, trend, season = 0.0, 0.0, [0.0] * _HW_M
-        n_hours, last_hod, open_hour, open_cents = 0, -1, -1, 0
+        n_hours, last_folded, open_hour, open_cents = 0, -1, -1, 0
     rows = pd.concat(list(pdfs), ignore_index=True)
     rows = rows[rows["ts"].notna() & rows["value"].notna()]
     buckets: dict[int, int] = {}
     for ts, v in zip(rows["ts"], rows["value"]):
         hour_us = (int(ts.value) // 1000) // _HOUR_US * _HOUR_US
         buckets[hour_us] = buckets.get(hour_us, 0) + quantile_cents(v)
+    # merge the carried open bucket, drop true late arrivals (hours at
+    # or before the last FOLDED hour — a mid-gap hour between the last
+    # folded and the open bucket is still foldable in order and is NOT
+    # late), then fold everything except the newest, which stays open
+    if open_hour != -1:
+        buckets[open_hour] = buckets.get(open_hour, 0) + open_cents
+    live = {h: c for h, c in buckets.items() if h > last_folded}
 
     def fold(hour_us: int, cents: int) -> None:
-        nonlocal level, trend, n_hours, last_hod
+        nonlocal level, trend, n_hours, last_folded
         hod = (hour_us // _HOUR_US) % _HW_M
         y = float(cents)
         s_prev = season[hod]
@@ -365,22 +380,18 @@ def _hw_fn(
         level = new_l
         season[hod] = new_s
         n_hours += 1
-        last_hod = hod
+        last_folded = hour_us
 
-    for hour_us in sorted(buckets):
-        cents = buckets[hour_us]
-        if open_hour == -1:
-            open_hour, open_cents = hour_us, cents
-        elif hour_us < open_hour:
-            continue  # late arrival to a closed hour: drop
-        elif hour_us == open_hour:
-            open_cents += cents
-        else:
-            fold(open_hour, open_cents)
-            open_hour, open_cents = hour_us, cents
-    state.update(
-        (level, trend, season, n_hours, last_hod, open_hour, open_cents)
+    ordered = sorted(live)
+    for hour_us in ordered[:-1]:
+        fold(hour_us, live[hour_us])
+    open_hour, open_cents = (
+        (ordered[-1], live[ordered[-1]]) if ordered else (-1, 0)
     )
+    state.update(
+        (level, trend, season, n_hours, last_folded, open_hour, open_cents)
+    )
+    last_hod = (last_folded // _HOUR_US) % _HW_M if last_folded >= 0 else -1
     s_next = season[(last_hod + 1) % _HW_M] if last_hod >= 0 else 0.0
     yield pd.DataFrame(
         {

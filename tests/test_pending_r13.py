@@ -42,7 +42,7 @@ def test_cdc_chunking_is_shift_robust(spark):
     fixed-stride dedup cannot survive."""
     from pyspark.sql import functions as F
 
-    from oraaud_kafka_spark.queries.pending import _cdc_chunks
+    from oraaud_kafka_spark.queries.pending import _cdc_bounds, _cdc_chunks
     from oraaud_kafka_spark.tables import load
 
     text = (
@@ -57,7 +57,14 @@ def test_cdc_chunking_is_shift_robust(spark):
     got = (
         df.select(
             "doc_id",
-            F.explode(_cdc_chunks(F.col("text"), F.length("text"))).alias("c"),
+            "text",
+            F.explode(
+                F.array(_cdc_bounds(F.col("text"), F.length("text")))
+            ).alias("bounds"),
+        )
+        .select(
+            "doc_id",
+            F.explode(_cdc_chunks(F.col("text"), F.col("bounds"))).alias("c"),
         )
         .select("doc_id", F.col("c.h").alias("h"))
         .toPandas()

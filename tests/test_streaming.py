@@ -2066,3 +2066,48 @@ def test_hw_monitor_drops_late_events_to_closed_hours():
     # a later hour closes the open bucket: now 2 folded
     out3 = list(_hw_fn(("click",), batch([(2, 5.0)]), state))[0]
     assert out3["n_hours"].iloc[0] == 2
+
+
+def test_hw_monitor_folds_midgap_hours_in_order():
+    """An hour BETWEEN the last folded hour and the open bucket is not
+    late — it was never folded past — so it must fold, in hour order,
+    before the open bucket does; the resulting state must equal the
+    everything-in-one-batch fold."""
+    import pandas as pd
+
+    from oraaud_kafka_spark.streaming.analytics import _hw_fn
+
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    def batch(rows):
+        return [
+            pd.DataFrame(
+                {
+                    "ts": [pd.Timestamp(h * 3600, unit="s") for h, _ in rows],
+                    "value": [float(v) for _, v in rows],
+                }
+            )
+        ]
+
+    # hours 0 and 2 first (0 folds, 2 opens), THEN hour 1 arrives
+    split = _FakeState()
+    list(_hw_fn(("click",), batch([(0, 10.0), (2, 30.0)]), split))
+    out = list(_hw_fn(("click",), batch([(1, 20.0)]), split))[0]
+    assert out["n_hours"].iloc[0] == 2  # hours 0 AND 1 folded, 2 open
+    # reference: all three hours in one batch
+    whole = _FakeState()
+    list(_hw_fn(("click",), batch([(0, 10.0), (1, 20.0), (2, 30.0)]), whole))
+    assert split.get == whole.get
