@@ -77,6 +77,62 @@ def test_cdc_chunking_is_shift_robust(spark):
     )
 
 
+def test_cdc_chunks_partition_the_text(spark):
+    """Structural invariant for ANY input: chunk lengths sum to the
+    text length, chunks are non-empty, and re-hashing the contiguous
+    split at the bounds reproduces every chunk hash — i.e. the bounds
+    are a partition of [0, n), short texts (below the window) included."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from oraaud_kafka_spark.queries.pending import _cdc_bounds, _cdc_chunks
+
+    texts = [
+        "a",
+        "ab",
+        "x" * 15,  # below the 16-byte window: single chunk
+        "x" * 16,
+        "the quick brown fox jumps over the lazy dog " * 20,
+        "repeat " * 100,
+        "".join(chr(97 + (i * 7) % 26) for i in range(1000)),
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    got = (
+        df.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.array(_cdc_bounds(F.col("text"), F.length("text")))
+            ).alias("bounds"),
+        )
+        .select(
+            "doc_id",
+            F.col("bounds"),
+            _cdc_chunks(F.col("text"), F.col("bounds")).alias("chunks"),
+        )
+        .collect()
+    )
+    assert len(got) == len(texts)
+    for row in got:
+        text = texts[row.doc_id]
+        lens = [c.len for c in row.chunks]
+        assert all(ln > 0 for ln in lens), (row.doc_id, lens)
+        assert sum(lens) == len(text), (row.doc_id, lens)
+        # bounds form a strictly increasing partition frame
+        b = row.bounds
+        assert b[0] == 0 and b[-1] == len(text)
+        assert all(x < y for x, y in zip(b, b[1:]))
+        # chunk hashes equal md5 of the contiguous split
+        pos = 0
+        for c in row.chunks:
+            piece = text[pos : pos + c.len]
+            assert c.h == hashlib.md5(piece.encode()).hexdigest()
+            pos += c.len
+
+
 def test_holt_winters_season_bounded_state(spark):
     """Every type folds to exactly one row with a finite forecast; the
     seasonal slot index stays inside the 24-slot vector (the O(m) state
