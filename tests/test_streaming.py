@@ -2111,3 +2111,187 @@ def test_hw_monitor_folds_midgap_hours_in_order():
     whole = _FakeState()
     list(_hw_fn(("click",), batch([(0, 10.0), (1, 20.0), (2, 30.0)]), whole))
     assert split.get == whole.get
+
+
+def test_hw_monitor_state_survives_checkpoint_restart(spark, tmp_path):
+    """Durability for the Holt-Winters monitor's array-typed seasonal
+    state: stop after the first batch, restart from the checkpoint with
+    later hours, and the recovered (level, trend, season[24]) must
+    continue the fold — the final row must equal the one-shot fold over
+    ALL rows."""
+    import pandas as pd
+
+    from oraaud_kafka_spark.streaming.analytics import _hw_fn, hw_levels
+
+    hours_values = [(0, 10.0), (1, 20.0), (2, 15.0), (3, 8.0), (4, 30.0), (5, 12.0)]
+    rows = [
+        {
+            "event_type": "click",
+            "ts": f"2026-01-01T{h:02d}:00:00",
+            "event_id": i + 1,
+            "value": v,
+        }
+        for i, (h, v) in enumerate(hours_values)
+    ]
+    d = tmp_path / "hw_ckpt"
+    d.mkdir()
+    ckpt = str(tmp_path / "hw_ckpt_state")
+    _write_jsonl(d / "b1.json", rows[:4])
+
+    emitted: list = []
+
+    def run_once():
+        def collect(batch_df, batch_id):
+            emitted.extend(batch_df.collect())
+
+        stream = _stream_json(spark, d, CUSUM_SCHEMA, latestFirst="false")
+        q = (
+            hw_levels(stream)
+            .writeStream.foreachBatch(collect)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    assert emitted and emitted[-1].n_hours == 3  # hours 0-2 folded, 3 open
+    n_first = len(emitted)
+    _write_jsonl(d / "b2.json", rows[4:])
+    run_once()
+    final = [r for r in emitted[n_first:] if r.n_hours == 5]
+    assert len(final) == 1
+
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    whole = list(
+        _hw_fn(
+            ("click",),
+            [
+                pd.DataFrame(
+                    {
+                        "ts": [
+                            pd.Timestamp(f"2026-01-01T{h:02d}:00:00")
+                            for h, _ in hours_values
+                        ],
+                        "value": [v for _, v in hours_values],
+                    }
+                )
+            ],
+            _FakeState(),
+        )
+    )[0].iloc[0]
+    got = final[0]
+    for col in ("n_hours", "level", "trend", "season_next", "forecast_next"):
+        assert getattr(got, col) == whole[col], (col, getattr(got, col), whole[col])
+
+
+def test_dynamic_session_monitor_state_survives_checkpoint_restart(
+    spark, tmp_path
+):
+    """Session-window state recovery: a session OPEN at shutdown (its
+    gap not yet expired against the watermark) must close correctly
+    after a restart extends it — the emitted sessions across both runs
+    must equal the batch rollup over all non-sentinel rows."""
+    import pandas as pd
+
+    from oraaud_kafka_spark.operators.sessions import session_rollup
+    from oraaud_kafka_spark.streaming.analytics import dynamic_session_monitor
+
+    base = pd.Timestamp("2026-01-01T00:00:00")
+
+    def us(minutes):
+        return int((base + pd.Timedelta(minutes=minutes)).value) // 1000
+
+    # user 1: two events 5 min apart (one session, extended after the
+    # restart by an event 20 min later — inside the 30-min click gap);
+    # user 2: a view session that the restart's sentinel closes
+    b1 = [
+        {"event_id": 1, "user_id": 1, "ts_us": us(0), "event_type": "click"},
+        {"event_id": 2, "user_id": 1, "ts_us": us(5), "event_type": "click"},
+        {"event_id": 3, "user_id": 2, "ts_us": us(0), "event_type": "view"},
+    ]
+    b2 = [
+        {"event_id": 4, "user_id": 1, "ts_us": us(25), "event_type": "view"},
+        {"event_id": -9, "user_id": -1, "ts_us": us(60 * 24 * 400), "event_type": "view"},
+    ]
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    d = tmp_path / "dyn_ckpt"
+    d.mkdir()
+    ckpt = str(tmp_path / "dyn_ckpt_state")
+    _write_jsonl(d / "b1.json", b1)
+
+    emitted: list = []
+
+    def run_once():
+        def collect(batch_df, batch_id):
+            emitted.extend(batch_df.collect())
+
+        stream = (
+            _stream_json(spark, d, schema, latestFirst="false")
+            .select(
+                "user_id",
+                F.timestamp_micros("ts_us").alias("ts"),
+                "event_type",
+            )
+        )
+        q = (
+            dynamic_session_monitor(stream)
+            .writeStream.foreachBatch(collect)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    # nothing can close yet: the watermark has not passed any session end
+    _write_jsonl(d / "b2.json", b2)
+    run_once()
+    got = sorted(
+        ((r.user_id, r.s_start, r.s_end, r.n) for r in emitted if r.user_id >= 0)
+    )
+    all_rows = [r for r in (b1 + b2) if r["user_id"] >= 0]
+    want_df = session_rollup(
+        spark.createDataFrame(
+            [
+                (
+                    r["user_id"],
+                    pd.Timestamp(r["ts_us"] * 1000).to_pydatetime(),
+                    r["event_type"],
+                )
+                for r in all_rows
+            ],
+            ["user_id", "ts", "event_type"],
+        )
+    )
+    want = sorted(
+        ((r.user_id, r.s_start, r.s_end, r.n) for r in want_df.collect())
+    )
+    assert got == want, f"\ngot:  {got}\nwant: {want}"
+    # the extension landed in ONE session: user 1 has a single row
+    assert sum(1 for u, *_ in got if u == 1) == 1
