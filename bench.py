@@ -134,7 +134,7 @@ def main() -> None:
     # "min" 5-10x. Separating sample groups by a whole suite pass
     # (~minutes) makes that failure mode require the interference to
     # span the entire bench. The HEADLINE metric keeps min-of-2 inside
-    # each pass (4 samples after a dedicated warm); the 241 extras —
+    # each pass (4 samples after a dedicated warm); the extras (the full registry minus the headliners) —
     # informational coverage of the whole registry — take ONE timed
     # run per pass with pass 1 doubling as their warm run, so each
     # extra costs exactly 2 executions and total bench wall time stays

@@ -58,3 +58,24 @@ def interval_latency_rollup(
             ).alias("avg_lag_s"),
         )
     )
+
+
+CONVERSION_WINDOW = "1 hour"
+
+
+def conversion_rate_select(grouped: DataFrame) -> DataFrame:
+    """Final projection of the conversion-rate rollup — the ONE place
+    the output names and the rate division live, shared by the batch
+    twin (queries/pending.py q_time_conversion_rate) and the monitor
+    (streaming/analytics.py conversion_rate_monitor) exactly as
+    interval_latency_rollup is shared by the latency pair. ``grouped``
+    carries (w, n_clicks, n_converted); the division is the single
+    IEEE op both the oracle and the monitor state."""
+    return grouped.select(
+        F.col("w.start").alias("click_hour"),
+        "n_clicks",
+        "n_converted",
+        (
+            F.col("n_converted").cast("double") / F.col("n_clicks")
+        ).alias("conversion_rate"),
+    )

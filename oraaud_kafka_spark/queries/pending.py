@@ -222,7 +222,11 @@ ORDER BY click_hour
 
 
 def q_time_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.interval import interval_join_cond
+    from ..operators.interval import (
+        CONVERSION_WINDOW,
+        conversion_rate_select,
+        interval_join_cond,
+    )
 
     e = load(spark, sf_dir, "events")
     c = e.filter(F.col("event_type") == "click").select(
@@ -233,25 +237,17 @@ def q_time_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = e.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
     )
-    return (
+    grouped = (
         c.join(p, interval_join_cond("30 minutes"), "left")
-        .groupBy(F.window("c_ts", "1 hour").alias("w"))
+        .groupBy(F.window("c_ts", CONVERSION_WINDOW).alias("w"))
         .agg(
             F.count_distinct("click_id").alias("n_clicks"),
             F.count_distinct(
                 F.when(F.col("p_ts").isNotNull(), F.col("click_id"))
             ).alias("n_converted"),
         )
-        .select(
-            F.col("w.start").alias("click_hour"),
-            "n_clicks",
-            "n_converted",
-            (
-                F.col("n_converted").cast("double") / F.col("n_clicks")
-            ).alias("conversion_rate"),
-        )
-        .orderBy("click_hour")
     )
+    return conversion_rate_select(grouped).orderBy("click_hour")
 
 
 PENDING_R12 = {

@@ -203,7 +203,7 @@ def conversion_rate_monitor(
     *,
     max_lag: str = "30 minutes",
     delay: str = "1 hour",
-    window: str = "1 hour",
+    window: str | None = None,
 ) -> DataFrame:
     """Live per-window conversion RATE: the LEFT-OUTER complement of
     interval_latency_monitor — every click counted, converted or not
@@ -225,8 +225,22 @@ def conversion_rate_monitor(
     carry a unique ``event_id``. NOTE: do NOT re-apply withWatermark
     between stages — the join's output watermark propagates, and
     redefining it is an analysis error under multi-stateful-operator
-    plans."""
-    from ..operators.interval import interval_join_cond
+    plans. CONSTRAINT: ``delay`` must cover ``max_lag`` — the dedup
+    state for a click is only guaranteed within the watermark delay,
+    so a second purchase matching up to max_lag later could count the
+    click twice if its dedup row were already evicted; enforced here,
+    not documented-only."""
+    from ..operators.interval import CONVERSION_WINDOW, interval_join_cond
+
+    if window is None:
+        window = CONVERSION_WINDOW
+    if duration_ms(delay) < duration_ms(max_lag):
+        raise ValueError(
+            f"delay ({delay!r}) must be >= max_lag ({max_lag!r}): "
+            "dropDuplicatesWithinWatermark only guarantees one row per "
+            "click within the watermark delay, so a shorter delay can "
+            "double-count clicks whose second match arrives later"
+        )
 
     c = clicks.select(
         F.col("event_id").alias("click_id"),
@@ -250,21 +264,13 @@ def conversion_rate_monitor(
         "c_ts",
         F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("converted"),
     ).dropDuplicatesWithinWatermark(["click_id"])
-    return (
-        per_click.groupBy(F.window("c_ts", window).alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_clicks"),
-            F.sum("converted").alias("n_converted"),
-        )
-        .select(
-            F.col("w.start").alias("click_hour"),
-            "n_clicks",
-            "n_converted",
-            (
-                F.col("n_converted").cast("double") / F.col("n_clicks")
-            ).alias("conversion_rate"),
-        )
+    from ..operators.interval import conversion_rate_select
+
+    grouped = per_click.groupBy(F.window("c_ts", window).alias("w")).agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum("converted").alias("n_converted"),
     )
+    return conversion_rate_select(grouped)
 
 
 # ---------------------------------------------------------------------------
@@ -356,6 +362,11 @@ def _hw_fn(
     for ts, v in zip(rows["ts"], rows["value"]):
         hour_us = (int(ts.value) // 1000) // _HOUR_US * _HOUR_US
         buckets[hour_us] = buckets.get(hour_us, 0) + quantile_cents(v)
+    # an all-NULL first contact carries no bucket: do not create state
+    # or emit (the burst_monitor rule) — the batch twin filters such
+    # rows out before grouping and never returns the key
+    if not buckets and not state.exists:
+        return
     # merge the carried open bucket, drop true late arrivals (hours at
     # or before the last FOLDED hour — a mid-gap hour between the last
     # folded and the open bucket is still foldable in order and is NOT

@@ -142,3 +142,16 @@ def test_holt_winters_season_bounded_state(spark):
     assert (got["n_hours"] > 0).all()
     assert got["forecast_next"].notna().all()
     assert len(got) == got["event_type"].nunique()
+
+
+@pytest.mark.parametrize("name", sorted(PENDING_R13))
+def test_pending_r13_matches_oracle_at_correctness_sf(spark, name):
+    """The same sweep at the DRIVER's correctness SF — committed, not
+    run-by-hand (see test_pending_r12)."""
+    from .conftest import SF_DIR_CORRECTNESS
+
+    fn, oracle = PENDING_R13[name]
+    got = fn(spark, SF_DIR_CORRECTNESS).toPandas()
+    probs = compare_frames(got, run_oracle(oracle, SF_DIR_CORRECTNESS))
+    assert not probs, f"{name}: {probs}"
+    assert len(got) > 0, f"{name}: empty result at {SF_DIR_CORRECTNESS}"

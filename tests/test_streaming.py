@@ -2029,20 +2029,7 @@ def test_hw_monitor_drops_late_events_to_closed_hours():
 
     from oraaud_kafka_spark.streaming.analytics import _hw_fn
 
-    class _FakeState:
-        def __init__(self):
-            self._v = None
-
-        @property
-        def exists(self):
-            return self._v is not None
-
-        @property
-        def get(self):
-            return self._v
-
-        def update(self, v):
-            self._v = v
+    from tests.conftest import FakeGroupState as _FakeState
 
     def batch(rows):
         return [
@@ -2077,20 +2064,7 @@ def test_hw_monitor_folds_midgap_hours_in_order():
 
     from oraaud_kafka_spark.streaming.analytics import _hw_fn
 
-    class _FakeState:
-        def __init__(self):
-            self._v = None
-
-        @property
-        def exists(self):
-            return self._v is not None
-
-        @property
-        def get(self):
-            return self._v
-
-        def update(self, v):
-            self._v = v
+    from tests.conftest import FakeGroupState as _FakeState
 
     def batch(rows):
         return [
@@ -2164,20 +2138,7 @@ def test_hw_monitor_state_survives_checkpoint_restart(spark, tmp_path):
     final = [r for r in emitted[n_first:] if r.n_hours == 5]
     assert len(final) == 1
 
-    class _FakeState:
-        def __init__(self):
-            self._v = None
-
-        @property
-        def exists(self):
-            return self._v is not None
-
-        @property
-        def get(self):
-            return self._v
-
-        def update(self, v):
-            self._v = v
+    from tests.conftest import FakeGroupState as _FakeState
 
     whole = list(
         _hw_fn(
