@@ -2256,3 +2256,59 @@ def test_dynamic_session_monitor_state_survives_checkpoint_restart(
     assert got == want, f"\ngot:  {got}\nwant: {want}"
     # the extension landed in ONE session: user 1 has a single row
     assert sum(1 for u, *_ in got if u == 1) == 1
+
+
+def test_hw_monitor_fold_is_slicing_invariant():
+    """Property: for ANY in-hour-order arrival (each batch's hours at
+    or after the previously open hour), splitting the stream at ANY
+    point yields exactly the one-shot fold state — the cross-batch
+    determinism contract the other monitors pin, generalized beyond
+    the hand-picked midgap case."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from oraaud_kafka_spark.streaming.analytics import _hw_fn
+
+    from tests.conftest import FakeGroupState
+
+    def batch(rows):
+        return [
+            pd.DataFrame(
+                {
+                    "ts": [pd.Timestamp(h * 3600, unit="s") for h, _ in rows],
+                    "value": [float(v) for _, v in rows],
+                }
+            )
+        ]
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=60),
+                st.floats(
+                    min_value=-100, max_value=100,
+                    allow_nan=False, allow_infinity=False,
+                ),
+            ),
+            min_size=1,
+            max_size=30,
+        ),
+        data=st.data(),
+    )
+    def check(rows, data):
+        # in-order arrival: sort by hour so no batch delivers an hour
+        # older than one already folded past
+        rows = sorted(rows, key=lambda r: r[0])
+        cut = data.draw(st.integers(min_value=0, max_value=len(rows)))
+        whole = FakeGroupState()
+        list(_hw_fn(("t",), batch(rows), whole))
+        split = FakeGroupState()
+        if rows[:cut]:
+            list(_hw_fn(("t",), batch(rows[:cut]), split))
+        if rows[cut:]:
+            list(_hw_fn(("t",), batch(rows[cut:]), split))
+        assert split.get == whole.get
+
+    check()
