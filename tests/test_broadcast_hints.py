@@ -96,6 +96,12 @@ ALLOWED_UNBOUNDED: dict[str, tuple[str, ...]] = {
     "q_sim_ivf_kmeans_topk": ("Join",) * 4 + ("scan-vec_id",),
     "q_sim_mips_augmented": ("scan-vec_id",),
     "q_sim_knn_eval": ("scan-vec_id",),
+    # pending round-13: the 24 SRP anchors are the vec_id < B*r slice
+    # of the embeddings scan — k-bounded by construction like the
+    # registered similarity family above; the hint appears once per
+    # branch of the triangle self-join (same doubling as the
+    # lsh_bucketed entry)
+    "q_sim_range_search_eval": ("scan-vec_id",) * 2,
     "q_rag_retrieve_enrich": ("Join", "scan-vec_id"),
     "q_dedup_semantic": ("scan-vec_id",) * 3,
     "q_eval_ndcg_retrieval": ("scan-vec_id",),
@@ -147,12 +153,24 @@ def _classify(node) -> str:
         return nn
 
 
-def test_no_forced_broadcast_of_scale_growing_frames(spark):
+def _all_query_frames(spark):
+    """Every registered query PLUS the forward registration queues —
+    a pending operator must clear the same hint audit it will face
+    once registered, not discover it at registration time."""
+    from oraaud_kafka_spark.queries.pending import PENDING_R12, PENDING_R13
+
     registry.load_all()
+    for name in registry.all_queries():
+        yield name, registry.QUERIES[name](spark, SF_DIR)
+    for queue in (PENDING_R12, PENDING_R13):
+        for name, (fn, _oracle) in queue.items():
+            yield name, fn(spark, SF_DIR)
+
+
+def test_no_forced_broadcast_of_scale_growing_frames(spark):
     violations: dict[str, list[str]] = {}
     stale = set(ALLOWED_UNBOUNDED)
-    for name in registry.all_queries():
-        df = registry.QUERIES[name](spark, SF_DIR)
+    for name, df in _all_query_frames(spark):
         hints: list = []
         _find_hints(df._jdf.queryExecution().analyzed(), hints)
         kinds = sorted(
