@@ -278,7 +278,9 @@ PENDING_R12 = {
 # (cosine < 0) measures the false-positive floor, the top tier the
 # recall on genuinely close pairs; the analytic curve per bit is
 # P(sign agree) = 1 - theta/pi (Charikar, STOC'02). Anchors are the
-# lowest B*r directional vec_ids — data-derived, so both engines
+# lowest B*r vec_ids (asserted ALL directional at both SFs by
+# test_pending_r13, so a zero-norm id can never silently shrink the
+# bits string and flatten the curve) — data-derived, so both engines
 # reconstruct the identical hyperplanes with no RNG. The exhaustive
 # pair join is the CALIBRATION harness, deliberately slice-bounded and
 # width-bounded through triangle_self_join; a production range search
@@ -675,6 +677,7 @@ WITH bnds AS (
                 ELSE CAST([] AS BIGINT[]) END),
            [CAST(len(text) AS BIGINT)]) AS bounds
   FROM documents
+  WHERE text IS NOT NULL AND len(text) > 0
 ),
 chunks AS (
   SELECT doc_id,
@@ -710,7 +713,13 @@ LIMIT {_CDC_TOP}
 
 
 def q_multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # empty/NULL payloads carry no chunkable content: _cdc_bounds on ''
+    # would yield the degenerate [0, 0] frame and a zero-length chunk
+    # whose ''-hash pollutes the dedup aggregate on both engines —
+    # filter identically here and in the oracle's bnds CTE
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
     # single-eval barrier: bounds (one md5 per byte position) must be
     # computed exactly once per row — see _cdc_chunks docstring
     bounded = d.select(

@@ -354,8 +354,12 @@ def _hw_fn(
         ) = state.get
         season = list(season)
     else:
+        # None (nullable state fields) is the no-state sentinel — an
+        # in-band -1 would silently drop pre-1970 events (negative
+        # hour_us) as "late" on first contact while the batch twin
+        # q_time_holt_winters folds them
         level, trend, season = 0.0, 0.0, [0.0] * _HW_M
-        n_hours, last_folded, open_hour, open_cents = 0, -1, -1, 0
+        n_hours, last_folded, open_hour, open_cents = 0, None, None, 0
     rows = pd.concat(list(pdfs), ignore_index=True)
     rows = rows[rows["ts"].notna() & rows["value"].notna()]
     buckets: dict[int, int] = {}
@@ -371,9 +375,13 @@ def _hw_fn(
     # or before the last FOLDED hour — a mid-gap hour between the last
     # folded and the open bucket is still foldable in order and is NOT
     # late), then fold everything except the newest, which stays open
-    if open_hour != -1:
+    if open_hour is not None:
         buckets[open_hour] = buckets.get(open_hour, 0) + open_cents
-    live = {h: c for h, c in buckets.items() if h > last_folded}
+    live = {
+        h: c
+        for h, c in buckets.items()
+        if last_folded is None or h > last_folded
+    }
 
     def fold(hour_us: int, cents: int) -> None:
         nonlocal level, trend, n_hours, last_folded
@@ -397,13 +405,18 @@ def _hw_fn(
     for hour_us in ordered[:-1]:
         fold(hour_us, live[hour_us])
     open_hour, open_cents = (
-        (ordered[-1], live[ordered[-1]]) if ordered else (-1, 0)
+        (ordered[-1], live[ordered[-1]]) if ordered else (None, 0)
     )
     state.update(
         (level, trend, season, n_hours, last_folded, open_hour, open_cents)
     )
-    last_hod = (last_folded // _HOUR_US) % _HW_M if last_folded >= 0 else -1
-    s_next = season[(last_hod + 1) % _HW_M] if last_hod >= 0 else 0.0
+    # Python // floors, so a negative (pre-1970) folded hour maps to
+    # the same hour-of-day slot F.hour gives the batch twin
+    if last_folded is not None:
+        last_hod = (last_folded // _HOUR_US) % _HW_M
+        s_next = season[(last_hod + 1) % _HW_M]
+    else:
+        s_next = 0.0
     yield pd.DataFrame(
         {
             "event_type": [event_type],

@@ -35,6 +35,31 @@ def test_range_search_scurve_is_monotone(spark):
     assert rates[0] < rates[-1]
 
 
+def test_range_search_anchor_count_is_full(spark):
+    """The bits string is built from exactly B*r anchor hyperplanes:
+    if any of the lowest vec_ids were zero-norm (dropped by the
+    directional filter), the tail bands would compare empty substrings
+    — catch_rate 1.0 for every pair — silently flattening the S-curve.
+    Pin the anchor count at both SFs so that degradation is loud."""
+    from pyspark.sql import functions as F
+
+    from oraaud_kafka_spark.llm.similarity import _directional
+    from oraaud_kafka_spark.queries.pending import _RS_N_ANCHORS
+    from oraaud_kafka_spark.tables import load
+
+    from .conftest import SF_DIR_CORRECTNESS
+
+    for sf_dir in (SF_DIR, SF_DIR_CORRECTNESS):
+        n = (
+            _directional(load(spark, sf_dir, "embeddings"))
+            .filter(F.col("vec_id") < _RS_N_ANCHORS)
+            .count()
+        )
+        assert n == _RS_N_ANCHORS, (
+            f"{sf_dir}: only {n}/{_RS_N_ANCHORS} anchors are directional"
+        )
+
+
 def test_cdc_chunking_is_shift_robust(spark):
     """The CDC property: prepending one byte re-chunks only the local
     neighborhood, so a shifted copy still shares most chunk hashes

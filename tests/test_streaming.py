@@ -2087,6 +2087,48 @@ def test_hw_monitor_folds_midgap_hours_in_order():
     assert split.get == whole.get
 
 
+def test_hw_monitor_folds_pre_epoch_hours():
+    """Pre-1970 events carry NEGATIVE hour_us; with the nullable
+    no-state sentinel they must fold on first contact exactly like the
+    batch twin (the old in-band -1 silently dropped them as 'late'),
+    and the hour-of-day slot must floor the negative hour the way
+    F.hour does (23:00 on 1969-12-31 -> slot 23)."""
+    import pandas as pd
+
+    from oraaud_kafka_spark.streaming.analytics import _hw_fn
+
+    from tests.conftest import FakeGroupState as _FakeState
+
+    def batch(rows):
+        return [
+            pd.DataFrame(
+                {
+                    "ts": [pd.Timestamp(h * 3600, unit="s") for h, _ in rows],
+                    "value": [float(v) for _, v in rows],
+                }
+            )
+        ]
+
+    # hour -1 = 1969-12-31 23:00 UTC; hour 0 opens, -1 folds
+    split = _FakeState()
+    out = list(_hw_fn(("click",), batch([(-1, 10.0), (0, 20.0)]), split))[0]
+    assert out["n_hours"].iloc[0] == 1  # the pre-epoch hour FOLDED
+    # season slot written must be hod 23 (floor division, not trunc)
+    _, _, season, _, last_folded, open_hour, _ = split.get
+    assert last_folded == -3_600_000_000
+    assert open_hour == 0
+    assert season[23] != 0.0 and all(
+        season[k] == 0.0 for k in range(23)
+    )
+    # incremental arrival must equal the one-batch fold (batch parity)
+    whole = _FakeState()
+    list(_hw_fn(("click",), batch([(-1, 10.0), (0, 20.0)]), whole))
+    split2 = _FakeState()
+    list(_hw_fn(("click",), batch([(-1, 10.0)]), split2))
+    list(_hw_fn(("click",), batch([(0, 20.0)]), split2))
+    assert split2.get == whole.get
+
+
 def test_hw_monitor_state_survives_checkpoint_restart(spark, tmp_path):
     """Durability for the Holt-Winters monitor's array-typed seasonal
     state: stop after the first batch, restart from the checkpoint with
