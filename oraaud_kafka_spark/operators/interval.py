@@ -66,7 +66,7 @@ CONVERSION_WINDOW = "1 hour"
 def conversion_rate_select(grouped: DataFrame) -> DataFrame:
     """Final projection of the conversion-rate rollup — the ONE place
     the output names and the rate division live, shared by the batch
-    twin (queries/pending.py q_time_conversion_rate) and the monitor
+    twin (queries/event_time.py q_time_conversion_rate) and the monitor
     (streaming/analytics.py conversion_rate_monitor) exactly as
     interval_latency_rollup is shared by the latency pair. ``grouped``
     carries (w, n_clicks, n_converted); the division is the single

@@ -1,6 +1,6 @@
 """Shared dynamic-gap sessionization pieces — the ONE definition of
 the per-event-type session gap and the session rollup, used by BOTH
-the pending batch query (queries/pending.py q_time_session_dynamic_gap)
+the batch query (queries/event_time.py q_time_session_dynamic_gap)
 and its streaming twin (streaming/analytics.py
 dynamic_session_monitor). The two are parity-pinned byte-equal in
 tests/test_streaming.py; a semantic edit (gap durations, the keep-alive

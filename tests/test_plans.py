@@ -984,3 +984,50 @@ def test_minhash_multiband_eval_pair_join_is_blocked_hash_join(spark):
     ) >= 1
     # the doc_id % 2 slice reaches the parquet scan
     assert "PushedFilters" in plan
+
+
+def test_theta_overlap_sketch_aggs_are_partial_and_pair_join_bounded(spark):
+    """The theta rollup's scale story: the sketch build partial-
+    aggregates (shuffles carry compact sketch buffers, never user
+    rows), and the only nested-loop pair expansion in the plan is the
+    |types| x |types| cross join over the 5-row SKETCH table — the
+    user-cardinality exact-certification join stays a hash equi-join
+    on user_id."""
+    df = registry.QUERIES["q_agg_theta_audience_overlap"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "partial_theta_sketch_agg" in plan
+    assert "CartesianProduct" not in plan  # bounded pair join broadcasts
+    # the user-scale joins are hash joins keyed on user_id
+    assert "Join [user_id" in plan.replace("BroadcastHashJoin [user_id", "Join [user_id")
+    # the NULL-user filter reaches every events scan
+    assert "isnotnull(user_id" in plan
+
+
+def test_dynamic_gap_session_is_single_scan_single_exchange(spark):
+    """Dynamic session windows must keep the fixed-gap query's shape:
+    ONE events scan, map-side partial aggregation, ONE hash exchange on
+    user_id into the engine's MergingSessions operator — at 100 TB the
+    session merge costs exactly one shuffle of pre-combined rows."""
+    df = registry.QUERIES["q_time_session_dynamic_gap"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "MergingSessions" in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "partial_count" in plan
+    assert "Join" not in plan
+
+
+def test_conversion_rate_is_pushed_filter_left_hash_join(spark):
+    """The LEFT-OUTER interval join must plan as a hash join on user_id
+    with the time bound as a post-condition — never a nested-loop pair
+    expansion — and the event_type split must reach both parquet scans
+    as pushed filters (each side reads ~1/5 of the table at 100 TB)."""
+    df = registry.QUERIES["q_time_conversion_rate"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters: [" in ln]
+    assert sum("EqualTo(event_type,click)" in ln for ln in pushed) == 1
+    assert sum("EqualTo(event_type,purchase)" in ln for ln in pushed) == 1
+    # the dual count_distinct rides ONE Expand with map-side partials
+    assert "Expand" in plan and "partial_count" in plan

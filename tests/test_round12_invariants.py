@@ -1,0 +1,55 @@
+"""Round-12 registration invariants: the PENDING_R12 trio (theta-sketch
+audience overlap, dynamic-gap sessionization, conversion-rate rollup)
+is now registered in queries/aggregates.py and queries/event_time.py —
+the sf0.001 parity moved into the registry-wide test_parity sweep, and
+the driver-SF sweep plus the operator-specific certifications live
+here so registration can never weaken what the pending tests pinned."""
+
+from __future__ import annotations
+
+import pytest
+
+from oraaud_kafka_spark import registry
+from oraaud_kafka_spark.testing import compare_frames, run_oracle
+
+from .conftest import SF_DIR, SF_DIR_CORRECTNESS
+
+registry.load_all()
+
+_R12_TRIO = (
+    "q_agg_theta_audience_overlap",
+    "q_time_session_dynamic_gap",
+    "q_time_conversion_rate",
+)
+
+
+def test_r12_trio_is_in_the_driver_window():
+    """The three ops new in round 12 must sit inside the leading-50
+    window the driver checks, or they'd land as never-verified rows."""
+    front = registry._FRONT
+    assert len(front) == 50
+    for name in _R12_TRIO:
+        assert name in front, f"{name} missing from the driver window"
+
+
+@pytest.mark.parametrize("name", _R12_TRIO)
+def test_r12_trio_matches_oracle_at_correctness_sf(spark, name):
+    """The driver-gate sweep at its own SF — committed, not run-by-hand,
+    so a divergence that only manifests at sf0.01 (an ordering tie, an
+    overflow boundary) cannot hide behind the sf0.001 parity test."""
+    got = registry.QUERIES[name](spark, SF_DIR_CORRECTNESS).toPandas()
+    probs = compare_frames(
+        got, run_oracle(registry.ORACLES[name], SF_DIR_CORRECTNESS)
+    )
+    assert not probs, f"{name}: {probs}"
+    assert len(got) > 0, f"{name}: empty result at {SF_DIR_CORRECTNESS}"
+
+
+def test_theta_certification_holds(spark):
+    """The sketch estimates must sit within the 5% certification band
+    of the exact pairwise intersections/unions on the fixture."""
+    got = registry.QUERIES["q_agg_theta_audience_overlap"](
+        spark, SF_DIR
+    ).toPandas()
+    assert len(got) > 0
+    assert got["within_rel_error"].all()

@@ -1759,7 +1759,7 @@ def test_conversion_rate_monitor_matches_batch_twin(spark, tmp_path):
     never-converted clicks the inner-join latency monitor cannot see."""
     import pandas as pd
 
-    from oraaud_kafka_spark.queries.pending import q_time_conversion_rate
+    from oraaud_kafka_spark.queries.event_time import q_time_conversion_rate
     from oraaud_kafka_spark.streaming.analytics import (
         conversion_rate_monitor,
     )
@@ -1849,7 +1849,7 @@ def test_dynamic_session_monitor_matches_batch_twin(spark, tmp_path):
 
     import pandas as pd
 
-    from oraaud_kafka_spark.queries.pending import q_time_session_dynamic_gap
+    from oraaud_kafka_spark.queries.event_time import q_time_session_dynamic_gap
     from oraaud_kafka_spark.streaming.analytics import dynamic_session_monitor
     from oraaud_kafka_spark.tables import load
     from tests.conftest import SF_DIR
