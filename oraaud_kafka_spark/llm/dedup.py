@@ -1636,3 +1636,201 @@ def q_dedup_containment_multiband(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental CROSS-RUN dedup: what a real 100 TB ingest does NIGHTLY.
+# Both whole-corpus paths above (q_dedup_minhash_lsh, containment)
+# re-pair the full corpus; a production pipeline instead PERSISTS the
+# MinHash signature store (doc_id + 16 components + 4 band keys — tiny
+# against the corpus text) and dedups each incoming shard against it:
+#
+#   drop a new doc iff it band-collides with, and shares >= INCR_EQ_MIN
+#   of N_HASHES minhash components with (est. Jaccard >= 0.5), ANY
+#   previously seen doc or any lower-id doc of the same shard.
+#
+# The earlier-set is every SEEN doc (kept and dropped alike — near-dup
+# similarity is not transitive, so dropping a doc must not un-block its
+# future near-dups), which is exactly what makes the two-phase run
+# algebraically equal to a from-scratch pass over the union in arrival
+# order: candidates(union) restricted to pairs touching the shard ==
+# candidates(shard x standing) UNION candidates(shard x shard), because
+# the signature is a pure per-doc function. The registered query
+# computes the TWO-PHASE plan (the standing side never self-pairs; its
+# text is never re-read — decisions use stored signatures only) while
+# the oracle replays the ONE-SHOT rule on the union, so the driver's
+# hash check IS the incremental-equals-recompute certificate, the
+# q_time_rollup_merge pattern applied to dedup. Scale shape: signatures
+# ride WITH the band rows (~150 B x 4 rows/doc), so the band-bucket
+# equi-join needs no second join back to a signature table; the only
+# shuffles carry band keys + signatures, never text, and the standing
+# corpus contributes O(matching band rows), never O(C^2) pairs.
+# The physical nightly loop (versioned append-only parquet store +
+# atomic marker commit + at-least-once replay no-op) is
+# signature_store_maintainer below, parity-pinned to this query.
+# ---------------------------------------------------------------------------
+
+INCR_SHARD_MOD = 4
+INCR_SHARD_REM = 3  # doc_id % 4 == 3 -> "tonight's shard" (25%)
+INCR_EQ_MIN = 8  # of N_HASHES=16 equal components -> est Jaccard >= 0.5
+
+
+def mh_signature_table(docs: DataFrame) -> DataFrame:
+    """``doc_id, h0..h15, band0..band3`` — THE persisted standing-store
+    schema for cross-run dedup. Pure per-doc expressions (one md5 per
+    shingle, zero shuffles); docs with < 3 tokens carry no signature
+    and are absent (they cannot near-dup under word-3-gram shingling)."""
+    tokenized = spread(
+        docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+            F.size("toks") >= 3
+        )
+    )
+    hashed = tokenized.select(
+        "doc_id", F.transform(mh_shingles(), mh_base_hash).alias("bhs")
+    )
+    sigs = hashed.select("doc_id", *mh_signature_cols())
+    return sigs.select(
+        "doc_id", *[f"h{i}" for i in range(N_HASHES)], *mh_band_cols()
+    )
+
+
+def _sig_band_rows(sig: DataFrame, side: str) -> DataFrame:
+    """Explode a signature table to one row per (doc, band), CARRYING
+    the 16 signature components so candidate verification needs no
+    join back to the signature table; columns suffixed per side."""
+    return sig.select(
+        F.col("doc_id").alias(f"{side}_id"),
+        *[F.col(f"h{i}").alias(f"h{side}{i}") for i in range(N_HASHES)],
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.col(f"band{b}").alias("band_key"),
+                )
+                for b in range(N_BANDS)
+            ])
+        ).alias("bk"),
+    ).select(f"{side}_id", *[f"h{side}{i}" for i in range(N_HASHES)], "bk.band_idx", "bk.band_key")
+
+
+def incremental_dedup_decisions(
+    new_ids: DataFrame, new_sigs: DataFrame, standing_sigs: DataFrame
+) -> DataFrame:
+    """Keep/drop decision per NEW doc against the standing store and
+    the lower-id docs of its own shard — the ONE definition of the
+    cross-run dedup rule, shared by the registered q_dedup_incremental
+    (standing = the corpus split) and signature_store_maintainer
+    (standing = the persisted parquet store).
+
+    ``new_ids``: one (doc_id) row per incoming doc, including docs too
+    short to sign (trivially kept). Output per doc: action keep|drop,
+    dup_src corpus|shard|NULL (standing match preferred), dup_of = the
+    smallest matching doc_id within that source, n_candidates = distinct
+    earlier band-collision candidates before verification."""
+    nb = _sig_band_rows(new_sigs, "new")
+    cand = (
+        nb.join(_sig_band_rows(standing_sigs, "old"), ["band_idx", "band_key"])
+        .withColumn("is_standing", F.lit(True))
+        .unionByName(
+            nb.join(_sig_band_rows(new_sigs, "old"), ["band_idx", "band_key"])
+            .filter(F.col("old_id") < F.col("new_id"))
+            .withColumn("is_standing", F.lit(False))
+        )
+    )
+    eq_sum = sum(
+        F.when(F.col(f"hnew{i}") == F.col(f"hold{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    # one row per candidate PAIR (a pair colliding in several bands
+    # carries the identical signatures in each, so max == the value)
+    pairs = (
+        cand.select(
+            "new_id", "old_id", "is_standing", eq_sum.alias("eq_sum")
+        )
+        .groupBy("new_id", "old_id", "is_standing")
+        .agg(F.max("eq_sum").alias("eq_sum"))
+    )
+    matched = F.col("eq_sum") >= INCR_EQ_MIN
+    agg = pairs.groupBy("new_id").agg(
+        F.count("*").alias("n_candidates"),
+        F.min(F.when(matched & F.col("is_standing"), F.col("old_id"))).alias(
+            "min_corpus"
+        ),
+        F.min(
+            F.when(matched & ~F.col("is_standing"), F.col("old_id"))
+        ).alias("min_shard"),
+    )
+    dropped = F.col("min_corpus").isNotNull() | F.col("min_shard").isNotNull()
+    return (
+        new_ids.select("doc_id")
+        .join(agg.withColumnRenamed("new_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(dropped, F.lit("drop")).otherwise("keep").alias("action"),
+            F.when(F.col("min_corpus").isNotNull(), "corpus")
+            .when(F.col("min_shard").isNotNull(), "shard")
+            .alias("dup_src"),
+            F.coalesce("min_corpus", "min_shard").alias("dup_of"),
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+        )
+    )
+
+
+_INCR_ORACLE = f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+hashed AS (
+  SELECT doc_id, {_BASE_HASH_SQL} AS bh
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shingled)
+),
+sigs AS (SELECT doc_id, {_SIG_COLS_SQL} FROM hashed GROUP BY doc_id),
+bands AS (SELECT doc_id, {_BAND_COLS_SQL} FROM sigs),
+band_rows AS ({_BAND_UNNEST_SQL}),
+cand AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+         (b.doc_id % {INCR_SHARD_MOD} != {INCR_SHARD_REM}) AS is_corpus
+  FROM band_rows a JOIN band_rows b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id % {INCR_SHARD_MOD} = {INCR_SHARD_REM}
+    AND (b.doc_id % {INCR_SHARD_MOD} != {INCR_SHARD_REM}
+         OR b.doc_id < a.doc_id)
+  GROUP BY 1, 2, 3
+),
+ver AS (
+  SELECT c.new_id, c.old_id, c.is_corpus, {_EQ_SUM_SQL} AS eq_sum
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.new_id
+  JOIN sigs sb ON sb.doc_id = c.old_id
+),
+agg AS (
+  SELECT new_id, count(*) AS n_candidates,
+         min(CASE WHEN eq_sum >= {INCR_EQ_MIN} AND is_corpus
+                  THEN old_id END) AS min_corpus,
+         min(CASE WHEN eq_sum >= {INCR_EQ_MIN} AND NOT is_corpus
+                  THEN old_id END) AS min_shard
+  FROM ver GROUP BY new_id
+)
+SELECT d.doc_id,
+       CASE WHEN min_corpus IS NOT NULL OR min_shard IS NOT NULL
+            THEN 'drop' ELSE 'keep' END AS action,
+       CASE WHEN min_corpus IS NOT NULL THEN 'corpus'
+            WHEN min_shard IS NOT NULL THEN 'shard' END AS dup_src,
+       coalesce(min_corpus, min_shard) AS dup_of,
+       CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates
+FROM documents d LEFT JOIN agg ON agg.new_id = d.doc_id
+WHERE d.doc_id % {INCR_SHARD_MOD} = {INCR_SHARD_REM}
+ORDER BY d.doc_id
+"""
+
+
+@query("q_dedup_incremental", oracle=_INCR_ORACLE)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    is_shard = (F.col("doc_id") % INCR_SHARD_MOD) == INCR_SHARD_REM
+    sig = mh_signature_table(d)
+    return incremental_dedup_decisions(
+        d.filter(is_shard).select("doc_id"),
+        sig.filter(is_shard),
+        sig.filter(~is_shard),
+    ).orderBy("doc_id")

@@ -60,13 +60,14 @@ _loaded = False
 # else follows in module registration order. Round-12 window =
 #   (a) the 8 r6-aged rows the round-11 new ops displaced (the oldest
 #       green rows in the ledger — round-11 VERDICT #1 queued them first);
-#   (b) the 39 oldest r7-aged green rows, registration order;
-#   (c) the 3 operators NEW this round, promoted from the pre-built
-#       PENDING_R12 queue (theta-sketch audience overlap, dynamic-gap
-#       sessionization, conversion-rate rollup) — new ops get their
-#       driver row the round they ship. (c) displaces the 10 youngest
-#       r7-aged rows to the round-13 head (the round-9 throttle rule
-#       that keeps the never-checked backlog at zero).
+#   (b) the 38 oldest r7-aged green rows, registration order;
+#   (c) the 4 operators NEW this round: the pre-built PENDING_R12 trio
+#       (theta-sketch audience overlap, dynamic-gap sessionization,
+#       conversion-rate rollup) plus the round-11 verdict's #2 ask,
+#       incremental cross-run dedup — new ops get their driver row the
+#       round they ship. (c) displaces the 11 youngest r7-aged rows to
+#       the round-13 head (the round-9 throttle rule that keeps the
+#       never-checked backlog at zero).
 _FRONT = (
     # (a) the 8 displaced r6-aged rows
     "q_join_cross",
@@ -116,15 +117,15 @@ _FRONT = (
     "q_agg_global",
     "q_agg_count_distinct",
     "q_agg_stats",
-    "q_agg_percentile",
     # (c) new this round — verified the round they ship
     "q_agg_theta_audience_overlap",
     "q_time_session_dynamic_gap",
     "q_time_conversion_rate",
+    "q_dedup_incremental",
 )
 
 
-# Immediately behind the window: the round-13 rotation queue — the 10
+# Immediately behind the window: the round-13 rotation queue — the 11
 # r7-aged rows displaced by this round's new ops go FIRST (the oldest
 # rows once the round-12 window lands), then the r8-aged green rows
 # continue cycling oldest-first in registration order. If the driver's
@@ -134,6 +135,7 @@ _FRONT = (
 # late additions).
 _NEXT = (
     # r7-aged rows displaced from the round-12 window
+    "q_agg_percentile",
     "q_agg_collect_set",
     "q_agg_min_by_max_by",
     "q_agg_approx_percentile",

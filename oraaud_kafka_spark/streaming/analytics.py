@@ -1793,3 +1793,96 @@ def drawdown_monitor(
             timeout_conf,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-run dedup store maintenance, live: the nightly-ingest loop of
+# q_dedup_incremental (llm/dedup.py). Each micro-batch of NEW documents
+# is deduped against EVERYTHING previously seen using only the persisted
+# MinHash signature store — the standing corpus text is never re-read
+# and its pair space is never re-formed. The store is append-only
+# (per-batch signature shards, so a nightly run writes O(batch), never
+# rewrites the O(corpus) store) with the rollup_maintainer commit
+# discipline: stage new dirs, then atomically rename the marker naming
+# the newest committed batch; at-least-once replays no-op. Signatures
+# of kept AND dropped docs persist — near-dup similarity is not
+# transitive, so dropping a doc must not un-block its future near-dups
+# (the same earlier-set rule the registered query's oracle certifies).
+# ---------------------------------------------------------------------------
+
+
+def signature_store_maintainer(base_dir: str):
+    """foreachBatch callback maintaining a MinHash signature store and
+    emitting per-batch keep/drop decisions under ``base_dir``:
+
+        sigs_batch=<n>/       signatures of batch n's docs (append-only)
+        decisions_batch=<n>/  that batch's keep/drop decision rows
+        _committed            marker: newest committed batch id
+
+    Input batches carry (doc_id, text). Decisions replay exactly the
+    registered q_dedup_incremental rule via the shared
+    incremental_dedup_decisions, with standing = all committed
+    signature shards; fed the same docs in arrival order, the
+    accumulated decisions are byte-equal to the batch query
+    (tests/test_incremental_dedup.py)."""
+    import os
+
+    from ..llm.dedup import incremental_dedup_decisions, mh_signature_table
+    from ..sources.tabular import write_parquet
+
+    def _committed(marker: str) -> int:
+        if not os.path.exists(marker):
+            return -1
+        with open(marker) as fh:
+            return int(fh.read().strip())
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = os.path.join(base_dir, "_committed")
+        live = _committed(marker)
+        if live >= batch_id:
+            return  # replayed batch — already committed
+        new_sigs = mh_signature_table(batch_df)
+        committed_shards = [
+            os.path.join(base_dir, f"sigs_batch={k}")
+            for k in range(live + 1)
+        ]
+        standing = (
+            spark.read.parquet(*committed_shards)
+            if committed_shards
+            else new_sigs.limit(0)
+        )
+        decisions = incremental_dedup_decisions(
+            batch_df.select("doc_id"), new_sigs, standing
+        )
+        write_parquet(
+            decisions,
+            os.path.join(base_dir, f"decisions_batch={batch_id}"),
+            mode="overwrite",
+        )
+        write_parquet(
+            new_sigs,
+            os.path.join(base_dir, f"sigs_batch={batch_id}"),
+            mode="overwrite",
+        )
+        tmp_marker = marker + ".tmp"
+        with open(tmp_marker, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp_marker, marker)
+
+    return apply_batch
+
+
+def committed_decisions(spark, base_dir: str) -> DataFrame:
+    """Union of all committed decision shards (for readers)."""
+    import os
+
+    marker = os.path.join(base_dir, "_committed")
+    with open(marker) as fh:
+        live = int(fh.read().strip())
+    return spark.read.parquet(
+        *[
+            os.path.join(base_dir, f"decisions_batch={k}")
+            for k in range(live + 1)
+        ]
+    )

@@ -1031,3 +1031,20 @@ def test_conversion_rate_is_pushed_filter_left_hash_join(spark):
     assert sum("EqualTo(event_type,purchase)" in ln for ln in pushed) == 1
     # the dual count_distinct rides ONE Expand with map-side partials
     assert "Expand" in plan and "partial_count" in plan
+
+
+def test_incremental_dedup_band_joins_are_hash_and_text_never_rejoined(spark):
+    """The cross-run dedup scale contract: both candidate generations
+    (shard x standing, shard x shard) are hash equi-joins on the band
+    bucket — never a pair expansion — and verification uses signatures
+    carried ON the band rows, so no join back to the corpus text exists
+    anywhere in the plan (the standing corpus is touched as signatures
+    only)."""
+    df = registry.QUERIES["q_dedup_incremental"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # decisions come from signature/band columns only: the text column
+    # is read once per side to BUILD signatures, then never re-joined —
+    # no scan projects text for the verification path
+    assert "partial_max" in plan or "partial_min" in plan or "partial_count" in plan

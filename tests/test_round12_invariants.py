@@ -16,24 +16,25 @@ from .conftest import SF_DIR, SF_DIR_CORRECTNESS
 
 registry.load_all()
 
-_R12_TRIO = (
+_R12_NEW = (
     "q_agg_theta_audience_overlap",
     "q_time_session_dynamic_gap",
     "q_time_conversion_rate",
+    "q_dedup_incremental",
 )
 
 
-def test_r12_trio_is_in_the_driver_window():
-    """The three ops new in round 12 must sit inside the leading-50
+def test_r12_new_ops_are_in_the_driver_window():
+    """The four ops new in round 12 must sit inside the leading-50
     window the driver checks, or they'd land as never-verified rows."""
     front = registry._FRONT
     assert len(front) == 50
-    for name in _R12_TRIO:
+    for name in _R12_NEW:
         assert name in front, f"{name} missing from the driver window"
 
 
-@pytest.mark.parametrize("name", _R12_TRIO)
-def test_r12_trio_matches_oracle_at_correctness_sf(spark, name):
+@pytest.mark.parametrize("name", _R12_NEW)
+def test_r12_new_ops_match_oracle_at_correctness_sf(spark, name):
     """The driver-gate sweep at its own SF — committed, not run-by-hand,
     so a divergence that only manifests at sf0.01 (an ordering tie, an
     overflow boundary) cannot hide behind the sf0.001 parity test."""
