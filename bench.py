@@ -51,6 +51,66 @@ registry.load_all()
 EXTRAS = [n for n in registry.all_queries() if n not in HEADLINE]
 
 
+def _git_tag() -> str:
+    """Short HEAD, suffixed '-dirty' when the tree has uncommitted
+    changes — recorded into every history entry so the quietest-pass
+    artifact selection can only ever substitute a run of IDENTICAL
+    code."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        head = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "-C", repo, "status", "--porcelain"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except (OSError, subprocess.SubprocessError):  # pragma: no cover
+        return "unknown"
+    if not head:
+        return "unknown"
+    return f"{head}-dirty" if dirty else head
+
+
+def _quietest_same_code(
+    hist_path: str, git_tag: str, record: dict, extras: dict
+) -> dict | None:
+    """The round-11 verdict's artifact-of-record rule: BENCH_r11 was
+    recorded at load1 5.46 while a same-day load1 0.06 pass of the same
+    code sat in bench_history with a better headline. If THIS run
+    started loaded and a prior history entry measured the SAME commit
+    (clean tree), same sf, and identical query rosters under lower
+    load1, return the quietest such entry so it becomes the emitted
+    artifact; the just-measured run still lands in history either way."""
+    if git_tag.endswith("-dirty") or git_tag == "unknown":
+        return None
+    best = None
+    try:
+        with open(hist_path) as f:
+            lines = f.readlines()
+    except OSError:
+        return None
+    for ln in lines:
+        try:
+            h = json.loads(ln)
+        except ValueError:
+            continue
+        if (
+            h.get("git") == git_tag
+            and h.get("sf") == record["sf"]
+            and set(h.get("queries", ())) == set(record["queries"])
+            and set(h.get("queries_extra", ())) == set(extras)
+            and isinstance(h.get("load1"), (int, float))
+            and h["load1"] < record["load1"]
+            and (best is None or h["load1"] < best["load1"])
+        ):
+            best = h
+    return best
+
+
 def _load1() -> float:
     try:
         return round(os.getloadavg()[0], 2)
@@ -122,6 +182,24 @@ def main() -> None:
     for _ in range(2):
         for name in names:
             run_once(name)
+
+    # Warm the Arrow Python workers (one per core) before ANY timed
+    # loop: the first pandas-UDF/mapInPandas query of a pass otherwise
+    # pays worker spawn + Arrow init, charged to whichever extras name
+    # happens to run first in roster order — observed as a ±0.4 s
+    # anti-correlation between q_multimodal_phash and
+    # q_multimodal_decode_stats across round-11 entries.
+    def _arrow_ident(batches):
+        yield from batches
+
+    (
+        spark.range(spark.sparkContext.defaultParallelism * 8)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_arrow_ident, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     # settle GC debt from the warm loop so it isn't charged to the first
     # measured query
@@ -206,12 +284,14 @@ def main() -> None:
     hist_path = os.environ.get("SPARK_GRAFT_BENCH_HISTORY") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl"
     )
+    git_tag = _git_tag()
     try:
         with open(hist_path, "a") as f:
             f.write(json.dumps({**record, "queries_extra": extras,
                                 "load1_end": _load1(),
                                 "jvms_other": jvms_other,
                                 "extra_headline_pass": noisy,
+                                "git": git_tag,
                                 "ts": int(time.time())}) + "\n")
     except OSError as e:
         # best-effort telemetry: a read-only checkout or full disk must
@@ -219,6 +299,35 @@ def main() -> None:
         # recreate the exact lost-headline failure this file defends
         # against
         print(f"# WARNING bench history not written: {e}", file=sys.stderr)
+    # Artifact-of-record selection (round-11 verdict #3): when this run
+    # started loaded, prefer the quietest SAME-COMMIT same-roster pass
+    # already in history — the measured run above is in history either
+    # way, and the emitted record says which path it took plus what was
+    # measured now, so nothing is hidden.
+    quiet = _quietest_same_code(hist_path, git_tag, record, extras) if noisy else None
+    if quiet is not None:
+        print(
+            f"# artifact: substituting quietest same-commit pass "
+            f"(load1 {quiet['load1']} vs {record['load1']} now; "
+            f"value {quiet['value']} vs {record['value']})",
+            file=sys.stderr,
+        )
+        stdout_keys = [k for k in record if k not in ("queries", "value")]
+        record = {
+            **{k: quiet[k] for k in stdout_keys if k in quiet},
+            "artifact_source": "quietest_same_commit_pass",
+            "measured_now_load1": load_start,
+            "measured_now_value": record["value"],
+            "queries": quiet["queries"],
+            "value": quiet["value"],
+        }
+    else:
+        record = {
+            **{k: v for k, v in record.items() if k not in ("queries", "value")},
+            "artifact_source": "this_run",
+            "queries": record["queries"],
+            "value": record["value"],
+        }
     line = json.dumps(record)
     if len(line) > 1900:  # pragma: no cover - contract guard
         print(f"# WARNING stdout line {len(line)} chars nears the "
