@@ -157,12 +157,12 @@ def _all_query_frames(spark):
     """Every registered query PLUS the forward registration queues —
     a pending operator must clear the same hint audit it will face
     once registered, not discover it at registration time."""
-    from oraaud_kafka_spark.queries.pending import PENDING_R13
+    from oraaud_kafka_spark.queries.pending import PENDING_R13, PENDING_R14
 
     registry.load_all()
     for name in registry.all_queries():
         yield name, registry.QUERIES[name](spark, SF_DIR)
-    for queue in (PENDING_R13,):
+    for queue in (PENDING_R13, PENDING_R14):
         for name, (fn, _oracle) in queue.items():
             yield name, fn(spark, SF_DIR)
 
