@@ -105,6 +105,10 @@ def _quietest_same_code(
             and set(h.get("queries_extra", ())) == set(extras)
             and isinstance(h.get("load1"), (int, float))
             and h["load1"] < record["load1"]
+            # the candidate must itself be contention-free: a low load1
+            # with competing JVMs present is exactly the round-10
+            # failure mode jvms_other was added to expose
+            and h.get("jvms_other", 1) == 0
             and (best is None or h["load1"] < best["load1"])
         ):
             best = h

@@ -2858,6 +2858,12 @@ pairs AS (
   GROUP BY 1, 2
 ),
 tot AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1)
+-- within_rel_error is constant TRUE here because lg_k=12 Theta sketches
+-- stay in EXACT mode below 2^12 retained keys and the fixture's per-type
+-- distinct-user cardinality sits under that at every SF — pinned by
+-- tests/test_round12_invariants.py::test_theta_stays_in_exact_mode, so a
+-- fixture growth that would start estimating fails the suite before it
+-- can hash-mismatch the driver gate
 SELECT p.type_a, p.type_b,
        CAST(p.exact_inter AS BIGINT) AS exact_inter,
        CAST(ta.n + tb.n - p.exact_inter AS BIGINT) AS exact_union,

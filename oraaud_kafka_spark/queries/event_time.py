@@ -2825,8 +2825,10 @@ SELECT time_bucket(INTERVAL 1 HOUR, c.ts) AS click_hour,
          AS n_converted,
        CAST(count(DISTINCT CASE WHEN p.ts IS NOT NULL THEN c.event_id END)
             AS DOUBLE) / count(DISTINCT c.event_id) AS conversion_rate
-FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
-LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click' AND ts IS NOT NULL) c
+LEFT JOIN (SELECT user_id, ts FROM events
+           WHERE event_type = 'purchase' AND ts IS NOT NULL) p
   ON c.user_id = p.user_id
  AND p.ts > c.ts
  AND p.ts <= c.ts + INTERVAL 30 MINUTE
@@ -2843,7 +2845,11 @@ def q_time_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval_join_cond,
     )
 
-    e = load(spark, sf_dir, "events")
+    # the null-ts guard is EXPLICIT on both engines: F.window would drop
+    # a NULL-ts click silently batch-side while time_bucket(NULL) groups
+    # it under a NULL hour oracle-side — the latent-mismatch class the
+    # dynamic-gap oracle's ts IS NOT NULL already closes
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     c = e.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("c_user"),

@@ -749,24 +749,36 @@ _CMS_E_NUM = 2_718_282
 _CMS_E_DEN = 1_000_000
 
 
-def _cms_bucket_sql(i: int, key: str) -> str:
+def _md5_mod_sql(salt: str, key: str, mod: int) -> str:
+    """The repo's md5-conv hash discipline, salted and reduced mod
+    ``mod`` — THE one definition (with _md5_mod below) behind both the
+    CMS buckets and the Bloom bit positions, so a recipe change cannot
+    diverge the two operators or their oracles."""
     return (
-        f"CAST('0x' || substring(md5('{i}:' || CAST({key} AS VARCHAR)), "
-        f"1, 12) AS BIGINT) % {_CMS_W}"
+        f"CAST('0x' || substring(md5('{salt}:' || CAST({key} AS VARCHAR)), "
+        f"1, 12) AS BIGINT) % {mod}"
     )
 
 
-def _cms_bucket(i: int, key):
+def _md5_mod(salt: str, key, mod: int):
     return (
         F.conv(
             F.substring(
-                F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 12
+                F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string"))), 1, 12
             ),
             16,
             10,
         ).cast("long")
-        % _CMS_W
+        % mod
     )
+
+
+def _cms_bucket_sql(i: int, key: str) -> str:
+    return _md5_mod_sql(str(i), key, _CMS_W)
+
+
+def _cms_bucket(i: int, key):
+    return _md5_mod(str(i), key, _CMS_W)
 
 
 CMS_ORACLE = f"""
@@ -940,23 +952,11 @@ _BLOOM_K = 3
 
 
 def _bloom_pos_sql(j: int, key: str, m: int) -> str:
-    return (
-        f"CAST('0x' || substring(md5('b{j}:' || CAST({key} AS VARCHAR)), "
-        f"1, 12) AS BIGINT) % {m}"
-    )
+    return _md5_mod_sql(f"b{j}", key, m)
 
 
 def _bloom_pos(j: int, key, m: int):
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"b{j}:"), key.cast("string"))), 1, 12
-            ),
-            16,
-            10,
-        ).cast("long")
-        % m
-    )
+    return _md5_mod(f"b{j}", key, m)
 
 
 def _bloom_oracle() -> str:

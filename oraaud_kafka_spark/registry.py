@@ -78,7 +78,7 @@ _FRONT = (
     "q_sort_top10_global",
     "q_sort_multi_nulls",
     "q_sort_by_expression",
-    # (b) the 39 oldest r7-aged green rows, registration order
+    # (b) the 38 oldest r7-aged green rows, registration order
     "q_text_dup_ngram_chars",
     "q_text_bpe_apply_merge",
     "q_text_bigram_logprob",

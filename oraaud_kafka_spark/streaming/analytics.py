@@ -1824,28 +1824,47 @@ def signature_store_maintainer(base_dir: str):
     incremental_dedup_decisions, with standing = all committed
     signature shards; fed the same docs in arrival order, the
     accumulated decisions are byte-equal to the batch query
-    (tests/test_incremental_dedup.py)."""
+    (tests/test_incremental_dedup.py).
+
+    The marker is a JSON document naming the committed shard ids
+    EXPLICITLY — the standing read never assumes batch ids are
+    contiguous from 0, so a gap can neither drop a shard nor reference
+    a directory that was never committed. One store belongs to ONE
+    stream checkpoint: the replay guard keys on the checkpoint's
+    monotone batch ids (exactly rollup_maintainer's contract), so
+    pointing a fresh checkpoint at an existing store raises instead of
+    silently treating its restarted ids as replays."""
+    import json as _json
     import os
 
     from ..llm.dedup import incremental_dedup_decisions, mh_signature_table
     from ..sources.tabular import write_parquet
 
-    def _committed(marker: str) -> int:
+    def _committed(marker: str) -> dict:
         if not os.path.exists(marker):
-            return -1
+            return {"last_batch": -1, "shards": []}
         with open(marker) as fh:
-            return int(fh.read().strip())
+            return _json.load(fh)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         marker = os.path.join(base_dir, "_committed")
-        live = _committed(marker)
+        state = _committed(marker)
+        live = state["last_batch"]
         if live >= batch_id:
+            if batch_id == 0 and live > 0:
+                raise ValueError(
+                    f"signature store at {base_dir} was committed through "
+                    f"batch {live} by another checkpoint; a restarted "
+                    "batch-id sequence would silently drop new documents "
+                    "as replays — use a fresh store dir or the original "
+                    "checkpoint"
+                )
             return  # replayed batch — already committed
         new_sigs = mh_signature_table(batch_df)
         committed_shards = [
             os.path.join(base_dir, f"sigs_batch={k}")
-            for k in range(live + 1)
+            for k in state["shards"]
         ]
         standing = (
             spark.read.parquet(*committed_shards)
@@ -1867,7 +1886,13 @@ def signature_store_maintainer(base_dir: str):
         )
         tmp_marker = marker + ".tmp"
         with open(tmp_marker, "w") as fh:
-            fh.write(str(batch_id))
+            _json.dump(
+                {
+                    "last_batch": batch_id,
+                    "shards": state["shards"] + [batch_id],
+                },
+                fh,
+            )
         os.replace(tmp_marker, marker)
 
     return apply_batch
@@ -1875,14 +1900,15 @@ def signature_store_maintainer(base_dir: str):
 
 def committed_decisions(spark, base_dir: str) -> DataFrame:
     """Union of all committed decision shards (for readers)."""
+    import json as _json
     import os
 
     marker = os.path.join(base_dir, "_committed")
     with open(marker) as fh:
-        live = int(fh.read().strip())
+        state = _json.load(fh)
     return spark.read.parquet(
         *[
             os.path.join(base_dir, f"decisions_batch={k}")
-            for k in range(live + 1)
+            for k in state["shards"]
         ]
     )

@@ -76,7 +76,11 @@ def main() -> int:
         for k, v in vars(pending).items()
         if k.startswith("PENDING_R") and isinstance(v, dict)
     }
-    next_queue_round = newest_round + 2  # artifacts lag the round by one
+    # artifacts lag the round by one: at round-N open the newest
+    # artifact is r(N-1), and the queue registering THIS round is
+    # PENDING_R{N} = newest + 1 (round-12 open: r11 artifacts,
+    # PENDING_R12 registered)
+    next_queue_round = newest_round + 1
     incoming = sorted(queues.get(f"PENDING_R{next_queue_round}", {}))
     # never-verified registered queries (age 0) lead: a new op must
     # take a window slot the round it ships

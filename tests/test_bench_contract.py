@@ -256,6 +256,7 @@ def test_quietest_same_code_selection(tmp_path):
     extras = {"x": 0.5}
     base = {"sf": 0.1, "queries": {"a": 0.9, "b": 1.8},
             "queries_extra": {"x": 0.4}, "value": 2.7}
+    base["jvms_other"] = 0
     entries = [
         {**base, "git": "abc1234", "load1": 0.5, "value": 2.5},   # best
         {**base, "git": "abc1234", "load1": 2.0, "value": 2.8},
@@ -265,6 +266,9 @@ def test_quietest_same_code_selection(tmp_path):
         {**base, "git": "abc1234", "load1": 0.3,
          "queries_extra": {"x": 0.4, "y": 1.0}},                  # roster drift
         {**base, "git": "abc1234", "load1": 9.0},                 # louder
+        # a quiet loadavg can hide scheduler contention when competing
+        # JVMs were present — such entries never qualify
+        {**base, "git": "abc1234", "load1": 0.1, "jvms_other": 2},
     ]
     hist = tmp_path / "h.jsonl"
     hist.write_text("\n".join(_json.dumps(e) for e in entries))

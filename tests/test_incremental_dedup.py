@@ -77,13 +77,15 @@ def test_maintainer_replay_is_noop(spark, tmp_path):
     base = str(tmp_path / "sigstore")
     apply_batch = signature_store_maintainer(base)
     apply_batch(corpus, 0)
+    # foreachBatch replays only the LAST batch (the one whose commit
+    # may not have landed) — replay of 0 right after 0 must no-op
+    apply_batch(corpus, 0)
     apply_batch(shard1, 1)
     before = _decisions_pdf(committed_decisions(spark, base))
-    # at-least-once replay of an already-committed batch must no-op
     apply_batch(shard1, 1)
-    apply_batch(corpus, 0)
     with open(os.path.join(base, "_committed")) as fh:
-        assert fh.read().strip() == "1"
+        state = json.load(fh)
+    assert state == {"last_batch": 1, "shards": [0, 1]}
     assert _decisions_pdf(committed_decisions(spark, base)).equals(before)
     # continuation still works after the replays
     apply_batch(shard2, 2)
@@ -94,6 +96,21 @@ def test_maintainer_replay_is_noop(spark, tmp_path):
         )
     )
     assert got.equals(_decisions_pdf(q_dedup_incremental(spark, SF_DIR)))
+
+
+def test_maintainer_rejects_foreign_checkpoint(spark, tmp_path):
+    """A fresh checkpoint pointed at an existing store restarts batch
+    ids at 0; treating those as replays would silently drop new docs —
+    the maintainer must refuse loudly instead."""
+    import pytest
+
+    corpus, shard1, _ = _splits(spark)
+    base = str(tmp_path / "sigstore")
+    apply_batch = signature_store_maintainer(base)
+    apply_batch(corpus, 0)
+    apply_batch(shard1, 1)
+    with pytest.raises(ValueError, match="another checkpoint"):
+        signature_store_maintainer(base)(corpus, 0)
 
 
 def test_maintainer_over_real_stream(spark, tmp_path):
@@ -139,7 +156,7 @@ def test_maintainer_over_real_stream(spark, tmp_path):
     q.awaitTermination(180)
     q.stop()
     with open(os.path.join(base, "_committed")) as fh:
-        assert fh.read().strip() == "2"
+        assert json.load(fh)["shards"] == [0, 1, 2]
     got = _decisions_pdf(
         committed_decisions(spark, base).filter(
             (F.col("doc_id") % INCR_SHARD_MOD) == INCR_SHARD_REM

@@ -54,3 +54,30 @@ def test_theta_certification_holds(spark):
     ).toPandas()
     assert len(got) > 0
     assert got["within_rel_error"].all()
+
+
+def test_theta_stays_in_exact_mode(spark):
+    """The theta oracle hardcodes within_rel_error TRUE, which is sound
+    only while lg_k=12 sketches stay in exact mode (< 2^12 retained
+    keys per segment). Pin the per-type distinct-user cardinality under
+    that threshold at BOTH test SFs so fixture growth that would start
+    estimating fails here, loudly, instead of as an opaque driver hash
+    mismatch."""
+    from pyspark.sql import functions as F
+
+    from oraaud_kafka_spark.tables import load
+
+    for sf_dir in (SF_DIR, SF_DIR_CORRECTNESS):
+        worst = (
+            load(spark, sf_dir, "events")
+            .filter(F.col("user_id").isNotNull())
+            .groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("n"))
+            .agg(F.max("n"))
+            .collect()[0][0]
+        )
+        assert worst < 2**12, (
+            f"{sf_dir}: {worst} distinct users in one segment — theta "
+            "lg_k=12 would leave exact mode; raise lg_k and replace the "
+            "oracle's hardcoded certificate"
+        )
