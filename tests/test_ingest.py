@@ -342,6 +342,11 @@ def test_kinesis_partial_failure_retries_only_failed(spark):
         "us-east-1",
         client_factory=ThrottlingKinesis,
         retry_backoff_s=0.0,
+        # this test pins SIZE-batched put/retry shapes; on a loaded box
+        # toLocalIterator can stall >5s between rows and the default
+        # age flush would split the first put (observed flake under a
+        # concurrent full-suite + gate-sim run)
+        record_max_buffered_ms=3_600_000,
     )
     writer(_payload_df(spark, 4), 0)
 
