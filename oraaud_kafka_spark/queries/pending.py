@@ -6,12 +6,11 @@ since) admits ~3 new registered operators per round so the
 never-driver-checked backlog stays at zero; round 11 shipped interval
 latency / KLL rollup / MinHash banding eval, round 12 promoted the R12
 trio (theta overlap, dynamic-gap sessions, conversion rate) into
-queries/aggregates.py and queries/event_time.py. PENDING_R13 is the
-round-13 batch and PENDING_R14 the round-14 batch — each fully
-implemented with DuckDB oracles and swept by tests/test_pending_r13.py
-/ test_pending_r14.py at sf0.001 AND the driver's sf0.01, so
-registration in its round is a @query decorator + _FRONT placement,
-nothing else.
+queries/aggregates.py and queries/event_time.py. PENDING_R13 /
+PENDING_R14 / PENDING_R15 are the round-13/14/15 batches — each fully
+implemented with DuckDB oracles and swept by tests/test_pending_r1*.py
+at sf0.001 AND the driver's sf0.01, so registration in its round is a
+@query decorator + _FRONT placement, nothing else.
 
 Keeping them out of the registry (this module is NOT in
 registry._MODULES) means: no COVERAGE.md count drift, no "never" ledger
@@ -569,8 +568,11 @@ PENDING_R13 = {
 
 _TRI_SUPPORT = 2  # co-purchase edges need >= 2 common orders
 
-TRIANGLE_ORACLE = f"""
-WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+# THE one definition of the part co-purchase graph (canonical u < v
+# edges with the support floor, plus degrees) — shared by the triangle
+# count and the link-prediction oracle/query pair so the graph can
+# never silently diverge between them.
+_COPURCHASE_CTE_SQL = f"""op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e AS (
   SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM op a JOIN op b
@@ -581,7 +583,37 @@ deg AS (
   SELECT node, count(*) AS d
   FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
   GROUP BY 1
-),
+)"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (u < v) co-purchase edges under the support floor —
+    the DataFrame twin of _COPURCHASE_CTE_SQL's ``e``."""
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= _TRI_SUPPORT)
+        .select("u", "v")
+    )
+
+
+def _copurchase_degrees(e: DataFrame) -> DataFrame:
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+
+
+TRIANGLE_ORACLE = f"""
+WITH {_COPURCHASE_CTE_SQL},
 o AS (
   SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS s,
          CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS t
@@ -623,24 +655,8 @@ ORDER BY rank
 
 
 def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("v"))
-    e = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("n_common"))
-        .filter(F.col("n_common") >= _TRI_SUPPORT)
-        .select("u", "v")
-    )
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-    )
+    e = _copurchase_edges(spark, sf_dir)
+    deg = _copurchase_degrees(e)
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     # degree-ordered orientation: lower (degree, id) -> higher; the
@@ -1171,4 +1187,435 @@ PENDING_R14 = {
     "q_graph_triangle_count": (q_graph_triangle_count, TRIANGLE_ORACLE),
     "q_agg_cms_heavy_hitters": (q_agg_cms_heavy_hitters, CMS_ORACLE),
     "q_join_bloom_prune_eval": (q_join_bloom_prune_eval, BLOOM_ORACLE),
+}
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval (round-15 queue) — the ranking rung above the
+# TF-IDF kit: Robertson/Sparck-Jones BM25 with the Lucene idf form
+# ln(1 + (N - df + 0.5)/(df + 0.5)), k1 = 1.2, b = 0.75 — what a RAG
+# lexical-retrieval leg actually runs. Query terms are DATA-DERIVED
+# (the 5 tokens ranked 10th-14th by document frequency under a
+# (df DESC, tok ASC) total order — mid-frequency, so scores
+# discriminate), making both engines reconstruct identical queries
+# with no literals to drift. Scale shape: ONE tokenize pass feeds both
+# the (doc, term) tf table (semi-joined to the 5 broadcast query
+# terms BEFORE any shuffle — the posting-list prune) and the per-doc
+# length table; df and avgdl are scalar aggregates; the final score is
+# a fixed-shape double expression rounded to 6 dp (the
+# q_sim_pandas_udf_cosine discipline, swallowing cross-libm ln noise)
+# and top-3 docs per query rank by (score DESC, doc_id) — a
+# WindowGroupLimit over the pruned postings, never the corpus.
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_Q_LO = 10  # query terms = df ranks 10..14
+_BM25_Q_N = 5
+_BM25_TOP = 3
+
+BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS tok) t
+  WHERE t.tok != ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl) AS avgdl
+),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+qterms AS (
+  SELECT tok, df, rnk FROM (
+    SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok) AS rnk
+    FROM df
+  ) WHERE rnk >= {_BM25_Q_LO} AND rnk < {_BM25_Q_LO + _BM25_Q_N}
+),
+tf AS (
+  SELECT t.doc_id, t.tok, count(*) AS tf
+  FROM toks t JOIN qterms q ON q.tok = t.tok
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT q.tok AS query_term, f.doc_id,
+         round(
+           ln(1 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+           * (f.tf * ({_BM25_K1} + 1))
+           / (f.tf + {_BM25_K1} * (1 - {_BM25_B}
+              + {_BM25_B} * d.dl / s.avgdl)),
+           6
+         ) AS score
+  FROM tf f
+  JOIN qterms q ON q.tok = f.tok
+  JOIN dl d ON d.doc_id = f.doc_id
+  CROSS JOIN stats s
+)
+SELECT query_term, CAST(rank AS BIGINT) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, score
+FROM (
+  SELECT query_term, doc_id, score,
+         row_number() OVER (PARTITION BY query_term
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {_BM25_TOP}
+ORDER BY query_term, rank
+"""
+
+
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import spread
+
+    d = load(spark, sf_dir, "documents")
+    toks = spread(
+        d.select("doc_id", F.split("text", " ").alias("ts"))
+    ).select(
+        "doc_id", F.explode(F.filter("ts", lambda x: x != "")).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    avgdl = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl")
+    )
+    df_t = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    qterms = (
+        df_t.select(
+            "tok",
+            "df",
+            F.row_number().over(Window.orderBy(F.desc("df"), "tok")).alias(
+                "rnk"
+            ),
+        )
+        .filter(
+            (F.col("rnk") >= _BM25_Q_LO)
+            & (F.col("rnk") < _BM25_Q_LO + _BM25_Q_N)
+        )
+        .select("tok", "df")
+    )
+    tf = (
+        # no forced broadcast: qterms is 5 rows but derives from a
+        # grouped-agg the hint audit cannot prove bounded — AQE
+        # broadcasts it from the measured size at runtime
+        toks.join(qterms.select("tok"), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(qterms, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            F.col("tok").alias("query_term"),
+            "doc_id",
+            F.round(
+                idf * (F.col("tf") * (_BM25_K1 + 1)) / norm, 6
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.select(
+            "query_term",
+            "doc_id",
+            "score",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_term").orderBy(
+                    F.desc("score"), "doc_id"
+                )
+            )
+            .cast("long")
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= _BM25_TOP)
+        .select("query_term", "rank", F.col("doc_id").cast("long").alias("doc_id"), "score")
+        .orderBy("query_term", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jaccard link prediction on the co-purchase graph (round-15 queue) —
+# the recommender question the triangle structure sets up: for part
+# pairs at DISTANCE 2 (a common co-purchase neighbor but no edge),
+# score the missing edge by neighbor-set Jaccard |N(x)∩N(z)| /
+# |N(x)∪N(z)| (Liben-Nowell & Kleinberg 2003) and emit the top-10
+# predicted links. Scale shape: candidate pairs come from the wedge
+# join on the SAME bounded support-floored edge set as the triangle
+# count (shared _COPURCHASE_CTE_SQL / _copurchase_edges definition —
+# never an all-pairs scan of the part domain), common-neighbor counts
+# are the wedge groupBy, existing edges are removed with one anti
+# join on the canonical pair, and the union size is the inclusion-
+# exclusion dx + dz - common (degrees joined, no second neighbor
+# expansion). Counts exact integers; the Jaccard is one IEEE division
+# computed identically on both engines; ranking is total-ordered by
+# (score DESC, x, z).
+# ---------------------------------------------------------------------------
+
+_LP_TOP = 10
+
+LINK_PRED_ORACLE = f"""
+WITH {_COPURCHASE_CTE_SQL},
+nbr AS (
+  SELECT u AS node, v AS nb FROM e
+  UNION ALL SELECT v AS node, u AS nb FROM e
+),
+cand AS (
+  SELECT least(a.node, b.node) AS x, greatest(a.node, b.node) AS z,
+         count(*) AS common
+  FROM nbr a JOIN nbr b
+    ON a.nb = b.nb AND a.node < b.node
+  GROUP BY 1, 2
+),
+new_pairs AS (
+  SELECT c.x, c.z, c.common
+  FROM cand c LEFT JOIN e ON e.u = c.x AND e.v = c.z
+  WHERE e.u IS NULL
+),
+scored AS (
+  SELECT p.x, p.z,
+         CAST(p.common AS BIGINT) AS common,
+         CAST(dx.d + dz.d - p.common AS BIGINT) AS unions,
+         CAST(p.common AS DOUBLE) / (dx.d + dz.d - p.common) AS jaccard
+  FROM new_pairs p
+  JOIN deg dx ON dx.node = p.x
+  JOIN deg dz ON dz.node = p.z
+)
+SELECT CAST(rank AS BIGINT) AS rank, CAST(x AS BIGINT) AS part_a,
+       CAST(z AS BIGINT) AS part_b, common, unions, jaccard
+FROM (
+  SELECT x, z, common, unions, jaccard,
+         row_number() OVER (ORDER BY jaccard DESC, x, z) AS rank
+  FROM scored
+) WHERE rank <= {_LP_TOP}
+ORDER BY rank
+"""
+
+
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_edges(spark, sf_dir)
+    deg = _copurchase_degrees(e)
+    nbr = e.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+    )
+    na = nbr.select(F.col("node").alias("xa"), "nb")
+    nb_ = nbr.select(F.col("node").alias("xb"), "nb")
+    cand = (
+        na.join(nb_, "nb")
+        .filter(F.col("xa") < F.col("xb"))
+        .groupBy(
+            F.least("xa", "xb").alias("x"), F.greatest("xa", "xb").alias("z")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    new_pairs = cand.join(
+        e.select(F.col("u").alias("x"), F.col("v").alias("z")),
+        ["x", "z"],
+        "left_anti",
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
+    dz = deg.select(F.col("node").alias("z"), F.col("d").alias("dz"))
+    scored = (
+        new_pairs.join(dx, "x")
+        .join(dz, "z")
+        .select(
+            "x",
+            "z",
+            F.col("common").cast("long").alias("common"),
+            (F.col("dx") + F.col("dz") - F.col("common"))
+            .cast("long")
+            .alias("unions"),
+            (
+                F.col("common").cast("double")
+                / (F.col("dx") + F.col("dz") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        scored.select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("jaccard"), "x", "z"))
+            .cast("long")
+            .alias("rank"),
+            F.col("x").cast("long").alias("part_a"),
+            F.col("z").cast("long").alias("part_b"),
+            "common",
+            "unions",
+            "jaccard",
+        )
+        .filter(F.col("rank") <= _LP_TOP)
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Neyman-optimal stratified sample allocation (round-15 queue) — the
+# sampling-design question the stratified/weighted samplers above
+# execute but never answer: given a budget of n rows across the
+# event-type strata, the variance-minimizing allocation is
+# n_h ∝ N_h·σ_h (Neyman 1934), not proportional n_h ∝ N_h. One
+# partial-agg'd pass collapses any event volume to exact per-stratum
+# (count, Σcents, Σcents²) — integer cents in DECIMAL(38,0) so no
+# scale overflows — then the σ_h, shares, and BOTH allocations
+# (Neyman and proportional, for the delta the report exists to show)
+# are fixed-shape double algebra over the bounded strata table.
+# Integer allocations use the largest-remainder method: floors, then
+# +1 to the top (frac DESC, stratum ASC) remainders — total-ordered,
+# so both engines land the identical integer split and the budget is
+# hit exactly (structural test).
+# ---------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 1000
+
+
+def _neyman_oracle() -> str:
+    return f"""
+WITH m AS (
+  SELECT event_type,
+         count(*) AS big_n,
+         sum(CAST(CAST(round(value * 100) AS BIGINT) AS DECIMAL(38,0)))
+           AS s1,
+         sum(CAST(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT) AS DECIMAL(38,0)))
+           AS s2
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+sd AS (
+  SELECT event_type, big_n,
+         sqrt(CAST(s2 AS DOUBLE) / big_n
+              - (CAST(s1 AS DOUBLE) / big_n) * (CAST(s1 AS DOUBLE) / big_n))
+           AS sd_cents
+  FROM m
+),
+w AS (
+  SELECT event_type, big_n, sd_cents,
+         big_n * sd_cents AS wn,
+         CAST(big_n AS DOUBLE) AS wp
+  FROM sd
+),
+tot AS (SELECT sum(wn) AS twn, sum(wp) AS twp FROM w),
+raw AS (
+  SELECT event_type, big_n, sd_cents,
+         wn / twn AS neyman_share,
+         {_NEYMAN_BUDGET} * wn / twn AS raw_n,
+         {_NEYMAN_BUDGET} * wp / twp AS raw_p
+  FROM w CROSS JOIN tot
+),
+alloc AS (
+  SELECT event_type, big_n, sd_cents, neyman_share,
+         CAST(floor(raw_n) AS BIGINT) AS base_n,
+         row_number() OVER (ORDER BY raw_n - floor(raw_n) DESC, event_type)
+           AS rn_n,
+         CAST(floor(raw_p) AS BIGINT) AS base_p,
+         row_number() OVER (ORDER BY raw_p - floor(raw_p) DESC, event_type)
+           AS rn_p,
+         {_NEYMAN_BUDGET} - sum(CAST(floor(raw_n) AS BIGINT)) OVER ()
+           AS rem_n,
+         {_NEYMAN_BUDGET} - sum(CAST(floor(raw_p) AS BIGINT)) OVER ()
+           AS rem_p
+  FROM raw
+)
+SELECT event_type, CAST(big_n AS BIGINT) AS big_n,
+       round(sd_cents, 6) AS sd_cents,
+       round(neyman_share, 6) AS neyman_share,
+       CAST(base_n + CASE WHEN rn_n <= rem_n THEN 1 ELSE 0 END AS BIGINT)
+         AS n_neyman,
+       CAST(base_p + CASE WHEN rn_p <= rem_p THEN 1 ELSE 0 END AS BIGINT)
+         AS n_proportional
+FROM alloc
+ORDER BY event_type
+"""
+
+
+NEYMAN_ORACLE = _neyman_oracle()
+
+
+def q_sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("big_n"),
+        F.sum(cents.cast("decimal(38,0)")).alias("s1"),
+        F.sum((cents * cents).cast("decimal(38,0)")).alias("s2"),
+    )
+    nd = F.col("big_n")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    sd = m.select(
+        "event_type",
+        "big_n",
+        F.sqrt(s2d / nd - (s1d / nd) * (s1d / nd)).alias("sd_cents"),
+    )
+    w = sd.select(
+        "event_type",
+        "big_n",
+        "sd_cents",
+        (F.col("big_n") * F.col("sd_cents")).alias("wn"),
+        F.col("big_n").cast("double").alias("wp"),
+    )
+    tot = w.agg(F.sum("wn").alias("twn"), F.sum("wp").alias("twp"))
+    raw = w.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "big_n",
+        "sd_cents",
+        (F.col("wn") / F.col("twn")).alias("neyman_share"),
+        (_NEYMAN_BUDGET * F.col("wn") / F.col("twn")).alias("raw_n"),
+        (_NEYMAN_BUDGET * F.col("wp") / F.col("twp")).alias("raw_p"),
+    )
+    whole = Window.partitionBy()
+    alloc = raw.select(
+        "event_type",
+        "big_n",
+        "sd_cents",
+        "neyman_share",
+        F.floor("raw_n").cast("long").alias("base_n"),
+        F.row_number()
+        .over(Window.orderBy(F.desc(F.col("raw_n") - F.floor("raw_n")), "event_type"))
+        .alias("rn_n"),
+        F.floor("raw_p").cast("long").alias("base_p"),
+        F.row_number()
+        .over(Window.orderBy(F.desc(F.col("raw_p") - F.floor("raw_p")), "event_type"))
+        .alias("rn_p"),
+        (_NEYMAN_BUDGET - F.sum(F.floor("raw_n").cast("long")).over(whole)).alias(
+            "rem_n"
+        ),
+        (_NEYMAN_BUDGET - F.sum(F.floor("raw_p").cast("long")).over(whole)).alias(
+            "rem_p"
+        ),
+    )
+    return alloc.select(
+        "event_type",
+        F.col("big_n").cast("long").alias("big_n"),
+        F.round("sd_cents", 6).alias("sd_cents"),
+        F.round("neyman_share", 6).alias("neyman_share"),
+        (
+            F.col("base_n")
+            + F.when(F.col("rn_n") <= F.col("rem_n"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_neyman"),
+        (
+            F.col("base_p")
+            + F.when(F.col("rn_p") <= F.col("rem_p"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_proportional"),
+    ).orderBy("event_type")
+
+
+PENDING_R15 = {
+    "q_text_bm25_topk": (q_text_bm25_topk, BM25_ORACLE),
+    "q_graph_link_prediction": (q_graph_link_prediction, LINK_PRED_ORACLE),
+    "q_sample_neyman_allocation": (
+        q_sample_neyman_allocation,
+        NEYMAN_ORACLE,
+    ),
 }

@@ -157,12 +157,16 @@ def _all_query_frames(spark):
     """Every registered query PLUS the forward registration queues —
     a pending operator must clear the same hint audit it will face
     once registered, not discover it at registration time."""
-    from oraaud_kafka_spark.queries.pending import PENDING_R13, PENDING_R14
+    from oraaud_kafka_spark.queries.pending import (
+        PENDING_R13,
+        PENDING_R14,
+        PENDING_R15,
+    )
 
     registry.load_all()
     for name in registry.all_queries():
         yield name, registry.QUERIES[name](spark, SF_DIR)
-    for queue in (PENDING_R13, PENDING_R14):
+    for queue in (PENDING_R13, PENDING_R14, PENDING_R15):
         for name, (fn, _oracle) in queue.items():
             yield name, fn(spark, SF_DIR)
 
