@@ -52,27 +52,41 @@ EXTRAS = [n for n in registry.all_queries() if n not in HEADLINE]
 
 
 def _git_tag() -> str:
-    """Short HEAD, suffixed '-dirty' when the tree has uncommitted
-    changes — recorded into every history entry so the quietest-pass
-    artifact selection can only ever substitute a run of IDENTICAL
-    code."""
+    """Content hash of every committed blob EXCEPT bench_history.jsonl,
+    suffixed '-dirty' when any OTHER file has uncommitted changes —
+    recorded into every history entry so the quietest-pass artifact
+    selection can only ever substitute a run of IDENTICAL code.
+    Content-based (not HEAD) and history-file-blind on purpose: the
+    end-of-round commit that lands bench_history itself must not
+    orphan the quiet entries recorded moments earlier, or the driver's
+    run at the next commit would never find a same-code candidate."""
+    import hashlib
     import subprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
     try:
-        head = subprocess.run(
-            ["git", "-C", repo, "rev-parse", "--short", "HEAD"],
+        tree = subprocess.run(
+            ["git", "-C", repo, "ls-tree", "-r", "HEAD"],
             capture_output=True, text=True, timeout=10,
-        ).stdout.strip()
-        dirty = subprocess.run(
+        ).stdout
+        status = subprocess.run(
             ["git", "-C", repo, "status", "--porcelain"],
             capture_output=True, text=True, timeout=10,
-        ).stdout.strip()
+        ).stdout
     except (OSError, subprocess.SubprocessError):  # pragma: no cover
         return "unknown"
-    if not head:
+    if not tree:
         return "unknown"
-    return f"{head}-dirty" if dirty else head
+    lines = sorted(
+        ln for ln in tree.splitlines() if "bench_history.jsonl" not in ln
+    )
+    tag = hashlib.md5("\n".join(lines).encode()).hexdigest()[:12]
+    dirty = [
+        ln
+        for ln in status.splitlines()
+        if ln.strip() and "bench_history.jsonl" not in ln
+    ]
+    return f"{tag}-dirty" if dirty else tag
 
 
 def _quietest_same_code(
