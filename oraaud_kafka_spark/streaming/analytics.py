@@ -1912,3 +1912,94 @@ def committed_decisions(spark, base_dir: str) -> DataFrame:
             for k in state["shards"]
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch maintenance, live: the streaming leg of the pending
+# batch q_agg_cms_heavy_hitters (queries/pending.py, round-14 queue) —
+# CMS is mergeable by CELL-WISE ADDITION, so each micro-batch
+# partial-aggregates only its own rows into a d x w grid and adds it
+# into the standing sketch: the maintained table always equals the
+# from-scratch sketch over everything ingested (the
+# rollup_maintainer algebra applied to a sketch), and every per-key
+# frequency question is then a broadcast lookup against d*w = 2048
+# cells, never a rescan. Bucket hashing imports THE one md5-mod
+# definition the batch twin and its oracle share, so the three can
+# never diverge. Same versioned-dir + atomic-marker commit discipline;
+# at-least-once replays no-op.
+# ---------------------------------------------------------------------------
+
+
+def cms_sketch_maintainer(base_dir: str, key_col: str = "o_custkey"):
+    """foreachBatch callback maintaining a Count-Min sketch over
+    ``key_col`` under ``base_dir`` (cms_batch=<n> dirs + _committed
+    marker). Maintained cells are test-pinned equal to the one-shot
+    grid over all rows ingested (tests/test_streaming.py)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..queries.pending import _CMS_D, _cms_bucket
+
+    def _committed(marker: str) -> int:
+        if not os.path.exists(marker):
+            return -1
+        with open(marker) as fh:
+            return int(fh.read().strip())
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = os.path.join(base_dir, "_committed")
+        live = _committed(marker)
+        if live >= batch_id:
+            return  # replayed batch — already committed
+        partial = (
+            batch_df.select(
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(i).alias("depth"),
+                            _cms_bucket(i, F.col(key_col)).alias("bucket"),
+                        )
+                        for i in range(_CMS_D)
+                    ])
+                ).alias("db")
+            )
+            .groupBy("db.depth", "db.bucket")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        if live >= 0:
+            standing = spark.read.parquet(
+                os.path.join(base_dir, f"cms_batch={live}")
+            )
+            merged = (
+                standing.unionByName(partial)
+                .groupBy("depth", "bucket")
+                .agg(F.sum("c").cast("long").alias("c"))
+            )
+        else:
+            merged = partial
+        new_dir = os.path.join(base_dir, f"cms_batch={batch_id}")
+        merged.write.mode("overwrite").parquet(new_dir)
+        tmp_marker = marker + ".tmp"
+        with open(tmp_marker, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp_marker, marker)
+        if live >= 0:
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(base_dir, f"cms_batch={live}"),
+                ignore_errors=True,
+            )
+
+    return merge_batch
+
+
+def current_cms_dir(base_dir: str) -> str:
+    """Path of the committed sketch version (for readers)."""
+    import os
+
+    marker = os.path.join(base_dir, "_committed")
+    with open(marker) as fh:
+        return os.path.join(base_dir, f"cms_batch={int(fh.read().strip())}")

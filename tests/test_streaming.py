@@ -2354,3 +2354,54 @@ def test_hw_monitor_fold_is_slicing_invariant():
         assert split.get == whole.get
 
     check()
+
+
+def test_cms_maintainer_equals_oneshot_sketch(spark, tmp_path):
+    """Cell-wise-additive merge is exact: the maintained CMS grid after
+    three batches (with an at-least-once replay in the middle) must be
+    byte-equal to the one-shot grid over all rows — the live leg of the
+    pending batch q_agg_cms_heavy_hitters merge certificate."""
+    import os
+
+    from oraaud_kafka_spark.queries.pending import _CMS_D, _cms_bucket
+    from oraaud_kafka_spark.streaming.analytics import (
+        cms_sketch_maintainer,
+        current_cms_dir,
+    )
+    from oraaud_kafka_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    o = load(spark, SF_DIR, "orders").select("o_custkey")
+    parts = [o.filter(F.col("o_custkey") % 3 == i) for i in range(3)]
+    base = str(tmp_path / "cms")
+    apply_batch = cms_sketch_maintainer(base)
+    apply_batch(parts[0], 0)
+    apply_batch(parts[1], 1)
+    apply_batch(parts[1], 1)  # at-least-once replay must no-op
+    apply_batch(parts[2], 2)
+    got = (
+        spark.read.parquet(current_cms_dir(base))
+        .orderBy("depth", "bucket")
+        .toPandas()
+    )
+    want = (
+        o.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("depth"),
+                        _cms_bucket(i, F.col("o_custkey")).alias("bucket"),
+                    )
+                    for i in range(_CMS_D)
+                ])
+            ).alias("db")
+        )
+        .groupBy("db.depth", "db.bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+        .orderBy("depth", "bucket")
+        .toPandas()
+    )
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+    # only ONE committed version remains on disk (pruned)
+    dirs = [p for p in os.listdir(base) if p.startswith("cms_batch=")]
+    assert dirs == ["cms_batch=2"]
