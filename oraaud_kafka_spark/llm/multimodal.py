@@ -624,3 +624,180 @@ def q_multimodal_silence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lead_trim_frames long, trail_trim_frames long",
     )
     return profile.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) sub-file dedup: the shift-robust
+# storage question byte-level dedup cannot answer — "how much would
+# chunk-level dedup save when copies are EMBEDDED in otherwise
+# different payloads?" (rsync/LBFS/FastCDC lineage; Muthitacharoen et
+# al., SOSP'01). A chunk boundary falls wherever the rolling content
+# window hashes below a mask (here: md5 of the trailing 16 bytes
+# starting '00'..'03' -> boundary probability 1/64, ~64-byte average
+# chunks), so an insertion only re-chunks its local neighborhood and
+# shared runs between documents yield IDENTICAL interior chunks — the
+# property the shift-robustness test pins. Scale shape: boundary
+# detection and chunk hashing are MAP-ONLY JVM md5 expressions per
+# row (no Python, no shuffle); only 16-byte chunk hashes + lengths
+# shuffle to the chunk-hash aggregate (payload bytes never move), and
+# the report is top-15 shared chunks + corpus dedup totals. The text
+# column stands in for the binary payload exactly as in
+# q_multimodal_dedup.
+# ---------------------------------------------------------------------------
+
+_CDC_W = 16  # rolling window bytes
+_CDC_MASK = "04"  # md5 hex prefix < '04' -> P(boundary) = 4/256 = 1/64
+_CDC_TOP = 15
+
+
+def _cdc_bounds(text, n):
+    """Boundary positions (window-END offsets) plus the [0, n] frame —
+    a pure JVM expression; shared by the query and the robustness
+    test."""
+    inner = F.when(
+        n - 1 >= _CDC_W,
+        F.filter(
+            F.sequence(F.lit(_CDC_W), n - 1),
+            lambda i: F.md5(
+                F.encode(text.substr(i - (_CDC_W - 1), F.lit(_CDC_W)), "UTF-8")
+            ).substr(1, 2)
+            < _CDC_MASK,
+        ),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return F.concat(F.array(F.lit(0)), inner, F.array(n))
+
+
+def _cdc_chunks(text, bounds):
+    """array<struct<h, len>> of content-defined chunks of ``text``
+    given its materialized ``bounds`` column. The caller MUST
+    single-eval the bounds expression behind a Generate barrier (the
+    q_dedup_containment_eval explode trick) — referenced naked, the
+    O(n)-md5 bounds subtree would be re-inlined by CollapseProject
+    into every one of this lambda's five references and re-evaluated
+    per chunk, turning the linear scan quadratic."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(bounds) - 2),
+        lambda j: F.struct(
+            F.md5(
+                F.encode(
+                    text.substr(
+                        F.element_at(bounds, j + 1) + 1,
+                        F.element_at(bounds, j + 2)
+                        - F.element_at(bounds, j + 1),
+                    ),
+                    "UTF-8",
+                )
+            ).alias("h"),
+            (
+                F.element_at(bounds, j + 2) - F.element_at(bounds, j + 1)
+            ).alias("len"),
+        ),
+    )
+
+
+CDC_CHUNKS_ORACLE = f"""
+WITH bnds AS (
+  SELECT doc_id, text,
+         list_concat(list_concat(
+           [CAST(0 AS BIGINT)],
+           CASE WHEN len(text) - 1 >= {_CDC_W}
+                THEN list_filter(range({_CDC_W}, len(text)),
+                     i -> substring(md5(substring(text, CAST(i AS INT) - {_CDC_W - 1}, {_CDC_W})), 1, 2)
+                          < '{_CDC_MASK}')
+                ELSE CAST([] AS BIGINT[]) END),
+           [CAST(len(text) AS BIGINT)]) AS bounds
+  FROM documents
+  WHERE text IS NOT NULL AND len(text) > 0
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(bounds)),
+           j -> {{'h': md5(substring(text, CAST(bounds[CAST(j AS INT)] + 1 AS INT),
+                                     CAST(bounds[CAST(j AS INT) + 1] - bounds[CAST(j AS INT)] AS INT))),
+                 'len': bounds[CAST(j AS INT) + 1] - bounds[CAST(j AS INT)]}}),
+                recursive := true)
+  FROM bnds
+),
+agg AS (
+  SELECT h AS chunk_md5, min(len) AS chunk_len,
+         count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+  FROM chunks GROUP BY h
+),
+tot AS (
+  SELECT CAST(sum(n_occ) AS BIGINT) AS total_chunks,
+         CAST(count(*) AS BIGINT) AS distinct_chunks,
+         CAST(sum(n_occ * chunk_len) AS BIGINT) AS total_bytes,
+         CAST(sum(chunk_len) AS BIGINT) AS unique_bytes
+  FROM agg
+)
+SELECT chunk_md5, CAST(chunk_len AS BIGINT) AS chunk_len,
+       CAST(n_occ AS BIGINT) AS n_occ, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST((n_occ - 1) * chunk_len AS BIGINT) AS saved_bytes,
+       total_chunks, distinct_chunks, total_bytes, unique_bytes,
+       CAST(unique_bytes AS DOUBLE) / total_bytes AS dedup_ratio
+FROM agg CROSS JOIN tot
+WHERE n_docs > 1
+ORDER BY saved_bytes DESC, chunk_md5
+LIMIT {_CDC_TOP}
+"""
+
+
+@query("q_multimodal_cdc_chunks", oracle=CDC_CHUNKS_ORACLE)
+def q_multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # empty/NULL payloads carry no chunkable content: _cdc_bounds on ''
+    # would yield the degenerate [0, 0] frame and a zero-length chunk
+    # whose ''-hash pollutes the dedup aggregate on both engines —
+    # filter identically here and in the oracle's bnds CTE
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    # single-eval barrier: bounds (one md5 per byte position) must be
+    # computed exactly once per row — see _cdc_chunks docstring
+    bounded = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.array(_cdc_bounds(F.col("text"), F.length("text")))
+        ).alias("bounds"),
+    )
+    chunks = bounded.select(
+        "doc_id",
+        F.explode(
+            _cdc_chunks(F.col("text"), F.col("bounds"))
+        ).alias("c"),
+    ).select("doc_id", F.col("c.h").alias("h"), F.col("c.len").alias("len"))
+    agg = chunks.groupBy(F.col("h").alias("chunk_md5")).agg(
+        F.min("len").cast("long").alias("chunk_len"),
+        F.count("*").alias("n_occ"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    tot = agg.agg(
+        F.sum("n_occ").cast("long").alias("total_chunks"),
+        F.count("*").cast("long").alias("distinct_chunks"),
+        F.sum(F.col("n_occ") * F.col("chunk_len"))
+        .cast("long")
+        .alias("total_bytes"),
+        F.sum("chunk_len").cast("long").alias("unique_bytes"),
+    )
+    return (
+        agg.filter(F.col("n_docs") > 1)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "chunk_md5",
+            "chunk_len",
+            F.col("n_occ").cast("long").alias("n_occ"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            ((F.col("n_occ") - 1) * F.col("chunk_len"))
+            .cast("long")
+            .alias("saved_bytes"),
+            "total_chunks",
+            "distinct_chunks",
+            "total_bytes",
+            "unique_bytes",
+            (
+                F.col("unique_bytes").cast("double") / F.col("total_bytes")
+            ).alias("dedup_ratio"),
+        )
+        .orderBy(F.desc("saved_bytes"), "chunk_md5")
+        .limit(_CDC_TOP)
+    )

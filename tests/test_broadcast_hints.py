@@ -158,7 +158,6 @@ def _all_query_frames(spark):
     a pending operator must clear the same hint audit it will face
     once registered, not discover it at registration time."""
     from oraaud_kafka_spark.queries.pending import (
-        PENDING_R13,
         PENDING_R14,
         PENDING_R15,
     )
@@ -166,7 +165,7 @@ def _all_query_frames(spark):
     registry.load_all()
     for name in registry.all_queries():
         yield name, registry.QUERIES[name](spark, SF_DIR)
-    for queue in (PENDING_R13, PENDING_R14, PENDING_R15):
+    for queue in (PENDING_R14, PENDING_R15):
         for name, (fn, _oracle) in queue.items():
             yield name, fn(spark, SF_DIR)
 

@@ -1048,3 +1048,53 @@ def test_incremental_dedup_band_joins_are_hash_and_text_never_rejoined(spark):
     # is read once per side to BUILD signatures, then never re-joined —
     # no scan projects text for the verification path
     assert "partial_max" in plan or "partial_min" in plan or "partial_count" in plan
+
+
+def test_holt_winters_single_scan_bounded_grain(spark):
+    """Holt-Winters folds over the bounded (type x hour) grain: ONE
+    events scan collapses via map-side partials before the O(24)-state
+    fold — never a join, never event-cardinality state, so at 100 TB
+    the only shuffled rows are hourly buckets."""
+    df = registry.QUERIES["q_time_holt_winters"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    # hourly grain forms with map-side combine (partial sums of cents)
+    assert "partial_sum" in plan
+
+
+def test_cdc_chunking_is_map_only_until_chunk_hash_agg(spark):
+    """CDC boundary detection and chunk hashing are pure JVM
+    expressions per row; the only pair-free shuffle carries 16-byte
+    chunk hashes + lengths, the report is a TakeOrderedAndProject
+    top-k, and the sole nested-loop join is the broadcast of the
+    ONE-ROW corpus totals (bounded by construction)."""
+    df = registry.QUERIES["q_multimodal_cdc_chunks"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # exactly the 1-row totals broadcast — no data-sized pair expansion
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "TakeOrderedAndProject" in plan
+    # chunk-hash aggregation partial-aggregates map-side
+    assert "partial_count" in plan
+
+
+def test_range_search_pair_join_is_blocked_equi_join(spark):
+    """The range-search calibration's pair space forms through the
+    width-bounded triangle equi-join (__cell key), never a raw
+    CartesianProduct; the only nested-loop joins are the broadcasts of
+    the 24 bounded anchor hyperplanes used to build sign bits."""
+    df = registry.QUERIES["q_sim_range_search_eval"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    bnl = [
+        ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln
+    ]
+    # anchor broadcasts only (the banded subtree appears once per
+    # triangle side), each the bounded-by-construction 24-row build
+    assert len(bnl) <= 2
+    assert all("Cross" in ln for ln in bnl)
+    # the pair join itself is an equi-join on the triangle cell key
+    assert ("SortMergeJoin [__cell" in plan) or (
+        "ShuffledHashJoin [__cell" in plan
+    )

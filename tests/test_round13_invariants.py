@@ -1,33 +1,59 @@
-"""Parity sweep for the round-13 registration queue
-(oraaud_kafka_spark/queries/pending.py PENDING_R13): each pending
-operator runs Spark-vs-DuckDB at the local test SF exactly the way the
-driver gate will once it is registered — so registration adds only the
-@query decorator and a _FRONT slot, never cold code."""
+"""Round-13 registration invariants: the PENDING_R13 trio (additive
+Holt-Winters, SRP range-search S-curve eval, CDC sub-file chunking) is
+now registered in queries/event_time.py, llm/similarity.py and
+llm/multimodal.py — the sf0.001 parity moved into the registry-wide
+test_parity sweep, and the driver-SF sweep plus the operator-specific
+certifications live here so registration can never weaken what the
+pending tests pinned."""
 
 from __future__ import annotations
 
 import pytest
 
-from oraaud_kafka_spark.queries.pending import PENDING_R13
+from oraaud_kafka_spark import registry
 from oraaud_kafka_spark.testing import compare_frames, run_oracle
 
-from .conftest import SF_DIR
+from .conftest import SF_DIR, SF_DIR_CORRECTNESS
+
+registry.load_all()
+
+_R13_NEW = (
+    "q_multimodal_cdc_chunks",
+    "q_sim_range_search_eval",
+    "q_time_holt_winters",
+)
 
 
-@pytest.mark.parametrize("name", sorted(PENDING_R13))
-def test_pending_r13_matches_oracle(spark, name):
-    fn, oracle = PENDING_R13[name]
-    got = fn(spark, SF_DIR).toPandas()
-    probs = compare_frames(got, run_oracle(oracle, SF_DIR))
+def test_r13_new_ops_are_in_the_driver_window():
+    """The three ops new in round 13 must sit inside the leading-50
+    window the driver checks, or they'd land as never-verified rows."""
+    front = registry._FRONT
+    assert len(front) == 50
+    for name in _R13_NEW:
+        assert name in front, f"{name} missing from the driver window"
+
+
+@pytest.mark.parametrize("name", _R13_NEW)
+def test_r13_new_ops_match_oracle_at_correctness_sf(spark, name):
+    """The driver-gate sweep at its own SF — committed, not run-by-hand,
+    so a divergence that only manifests at sf0.01 (an ordering tie, an
+    overflow boundary) cannot hide behind the sf0.001 parity test."""
+    got = registry.QUERIES[name](spark, SF_DIR_CORRECTNESS).toPandas()
+    probs = compare_frames(
+        got, run_oracle(registry.ORACLES[name], SF_DIR_CORRECTNESS)
+    )
     assert not probs, f"{name}: {probs}"
-    assert len(got) > 0, f"{name}: empty result at {SF_DIR}"
+    assert len(got) > 0, f"{name}: empty result at {SF_DIR_CORRECTNESS}"
 
 
 def test_range_search_scurve_is_monotone(spark):
     """The empirical catch rate must rise with the cosine tier — the
     property that makes the S-curve usable for sizing (B, r)."""
-    fn, _ = PENDING_R13["q_sim_range_search_eval"]
-    got = fn(spark, SF_DIR).toPandas().sort_values("cos_tier")
+    got = (
+        registry.QUERIES["q_sim_range_search_eval"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("cos_tier")
+    )
     rates = got["catch_rate"].tolist()
     assert rates == sorted(rates), f"catch_rate not monotone: {rates}"
     # tier 0 (cosine < 0) is the false-positive floor: strictly below
@@ -43,11 +69,8 @@ def test_range_search_anchor_count_is_full(spark):
     Pin the anchor count at both SFs so that degradation is loud."""
     from pyspark.sql import functions as F
 
-    from oraaud_kafka_spark.llm.similarity import _directional
-    from oraaud_kafka_spark.queries.pending import _RS_N_ANCHORS
+    from oraaud_kafka_spark.llm.similarity import _RS_N_ANCHORS, _directional
     from oraaud_kafka_spark.tables import load
-
-    from .conftest import SF_DIR_CORRECTNESS
 
     for sf_dir in (SF_DIR, SF_DIR_CORRECTNESS):
         n = (
@@ -67,7 +90,7 @@ def test_cdc_chunking_is_shift_robust(spark):
     fixed-stride dedup cannot survive."""
     from pyspark.sql import functions as F
 
-    from oraaud_kafka_spark.queries.pending import _cdc_bounds, _cdc_chunks
+    from oraaud_kafka_spark.llm.multimodal import _cdc_bounds, _cdc_chunks
     from oraaud_kafka_spark.tables import load
 
     text = (
@@ -111,7 +134,7 @@ def test_cdc_chunks_partition_the_text(spark):
 
     from pyspark.sql import functions as F
 
-    from oraaud_kafka_spark.queries.pending import _cdc_bounds, _cdc_chunks
+    from oraaud_kafka_spark.llm.multimodal import _cdc_bounds, _cdc_chunks
 
     texts = [
         "a",
@@ -162,21 +185,7 @@ def test_holt_winters_season_bounded_state(spark):
     """Every type folds to exactly one row with a finite forecast; the
     seasonal slot index stays inside the 24-slot vector (the O(m) state
     claim)."""
-    fn, _ = PENDING_R13["q_time_holt_winters"]
-    got = fn(spark, SF_DIR).toPandas()
+    got = registry.QUERIES["q_time_holt_winters"](spark, SF_DIR).toPandas()
     assert (got["n_hours"] > 0).all()
     assert got["forecast_next"].notna().all()
     assert len(got) == got["event_type"].nunique()
-
-
-@pytest.mark.parametrize("name", sorted(PENDING_R13))
-def test_pending_r13_matches_oracle_at_correctness_sf(spark, name):
-    """The same sweep at the DRIVER's correctness SF — committed, not
-    run-by-hand (see test_pending_r12)."""
-    from .conftest import SF_DIR_CORRECTNESS
-
-    fn, oracle = PENDING_R13[name]
-    got = fn(spark, SF_DIR_CORRECTNESS).toPandas()
-    probs = compare_frames(got, run_oracle(oracle, SF_DIR_CORRECTNESS))
-    assert not probs, f"{name}: {probs}"
-    assert len(got) > 0, f"{name}: empty result at {SF_DIR_CORRECTNESS}"

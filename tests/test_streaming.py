@@ -1939,7 +1939,7 @@ def test_hw_monitor_matches_batch_twin(spark, tmp_path):
     """The streaming Holt-Winters monitor, fed the fixture hour-ordered
     across three batches plus one far-future sentinel per type (whose
     own bucket stays open, never folded), must land on EXACTLY the
-    pending batch query q_time_holt_winters's rows — level, trend,
+    registered batch query q_time_holt_winters's rows — level, trend,
     season slot and forecast, byte-equal after the shared HALF_UP
     6-dp round."""
     import os
@@ -1947,7 +1947,7 @@ def test_hw_monitor_matches_batch_twin(spark, tmp_path):
 
     import pandas as pd
 
-    from oraaud_kafka_spark.queries.pending import q_time_holt_winters
+    from oraaud_kafka_spark.queries.event_time import q_time_holt_winters
     from oraaud_kafka_spark.streaming.analytics import hw_levels
     from oraaud_kafka_spark.tables import load
     from tests.conftest import SF_DIR
@@ -2402,6 +2402,8 @@ def test_cms_maintainer_equals_oneshot_sketch(spark, tmp_path):
         .toPandas()
     )
     assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
-    # only ONE committed version remains on disk (pruned)
-    dirs = [p for p in os.listdir(base) if p.startswith("cms_batch=")]
-    assert dirs == ["cms_batch=2"]
+    # the committed version plus the immediately superseded one remain
+    # (in-flight readers of the previous marker get one commit cycle);
+    # anything older is pruned
+    dirs = sorted(p for p in os.listdir(base) if p.startswith("cms_batch="))
+    assert dirs == ["cms_batch=1", "cms_batch=2"]
