@@ -51,15 +51,32 @@ registry.load_all()
 EXTRAS = [n for n in registry.all_queries() if n not in HEADLINE]
 
 
+def _is_code_file(path: str) -> bool:
+    """False for the files whose churn says nothing about the measured
+    code: the bench's own history file and the DRIVER'S per-round
+    output artifacts. The driver runs bench with untracked
+    BENCH_r*/CORRECTNESS_r* files and a rewritten VERDICT/ADVICE
+    sitting in the tree (round-12 finding: that alone tagged every
+    driver run '-dirty' and made the quietest-pass substitution inert
+    in exactly the loaded-run scenario it exists for), and the commit
+    that lands those artifacts must not orphan same-code history
+    entries recorded moments earlier."""
+    import re
+
+    name = path.rsplit("/", 1)[-1]
+    return not (
+        name == "bench_history.jsonl"
+        or name in ("VERDICT.md", "ADVICE.md")
+        or re.fullmatch(r"(BENCH|CORRECTNESS)_r\d+\.json", name)
+    )
+
+
 def _git_tag() -> str:
-    """Content hash of every committed blob EXCEPT bench_history.jsonl,
-    suffixed '-dirty' when any OTHER file has uncommitted changes —
-    recorded into every history entry so the quietest-pass artifact
-    selection can only ever substitute a run of IDENTICAL code.
-    Content-based (not HEAD) and history-file-blind on purpose: the
-    end-of-round commit that lands bench_history itself must not
-    orphan the quiet entries recorded moments earlier, or the driver's
-    run at the next commit would never find a same-code candidate."""
+    """Content hash of every committed CODE blob, suffixed '-dirty'
+    when any code file has uncommitted changes — recorded into every
+    history entry so the quietest-pass artifact selection can only
+    ever substitute a run of IDENTICAL code. Content-based (not HEAD)
+    and blind to non-code churn (_is_code_file) on purpose."""
     import hashlib
     import subprocess
 
@@ -78,13 +95,15 @@ def _git_tag() -> str:
     if not tree:
         return "unknown"
     lines = sorted(
-        ln for ln in tree.splitlines() if "bench_history.jsonl" not in ln
+        ln
+        for ln in tree.splitlines()
+        if _is_code_file(ln.split("\t", 1)[-1])
     )
     tag = hashlib.md5("\n".join(lines).encode()).hexdigest()[:12]
     dirty = [
         ln
         for ln in status.splitlines()
-        if ln.strip() and "bench_history.jsonl" not in ln
+        if ln.strip() and _is_code_file(ln[3:].strip().strip('"'))
     ]
     return f"{tag}-dirty" if dirty else tag
 
@@ -332,7 +351,12 @@ def main() -> None:
         )
         stdout_keys = [k for k in record if k not in ("queries", "value")]
         record = {
-            **{k: quiet[k] for k in stdout_keys if k in quiet},
+            # quiet-entry values where the quiet pass recorded the key;
+            # THIS run's value otherwise, so a stdout-contract key
+            # added after the quiet entry was written can never be
+            # silently dropped from the emitted artifact (the schema
+            # would regress exactly when substitution fires)
+            **{k: quiet.get(k, record[k]) for k in stdout_keys},
             "artifact_source": "quietest_same_commit_pass",
             "measured_now_load1": load_start,
             "measured_now_value": record["value"],
