@@ -1714,7 +1714,10 @@ def _sig_band_rows(sig: DataFrame, side: str) -> DataFrame:
 
 
 def incremental_dedup_decisions(
-    new_ids: DataFrame, new_sigs: DataFrame, standing_sigs: DataFrame
+    new_ids: DataFrame,
+    new_sigs: DataFrame,
+    standing_sigs: DataFrame,
+    corpus_pred=None,
 ) -> DataFrame:
     """Keep/drop decision per NEW doc against the standing store and
     the lower-id docs of its own shard — the ONE definition of the
@@ -1724,19 +1727,41 @@ def incremental_dedup_decisions(
 
     ``new_ids``: one (doc_id) row per incoming doc, including docs too
     short to sign (trivially kept). Output per doc: action keep|drop,
-    dup_src corpus|shard|NULL (standing match preferred), dup_of = the
+    dup_src corpus|shard|NULL (corpus match preferred), dup_of = the
     smallest matching doc_id within that source, n_candidates = distinct
-    earlier band-collision candidates before verification."""
+    earlier band-collision candidates before verification.
+
+    ``corpus_pred`` (Column -> boolean Column) classifies an EARLIER
+    doc's id as corpus-member vs shard-member. Default None classifies
+    by table: standing docs are 'corpus', same-batch docs 'shard' —
+    correct when each standing shard is a prior RUN (e.g. one
+    micro-batch per nightly ingest). When one logical shard spans
+    several batches that default MIS-LABELS earlier-batch shard docs
+    as 'corpus' (and may steal dup_of from a true corpus match), so a
+    maintainer replaying the registered rule must pass the SAME
+    membership predicate the rule uses (doc_id % INCR_SHARD_MOD ==
+    INCR_SHARD_REM); shard-class standing docs then count only when
+    old_id < new_id, exactly as the one-shot union rule demands — which
+    also requires shard batches to arrive in ascending-id order for
+    incremental == recompute to hold."""
     nb = _sig_band_rows(new_sigs, "new")
-    cand = (
-        nb.join(_sig_band_rows(standing_sigs, "old"), ["band_idx", "band_key"])
-        .withColumn("is_standing", F.lit(True))
-        .unionByName(
-            nb.join(_sig_band_rows(new_sigs, "old"), ["band_idx", "band_key"])
-            .filter(F.col("old_id") < F.col("new_id"))
-            .withColumn("is_standing", F.lit(False))
-        )
+    standing_cand = nb.join(
+        _sig_band_rows(standing_sigs, "old"), ["band_idx", "band_key"]
     )
+    same_cand = nb.join(
+        _sig_band_rows(new_sigs, "old"), ["band_idx", "band_key"]
+    ).filter(F.col("old_id") < F.col("new_id"))
+    if corpus_pred is None:
+        standing_cand = standing_cand.withColumn("is_corpus", F.lit(True))
+        same_cand = same_cand.withColumn("is_corpus", F.lit(False))
+    else:
+        standing_cand = standing_cand.withColumn(
+            "is_corpus", corpus_pred(F.col("old_id"))
+        ).filter(F.col("is_corpus") | (F.col("old_id") < F.col("new_id")))
+        same_cand = same_cand.withColumn(
+            "is_corpus", corpus_pred(F.col("old_id"))
+        )
+    cand = standing_cand.unionByName(same_cand)
     eq_sum = sum(
         F.when(F.col(f"hnew{i}") == F.col(f"hold{i}"), 1).otherwise(0)
         for i in range(N_HASHES)
@@ -1745,19 +1770,19 @@ def incremental_dedup_decisions(
     # carries the identical signatures in each, so max == the value)
     pairs = (
         cand.select(
-            "new_id", "old_id", "is_standing", eq_sum.alias("eq_sum")
+            "new_id", "old_id", "is_corpus", eq_sum.alias("eq_sum")
         )
-        .groupBy("new_id", "old_id", "is_standing")
+        .groupBy("new_id", "old_id", "is_corpus")
         .agg(F.max("eq_sum").alias("eq_sum"))
     )
     matched = F.col("eq_sum") >= INCR_EQ_MIN
     agg = pairs.groupBy("new_id").agg(
         F.count("*").alias("n_candidates"),
-        F.min(F.when(matched & F.col("is_standing"), F.col("old_id"))).alias(
+        F.min(F.when(matched & F.col("is_corpus"), F.col("old_id"))).alias(
             "min_corpus"
         ),
         F.min(
-            F.when(matched & ~F.col("is_standing"), F.col("old_id"))
+            F.when(matched & ~F.col("is_corpus"), F.col("old_id"))
         ).alias("min_shard"),
     )
     dropped = F.col("min_corpus").isNotNull() | F.col("min_shard").isNotNull()

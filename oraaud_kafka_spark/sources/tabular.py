@@ -157,7 +157,7 @@ def write_jsonl(df: DataFrame, path: str, *, mode: str = "error") -> None:
 
 def compact_parquet(
     spark: SparkSession,
-    src_dir: str,
+    src_dir: str | list[str],
     dst_dir: str,
     *,
     target_file_mb: int = 128,
@@ -167,13 +167,19 @@ def compact_parquet(
     streaming-ingested lakehouse needs: streaming sinks and frequent
     appends leave thousands of KB-scale files whose per-file open/footer
     cost dominates scans and floods the file listing. Rewrite the
-    dataset into ~``target_file_mb`` files sized from the ACTUAL on-disk
-    bytes (not a guessed partition count). Returns the file count
-    written. At scale, run per partition-directory so compaction
-    parallelizes and commits independently."""
+    dataset (one directory, or a LIST of append-only shard directories
+    — the signature_store_maintainer shape) into ~``target_file_mb``
+    files sized from the ACTUAL on-disk bytes (not a guessed partition
+    count). Returns the file count written. At scale, run per
+    partition-directory so compaction parallelizes and commits
+    independently."""
     import math
     import os
     from urllib.parse import urlsplit
+
+    src_dirs = [src_dir] if isinstance(src_dir, str) else list(src_dir)
+    if not src_dirs:
+        raise ValueError("compact_parquet needs at least one source dir")
 
     # The sizing pass walks the LOCAL filesystem; a remote URI
     # (hdfs://, s3a://, ...) would silently measure 0 bytes and
@@ -182,32 +188,35 @@ def compact_parquet(
     # accepts — file:/tmp/x, hdfs:/x — are classified too. A local
     # relative path whose first segment contains a colon (urlsplit
     # would call that a scheme) short-circuits on existence.
-    if os.path.exists(src_dir):
-        walk_dir = src_dir
-    else:
-        parts = urlsplit(src_dir)
+    walk_dirs = []
+    for src in src_dirs:
+        if os.path.exists(src):
+            walk_dirs.append(src)
+            continue
+        parts = urlsplit(src)
         if parts.scheme and parts.scheme != "file":
             raise ValueError(
                 f"compact_parquet sizes files via the local filesystem; "
-                f"got non-local path {src_dir!r} (scheme "
+                f"got non-local path {src!r} (scheme "
                 f"{parts.scheme!r}). Compute sizes with the Hadoop "
                 "FileSystem API for remote stores."
             )
         if parts.scheme == "file" and parts.netloc:
             raise ValueError(
                 f"file: URI with a non-empty host {parts.netloc!r} is "
-                f"not a local path: {src_dir!r}"
+                f"not a local path: {src!r}"
             )
-        walk_dir = parts.path if parts.scheme else src_dir
+        walk_dirs.append(parts.path if parts.scheme else src)
 
     total_bytes = sum(
         os.path.getsize(os.path.join(root, f))
+        for walk_dir in walk_dirs
         for root, _, files in os.walk(walk_dir)
         for f in files
         if f.endswith(".parquet")
     )
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
-    df = spark.read.parquet(src_dir)
+    df = spark.read.parquet(*src_dirs)
     (
         df.repartition(n_files)
         .write.mode("overwrite")

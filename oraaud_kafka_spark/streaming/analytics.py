@@ -275,8 +275,9 @@ def conversion_rate_monitor(
 
 # ---------------------------------------------------------------------------
 # Streaming Holt-Winters (level + trend + 24-slot hour-of-day season):
-# the live counterpart of the pending batch operator q_time_holt_winters
-# (queries/pending.py), completing the forecasting monitor ladder
+# the live counterpart of the registered batch operator
+# q_time_holt_winters (queries/event_time.py), completing the
+# forecasting monitor ladder
 # (ewma_levels -> holt_levels -> hw_levels). The batch twin folds over
 # the bounded HOURLY grain, so the monitor's keyed state is the HW
 # triple over CLOSED hour buckets — (level, trend, season[24],
@@ -1811,40 +1812,78 @@ def drawdown_monitor(
 # ---------------------------------------------------------------------------
 
 
-def signature_store_maintainer(base_dir: str):
+def signature_store_maintainer(
+    base_dir: str, corpus_pred=None, compact_every: int = 16
+):
     """foreachBatch callback maintaining a MinHash signature store and
     emitting per-batch keep/drop decisions under ``base_dir``:
 
         sigs_batch=<n>/       signatures of batch n's docs (append-only)
+        sigs_compact=<n>/     a compaction of every shard through n
         decisions_batch=<n>/  that batch's keep/drop decision rows
-        _committed            marker: newest committed batch id
+        _committed            marker: newest committed batch id + the
+                              live signature dirs + deferred deletes
 
-    Input batches carry (doc_id, text). Decisions replay exactly the
-    registered q_dedup_incremental rule via the shared
-    incremental_dedup_decisions, with standing = all committed
-    signature shards; fed the same docs in arrival order, the
-    accumulated decisions are byte-equal to the batch query
-    (tests/test_incremental_dedup.py).
+    Input batches carry (doc_id, text). Decisions come from the shared
+    incremental_dedup_decisions with standing = all committed
+    signatures. dup_src semantics follow ``corpus_pred`` (see the
+    shared function's docstring): None labels any EARLIER BATCH
+    'corpus' — right when each micro-batch is its own ingest run;
+    to replay the registered q_dedup_incremental rule byte-for-byte
+    when one logical shard spans several batches, pass the rule's own
+    membership predicate and feed shard batches in ascending-id order
+    (tests/test_incremental_dedup.py pins both modes, the predicate
+    one at the driver's sf0.01 where cross-batch shard matches exist).
 
-    The marker is a JSON document naming the committed shard ids
-    EXPLICITLY — the standing read never assumes batch ids are
-    contiguous from 0, so a gap can neither drop a shard nor reference
-    a directory that was never committed. One store belongs to ONE
-    stream checkpoint: the replay guard keys on the checkpoint's
-    monotone batch ids (exactly rollup_maintainer's contract), so
-    pointing a fresh checkpoint at an existing store raises instead of
-    silently treating its restarted ids as replays."""
+    Every ``compact_every`` committed shards the store compacts into
+    ONE ``sigs_compact=<n>`` dir (via sources.tabular.compact_parquet),
+    so a long-lived stream's standing read stays O(1) directories
+    instead of accumulating thousands of tiny shards whose
+    listing/footer cost grows per batch; decisions are unaffected (the
+    compacted table is the same row multiset). Superseded dirs are NOT
+    deleted at the commit that orphans them — an in-flight reader that
+    resolved the old marker gets one full commit cycle — they're
+    deleted at the NEXT commit (the marker's ``garbage`` list), and
+    at-least-once replays of that delete are idempotent.
+
+    The marker is a JSON document naming the committed dirs EXPLICITLY
+    — the standing read never assumes batch ids are contiguous from 0,
+    so a gap can neither drop a shard nor reference a directory that
+    was never committed. One store belongs to ONE stream checkpoint:
+    a replayed batch id must carry the SAME rows that were committed
+    under that id (checked against the decision shard's doc_id
+    count + hash sum), so pointing a fresh checkpoint at an existing
+    store raises instead of silently swallowing its restarted ids as
+    replays — including the id-0-on-a-one-batch-store case a
+    last-batch-only guard misses."""
     import json as _json
     import os
 
     from ..llm.dedup import incremental_dedup_decisions, mh_signature_table
-    from ..sources.tabular import write_parquet
+    from ..sources.tabular import compact_parquet, write_parquet
 
     def _committed(marker: str) -> dict:
         if not os.path.exists(marker):
-            return {"last_batch": -1, "shards": []}
+            return {"last_batch": -1, "shards": [], "sig_dirs": [],
+                    "garbage": []}
         with open(marker) as fh:
-            return _json.load(fh)
+            state = _json.load(fh)
+        # markers written before compaction existed name int shard ids
+        # only; derive the signature dirs they imply
+        state.setdefault(
+            "sig_dirs", [f"sigs_batch={k}" for k in state["shards"]]
+        )
+        state.setdefault("garbage", [])
+        return state
+
+    def _doc_fingerprint(df: DataFrame):
+        row = df.select(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.hash("doc_id").cast("long")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -1852,19 +1891,30 @@ def signature_store_maintainer(base_dir: str):
         state = _committed(marker)
         live = state["last_batch"]
         if live >= batch_id:
-            if batch_id == 0 and live > 0:
+            foreign = batch_id == 0 and live > 0
+            if not foreign:
+                if batch_id not in state["shards"]:
+                    foreign = True  # replay claims an id never committed
+                else:
+                    committed_docs = spark.read.parquet(
+                        os.path.join(base_dir, f"decisions_batch={batch_id}")
+                    ).select("doc_id")
+                    foreign = _doc_fingerprint(
+                        batch_df.select("doc_id")
+                    ) != _doc_fingerprint(committed_docs)
+            if foreign:
                 raise ValueError(
                     f"signature store at {base_dir} was committed through "
-                    f"batch {live} by another checkpoint; a restarted "
-                    "batch-id sequence would silently drop new documents "
-                    "as replays — use a fresh store dir or the original "
-                    "checkpoint"
+                    f"batch {live} by another checkpoint (replayed id "
+                    f"{batch_id} does not match its committed rows); a "
+                    "restarted batch-id sequence would silently drop new "
+                    "documents as replays — use a fresh store dir or the "
+                    "original checkpoint"
                 )
             return  # replayed batch — already committed
         new_sigs = mh_signature_table(batch_df)
         committed_shards = [
-            os.path.join(base_dir, f"sigs_batch={k}")
-            for k in state["shards"]
+            os.path.join(base_dir, d) for d in state["sig_dirs"]
         ]
         standing = (
             spark.read.parquet(*committed_shards)
@@ -1872,7 +1922,7 @@ def signature_store_maintainer(base_dir: str):
             else new_sigs.limit(0)
         )
         decisions = incremental_dedup_decisions(
-            batch_df.select("doc_id"), new_sigs, standing
+            batch_df.select("doc_id"), new_sigs, standing, corpus_pred
         )
         write_parquet(
             decisions,
@@ -1884,16 +1934,36 @@ def signature_store_maintainer(base_dir: str):
             os.path.join(base_dir, f"sigs_batch={batch_id}"),
             mode="overwrite",
         )
+        sig_dirs = state["sig_dirs"] + [f"sigs_batch={batch_id}"]
+        garbage: list[str] = []
+        if len(sig_dirs) >= compact_every:
+            compact_dir = f"sigs_compact={batch_id}"
+            compact_parquet(
+                spark,
+                [os.path.join(base_dir, d) for d in sig_dirs],
+                os.path.join(base_dir, compact_dir),
+            )
+            garbage = sig_dirs  # deleted at the NEXT commit
+            sig_dirs = [compact_dir]
         tmp_marker = marker + ".tmp"
         with open(tmp_marker, "w") as fh:
             _json.dump(
                 {
                     "last_batch": batch_id,
                     "shards": state["shards"] + [batch_id],
+                    "sig_dirs": sig_dirs,
+                    "garbage": garbage,
                 },
                 fh,
             )
         os.replace(tmp_marker, marker)
+        # the PREVIOUS commit's superseded dirs have now survived one
+        # full commit cycle — safe to drop, idempotent under replay
+        if state["garbage"]:
+            import shutil
+
+            for d in state["garbage"]:
+                shutil.rmtree(os.path.join(base_dir, d), ignore_errors=True)
 
     return apply_batch
 
@@ -1926,7 +1996,10 @@ def committed_decisions(spark, base_dir: str) -> DataFrame:
 # cells, never a rescan. Bucket hashing imports THE one md5-mod
 # definition the batch twin and its oracle share, so the three can
 # never diverge. Same versioned-dir + atomic-marker commit discipline;
-# at-least-once replays no-op.
+# at-least-once replays no-op. The superseded version is retained for
+# one commit cycle (in-flight readers of the old marker finish their
+# lazy scans); older versions — including any leaked by a crash between
+# commit and prune — are garbage-collected at each commit.
 # ---------------------------------------------------------------------------
 
 
@@ -1985,13 +2058,22 @@ def cms_sketch_maintainer(base_dir: str, key_col: str = "o_custkey"):
         with open(tmp_marker, "w") as fh:
             fh.write(str(batch_id))
         os.replace(tmp_marker, marker)
-        if live >= 0:
-            import shutil
+        # Retain the immediately superseded version: a reader that
+        # resolved current_cms_dir() just before this commit still has
+        # a full commit cycle to finish its (lazy) scan. Prune
+        # everything OLDER than that — which also garbage-collects
+        # versions leaked by a crash between a past commit and its
+        # prune (nothing else ever deletes them).
+        import shutil
 
-            shutil.rmtree(
-                os.path.join(base_dir, f"cms_batch={live}"),
-                ignore_errors=True,
-            )
+        for name in os.listdir(base_dir):
+            if not name.startswith("cms_batch="):
+                continue
+            version = int(name.split("=", 1)[1])
+            if version not in (batch_id, live):
+                shutil.rmtree(
+                    os.path.join(base_dir, name), ignore_errors=True
+                )
 
     return merge_batch
 
