@@ -1098,3 +1098,480 @@ PENDING_R15 = {
         NEYMAN_ORACLE,
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# Connected-component dedup clusters (round-16 queue): the missing rung
+# between pairwise near-dup detection and the production keep/drop list
+# — near-dup similarity is not transitive, so cluster-level curation
+# (keep ONE canonical doc per component, MinHashLSH -> CC, the
+# BigQuery/SlimPajama dedup shape) needs the transitive closure of the
+# verified pair set. Edges are the MinHash band-collision pairs
+# verified at est-Jaccard >= 0.5 (the q_dedup_incremental rule:
+# >= INCR_EQ_MIN of 16 signature components equal); components come
+# from hash-min label propagation WITH pointer jumping — each round
+# lowers every label to the min over neighbors, then shortcuts
+# lbl(v) := lbl(lbl(v)), so reach doubles per round and _CC_ROUNDS=6
+# covers component diameters far beyond anything a near-dup graph
+# produces (production alternative at extreme diameters:
+# large-star/small-star, same O(log n) round bound). Scale shape: the
+# pair space is LSH-band-bounded (never O(N²)), labels/edges carry two
+# longs per row, each round is hash equi-joins + a min-combine on
+# node id — no text, no signatures past edge construction. The oracle
+# computes EXACT components via a recursive min-reachability closure,
+# so the driver hash check certifies both the edge set and the
+# propagation's convergence (an unconverged label would change a
+# cluster id, size, and member list).
+# ---------------------------------------------------------------------------
+
+_CC_ROUNDS = 6
+
+
+def _cc_oracle() -> str:
+    from ..llm.dedup import (
+        _BAND_COLS_SQL,
+        _BAND_UNNEST_SQL,
+        _BASE_HASH_SQL,
+        _EQ_SUM_SQL,
+        _SHINGLES_SQL,
+        _SIG_COLS_SQL,
+        INCR_EQ_MIN,
+    )
+
+    return f"""
+WITH RECURSIVE shingled AS ({_SHINGLES_SQL}),
+hashed AS (
+  SELECT doc_id, {_BASE_HASH_SQL} AS bh
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shingled)
+),
+sigs AS (SELECT doc_id, {_SIG_COLS_SQL} FROM hashed GROUP BY doc_id),
+bands AS (SELECT doc_id, {_BAND_COLS_SQL} FROM sigs),
+band_rows AS ({_BAND_UNNEST_SQL}),
+cand AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM band_rows a JOIN band_rows b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT c.u, c.v FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.u
+  JOIN sigs sb ON sb.doc_id = c.v
+  WHERE {_EQ_SUM_SQL} >= {INCR_EQ_MIN}
+),
+dir_edges AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+verts AS (SELECT DISTINCT u AS node FROM dir_edges),
+reach(node, r) AS (
+  SELECT node, node AS r FROM verts
+  UNION
+  SELECT e.v AS node, reach.r FROM reach JOIN dir_edges e ON e.u = reach.node
+),
+lbl AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) - 1 AS BIGINT) AS n_dropped,
+       list(node ORDER BY node) AS doc_ids
+FROM lbl GROUP BY cluster_id
+ORDER BY n_docs DESC, cluster_id
+"""
+
+
+CLUSTER_CC_ORACLE = _cc_oracle()
+
+
+def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import (
+        INCR_EQ_MIN,
+        N_HASHES,
+        _sig_band_rows,
+        mh_signature_table,
+    )
+
+    sigs = mh_signature_table(load(spark, sf_dir, "documents"))
+    a = _sig_band_rows(sigs, "a")
+    b = _sig_band_rows(sigs, "b")
+    eq_sum = sum(
+        F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", eq_sum.alias("eq_sum"))
+        .groupBy("a_id", "b_id")
+        .agg(F.max("eq_sum").alias("eq_sum"))
+        .filter(F.col("eq_sum") >= INCR_EQ_MIN)
+    )
+    # Build-time materialization (the q_events_pagerank discipline,
+    # distributed instead of collected): each round references `edges`
+    # once and `labels` three times, so a LAZY 6-round chain would
+    # re-inline the md5-per-shingle signature lineage ~4^6 times —
+    # plan construction alone explodes. localCheckpoint truncates the
+    # lineage to the materialized (two-longs-per-row) tables; at scale
+    # that is the standard iterate-checkpoint loop every Pregel-style
+    # computation runs.
+    edges = pairs.select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    ).unionByName(
+        pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_CC_ROUNDS):
+        # hash-min: every node's label drops to the min over itself and
+        # its neighbors' labels (one equi-join + one min-combine)
+        contrib = edges.join(
+            labels, edges["u"] == labels["node"]
+        ).select(F.col("v").alias("node"), "lbl")
+        labels = (
+            labels.unionByName(contrib)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        # pointer jump: lbl(v) := lbl(lbl(v)) — every label is itself a
+        # vertex (labels are min node ids), so the inner join is total
+        hop = labels.select(
+            F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl")
+        )
+        labels = labels.join(
+            hop, labels["lbl"] == hop["p_node"]
+        ).select("node", F.col("p_lbl").alias("lbl")).localCheckpoint(
+            eager=True
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("cluster_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            (F.count("*") - F.lit(1)).cast("long").alias("n_dropped"),
+            F.sort_array(F.collect_list("node")).alias("doc_ids"),
+        )
+        .orderBy(F.desc("n_docs"), "cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted PageRank on the part CO-PURCHASE graph (round-16 queue; the
+# round-12 verdict's named candidate): centrality on the SAME graph the
+# triangle count and link prediction read — canonical u < v edges under
+# the _TRI_SUPPORT floor — but keeping the co-purchase multiplicity
+# n_common as the edge weight and symmetrizing, so rank flows along
+# often-bundled parts (every vertex has out-edges; no dangling term).
+# Unlike q_events_pagerank's |types|²-bounded graph (driver-literal
+# unrolling), the part graph grows with the catalog, so the 8 power
+# iterations run DISTRIBUTED: each is one hash equi-join of the rank
+# vector with the shares table plus one partial-agg'd decimal sum on
+# dst — two longs + a double per shuffled row, never order/lineitem
+# data (the raw table is touched once, building edges). Identical
+# Exchange subtrees (shares, verts) are physically reused by Spark's
+# ReuseExchange across iterations. Determinism is the events-PageRank
+# contract verbatim: shares are single IEEE divisions of exact ints,
+# per-iteration contributions round to 12 dp and sum as DECIMAL(20,12)
+# (exact, order-free — safe under any shuffle schedule), each new rank
+# is one fixed-shape double expression rounded to 9 dp; the oracle
+# unrolls the identical update as an 8-level CTE chain, hash-checking
+# every arithmetic decision of the loop.
+# ---------------------------------------------------------------------------
+
+_WPR_ITERS = 8
+
+
+def _wpr_oracle() -> str:
+    head = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ew AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_TRI_SUPPORT}
+),
+dir_edges AS (SELECT u, v, w FROM ew UNION ALL SELECT v AS u, u AS v, w FROM ew),
+outs AS (SELECT u, sum(w) AS ow FROM dir_edges GROUP BY u),
+shares AS (
+  SELECT e.u AS src, e.v AS dst,
+         CAST(e.w AS DOUBLE) / CAST(o.ow AS DOUBLE) AS share
+  FROM dir_edges e JOIN outs o ON e.u = o.u
+),
+vbase AS (SELECT DISTINCT u AS t FROM dir_edges),
+verts AS (
+  SELECT t, (SELECT CAST(count(*) AS BIGINT) FROM vbase) AS nv FROM vbase
+),
+r0 AS (SELECT t, nv, round(1.0 / nv, 9) AS r FROM verts)"""
+    iters = []
+    for k in range(1, _WPR_ITERS + 1):
+        iters.append(f""",
+r{k} AS (
+  SELECT v.t, v.nv,
+         round(0.15 / v.nv
+               + 0.85 * CAST(coalesce(c.s, CAST(0 AS DECIMAL(20,12)))
+                             AS DOUBLE), 9) AS r
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS t,
+           sum(CAST(round(e.share * p.r, 12) AS DECIMAL(20,12))) AS s
+    FROM shares e JOIN r{k - 1} p ON e.src = p.t
+    GROUP BY e.dst
+  ) c ON v.t = c.t
+)"""
+        )
+    tail = f"""
+SELECT CAST(t AS BIGINT) AS part_key, nv AS n_vertices,
+       round(r, 6) AS pagerank
+FROM r{_WPR_ITERS}
+ORDER BY round(r, 6) DESC, t
+LIMIT 15
+"""
+    return head + "".join(iters) + tail
+
+
+PAGERANK_COPURCHASE_ORACLE = _wpr_oracle()
+
+
+def q_graph_pagerank_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("v"))
+    ew = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= _TRI_SUPPORT)
+    )
+    dir_edges = ew.unionByName(
+        ew.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    outs = dir_edges.groupBy("u").agg(F.sum("w").alias("ow"))
+    shares = dir_edges.join(outs, "u").select(
+        F.col("u").alias("src"),
+        F.col("v").alias("dst"),
+        (F.col("w").cast("double") / F.col("ow").cast("double")).alias(
+            "share"
+        ),
+    )
+    # Materialize the graph once (localCheckpoint): a lazy 8-iteration
+    # chain would embed the lineitem self-join lineage at every level;
+    # checkpointing truncates it to the (src, dst, share) edge table —
+    # raw data is read exactly once, at build, and each iteration
+    # shuffles two longs + a double per edge.
+    shares = shares.localCheckpoint(eager=True)
+    vbase = shares.select(F.col("src").alias("t")).distinct()
+    nv_df = vbase.agg(F.count("*").cast("long").alias("nv"))
+    verts = vbase.crossJoin(F.broadcast(nv_df)).localCheckpoint(eager=True)
+    ranks = verts.select(
+        "t", "nv", F.round(F.lit(1.0) / F.col("nv"), 9).alias("r")
+    )
+    zero_dec = F.lit(0).cast("decimal(20,12)")
+    for _ in range(_WPR_ITERS):
+        contrib = (
+            shares.join(ranks.select(F.col("t").alias("src"), "r"), "src")
+            .groupBy(F.col("dst").alias("t"))
+            .agg(
+                F.sum(
+                    F.round(F.col("share") * F.col("r"), 12).cast(
+                        "decimal(20,12)"
+                    )
+                ).alias("s")
+            )
+        )
+        ranks = (
+            verts.join(contrib, "t", "left")
+            .select(
+                "t",
+                "nv",
+                F.round(
+                    F.lit(0.15) / F.col("nv")
+                    + F.lit(0.85)
+                    * F.coalesce(F.col("s"), zero_dec).cast("double"),
+                    9,
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.select(
+            F.col("t").cast("long").alias("part_key"),
+            F.col("nv").alias("n_vertices"),
+            F.round("r", 6).alias("pagerank"),
+        )
+        .orderBy(F.desc("pagerank"), "part_key")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization codes + distortion report (round-16 queue): the
+# memory-compression rung of the ANN ladder above int8 quantization
+# (llm/corpus) and beside IVF (llm/similarity) — PQ (Jégou et al.,
+# TPAMI'11) splits each 64-dim embedding into 4 sub-blocks of 16 dims
+# and replaces every sub-vector with the id of its nearest codeword,
+# so a vector stores in 4 bytes instead of 256 and ANN distance
+# becomes a table lookup. Codebooks here are DATA-DERIVED (the
+# sub-vectors of the 8 lowest vec_ids — the SRP-anchor discipline), so
+# both engines reconstruct identical codebooks with no RNG and the
+# assignment is SQL-replayable end-to-end (a k-means-trained codebook
+# drops in unchanged; the IVF twin shows that seam). Scale shape: the
+# 32-row codebook broadcasts, the block explode and L2² folds are
+# MAP-ONLY fixed-shape IEEE expressions (identical fold order both
+# engines — bit-equal distances, so the two-step argmin with min-code
+# tie-break is deterministic), and the report aggregates to the
+# bounded blocks x codewords grid with 12-dp-round + DECIMAL(20,12)
+# order-free distortion sums. Unused codewords appear as zero rows via
+# the grid left join, so codebook collapse is visible, not silent.
+# ---------------------------------------------------------------------------
+
+_PQ_BLOCKS = 4
+_PQ_SUB = 16
+_PQ_K = 8  # codewords per block = the 8 lowest vec_ids
+
+_PQ_DIST_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), "
+    "z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) "
+    "* (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _pq_oracle() -> str:
+    block_slices = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS block, "
+        f"embedding[{s * _PQ_SUB + 1}:{(s + 1) * _PQ_SUB}] AS bvec "
+        "FROM base"
+        for s in range(_PQ_BLOCKS)
+    )
+    dist = _PQ_DIST_SQL.format(a="vb.bvec", b="cb.cvec")
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+),
+blocks AS ({block_slices}),
+codebook AS (
+  SELECT block, vec_id AS code, bvec AS cvec FROM blocks
+  WHERE vec_id < {_PQ_K}
+),
+dists AS (
+  SELECT vb.vec_id, vb.block, cb.code, {dist} AS dist
+  FROM blocks vb JOIN codebook cb ON vb.block = cb.block
+),
+md AS (SELECT vec_id, block, min(dist) AS md FROM dists GROUP BY 1, 2),
+best AS (
+  SELECT d.vec_id, d.block, min(d.code) AS code, min(d.dist) AS dist
+  FROM dists d JOIN md ON md.vec_id = d.vec_id AND md.block = d.block
+  WHERE d.dist = md.md
+  GROUP BY 1, 2
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM base),
+stats AS (
+  SELECT block, code, CAST(count(*) AS BIGINT) AS n_assigned,
+         sum(CAST(round(dist, 12) AS DECIMAL(20,12))) AS sd
+  FROM best GROUP BY 1, 2
+)
+SELECT g.block, g.code,
+       coalesce(n_assigned, CAST(0 AS BIGINT)) AS n_assigned,
+       CASE WHEN n_assigned > 0
+            THEN round(CAST(sd AS DOUBLE) / n_assigned, 6) END
+         AS avg_sqdist,
+       round(CAST(coalesce(n_assigned, CAST(0 AS BIGINT)) AS DOUBLE)
+             / t.n_vecs, 6) AS usage_share
+FROM (SELECT DISTINCT block, code FROM codebook) g
+LEFT JOIN stats USING (block, code)
+CROSS JOIN tot t
+ORDER BY g.block, g.code
+"""
+
+
+PQ_CODES_ORACLE = _pq_oracle()
+
+
+def _pq_sqdist(a, b):
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import spread
+
+    base = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    blocks = base.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("block"),
+                    F.slice("embedding", s * _PQ_SUB + 1, _PQ_SUB).alias(
+                        "bvec"
+                    ),
+                )
+                for s in range(_PQ_BLOCKS)
+            ])
+        ).alias("sb"),
+    ).select("vec_id", "sb.block", "sb.bvec")
+    codebook = blocks.filter(F.col("vec_id") < _PQ_K).select(
+        "block", F.col("vec_id").alias("code"), F.col("bvec").alias("cvec")
+    )
+    dists = spread(blocks).join(F.broadcast(codebook), "block").select(
+        "vec_id",
+        "block",
+        "code",
+        _pq_sqdist(F.col("bvec"), F.col("cvec")).alias("dist"),
+    )
+    md = dists.groupBy("vec_id", "block").agg(F.min("dist").alias("md"))
+    best = (
+        dists.join(md, ["vec_id", "block"])
+        .filter(F.col("dist") == F.col("md"))
+        .groupBy("vec_id", "block")
+        .agg(F.min("code").alias("code"), F.min("dist").alias("dist"))
+    )
+    tot = base.agg(F.count("*").cast("long").alias("n_vecs"))
+    stats = best.groupBy("block", "code").agg(
+        F.count("*").cast("long").alias("n_assigned"),
+        F.sum(F.round("dist", 12).cast("decimal(20,12)")).alias("sd"),
+    )
+    grid = codebook.select("block", "code").distinct()
+    return (
+        grid.join(stats, ["block", "code"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "block",
+            "code",
+            F.coalesce(F.col("n_assigned"), F.lit(0).cast("long")).alias(
+                "n_assigned"
+            ),
+            F.when(
+                F.col("n_assigned") > 0,
+                F.round(
+                    F.col("sd").cast("double") / F.col("n_assigned"), 6
+                ),
+            ).alias("avg_sqdist"),
+            F.round(
+                F.coalesce(F.col("n_assigned"), F.lit(0).cast("long")).cast(
+                    "double"
+                )
+                / F.col("n_vecs"),
+                6,
+            ).alias("usage_share"),
+        )
+        .orderBy("block", "code")
+    )
+
+
+PENDING_R16 = {
+    "q_dedup_cluster_cc": (q_dedup_cluster_cc, CLUSTER_CC_ORACLE),
+    "q_graph_pagerank_copurchase": (
+        q_graph_pagerank_copurchase,
+        PAGERANK_COPURCHASE_ORACLE,
+    ),
+    "q_emb_pq_codes": (q_emb_pq_codes, PQ_CODES_ORACLE),
+}

@@ -102,6 +102,11 @@ ALLOWED_UNBOUNDED: dict[str, tuple[str, ...]] = {
     # branch of the triangle self-join (same doubling as the
     # lsh_bucketed entry)
     "q_sim_range_search_eval": ("scan-vec_id",) * 2,
+    # pending round-16: the 32-row PQ codebook is the vec_id < 8 slice
+    # of the embeddings scan (k-bounded like the similarity family);
+    # the hint appears once per reference of the dists subtree (the
+    # min-dist argmin joins dists back to its own aggregate)
+    "q_emb_pq_codes": ("scan-vec_id",) * 2,
     "q_rag_retrieve_enrich": ("Join", "scan-vec_id"),
     "q_dedup_semantic": ("scan-vec_id",) * 3,
     "q_eval_ndcg_retrieval": ("scan-vec_id",),
@@ -160,12 +165,13 @@ def _all_query_frames(spark):
     from oraaud_kafka_spark.queries.pending import (
         PENDING_R14,
         PENDING_R15,
+        PENDING_R16,
     )
 
     registry.load_all()
     for name in registry.all_queries():
         yield name, registry.QUERIES[name](spark, SF_DIR)
-    for queue in (PENDING_R14, PENDING_R15):
+    for queue in (PENDING_R14, PENDING_R15, PENDING_R16):
         for name, (fn, _oracle) in queue.items():
             yield name, fn(spark, SF_DIR)
 
