@@ -7,11 +7,11 @@ never-driver-checked backlog stays at zero; round 12 promoted the R12
 trio (theta overlap, dynamic-gap sessions, conversion rate), round 13
 promoted the R13 trio (Holt-Winters, range-search S-curve eval, CDC
 chunking) into llm/similarity.py, queries/event_time.py and
-llm/multimodal.py. PENDING_R14 / PENDING_R15 / PENDING_R16 are the
-round-14/15/16 batches — each fully implemented with DuckDB oracles
-and swept by tests/test_pending_r1*.py at sf0.001 AND the driver's
-sf0.01, so registration in its round is a @query decorator + _FRONT
-placement, nothing else.
+llm/multimodal.py. PENDING_R14 / PENDING_R15 / PENDING_R16 /
+PENDING_R17 are the round-14/15/16/17 batches — each fully implemented
+with DuckDB oracles and swept by tests/test_pending_r1*.py at sf0.001
+AND the driver's sf0.01, so registration in its round is a @query
+decorator + _FRONT placement, nothing else.
 
 Keeping them out of the registry (this module is NOT in
 registry._MODULES) means: no COVERAGE.md count drift, no "never" ledger
@@ -1574,4 +1574,507 @@ PENDING_R16 = {
         PAGERANK_COPURCHASE_ORACLE,
     ),
     "q_emb_pq_codes": (q_emb_pq_codes, PQ_CODES_ORACLE),
+}
+
+
+# ---------------------------------------------------------------------------
+# Moments-sketch quantile bounds (round-17 queue): the power-sum
+# mergeable-sketch rung of the quantile ladder (exact rank kit ->
+# approx_percentile -> KLL rollup -> this), after Gan et al., VLDB'18:
+# a "sketch" of five EXACT integer power sums (n, Σv, Σv², Σv³, Σv⁴
+# over integer cents) is trivially mergeable by ADDITION — the
+# q_time_rollup_merge algebra applied to higher moments. The Spark
+# side computes the sums over two disjoint event_id-parity slices and
+# MERGES them; the oracle computes the one-shot sums — the driver hash
+# match is the mergeability certificate. From the merged sums: mean /
+# std / skewness / kurtosis (fixed-shape IEEE from exact ints), plus
+# distribution-free Cantelli envelopes for the median and p95 that the
+# EXACT interpolated quantiles are certified to sit inside (the
+# boolean is computed, not hardcoded, on both engines). Scale shape:
+# any event volume collapses to 5 decimals x |types| in ONE
+# partial-agg'd pass; v⁴ rides DECIMAL(19,0)x(19,0)->DECIMAL(38,0)
+# products (exact — cents are <= 6 digits, so every product fits well
+# inside 38 digits; 18-digit operands would keep DuckDB's product at
+# 18 digits and overflow) so no bigint overflow at any volume; the final
+# decimal→double casts drift <= 1 ulp between engines and every
+# derived output rounds to 6 dp (the source-entropy discipline).
+# ---------------------------------------------------------------------------
+
+
+def _moments_oracle() -> str:
+    return """
+WITH cents AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+p AS (
+  SELECT event_type, event_id,
+         CAST(v AS DECIMAL(19,0)) AS vd,
+         CAST(v * v AS DECIMAL(19,0)) AS v2d
+  FROM cents
+),
+sums AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(vd) AS s1, sum(v2d) AS s2,
+         sum(v2d * vd) AS s3, sum(v2d * v2d) AS s4
+  FROM p GROUP BY event_type
+),
+q AS (
+  SELECT event_type,
+         quantile_cont(v, 0.5) AS q50,
+         quantile_cont(v, 0.95) AS q95
+  FROM cents GROUP BY event_type
+),
+d AS (
+  SELECT s.event_type, s.n,
+         CAST(s.s1 AS DOUBLE) / s.n AS m,
+         greatest(CAST(s.s2 AS DOUBLE) / s.n
+                  - (CAST(s.s1 AS DOUBLE) / s.n)
+                    * (CAST(s.s1 AS DOUBLE) / s.n),
+                  CAST(0 AS DOUBLE)) AS var,
+         CAST(s.s2 AS DOUBLE) / s.n AS m2r,
+         CAST(s.s3 AS DOUBLE) / s.n AS m3r,
+         CAST(s.s4 AS DOUBLE) / s.n AS m4r,
+         q.q50, q.q95
+  FROM sums s JOIN q ON q.event_type = s.event_type
+),
+e AS (
+  SELECT event_type, n, m, sqrt(var) AS sd, m2r, m3r, m4r, q50, q95
+  FROM d
+)
+SELECT event_type, n,
+       round(m, 6) AS mean_cents,
+       round(sd, 6) AS std_cents,
+       CASE WHEN sd > 0
+            THEN round((m3r - 3 * m * m2r + 2 * m * m * m)
+                       / (sd * sd * sd), 6) END AS skewness,
+       CASE WHEN sd > 0
+            THEN round((m4r - 4 * m * m3r + 6 * m * m * m2r
+                        - 3 * m * m * m * m)
+                       / (sd * sd * sd * sd) - 3, 6) END AS ex_kurtosis,
+       q50 AS q50_exact, q95 AS q95_exact,
+       round(m - sd * sqrt(CAST(1 AS DOUBLE) / 19), 6) AS q95_lo,
+       round(m + sd * sqrt(CAST(19 AS DOUBLE)), 6) AS q95_hi,
+       (q95 >= round(m - sd * sqrt(CAST(1 AS DOUBLE) / 19), 6)
+        AND q95 <= round(m + sd * sqrt(CAST(19 AS DOUBLE)), 6))
+         AS q95_within
+FROM e
+ORDER BY event_type
+"""
+
+
+MOMENTS_ORACLE = _moments_oracle()
+
+
+def q_agg_moments_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        vd = F.col("v").cast("decimal(19,0)")
+        v2d = (F.col("v") * F.col("v")).cast("decimal(19,0)")
+        return df.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(vd).alias("s1"),
+            F.sum(v2d).alias("s2"),
+            F.sum(v2d * vd).alias("s3"),
+            F.sum(v2d * v2d).alias("s4"),
+        )
+
+    # the mergeability certificate: two disjoint slices, merged by
+    # ADDITION — hash-equal to the oracle's one-shot sums
+    even = partial(cents.filter(F.pmod("event_id", F.lit(2)) == 0))
+    odd = partial(cents.filter(F.pmod("event_id", F.lit(2)) == 1))
+    sums = (
+        even.unionByName(odd)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s1").alias("s1"),
+            F.sum("s2").alias("s2"),
+            F.sum("s3").alias("s3"),
+            F.sum("s4").alias("s4"),
+        )
+    )
+    q = cents.groupBy("event_type").agg(
+        F.percentile("v", F.lit(0.5)).alias("q50"),
+        F.percentile("v", F.lit(0.95)).alias("q95"),
+    )
+    m = F.col("s1").cast("double") / F.col("n")
+    m2r = F.col("s2").cast("double") / F.col("n")
+    m3r = F.col("s3").cast("double") / F.col("n")
+    m4r = F.col("s4").cast("double") / F.col("n")
+    var = F.greatest(m2r - m * m, F.lit(0.0))
+    d = sums.join(q, "event_type").select(
+        "event_type", "n", "q50", "q95",
+        m.alias("m"), F.sqrt(var).alias("sd"),
+        m2r.alias("m2r"), m3r.alias("m3r"), m4r.alias("m4r"),
+    )
+    sd = F.col("sd")
+    mm = F.col("m")
+    lo = F.round(mm - sd * F.sqrt(F.lit(1.0) / 19), 6)
+    hi = F.round(mm + sd * F.sqrt(F.lit(19.0)), 6)
+    return d.select(
+        "event_type",
+        "n",
+        F.round(mm, 6).alias("mean_cents"),
+        F.round(sd, 6).alias("std_cents"),
+        F.when(
+            sd > 0,
+            F.round(
+                (F.col("m3r") - 3 * mm * F.col("m2r") + 2 * mm * mm * mm)
+                / (sd * sd * sd),
+                6,
+            ),
+        ).alias("skewness"),
+        F.when(
+            sd > 0,
+            F.round(
+                (
+                    F.col("m4r")
+                    - 4 * mm * F.col("m3r")
+                    + 6 * mm * mm * F.col("m2r")
+                    - 3 * mm * mm * mm * mm
+                )
+                / (sd * sd * sd * sd)
+                - 3,
+                6,
+            ),
+        ).alias("ex_kurtosis"),
+        F.col("q50").alias("q50_exact"),
+        F.col("q95").alias("q95_exact"),
+        lo.alias("q95_lo"),
+        hi.alias("q95_hi"),
+        ((F.col("q95") >= lo) & (F.col("q95") <= hi)).alias("q95_within"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth (round-17 queue): V(n) = K·n^β over the
+# doc_id-ordered corpus prefix — the vocabulary-saturation diagnostic
+# that tells a data-mixture designer whether more of a source still
+# buys new types (β near the 0.4-0.6 natural-text band) or only
+# repeats itself (β → 0); the growth complement of the static Zipf
+# fit. Checkpoints are the ten doc_id VALUE deciles (pure integer
+# arithmetic off one broadcast max — no global row window ever touches
+# doc rows); a token's contribution to every checkpoint is determined
+# by its FIRST decile (min over docs), so the corpus is tokenized
+# ONCE, per-doc-deduped in-array before the explode, and the only
+# shuffles carry (token, decile) and per-decile integer sums. The
+# log-log OLS fit runs over the ten checkpoint rows with the KL
+# discipline (ln terms rounded to 12 dp, DECIMAL(20,12) sums,
+# fixed-shape final expressions rounded to 6 dp).
+# ---------------------------------------------------------------------------
+
+_HEAPS_D = 10
+
+
+def _heaps_oracle() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+mx AS (SELECT max(doc_id) + 1 AS m1 FROM base),
+docs AS (
+  SELECT CAST((doc_id * {_HEAPS_D}) // m1 AS INT) + 1 AS dec_id,
+         len(toks) AS n_tok, toks
+  FROM base CROSS JOIN mx
+),
+firsts AS (
+  SELECT token, min(dec_id) AS first_dec
+  FROM (SELECT dec_id, unnest(list_distinct(toks)) AS token FROM docs)
+  GROUP BY token
+),
+spine AS (SELECT CAST(unnest(range(1, {_HEAPS_D} + 1)) AS INT) AS decile),
+per_dec AS (
+  SELECT s.decile,
+         coalesce(d.n_docs, 0) AS n_docs,
+         coalesce(d.n_toks, 0) AS n_toks,
+         coalesce(f.n_new, 0) AS n_new
+  FROM spine s
+  LEFT JOIN (SELECT dec_id, count(*) AS n_docs,
+                    sum(n_tok) AS n_toks
+             FROM docs GROUP BY dec_id) d ON d.dec_id = s.decile
+  LEFT JOIN (SELECT first_dec, count(*) AS n_new
+             FROM firsts GROUP BY first_dec) f ON f.first_dec = s.decile
+),
+cum AS (
+  SELECT decile,
+         CAST(sum(n_docs) OVER w AS BIGINT) AS n_docs_cum,
+         CAST(sum(n_toks) OVER w AS BIGINT) AS n_tokens_cum,
+         CAST(sum(n_new) OVER w AS BIGINT) AS vocab_cum,
+         CAST(n_new AS BIGINT) AS new_vocab
+  FROM per_dec
+  WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+pts AS (
+  SELECT round(ln(CAST(n_tokens_cum AS DOUBLE)), 12) AS x,
+         round(ln(CAST(vocab_cum AS DOUBLE)), 12) AS y
+  FROM cum WHERE n_tokens_cum > 0 AND vocab_cum > 0
+),
+fit AS (
+  SELECT CAST(count(*) AS DOUBLE) AS np,
+         CAST(sum(CAST(round(x, 12) AS DECIMAL(20,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(round(y, 12) AS DECIMAL(20,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(round(x * y, 12) AS DECIMAL(20,12))) AS DOUBLE)
+           AS sxy,
+         CAST(sum(CAST(round(x * x, 12) AS DECIMAL(20,12))) AS DOUBLE)
+           AS sxx
+  FROM pts
+),
+coef AS (
+  SELECT round((np * sxy - sx * sy) / (np * sxx - sx * sx), 6) AS beta,
+         round(exp(sy / np - (np * sxy - sx * sy) / (np * sxx - sx * sx)
+                   * sx / np), 6) AS k
+  FROM fit
+)
+SELECT c.decile, c.n_docs_cum, c.n_tokens_cum, c.vocab_cum, c.new_vocab,
+       coef.beta AS heaps_beta, coef.k AS heaps_k
+FROM cum c CROSS JOIN coef
+ORDER BY c.decile
+"""
+
+
+HEAPS_ORACLE = _heaps_oracle()
+
+
+def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("toks"))
+    )
+    mx = base.agg((F.max("doc_id") + 1).alias("m1"))
+    docs = base.crossJoin(F.broadcast(mx)).select(
+        (
+            F.floor(
+                (F.col("doc_id") * _HEAPS_D).cast("long") / F.col("m1")
+            ).cast("int")
+            + 1
+        ).alias("dec_id"),
+        F.size("toks").alias("n_tok"),
+        "toks",
+    )
+    firsts = (
+        docs.select("dec_id", F.explode(F.array_distinct("toks")).alias("token"))
+        .groupBy("token")
+        .agg(F.min("dec_id").alias("first_dec"))
+    )
+    spine = spark.range(1, _HEAPS_D + 1).select(
+        F.col("id").cast("int").alias("decile")
+    )
+    per_doc = docs.groupBy("dec_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_toks")
+    )
+    per_first = firsts.groupBy("first_dec").agg(F.count("*").alias("n_new"))
+    per_dec = (
+        spine.join(per_doc, spine["decile"] == per_doc["dec_id"], "left")
+        .join(per_first, spine["decile"] == per_first["first_dec"], "left")
+        .select(
+            "decile",
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("n_toks", F.lit(0)).alias("n_toks"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    w = (
+        Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_dec.select(
+        "decile",
+        F.sum("n_docs").over(w).cast("long").alias("n_docs_cum"),
+        F.sum("n_toks").over(w).cast("long").alias("n_tokens_cum"),
+        F.sum("n_new").over(w).cast("long").alias("vocab_cum"),
+        F.col("n_new").cast("long").alias("new_vocab"),
+    )
+    pts = cum.filter(
+        (F.col("n_tokens_cum") > 0) & (F.col("vocab_cum") > 0)
+    ).select(
+        F.round(F.log(F.col("n_tokens_cum").cast("double")), 12).alias("x"),
+        F.round(F.log(F.col("vocab_cum").cast("double")), 12).alias("y"),
+    )
+
+    def dsum12(c):
+        return F.sum(F.round(c, 12).cast("decimal(20,12)")).cast("double")
+
+    fit = pts.agg(
+        F.count("*").cast("double").alias("np"),
+        dsum12(F.col("x")).alias("sx"),
+        dsum12(F.col("y")).alias("sy"),
+        dsum12(F.col("x") * F.col("y")).alias("sxy"),
+        dsum12(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    beta_raw = (
+        F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    coef = fit.select(
+        F.round(beta_raw, 6).alias("heaps_beta"),
+        F.round(
+            F.exp(
+                F.col("sy") / F.col("np")
+                - beta_raw * F.col("sx") / F.col("np")
+            ),
+            6,
+        ).alias("heaps_k"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(coef))
+        .select(
+            "decile", "n_docs_cum", "n_tokens_cum", "vocab_cum",
+            "new_vocab", "heaps_beta", "heaps_k",
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HDBSCAN-style core-distance density profile (round-17 queue; the
+# round-12 verdict's named density-dedup candidate): core_dist(v) =
+# cosine distance to v's k-th nearest neighbor (k=4, Campello et al.'s
+# core distance — the quantity HDBSCAN's mutual-reachability metric is
+# built from). Low core distance = the vector sits in a dense clump =
+# a near-dup/template cluster SemDeDup-style quantizer blocking can
+# miss; the report ranks the ten densest vectors and normalizes by the
+# corpus mean so the dedup operator has a data-derived density
+# threshold. Ground truth is exhaustive on the deterministic vec_id
+# slice and width-bounded through triangle_self_join (the
+# knn_eval/range-search calibration-harness discipline); a production
+# sweep computes the same k-NN distance inside LSH buckets — the
+# bucketed top-k machinery this repo already ships — so the harness
+# calibrates exactly what the scale path executes. Distances are the
+# shared sequential-fold cosine (bit-identical both engines); the
+# k-th-neighbor pick orders by (distance, neighbor id) so ties are
+# deterministic; mean core distance is a 12-dp-round + DECIMAL(20,12)
+# order-free sum.
+# ---------------------------------------------------------------------------
+
+_DC_MOD = 2  # density slice = every 2nd vector
+_DC_K = 4  # core distance = distance to the 4th nearest neighbor
+_DC_TOP = 10
+
+
+def _density_oracle() -> str:
+    from ..llm.similarity import _sql_directional_cte, _sql_dot
+
+    return f"""
+WITH {_sql_directional_cte()},
+sliced AS (
+  SELECT vec_id, embedding, nrm FROM (
+    SELECT vec_id, embedding,
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                (acc, x) -> acc + x)) AS nrm
+    FROM embeddings
+  ) WHERE vec_id % {_DC_MOD} = 0
+),
+pair AS (
+  SELECT a.vec_id AS vid, b.vec_id AS nid,
+         1 - {_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+           AS dist
+  FROM sliced a JOIN sliced b ON a.vec_id != b.vec_id
+),
+core AS (
+  SELECT vid, dist AS core_dist FROM (
+    SELECT vid, nid, dist,
+           row_number() OVER (PARTITION BY vid ORDER BY dist, nid) AS rn
+    FROM pair
+  ) WHERE rn = {_DC_K}
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(sum(CAST(round(core_dist, 12) AS DECIMAL(20,12)))
+              AS DOUBLE) / count(*) AS mean_core
+  FROM core
+)
+SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+       round(core_dist, 6) AS core_dist,
+       n_vectors, round(mean_core, 6) AS mean_core_dist,
+       round(core_dist / mean_core, 6) AS density_ratio
+FROM (
+  SELECT vid AS vec_id, core_dist,
+         row_number() OVER (ORDER BY core_dist, vid) AS rank
+  FROM core
+) CROSS JOIN g
+WHERE rank <= {_DC_TOP}
+ORDER BY rank
+"""
+
+
+DENSITY_CORE_ORACLE = _density_oracle()
+
+
+def q_dedup_density_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import _directional, _dot, _norm
+    from ..operators.triangle import triangle_self_join
+    from ..tables import spread
+
+    e = _directional(load(spark, sf_dir, "embeddings")).filter(
+        F.col("vec_id") % _DC_MOD == 0
+    ).select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    pairs = triangle_self_join(
+        spread(e), block_cols=[], id_col="vec_id", n_sub=4
+    )
+    dist = 1 - _dot(F.col("embedding_a"), F.col("embedding_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    directed = pairs.select(
+        F.col("vec_id_a").alias("vid"),
+        F.col("vec_id_b").alias("nid"),
+        dist.alias("dist"),
+    )
+    both = directed.unionByName(
+        directed.select(
+            F.col("nid").alias("vid"),
+            F.col("vid").alias("nid"),
+            "dist",
+        )
+    )
+    wk = Window.partitionBy("vid").orderBy("dist", "nid")
+    core = (
+        both.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") == _DC_K)
+        .select("vid", F.col("dist").alias("core_dist"))
+    )
+    g = core.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        (
+            F.sum(F.round("core_dist", 12).cast("decimal(20,12)")).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("mean_core"),
+    )
+    wr = Window.orderBy("core_dist", "vid")
+    return (
+        core.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _DC_TOP)
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            F.col("vid").alias("vec_id"),
+            F.round("core_dist", 6).alias("core_dist"),
+            "n_vectors",
+            F.round("mean_core", 6).alias("mean_core_dist"),
+            F.round(F.col("core_dist") / F.col("mean_core"), 6).alias(
+                "density_ratio"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+PENDING_R17 = {
+    "q_agg_moments_rollup": (q_agg_moments_rollup, MOMENTS_ORACLE),
+    "q_text_heaps_law": (q_text_heaps_law, HEAPS_ORACLE),
+    "q_dedup_density_core": (q_dedup_density_core, DENSITY_CORE_ORACLE),
 }

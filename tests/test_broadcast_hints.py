@@ -166,12 +166,13 @@ def _all_query_frames(spark):
         PENDING_R14,
         PENDING_R15,
         PENDING_R16,
+        PENDING_R17,
     )
 
     registry.load_all()
     for name in registry.all_queries():
         yield name, registry.QUERIES[name](spark, SF_DIR)
-    for queue in (PENDING_R14, PENDING_R15, PENDING_R16):
+    for queue in (PENDING_R14, PENDING_R15, PENDING_R16, PENDING_R17):
         for name, (fn, _oracle) in queue.items():
             yield name, fn(spark, SF_DIR)
 
