@@ -1094,7 +1094,16 @@ def test_range_search_pair_join_is_blocked_equi_join(spark):
     # triangle side), each the bounded-by-construction 24-row build
     assert len(bnl) <= 2
     assert all("Cross" in ln for ln in bnl)
-    # the pair join itself is an equi-join on the triangle cell key
-    assert ("SortMergeJoin [__cell" in plan) or (
-        "ShuffledHashJoin [__cell" in plan
+    # the pair join itself is an equi-join on the triangle cell key —
+    # statically a SortMergeJoin; once AQE finalizes (a prior test may
+    # have executed the memoized plan) the tiny fixture side demotes it
+    # to a broadcast HASH join, still keyed on __cell, never a pair
+    # expansion
+    assert any(
+        f"{kind} [__cell" in plan
+        for kind in (
+            "SortMergeJoin",
+            "ShuffledHashJoin",
+            "BroadcastHashJoin",
+        )
     )
