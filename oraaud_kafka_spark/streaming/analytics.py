@@ -2085,3 +2085,254 @@ def current_cms_dir(base_dir: str) -> str:
     marker = os.path.join(base_dir, "_committed")
     with open(marker) as fh:
         return os.path.join(base_dir, f"cms_batch={int(fh.read().strip())}")
+
+
+# ---------------------------------------------------------------------------
+# Incremental duplicate-CLUSTER maintenance, live: the streaming leg of
+# the pending batch q_dedup_cluster_cc (queries/pending.py, round-16
+# queue), shipped ahead of its batch twin exactly like the CMS
+# maintainer was. Each micro-batch of new documents extends the
+# persisted MinHash signature store (the signature_store_maintainer
+# layout) AND folds the batch's verified near-dup edges into a standing
+# connected-component label table — components merge ONLY through new
+# edges, so the update is the QUOTIENT trick: map each new edge to the
+# (standing label, standing label) pair of its endpoints, run hash-min
+# + pointer-jump CC on that contracted graph (bounded by the batch's
+# edge endpoints, never the corpus), and rewrite standing labels
+# through the resulting old-label -> new-label map. Labels stay the
+# min doc_id of their component (standing labels are component minima
+# and quotient CC takes minima of minima), so the maintained cluster
+# table is byte-equal to the from-scratch batch CC over every doc seen
+# — for ANY batch split, since CC is order-free. Commit discipline:
+# append-only signature shards + versioned full label tables + one
+# atomic JSON marker carrying per-batch content fingerprints, so
+# at-least-once replays no-op and a foreign checkpoint's reused batch
+# id raises instead of silently dropping documents.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_CC_ROUNDS = 6
+
+
+def cluster_store_maintainer(base_dir: str):
+    """foreachBatch callback maintaining incremental dedup clusters
+    under ``base_dir``:
+
+        sigs_batch=<n>/  signatures of batch n's docs (append-only)
+        labels_v=<n>/    (node, lbl) label table committed at batch n
+        _committed       marker: batch ids, label version, per-batch
+                         content fingerprints, deferred deletes
+
+    Read the committed cluster table with ``committed_clusters`` — its
+    rows are pinned byte-equal to q_dedup_cluster_cc over all ingested
+    docs (tests/test_cluster_maintainer.py, sf0.001 AND sf0.01)."""
+    import json as _json
+    import os
+
+    from ..llm.dedup import (
+        INCR_EQ_MIN,
+        N_HASHES,
+        _sig_band_rows,
+        mh_signature_table,
+    )
+    from ..sources.tabular import write_parquet
+
+    def _state(marker: str) -> dict:
+        if not os.path.exists(marker):
+            return {"last_batch": -1, "shards": [], "labels_version": -1,
+                    "fingerprints": {}, "garbage": []}
+        with open(marker) as fh:
+            return _json.load(fh)
+
+    def _fingerprint(df: DataFrame) -> list:
+        row = df.select(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.hash("doc_id").cast("long")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return [int(row["n"]), int(row["h"])]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = os.path.join(base_dir, "_committed")
+        state = _state(marker)
+        live = state["last_batch"]
+        if live >= batch_id:
+            want = state["fingerprints"].get(str(batch_id))
+            if want is None or _fingerprint(
+                batch_df.select("doc_id")
+            ) != want:
+                raise ValueError(
+                    f"cluster store at {base_dir} was committed through "
+                    f"batch {live} by another checkpoint (replayed id "
+                    f"{batch_id} does not match its committed rows) — "
+                    "use a fresh store dir or the original checkpoint"
+                )
+            return  # replayed batch — already committed
+        new_sigs = mh_signature_table(batch_df)
+        committed_shards = [
+            os.path.join(base_dir, f"sigs_batch={k}")
+            for k in state["shards"]
+        ]
+        standing = (
+            spark.read.parquet(*committed_shards)
+            if committed_shards
+            else new_sigs.limit(0)
+        )
+        # verified near-dup edges touching this batch: new x standing
+        # (all) + new x new (a < b) — across all batches every
+        # qualifying pair forms exactly once
+        nb = _sig_band_rows(new_sigs, "a")
+        cand = nb.join(
+            _sig_band_rows(standing, "b"), ["band_idx", "band_key"]
+        ).unionByName(
+            nb.join(_sig_band_rows(new_sigs, "b"), ["band_idx", "band_key"])
+            .filter(F.col("b_id") > F.col("a_id"))
+        )
+        eq_sum = sum(
+            F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+            for i in range(N_HASHES)
+        )
+        edges = (
+            cand.select("a_id", "b_id", eq_sum.alias("eq"))
+            .groupBy("a_id", "b_id")
+            .agg(F.max("eq").alias("eq"))
+            .filter(F.col("eq") >= INCR_EQ_MIN)
+            .select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        if state["labels_version"] >= 0:
+            labels_old = spark.read.parquet(
+                os.path.join(
+                    base_dir, f"labels_v={state['labels_version']}"
+                )
+            )
+        else:
+            labels_old = edges.select(
+                F.col("u").alias("node"), F.col("u").alias("lbl")
+            ).limit(0)
+        # contract each edge endpoint to its standing label (itself if
+        # unseen) — the quotient graph is bounded by the batch's edges
+        def resolve(col: str) -> DataFrame:
+            lk = labels_old.select(
+                F.col("node").alias(col), F.col("lbl").alias(f"l_{col}")
+            )
+            return lk
+
+        q = (
+            edges.join(resolve("u"), "u", "left")
+            .join(resolve("v"), "v", "left")
+            .select(
+                F.coalesce("l_u", "u").alias("qu"),
+                F.coalesce("l_v", "v").alias("qv"),
+            )
+            .filter(F.col("qu") != F.col("qv"))
+            .distinct()
+        )
+        qdir = q.unionByName(
+            q.select(F.col("qv").alias("qu"), F.col("qu").alias("qv"))
+        ).localCheckpoint(eager=True)
+        qlabels = qdir.select(F.col("qu").alias("node")).distinct().select(
+            "node", F.col("node").alias("lbl")
+        )
+        for _ in range(_CLUSTER_CC_ROUNDS):
+            contrib = qdir.join(
+                qlabels, qdir["qu"] == qlabels["node"]
+            ).select(F.col("qv").alias("node"), "lbl")
+            qlabels = (
+                qlabels.unionByName(contrib)
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"))
+            )
+            hop = qlabels.select(
+                F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl")
+            )
+            qlabels = qlabels.join(
+                hop, qlabels["lbl"] == hop["p_node"]
+            ).select("node", F.col("p_lbl").alias("lbl")).localCheckpoint(
+                eager=True
+            )
+        qmap = qlabels.filter(F.col("node") != F.col("lbl")).select(
+            F.col("node").alias("old_lbl"), F.col("lbl").alias("new_lbl")
+        )
+        # standing labels plus this batch's previously unseen edge
+        # endpoints (initial label = own id), rewritten through the
+        # quotient map
+        new_nodes = (
+            edges.select(F.col("u").alias("node"))
+            .unionByName(edges.select(F.col("v").alias("node")))
+            .distinct()
+            .join(labels_old.select("node"), "node", "left_anti")
+            .select("node", F.col("node").alias("lbl"))
+        )
+        labels_new = (
+            labels_old.unionByName(new_nodes)
+            .join(qmap, F.col("lbl") == F.col("old_lbl"), "left")
+            .select(
+                "node", F.coalesce("new_lbl", "lbl").alias("lbl")
+            )
+        )
+        write_parquet(
+            new_sigs,
+            os.path.join(base_dir, f"sigs_batch={batch_id}"),
+            mode="overwrite",
+        )
+        write_parquet(
+            labels_new,
+            os.path.join(base_dir, f"labels_v={batch_id}"),
+            mode="overwrite",
+        )
+        fingerprints = dict(state["fingerprints"])
+        fingerprints[str(batch_id)] = _fingerprint(
+            batch_df.select("doc_id")
+        )
+        garbage = (
+            [f"labels_v={state['labels_version']}"]
+            if state["labels_version"] >= 0
+            else []
+        )
+        tmp_marker = marker + ".tmp"
+        with open(tmp_marker, "w") as fh:
+            _json.dump(
+                {
+                    "last_batch": batch_id,
+                    "shards": state["shards"] + [batch_id],
+                    "labels_version": batch_id,
+                    "fingerprints": fingerprints,
+                    "garbage": garbage,
+                },
+                fh,
+            )
+        os.replace(tmp_marker, marker)
+        # the previous commit's superseded label version has survived
+        # one full commit cycle — safe to drop, idempotent under replay
+        if state["garbage"]:
+            import shutil
+
+            for d in state["garbage"]:
+                shutil.rmtree(os.path.join(base_dir, d), ignore_errors=True)
+
+    return apply_batch
+
+
+def committed_clusters(spark, base_dir: str) -> DataFrame:
+    """The committed duplicate-cluster table — identical shape and
+    values to the batch q_dedup_cluster_cc over every ingested doc."""
+    import json as _json
+    import os
+
+    marker = os.path.join(base_dir, "_committed")
+    with open(marker) as fh:
+        state = _json.load(fh)
+    labels = spark.read.parquet(
+        os.path.join(base_dir, f"labels_v={state['labels_version']}")
+    )
+    return (
+        labels.groupBy(F.col("lbl").alias("cluster_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            (F.count("*") - F.lit(1)).cast("long").alias("n_dropped"),
+            F.sort_array(F.collect_list("node")).alias("doc_ids"),
+        )
+        .orderBy(F.desc("n_docs"), "cluster_id")
+    )
