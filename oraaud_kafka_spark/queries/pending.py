@@ -8,10 +8,10 @@ trio (theta overlap, dynamic-gap sessions, conversion rate), round 13
 promoted the R13 trio (Holt-Winters, range-search S-curve eval, CDC
 chunking) into llm/similarity.py, queries/event_time.py and
 llm/multimodal.py. PENDING_R14 / PENDING_R15 / PENDING_R16 /
-PENDING_R17 are the round-14/15/16/17 batches — each fully implemented
-with DuckDB oracles and swept by tests/test_pending_r1*.py at sf0.001
-AND the driver's sf0.01, so registration in its round is a @query
-decorator + _FRONT placement, nothing else.
+PENDING_R17 / PENDING_R18 are the round-14..18 batches — each fully
+implemented with DuckDB oracles and swept by tests/test_pending_r1*.py
+at sf0.001 AND the driver's sf0.01, so registration in its round is a
+@query decorator + _FRONT placement, nothing else.
 
 Keeping them out of the registry (this module is NOT in
 registry._MODULES) means: no COVERAGE.md count drift, no "never" ledger
@@ -1498,13 +1498,10 @@ def _pq_sqdist(a, b):
     )
 
 
-def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..tables import spread
-
-    base = load(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
-    blocks = base.select(
+def _pq_block_rows(base: DataFrame) -> DataFrame:
+    """One row per (vec_id, block, 16-dim sub-vector) — the shared PQ
+    block explode (q_emb_pq_codes + the ADC retrieval eval)."""
+    return base.select(
         "vec_id",
         F.explode(
             F.array(*[
@@ -1518,9 +1515,19 @@ def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("sb"),
     ).select("vec_id", "sb.block", "sb.bvec")
-    codebook = blocks.filter(F.col("vec_id") < _PQ_K).select(
+
+
+def _pq_codebook(blocks: DataFrame) -> DataFrame:
+    return blocks.filter(F.col("vec_id") < _PQ_K).select(
         "block", F.col("vec_id").alias("code"), F.col("bvec").alias("cvec")
     )
+
+
+def _pq_assignments(blocks: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest codeword per (vec_id, block) with the deterministic
+    two-step argmin (bit-equal distances, min-code tie-break)."""
+    from ..tables import spread
+
     dists = spread(blocks).join(F.broadcast(codebook), "block").select(
         "vec_id",
         "block",
@@ -1528,12 +1535,21 @@ def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pq_sqdist(F.col("bvec"), F.col("cvec")).alias("dist"),
     )
     md = dists.groupBy("vec_id", "block").agg(F.min("dist").alias("md"))
-    best = (
+    return (
         dists.join(md, ["vec_id", "block"])
         .filter(F.col("dist") == F.col("md"))
         .groupBy("vec_id", "block")
         .agg(F.min("code").alias("code"), F.min("dist").alias("dist"))
     )
+
+
+def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    blocks = _pq_block_rows(base)
+    codebook = _pq_codebook(blocks)
+    best = _pq_assignments(blocks, codebook)
     tot = base.agg(F.count("*").cast("long").alias("n_vecs"))
     stats = best.groupBy("block", "code").agg(
         F.count("*").cast("long").alias("n_assigned"),
@@ -2077,4 +2093,529 @@ PENDING_R17 = {
     "q_agg_moments_rollup": (q_agg_moments_rollup, MOMENTS_ORACLE),
     "q_text_heaps_law": (q_text_heaps_law, HEAPS_ORACLE),
     "q_dedup_density_core": (q_dedup_density_core, DENSITY_CORE_ORACLE),
+}
+
+
+# ---------------------------------------------------------------------------
+# STL-lite additive decomposition (round-18 queue): the decomposition
+# rung of the forecasting ladder — where Holt-Winters FORECASTS with a
+# seasonal state, this EXPLAINS the observed hourly revenue series as
+# trend + hour-of-day seasonal + remainder (Cleveland's STL, reduced to
+# its closed-form core: centered 25-observed-hour moving-average trend,
+# by-hour-of-day means of the detrended series as the seasonal, and
+# Hyndman's seasonal-strength statistic F_s = max(0, 1 - Var(R)/Var(S+R))
+# saying how much of the detrended variance the seasonal term absorbs —
+# the number that justifies q_time_holt_winters' 24-slot state). Scale
+# shape: raw events collapse to the bounded (type x hour) grain in ONE
+# map+partial-agg pass; the trend window runs over OBSERVED hour
+# buckets per type (the burst-monitor discipline — never raw events,
+# never calendar gaps materialized), the seasonal/variance aggregates
+# run on the bounded detrended buckets with 12-dp-round +
+# DECIMAL(20,12) order-free sums, and the report is the bounded
+# (type x 24) grid. Trend exists only where the full ±12 window does
+# (integer count check), identically on both engines.
+# ---------------------------------------------------------------------------
+
+_STL_HALF = 12  # centered moving-average half-width (25 observed hours)
+
+
+def _stl_oracle() -> str:
+    w = (
+        "OVER (PARTITION BY event_type ORDER BY h "
+        f"ROWS BETWEEN {_STL_HALF} PRECEDING AND {_STL_HALF} FOLLOWING)"
+    )
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(extract(hour FROM date_trunc('hour', ts)) AS INT) AS hod,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+trended AS (
+  SELECT event_type, hod, cents,
+         CAST(sum(cents) {w} AS DOUBLE) / {2 * _STL_HALF + 1} AS trend,
+         count(*) {w} AS n_win
+  FROM hourly
+),
+detr AS (
+  SELECT event_type, hod,
+         CAST(cents AS DOUBLE) - trend AS d
+  FROM trended WHERE n_win = {2 * _STL_HALF + 1}
+),
+seas AS (
+  SELECT event_type, hod,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(sum(CAST(round(d, 12) AS DECIMAL(20,12))) AS DOUBLE)
+           / count(*) AS s
+  FROM detr GROUP BY 1, 2
+),
+rem AS (
+  SELECT d.event_type, d.d, d.d - seas.s AS r
+  FROM detr d JOIN seas
+    ON seas.event_type = d.event_type AND seas.hod = d.hod
+),
+v AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_trended,
+         CAST(sum(CAST(round(d * d, 12) AS DECIMAL(30,12))) AS DOUBLE)
+           / count(*)
+         - (CAST(sum(CAST(round(d, 12) AS DECIMAL(20,12))) AS DOUBLE)
+            / count(*))
+           * (CAST(sum(CAST(round(d, 12) AS DECIMAL(20,12))) AS DOUBLE)
+              / count(*)) AS var_d,
+         CAST(sum(CAST(round(r * r, 12) AS DECIMAL(30,12))) AS DOUBLE)
+           / count(*)
+         - (CAST(sum(CAST(round(r, 12) AS DECIMAL(20,12))) AS DOUBLE)
+            / count(*))
+           * (CAST(sum(CAST(round(r, 12) AS DECIMAL(20,12))) AS DOUBLE)
+              / count(*)) AS var_r
+  FROM rem GROUP BY event_type
+)
+SELECT seas.event_type, seas.hod, seas.n_obs,
+       round(seas.s, 6) AS seasonal_cents,
+       v.n_trended,
+       round(greatest(CAST(0 AS DOUBLE), 1 - v.var_r / v.var_d), 6)
+         AS seasonal_strength
+FROM seas JOIN v ON v.event_type = seas.event_type
+ORDER BY seas.event_type, seas.hod
+"""
+
+
+STL_ORACLE = _stl_oracle()
+
+
+def q_time_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-_STL_HALF, _STL_HALF)
+    )
+    full = 2 * _STL_HALF + 1
+    trended = hourly.select(
+        "event_type",
+        "hod",
+        "cents",
+        (F.sum("cents").over(w).cast("double") / full).alias("trend"),
+        F.count("*").over(w).alias("n_win"),
+    )
+    detr = trended.filter(F.col("n_win") == full).select(
+        "event_type",
+        "hod",
+        (F.col("cents").cast("double") - F.col("trend")).alias("d"),
+    )
+
+    def dsum(c, prec="decimal(20,12)"):
+        return F.sum(F.round(c, 12).cast(prec)).cast("double")
+
+    seas = detr.groupBy("event_type", "hod").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        (dsum(F.col("d")) / F.count("*")).alias("s"),
+    )
+    rem = detr.join(seas.select("event_type", "hod", "s"),
+                    ["event_type", "hod"]).select(
+        "event_type", "d", (F.col("d") - F.col("s")).alias("r")
+    )
+    n = F.count("*")
+    var_d = (
+        dsum(F.col("d") * F.col("d"), "decimal(30,12)") / n
+        - (dsum(F.col("d")) / n) * (dsum(F.col("d")) / n)
+    )
+    var_r = (
+        dsum(F.col("r") * F.col("r"), "decimal(30,12)") / n
+        - (dsum(F.col("r")) / n) * (dsum(F.col("r")) / n)
+    )
+    v = rem.groupBy("event_type").agg(
+        n.cast("long").alias("n_trended"),
+        var_d.alias("var_d"),
+        var_r.alias("var_r"),
+    )
+    return (
+        seas.join(v, "event_type")
+        .select(
+            "event_type",
+            "hod",
+            "n_obs",
+            F.round("s", 6).alias("seasonal_cents"),
+            "n_trended",
+            F.round(
+                F.greatest(
+                    F.lit(0.0), 1 - F.col("var_r") / F.col("var_d")
+                ),
+                6,
+            ).alias("seasonal_strength"),
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (round-18 queue): Rapid Automatic Keyword
+# Extraction (Rose et al. 2010) — candidate phrases are the maximal
+# stopword-free token runs, each word scores degree/frequency over the
+# phrase co-occurrence graph (degree counts every co-member INCLUDING
+# itself, i.e. adds the phrase length per occurrence), and a phrase
+# scores the sum of its members' word scores. The corpus-level top-20
+# is the keyword/topic surfacing report a curation pass runs next to
+# TF-IDF (document-local) and PMI (pair-local) — RAKE is phrase-local
+# and needs no IDF table. The stopword list is THE one
+# llm/text._STOPWORDS the quality-score gate already uses. Scale shape:
+# ONE doc-partitioned prefix-sum window assigns tokens to phrases (per
+# doc, bounded by doc length — never a global window), word stats are
+# vocab-bounded, the phrase-score join is on the word key, and the
+# report is a corpus top-20 (TakeOrderedAndProject). Determinism: word
+# scores are single IEEE divisions of exact integers, rounded to 12 dp
+# and decimal-summed per phrase (order-free), final score rounded to
+# 6 dp with the phrase text as tie-break.
+# ---------------------------------------------------------------------------
+
+_RAKE_TOP = 20
+
+
+def _rake_oracle() -> str:
+    from ..llm.text import _SW_SQL
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+tok0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) + 1),
+                i -> {{'pos': i, 'tok': toks[CAST(i AS INT)]}}),
+                recursive := true)
+  FROM base
+),
+tok AS (
+  SELECT doc_id, pos, tok,
+         CAST(list_contains({_SW_SQL}, tok) AS INT) AS is_stop
+  FROM tok0
+),
+grp AS (
+  SELECT doc_id, pos, tok, is_stop,
+         sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM tok
+),
+member AS (SELECT doc_id, g, pos, tok FROM grp WHERE is_stop = 0),
+phrase AS (
+  SELECT doc_id, g,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM member GROUP BY doc_id, g
+),
+wstat AS (
+  SELECT m.tok,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(p.plen) AS BIGINT) AS deg
+  FROM member m JOIN phrase p ON p.doc_id = m.doc_id AND p.g = m.g
+  GROUP BY m.tok
+),
+pscore AS (
+  SELECT p.doc_id, p.g, p.phrase, p.plen,
+         CAST(sum(CAST(round(CAST(w.deg AS DOUBLE) / w.freq, 12)
+                       AS DECIMAL(20,12))) AS DOUBLE) AS score
+  FROM member m
+  JOIN phrase p ON p.doc_id = m.doc_id AND p.g = m.g
+  JOIN wstat w ON w.tok = m.tok
+  GROUP BY p.doc_id, p.g, p.phrase, p.plen
+),
+dedup AS (
+  SELECT phrase, min(plen) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         round(min(score), 6) AS score
+  FROM pscore GROUP BY phrase
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, phrase) AS BIGINT)
+         AS rank,
+       phrase, n_words, n_occurrences, score
+FROM dedup
+ORDER BY score DESC, phrase
+LIMIT {_RAKE_TOP}
+"""
+
+
+RAKE_ORACLE = _rake_oracle()
+
+
+def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.text import _STOPWORDS
+
+    base = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("toks"))
+    )
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    tok = base.select(
+        "doc_id",
+        F.posexplode("toks").alias("pos0", "tok"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "tok",
+        F.array_contains(stop_arr, F.col("tok")).cast("int").alias(
+            "is_stop"
+        ),
+    )
+    wg = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = tok.withColumn("g", F.sum("is_stop").over(wg))
+    member = grp.filter(F.col("is_stop") == 0).select(
+        "doc_id", "g", "pos", "tok"
+    )
+    phrase = member.groupBy("doc_id", "g").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x.tok,
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").cast("long").alias("plen"),
+    )
+    wstat = (
+        member.join(phrase.select("doc_id", "g", "plen"), ["doc_id", "g"])
+        .groupBy("tok")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+    )
+    wscore = F.round(
+        F.col("deg").cast("double") / F.col("freq"), 12
+    ).cast("decimal(20,12)")
+    pscore = (
+        member.join(phrase, ["doc_id", "g"])
+        .join(wstat, "tok")
+        .groupBy("doc_id", "g", "phrase", "plen")
+        .agg(F.sum(wscore).cast("double").alias("score"))
+    )
+    dedup = pscore.groupBy("phrase").agg(
+        F.min("plen").alias("n_words"),
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.round(F.min("score"), 6).alias("score"),
+    )
+    wr = Window.orderBy(F.desc("score"), "phrase")
+    return (
+        dedup.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= _RAKE_TOP)
+        .select("rank", "phrase", "n_words", "n_occurrences", "score")
+        .orderBy(F.desc("score"), "phrase")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance retrieval eval (round-18 queue): the capstone
+# of the PQ rung — does ranking by ADC (query-to-codeword lookup sums,
+# Jégou et al. TPAMI'11 §IV) actually retrieve what exact L2² retrieval
+# would? For each of the 10 held-out queries, every corpus vector's
+# approximate distance is Σ_blocks lut[q, block, code(x, block)] — a
+# 10 x blocks x codewords lookup table (320 rows, broadcast) joined to
+# the corpus CODES (4 small ints per vector; the payload embeddings are
+# never touched after code assignment — the memory-compression claim
+# made operational) — and the report certifies recall@10 of the ADC
+# top-10 against the exact top-10 plus the top-1 match. Codebooks are
+# the R16 data-derived ones (vec_id < 8, disjoint from the evaluated
+# corpus vec_id >= 10), so both engines replay byte-identically: block
+# distances are the shared fixed-shape L2² folds, ADC sums are
+# 12-dp-round + DECIMAL(20,12) (order-free), ranks tie-break on the
+# corpus id. Scale shape: code assignment and exact ground truth are
+# ONE broadcast-join map stage each; the ADC scoring path shuffles only
+# (qid, cid, decimal) rows; per-query top-10s ride bounded rank
+# windows. At 100 TB the exact leg is the calibration harness — the
+# production path is the code table + lut join being measured.
+# ---------------------------------------------------------------------------
+
+_ADC_K = 10  # recall@k
+
+
+def _adc_oracle() -> str:
+    from ..llm.similarity import N_QUERIES
+
+    block_slices = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS block, "
+        f"embedding[{s * _PQ_SUB + 1}:{(s + 1) * _PQ_SUB}] AS bvec "
+        "FROM base"
+        for s in range(_PQ_BLOCKS)
+    )
+    bdist = _PQ_DIST_SQL.format(a="vb.bvec", b="cb.cvec")
+    ldist = _PQ_DIST_SQL.format(a="qb.bvec", b="cb.cvec")
+    edist = _PQ_DIST_SQL.format(a="q.embedding", b="c.embedding")
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+),
+blocks AS ({block_slices}),
+codebook AS (
+  SELECT block, vec_id AS code, bvec AS cvec FROM blocks
+  WHERE vec_id < {_PQ_K}
+),
+cdists AS (
+  SELECT vb.vec_id, vb.block, cb.code, {bdist} AS dist
+  FROM blocks vb JOIN codebook cb ON vb.block = cb.block
+  WHERE vb.vec_id >= {N_QUERIES}
+),
+md AS (SELECT vec_id, block, min(dist) AS md FROM cdists GROUP BY 1, 2),
+codes AS (
+  SELECT d.vec_id, d.block, min(d.code) AS code
+  FROM cdists d JOIN md ON md.vec_id = d.vec_id AND md.block = d.block
+  WHERE d.dist = md.md
+  GROUP BY 1, 2
+),
+lut AS (
+  SELECT qb.vec_id AS qid, qb.block, cb.code, {ldist} AS d
+  FROM blocks qb JOIN codebook cb ON qb.block = cb.block
+  WHERE qb.vec_id < {N_QUERIES}
+),
+approx AS (
+  SELECT l.qid, c.vec_id AS cid,
+         CAST(sum(CAST(round(l.d, 12) AS DECIMAL(20,12))) AS DOUBLE)
+           AS adist
+  FROM codes c JOIN lut l ON l.block = c.block AND l.code = c.code
+  GROUP BY l.qid, c.vec_id
+),
+adc_top AS (
+  SELECT qid, cid, rn FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rn
+    FROM approx
+  ) WHERE rn <= {_ADC_K}
+),
+exact AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid, {edist} AS edist
+  FROM base q JOIN base c ON c.vec_id >= {N_QUERIES}
+  WHERE q.vec_id < {N_QUERIES}
+),
+exact_top AS (
+  SELECT qid, cid, rn FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY edist, cid) AS rn
+    FROM exact
+  ) WHERE rn <= {_ADC_K}
+),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM base
+       WHERE vec_id >= {N_QUERIES}),
+hits AS (
+  SELECT a.qid, CAST(count(*) AS BIGINT) AS n_hits
+  FROM adc_top a JOIN exact_top e ON e.qid = a.qid AND e.cid = a.cid
+  GROUP BY a.qid
+)
+SELECT q.qid, nc.n_corpus,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / {_ADC_K} AS recall_at_10,
+       a1.cid AS adc_top1, e1.cid AS exact_top1,
+       a1.cid = e1.cid AS top1_match
+FROM (SELECT DISTINCT qid FROM exact_top) q
+LEFT JOIN hits h ON h.qid = q.qid
+JOIN (SELECT qid, cid FROM adc_top WHERE rn = 1) a1 ON a1.qid = q.qid
+JOIN (SELECT qid, cid FROM exact_top WHERE rn = 1) e1 ON e1.qid = q.qid
+CROSS JOIN nc
+ORDER BY q.qid
+"""
+
+
+PQ_ADC_ORACLE = _adc_oracle()
+
+
+def q_sim_pq_adc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import N_QUERIES
+    from ..tables import spread
+
+    base = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    blocks = _pq_block_rows(base)
+    codebook = _pq_codebook(blocks)
+    codes = _pq_assignments(
+        blocks.filter(F.col("vec_id") >= N_QUERIES), codebook
+    ).select("vec_id", "block", "code")
+    lut = (
+        blocks.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), "block", "bvec")
+        .join(F.broadcast(codebook), "block")
+        .select(
+            "qid",
+            "block",
+            "code",
+            _pq_sqdist(F.col("bvec"), F.col("cvec")).alias("d"),
+        )
+    )
+    approx = (
+        codes.join(F.broadcast(lut), ["block", "code"])
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(
+            F.sum(F.round("d", 12).cast("decimal(20,12)"))
+            .cast("double")
+            .alias("adist")
+        )
+    )
+    wa = Window.partitionBy("qid").orderBy("adist", "cid")
+    adc_top = approx.withColumn("rn", F.row_number().over(wa)).filter(
+        F.col("rn") <= _ADC_K
+    )
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    corpus = base.filter(F.col("vec_id") >= N_QUERIES)
+    exact = F.broadcast(q).crossJoin(spread(corpus)).select(
+        "qid",
+        F.col("vec_id").alias("cid"),
+        _pq_sqdist(F.col("qv"), F.col("embedding")).alias("edist"),
+    )
+    we = Window.partitionBy("qid").orderBy("edist", "cid")
+    exact_top = exact.withColumn("rn", F.row_number().over(we)).filter(
+        F.col("rn") <= _ADC_K
+    )
+    nc = corpus.agg(F.count("*").cast("long").alias("n_corpus"))
+    hits = (
+        adc_top.select("qid", "cid")
+        .join(exact_top.select("qid", "cid"), ["qid", "cid"])
+        .groupBy("qid")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    a1 = adc_top.filter(F.col("rn") == 1).select(
+        "qid", F.col("cid").alias("adc_top1")
+    )
+    e1 = exact_top.filter(F.col("rn") == 1).select(
+        "qid", F.col("cid").alias("exact_top1")
+    )
+    return (
+        exact_top.select("qid")
+        .distinct()
+        .join(hits, "qid", "left")
+        .join(a1, "qid")
+        .join(e1, "qid")
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "qid",
+            "n_corpus",
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / _ADC_K
+            ).alias("recall_at_10"),
+            "adc_top1",
+            "exact_top1",
+            (F.col("adc_top1") == F.col("exact_top1")).alias("top1_match"),
+        )
+        .orderBy("qid")
+    )
+
+
+PENDING_R18 = {
+    "q_time_stl_decompose": (q_time_stl_decompose, STL_ORACLE),
+    "q_text_rake_keywords": (q_text_rake_keywords, RAKE_ORACLE),
+    "q_sim_pq_adc_eval": (q_sim_pq_adc_eval, PQ_ADC_ORACLE),
 }

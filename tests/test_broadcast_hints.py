@@ -107,6 +107,14 @@ ALLOWED_UNBOUNDED: dict[str, tuple[str, ...]] = {
     # the hint appears once per reference of the dists subtree (the
     # min-dist argmin joins dists back to its own aggregate)
     "q_emb_pq_codes": ("scan-vec_id",) * 2,
+    # pending round-18: every hinted frame is k-bounded — the 32-row PQ
+    # codebook (vec_id < 8 slice, hinted inside the shared
+    # _pq_assignments and under the ADC lookup table), the 320-row lut
+    # (10-query slice JOINed with the codebook — both k-bounded, hence
+    # the 'Join' class), and the 10-query exact-leg slice; counts are
+    # inflated by subtree duplication (codes/lut each feed two branches
+    # of the recall join), never by a data-sized frame.
+    "q_sim_pq_adc_eval": ("Join",) * 2 + ("scan-vec_id",) * 9,
     "q_rag_retrieve_enrich": ("Join", "scan-vec_id"),
     "q_dedup_semantic": ("scan-vec_id",) * 3,
     "q_eval_ndcg_retrieval": ("scan-vec_id",),
@@ -167,12 +175,13 @@ def _all_query_frames(spark):
         PENDING_R15,
         PENDING_R16,
         PENDING_R17,
+        PENDING_R18,
     )
 
     registry.load_all()
     for name in registry.all_queries():
         yield name, registry.QUERIES[name](spark, SF_DIR)
-    for queue in (PENDING_R14, PENDING_R15, PENDING_R16, PENDING_R17):
+    for queue in (PENDING_R14, PENDING_R15, PENDING_R16, PENDING_R17, PENDING_R18):
         for name, (fn, _oracle) in queue.items():
             yield name, fn(spark, SF_DIR)
 
