@@ -290,3 +290,54 @@ def empty_tables_dir(spark, tmp_path_factory):
 @pytest.mark.parametrize("name", sorted(registry.QUERIES))
 def test_query_survives_empty_tables(spark, empty_tables_dir, name):
     registry.QUERIES[name].__wrapped__(spark, empty_tables_dir).collect()
+
+
+def _pending_ops():
+    """Every forward-queue operator — a pending op must clear the same
+    hostile-input sweeps it will face once registered (the
+    broadcast-audit precedent), not discover a crash at registration
+    time."""
+    from oraaud_kafka_spark.queries import pending
+
+    out = {}
+    for qname, queue in sorted(vars(pending).items()):
+        if qname.startswith("PENDING_R") and isinstance(queue, dict):
+            for name, (fn, _oracle) in queue.items():
+                out[name] = fn
+    return out
+
+
+_PENDING = _pending_ops()
+
+
+@pytest.mark.parametrize("name", sorted(_PENDING))
+def test_pending_op_survives_adversarial_corpus(
+    spark, adversarial_dir, name
+):
+    _PENDING[name](spark, adversarial_dir).collect()
+
+
+@pytest.mark.parametrize("name", sorted(_PENDING))
+def test_pending_op_survives_adversarial_tpch(
+    spark, adversarial_tpch_dir, name
+):
+    _PENDING[name](spark, adversarial_tpch_dir).collect()
+
+
+@pytest.mark.parametrize("name", sorted(_PENDING))
+def test_pending_op_survives_empty_tables(spark, empty_tables_dir, name):
+    _PENDING[name](spark, empty_tables_dir).collect()
+
+
+@pytest.mark.parametrize("name", sorted(_PENDING))
+def test_pending_op_survives_adversarial_events(
+    spark, adversarial_events_dir, name
+):
+    _PENDING[name](spark, adversarial_events_dir).collect()
+
+
+@pytest.mark.parametrize("name", sorted(_PENDING))
+def test_pending_op_survives_adversarial_vectors(
+    spark, adversarial_emb_dir, name
+):
+    _PENDING[name](spark, adversarial_emb_dir).collect()
