@@ -2619,3 +2619,429 @@ PENDING_R18 = {
     "q_text_rake_keywords": (q_text_rake_keywords, RAKE_ORACLE),
     "q_sim_pq_adc_eval": (q_sim_pq_adc_eval, PQ_ADC_ORACLE),
 }
+
+
+# ---------------------------------------------------------------------------
+# Poisson PPS sampling with Horvitz-Thompson certification (round-19
+# queue): probability-proportional-to-size inclusion — the companion of
+# PENDING_R15's Neyman allocation on the sampling ladder (uniform
+# reservoir -> weighted reservoir -> stratified Neyman -> πps). Every
+# order enters the sample independently with p_i = min(1, n·size_i/T)
+# (size = exact cents of o_totalprice), decided by the corpus-wide
+# md5-fraction coin this repo's deterministic samplers share, so both
+# engines draw the IDENTICAL sample with no RNG; the report certifies
+# the Horvitz-Thompson estimator Σ size_i/p_i against the exact
+# per-priority totals. Scale shape: MAP-ONLY after one broadcast global
+# total — no sort, no prefix scan (the systematic-PPS cumulative walk
+# is deliberately traded for the Poisson form precisely because the
+# latter needs no order-cardinality prefix state at 100 TB); HT terms
+# are 12-dp-rounded into DECIMAL(24,12) order-free sums.
+# ---------------------------------------------------------------------------
+
+_PPS_N = 200  # target expected sample size
+_PPS_SCALE = float(1 << 24)
+
+
+def _pps_oracle() -> str:
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS size
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+t AS (SELECT CAST(sum(size) AS BIGINT) AS total FROM o),
+probed AS (
+  SELECT o.o_orderpriority, o.size,
+         least(CAST(1 AS DOUBLE),
+               {_PPS_N} * CAST(o.size AS DOUBLE) / t.total) AS p,
+         CAST('0x' || substring(md5('pps:' || CAST(o.o_orderkey AS VARCHAR)),
+                                1, 6) AS BIGINT) / {_PPS_SCALE} AS coin
+  FROM o CROSS JOIN t
+),
+sampled AS (SELECT * FROM probed WHERE coin < p)
+SELECT p.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_pop,
+       CAST(sum(p.size) AS BIGINT) AS true_total_cents,
+       CAST((SELECT count(*) FROM sampled s
+             WHERE s.o_orderpriority = p.o_orderpriority) AS BIGINT)
+         AS n_sampled,
+       round(CAST((SELECT coalesce(sum(CAST(round(
+                     CAST(s.size AS DOUBLE) / s.p, 12)
+                     AS DECIMAL(24,12))), 0) FROM sampled s
+                   WHERE s.o_orderpriority = p.o_orderpriority)
+                  AS DOUBLE), 2) AS ht_total_cents,
+       round((CAST((SELECT coalesce(sum(CAST(round(
+                      CAST(s.size AS DOUBLE) / s.p, 12)
+                      AS DECIMAL(24,12))), 0) FROM sampled s
+                    WHERE s.o_orderpriority = p.o_orderpriority)
+                   AS DOUBLE)
+              - CAST(sum(p.size) AS DOUBLE))
+             / CAST(sum(p.size) AS DOUBLE), 6) AS rel_error
+FROM probed p
+GROUP BY p.o_orderpriority
+ORDER BY p.o_orderpriority
+"""
+
+
+PPS_ORACLE = _pps_oracle()
+
+
+def q_sample_pps_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("size"),
+    )
+    t = o.agg(F.sum("size").cast("long").alias("total"))
+    probed = o.crossJoin(F.broadcast(t)).select(
+        "o_orderpriority",
+        "size",
+        F.least(
+            F.lit(1.0),
+            _PPS_N * F.col("size").cast("double") / F.col("total"),
+        ).alias("p"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("pps:"),
+                            F.col("o_orderkey").cast("string"),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            / _PPS_SCALE
+        ).alias("coin"),
+    )
+    ht_term = F.when(
+        F.col("coin") < F.col("p"),
+        F.round(F.col("size").cast("double") / F.col("p"), 12).cast(
+            "decimal(24,12)"
+        ),
+    )
+    return (
+        probed.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_pop"),
+            F.sum("size").cast("long").alias("true_total_cents"),
+            F.count(F.when(F.col("coin") < F.col("p"), 1))
+            .cast("long")
+            .alias("n_sampled"),
+            F.coalesce(F.sum(ht_term), F.lit(0).cast("decimal(24,12)"))
+            .cast("double")
+            .alias("ht_raw"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_pop",
+            "true_total_cents",
+            "n_sampled",
+            F.round("ht_raw", 2).alias("ht_total_cents"),
+            F.round(
+                (F.col("ht_raw") - F.col("true_total_cents").cast("double"))
+                / F.col("true_total_cents").cast("double"),
+                6,
+            ).alias("rel_error"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion retrieval (round-19 queue): RRF (Cormack et
+# al., SIGIR'09) — the standard way production search fuses
+# heterogeneous retrieval signals without score calibration: each
+# ranking contributes 1/(60 + rank), summed per candidate. Here the two
+# signals are the repo's existing similarity axes — COSINE (direction)
+# and raw INNER PRODUCT (direction x magnitude; the MIPS axis) — which
+# genuinely disagree on this corpus, so the fusion is non-trivial and
+# the report shows each fused winner's per-list rank (NULL when outside
+# that list's depth-20 shortlist). Scale shape: both shortlists are the
+# bounded-broadcast query x corpus linear scans the top-k family
+# already runs (production swaps in LSH/IVF/PQ shortlists unchanged —
+# RRF only consumes (candidate, rank) pairs); everything downstream is
+# Q x 40 rows. Determinism: ranks come from (metric desc, cid) windows
+# over bit-identical folds; RRF terms are exact rationals rounded to
+# 12 dp and decimal-summed; the fused order ties break on cid.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_DEPTH = 20
+_RRF_TOP = 5
+
+
+def _rrf_oracle() -> str:
+    from ..llm.similarity import (
+        N_QUERIES,
+        _sql_directional_cte,
+        _sql_dot,
+        _sql_norm,
+    )
+
+    return f"""
+WITH {_sql_directional_cte()},
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id >= {N_QUERIES}),
+scored AS (
+  SELECT q.qid, c.cid,
+         {_sql_dot('q.qv', 'c.cv')}
+           / ({_sql_norm('q.qv')} * {_sql_norm('c.cv')}) AS cosine,
+         {_sql_dot('q.qv', 'c.cv')} AS dot
+  FROM q CROSS JOIN c
+),
+rank_cos AS (
+  SELECT qid, cid, rn FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, cid) AS rn
+    FROM scored
+  ) WHERE rn <= {_RRF_DEPTH}
+),
+rank_dot AS (
+  SELECT qid, cid, rn FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY dot DESC, cid) AS rn
+    FROM scored
+  ) WHERE rn <= {_RRF_DEPTH}
+),
+fused AS (
+  SELECT coalesce(a.qid, b.qid) AS qid,
+         coalesce(a.cid, b.cid) AS cid,
+         a.rn AS rank_cos, b.rn AS rank_dot,
+         CAST(
+           CAST(CASE WHEN a.rn IS NOT NULL
+                THEN round(CAST(1 AS DOUBLE) / ({_RRF_K} + a.rn), 12)
+                ELSE 0 END AS DECIMAL(20,12))
+           + CAST(CASE WHEN b.rn IS NOT NULL
+                  THEN round(CAST(1 AS DOUBLE) / ({_RRF_K} + b.rn), 12)
+                  ELSE 0 END AS DECIMAL(20,12))
+           AS DOUBLE) AS rrf
+  FROM rank_cos a FULL JOIN rank_dot b
+    ON a.qid = b.qid AND a.cid = b.cid
+)
+SELECT qid, CAST(rank AS BIGINT) AS fused_rank, cid,
+       round(rrf, 6) AS rrf_score, rank_cos, rank_dot
+FROM (
+  SELECT qid, cid, rrf, rank_cos, rank_dot,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY rrf DESC, cid) AS rank
+  FROM fused
+)
+WHERE rank <= {_RRF_TOP}
+ORDER BY qid, fused_rank
+"""
+
+
+RRF_ORACLE = _rrf_oracle()
+
+
+def q_sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import N_QUERIES, _directional, _dot, _norm
+    from ..tables import spread
+
+    e = _directional(load(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    dot = _dot(F.col("qv"), F.col("cv"))
+    scored = F.broadcast(q).crossJoin(spread(c)).select(
+        "qid",
+        "cid",
+        (dot / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cosine"),
+        dot.alias("dot"),
+    )
+
+    def shortlist(metric: str) -> DataFrame:
+        w = Window.partitionBy("qid").orderBy(F.desc(metric), "cid")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _RRF_DEPTH)
+            .select("qid", "cid", F.col("rn").alias(f"rank_{metric}"))
+        )
+
+    a = shortlist("cosine").withColumnRenamed("rank_cosine", "rank_cos")
+    b = shortlist("dot")
+    both = a.join(b, ["qid", "cid"], "full")
+    term = lambda r: F.when(  # noqa: E731 - tiny local expression
+        r.isNotNull(),
+        F.round(F.lit(1.0) / (_RRF_K + r), 12).cast("decimal(20,12)"),
+    ).otherwise(F.lit(0).cast("decimal(20,12)"))
+    fused = both.select(
+        "qid",
+        "cid",
+        "rank_cos",
+        "rank_dot",
+        (term(F.col("rank_cos")) + term(F.col("rank_dot")))
+        .cast("double")
+        .alias("rrf"),
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("rrf"), "cid")
+    return (
+        fused.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _RRF_TOP)
+        .select(
+            "qid",
+            F.col("rank").cast("long").alias("fused_rank"),
+            "cid",
+            F.round("rrf", 6).alias("rrf_score"),
+            "rank_cos",
+            "rank_dot",
+        )
+        .orderBy("qid", "fused_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Centroid label-noise audit (round-19 queue): the confident-learning
+# question every labeled training set needs answered before training —
+# which labels disagree with the geometry? Each label's centroid is the
+# per-dimension mean of its vectors; a vector whose NEAREST centroid is
+# a different label is flagged, and the report is the label x nearest
+# confusion grid with per-label noise rates (the q_sim_knn_eval
+# complement: kNN votes score retrieval quality, centroid disagreement
+# scores LABEL quality). Scale shape: centroids form in ONE
+# posexplode + partial-agg pass over (label, dim) — bounded by
+# labels x 64 — broadcast back as rebuilt arrays, the nearest-centroid
+# argmin is the deterministic two-step min over a MAP-ONLY L2² fold,
+# and the report is the bounded labels² grid. Centroid means are
+# 12-dp-round + DECIMAL(24,12) order-free sums; distances are the
+# shared fixed-shape folds, tie-broken on label id.
+# ---------------------------------------------------------------------------
+
+
+def _label_noise_oracle() -> str:
+    return """
+WITH base AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL
+),
+dims AS (
+  SELECT label,
+         unnest(list_transform(range(1, len(embedding) + 1),
+                i -> {'dim': i,
+                      'val': CAST(embedding[CAST(i AS INT)] AS DOUBLE)}),
+                recursive := true)
+  FROM base
+),
+cstats AS (
+  SELECT label, dim,
+         CAST(sum(CAST(round(val, 12) AS DECIMAL(24,12))) AS DOUBLE)
+           / count(*) AS c
+  FROM dims GROUP BY label, dim
+),
+cents AS (
+  SELECT label AS clabel, list(c ORDER BY dim) AS cv
+  FROM cstats GROUP BY label
+),
+dists AS (
+  SELECT b.vec_id, b.label, c.clabel,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(list_zip(b.embedding, c.cv),
+             z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+                  * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))),
+           (acc, x) -> acc + x) AS dist
+  FROM base b CROSS JOIN cents c
+),
+md AS (SELECT vec_id, min(dist) AS md FROM dists GROUP BY vec_id),
+nearest AS (
+  SELECT d.vec_id, d.label, min(d.clabel) AS nearest_label
+  FROM dists d JOIN md ON md.vec_id = d.vec_id
+  WHERE d.dist = md.md
+  GROUP BY d.vec_id, d.label
+),
+tot AS (SELECT label, count(*) AS n_label FROM nearest GROUP BY label)
+SELECT n.label, n.nearest_label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(t.n_label AS BIGINT) AS n_label,
+       round(CAST(sum(CASE WHEN n.nearest_label != n.label
+                      THEN 1 ELSE 0 END) AS DOUBLE)
+             / t.n_label, 6) AS cell_noise_share
+FROM nearest n JOIN tot t ON t.label = n.label
+GROUP BY n.label, n.nearest_label, t.n_label
+ORDER BY n.label, n.nearest_label
+"""
+
+
+LABEL_NOISE_ORACLE = _label_noise_oracle()
+
+
+def q_emb_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import spread
+
+    base = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    dims = base.select(
+        "label", F.posexplode("embedding").alias("dim0", "val0")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("val0").cast("double").alias("val"),
+    )
+    cstats = dims.groupBy("label", "dim").agg(
+        (
+            F.sum(F.round("val", 12).cast("decimal(24,12)")).cast("double")
+            / F.count("*")
+        ).alias("c")
+    )
+    cents = cstats.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda x: x.c,
+        ).alias("cv")
+    )
+    dists = spread(base).crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        _pq_sqdist(F.col("embedding"), F.col("cv")).alias("dist"),
+    )
+    md = dists.groupBy("vec_id").agg(F.min("dist").alias("md"))
+    nearest = (
+        dists.join(md, "vec_id")
+        .filter(F.col("dist") == F.col("md"))
+        .groupBy("vec_id", "label")
+        .agg(F.min("clabel").alias("nearest_label"))
+    )
+    tot = nearest.groupBy("label").agg(F.count("*").alias("n_label"))
+    return (
+        nearest.join(tot, "label")
+        .groupBy("label", "nearest_label", "n_label")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("nearest_label") != F.col("label"), 1)
+                .otherwise(0)
+            ).alias("n_noise"),
+        )
+        .select(
+            "label",
+            "nearest_label",
+            "n",
+            F.col("n_label").cast("long").alias("n_label"),
+            F.round(
+                F.col("n_noise").cast("double") / F.col("n_label"), 6
+            ).alias("cell_noise_share"),
+        )
+        .orderBy("label", "nearest_label")
+    )
+
+
+PENDING_R19 = {
+    "q_sample_pps_poisson": (q_sample_pps_poisson, PPS_ORACLE),
+    "q_sim_rrf_fusion": (q_sim_rrf_fusion, RRF_ORACLE),
+    "q_emb_label_noise": (q_emb_label_noise, LABEL_NOISE_ORACLE),
+}
