@@ -2649,7 +2649,7 @@ WITH o AS (
          CAST(round(o_totalprice * 100) AS BIGINT) AS size
   FROM orders WHERE o_totalprice IS NOT NULL
 ),
-t AS (SELECT CAST(sum(size) AS BIGINT) AS total FROM o),
+t AS (SELECT nullif(CAST(sum(size) AS BIGINT), 0) AS total FROM o),
 probed AS (
   SELECT o.o_orderpriority, o.size,
          least(CAST(1 AS DOUBLE),
@@ -2676,7 +2676,7 @@ SELECT p.o_orderpriority,
                     WHERE s.o_orderpriority = p.o_orderpriority)
                    AS DOUBLE)
               - CAST(sum(p.size) AS DOUBLE))
-             / CAST(sum(p.size) AS DOUBLE), 6) AS rel_error
+             / nullif(CAST(sum(p.size) AS DOUBLE), 0), 6) AS rel_error
 FROM probed p
 GROUP BY p.o_orderpriority
 ORDER BY p.o_orderpriority
@@ -2694,7 +2694,15 @@ def q_sample_pps_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("size"),
     )
-    t = o.agg(F.sum("size").cast("long").alias("total"))
+    # NULLIF guards (round-9 NULL discipline): an adversarial corpus can
+    # net the global size total — or a priority's true total — to zero;
+    # both ratios must go NULL, never DIVIDE_BY_ZERO (Spark ANSI) or
+    # +-inf (DuckDB), in BOTH engines identically.
+    t = o.agg(
+        F.nullif(F.sum("size").cast("long"), F.lit(0).cast("long")).alias(
+            "total"
+        )
+    )
     probed = o.crossJoin(F.broadcast(t)).select(
         "o_orderpriority",
         "size",
@@ -2746,7 +2754,9 @@ def q_sample_pps_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("ht_raw", 2).alias("ht_total_cents"),
             F.round(
                 (F.col("ht_raw") - F.col("true_total_cents").cast("double"))
-                / F.col("true_total_cents").cast("double"),
+                / F.nullif(
+                    F.col("true_total_cents").cast("double"), F.lit(0.0)
+                ),
                 6,
             ).alias("rel_error"),
         )
@@ -2758,23 +2768,27 @@ def q_sample_pps_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Reciprocal-rank fusion retrieval (round-19 queue): RRF (Cormack et
 # al., SIGIR'09) — the standard way production search fuses
 # heterogeneous retrieval signals without score calibration: each
-# ranking contributes 1/(60 + rank), summed per candidate. Here the two
-# signals are the repo's existing similarity axes — COSINE (direction)
-# and raw INNER PRODUCT (direction x magnitude; the MIPS axis) — which
-# genuinely disagree on this corpus, so the fusion is non-trivial and
-# the report shows each fused winner's per-list rank (NULL when outside
-# that list's depth-20 shortlist). Scale shape: both shortlists are the
-# bounded-broadcast query x corpus linear scans the top-k family
-# already runs (production swaps in LSH/IVF/PQ shortlists unchanged —
-# RRF only consumes (candidate, rank) pairs); everything downstream is
-# Q x 40 rows. Determinism: ranks come from (metric desc, cid) windows
-# over bit-identical folds; RRF terms are exact rationals rounded to
-# 12 dp and decimal-summed; the fused order ties break on cid.
+# ranking contributes 1/(60 + rank), summed per candidate. The two
+# signals are the EXACT full-precision cosine and the TRUNCATED cosine
+# over the first 32 of 64 dimensions — the coarse-ranker + exact-ranker
+# pair every two-stage retrieval stack fuses (the fixture's embeddings
+# are unit-norm, so cosine-vs-inner-product would be the SAME ranking;
+# truncation genuinely reorders). The report shows each fused winner's
+# per-list rank (NULL when outside that list's depth-20 shortlist).
+# Scale shape: both shortlists are the bounded-broadcast query x corpus
+# linear scans the top-k family already runs (production swaps in
+# LSH/IVF/PQ shortlists unchanged — RRF only consumes (candidate, rank)
+# pairs); everything downstream is Q x 40 rows. Determinism: ranks come
+# from (metric DESC NULLS LAST, cid) windows over bit-identical folds
+# (the truncated cosine goes NULL on zero-norm halves in both engines);
+# RRF terms are exact rationals rounded to 12 dp and decimal-summed;
+# the fused order ties break on cid.
 # ---------------------------------------------------------------------------
 
 _RRF_K = 60
 _RRF_DEPTH = 20
 _RRF_TOP = 5
+_RRF_HALF = 32  # truncated coarse-ranker dims (of 64)
 
 
 def _rrf_oracle() -> str:
@@ -2794,30 +2808,32 @@ c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
 scored AS (
   SELECT q.qid, c.cid,
          {_sql_dot('q.qv', 'c.cv')}
-           / ({_sql_norm('q.qv')} * {_sql_norm('c.cv')}) AS cosine,
-         {_sql_dot('q.qv', 'c.cv')} AS dot
+           / ({_sql_norm('q.qv')} * {_sql_norm('c.cv')}) AS cos_full,
+         {_sql_dot(f'q.qv[1:{_RRF_HALF}]', f'c.cv[1:{_RRF_HALF}]')}
+           / nullif({_sql_norm(f'q.qv[1:{_RRF_HALF}]')}
+                    * {_sql_norm(f'c.cv[1:{_RRF_HALF}]')}, 0) AS cos_half
   FROM q CROSS JOIN c
 ),
-rank_cos AS (
+rank_full AS (
   SELECT qid, cid, rn FROM (
     SELECT qid, cid,
            row_number() OVER (PARTITION BY qid
-                              ORDER BY cosine DESC, cid) AS rn
+                              ORDER BY cos_full DESC NULLS LAST, cid) AS rn
     FROM scored
   ) WHERE rn <= {_RRF_DEPTH}
 ),
-rank_dot AS (
+rank_half AS (
   SELECT qid, cid, rn FROM (
     SELECT qid, cid,
            row_number() OVER (PARTITION BY qid
-                              ORDER BY dot DESC, cid) AS rn
+                              ORDER BY cos_half DESC NULLS LAST, cid) AS rn
     FROM scored
   ) WHERE rn <= {_RRF_DEPTH}
 ),
 fused AS (
   SELECT coalesce(a.qid, b.qid) AS qid,
          coalesce(a.cid, b.cid) AS cid,
-         a.rn AS rank_cos, b.rn AS rank_dot,
+         a.rn AS rank_full, b.rn AS rank_half,
          CAST(
            CAST(CASE WHEN a.rn IS NOT NULL
                 THEN round(CAST(1 AS DOUBLE) / ({_RRF_K} + a.rn), 12)
@@ -2826,13 +2842,13 @@ fused AS (
                   THEN round(CAST(1 AS DOUBLE) / ({_RRF_K} + b.rn), 12)
                   ELSE 0 END AS DECIMAL(20,12))
            AS DOUBLE) AS rrf
-  FROM rank_cos a FULL JOIN rank_dot b
+  FROM rank_full a FULL JOIN rank_half b
     ON a.qid = b.qid AND a.cid = b.cid
 )
 SELECT qid, CAST(rank AS BIGINT) AS fused_rank, cid,
-       round(rrf, 6) AS rrf_score, rank_cos, rank_dot
+       round(rrf, 6) AS rrf_score, rank_full, rank_half
 FROM (
-  SELECT qid, cid, rrf, rank_cos, rank_dot,
+  SELECT qid, cid, rrf, rank_full, rank_half,
          row_number() OVER (PARTITION BY qid
                             ORDER BY rrf DESC, cid) AS rank
   FROM fused
@@ -2856,25 +2872,32 @@ def q_sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
-    dot = _dot(F.col("qv"), F.col("cv"))
+    qh, ch = F.slice("qv", 1, _RRF_HALF), F.slice("cv", 1, _RRF_HALF)
     scored = F.broadcast(q).crossJoin(spread(c)).select(
         "qid",
         "cid",
-        (dot / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cosine"),
-        dot.alias("dot"),
+        (
+            _dot(F.col("qv"), F.col("cv"))
+            / (_norm(F.col("qv")) * _norm(F.col("cv")))
+        ).alias("cos_full"),
+        (
+            _dot(qh, ch) / F.nullif(_norm(qh) * _norm(ch), F.lit(0.0))
+        ).alias("cos_half"),
     )
 
     def shortlist(metric: str) -> DataFrame:
-        w = Window.partitionBy("qid").orderBy(F.desc(metric), "cid")
+        w = Window.partitionBy("qid").orderBy(
+            F.desc_nulls_last(metric), "cid"
+        )
         return (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= _RRF_DEPTH)
-            .select("qid", "cid", F.col("rn").alias(f"rank_{metric}"))
+            .select("qid", "cid", F.col("rn").alias(f"rank_{metric[4:]}"))
         )
 
-    a = shortlist("cosine").withColumnRenamed("rank_cosine", "rank_cos")
-    b = shortlist("dot")
-    both = a.join(b, ["qid", "cid"], "full")
+    both = shortlist("cos_full").join(
+        shortlist("cos_half"), ["qid", "cid"], "full"
+    )
     term = lambda r: F.when(  # noqa: E731 - tiny local expression
         r.isNotNull(),
         F.round(F.lit(1.0) / (_RRF_K + r), 12).cast("decimal(20,12)"),
@@ -2882,9 +2905,9 @@ def q_sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused = both.select(
         "qid",
         "cid",
-        "rank_cos",
-        "rank_dot",
-        (term(F.col("rank_cos")) + term(F.col("rank_dot")))
+        "rank_full",
+        "rank_half",
+        (term(F.col("rank_full")) + term(F.col("rank_half")))
         .cast("double")
         .alias("rrf"),
     )
@@ -2897,8 +2920,8 @@ def q_sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("fused_rank"),
             "cid",
             F.round("rrf", 6).alias("rrf_score"),
-            "rank_cos",
-            "rank_dot",
+            "rank_full",
+            "rank_half",
         )
         .orderBy("qid", "fused_rank")
     )
