@@ -111,13 +111,14 @@ def _git_tag() -> str:
 def _quietest_same_code(
     hist_path: str, git_tag: str, record: dict, extras: dict
 ) -> dict | None:
-    """The round-11 verdict's artifact-of-record rule: BENCH_r11 was
-    recorded at load1 5.46 while a same-day load1 0.06 pass of the same
-    code sat in bench_history with a better headline. If THIS run
-    started loaded and a prior history entry measured the SAME commit
-    (clean tree), same sf, and identical query rosters under lower
-    load1, return the quietest such entry so it becomes the emitted
-    artifact; the just-measured run still lands in history either way."""
+    """Quiet same-commit reference lookup: if THIS run started loaded
+    and a prior history entry measured the SAME commit (clean tree),
+    same sf, and identical query rosters under lower load1, return the
+    quietest such entry. Since round 14 (advisor measurement-integrity
+    finding) the result only annotates the emitted artifact as
+    quiet_ref_* supplementary fields — the headline "value" is always
+    the value this run measured — unless the evaluator explicitly opts
+    into substitution with SPARK_GRAFT_BENCH_SUBSTITUTE=1."""
     if git_tag.endswith("-dirty") or git_tag == "unknown":
         return None
     best = None
@@ -146,6 +147,39 @@ def _quietest_same_code(
         ):
             best = h
     return best
+
+
+def _finalize_record(record: dict, quiet: dict | None, opt_in: bool) -> dict:
+    """Shape the stdout artifact. The headline `value`/`queries` are
+    ALWAYS this run's measurement; a quiet same-commit reference (when
+    one exists) rides along as quiet_ref_* supplementary fields.
+    Substitution of the historical pass requires an explicit evaluator
+    opt-in (SPARK_GRAFT_BENCH_SUBSTITUTE=1) and is fully disclosed via
+    artifact_source + measured_now_*."""
+    if quiet is not None and opt_in:
+        stdout_keys = [k for k in record if k not in ("queries", "value")]
+        return {
+            **{k: quiet.get(k, record[k]) for k in stdout_keys},
+            "artifact_source": "quietest_same_commit_pass",
+            "measured_now_load1": record["load1"],
+            "measured_now_value": record["value"],
+            "queries": quiet["queries"],
+            "value": quiet["value"],
+        }
+    supplement = {}
+    if quiet is not None:
+        supplement = {
+            "quiet_ref_value": quiet["value"],
+            "quiet_ref_load1": quiet["load1"],
+            "quiet_ref_ts": quiet.get("ts"),
+        }
+    return {
+        **{k: v for k, v in record.items() if k not in ("queries", "value")},
+        "artifact_source": "this_run",
+        **supplement,
+        "queries": record["queries"],
+        "value": record["value"],
+    }
 
 
 def _load1() -> float:
@@ -336,40 +370,31 @@ def main() -> None:
         # recreate the exact lost-headline failure this file defends
         # against
         print(f"# WARNING bench history not written: {e}", file=sys.stderr)
-    # Artifact-of-record selection (round-11 verdict #3): when this run
-    # started loaded, prefer the quietest SAME-COMMIT same-roster pass
-    # already in history — the measured run above is in history either
-    # way, and the emitted record says which path it took plus what was
-    # measured now, so nothing is hidden.
+    # Measurement integrity (round-13 advisor, HIGH): the headline
+    # "value" is ALWAYS the value this run measured — never replaced by
+    # a historical pass, however comparable. When this run started
+    # loaded and a quiet SAME-COMMIT same-roster pass exists in
+    # history, that pass rides along as supplementary quiet_ref_*
+    # fields so the reader can tell machine noise from a code
+    # regression, but the metric of record reflects the run that
+    # produced it. Substitution (the pre-round-14 behavior) now
+    # requires the evaluator to explicitly opt in via
+    # SPARK_GRAFT_BENCH_SUBSTITUTE=1.
     quiet = _quietest_same_code(hist_path, git_tag, record, extras) if noisy else None
+    opt_in = os.environ.get("SPARK_GRAFT_BENCH_SUBSTITUTE") == "1"
     if quiet is not None:
+        verb = (
+            "substituting (explicit SPARK_GRAFT_BENCH_SUBSTITUTE=1 opt-in)"
+            if opt_in
+            else "headline stays the measured value; reference only"
+        )
         print(
-            f"# artifact: substituting quietest same-commit pass "
-            f"(load1 {quiet['load1']} vs {record['load1']} now; "
-            f"value {quiet['value']} vs {record['value']})",
+            f"# quiet same-commit pass available: load1 {quiet['load1']} "
+            f"value {quiet['value']} vs {record['load1']} / "
+            f"{record['value']} measured now — {verb}",
             file=sys.stderr,
         )
-        stdout_keys = [k for k in record if k not in ("queries", "value")]
-        record = {
-            # quiet-entry values where the quiet pass recorded the key;
-            # THIS run's value otherwise, so a stdout-contract key
-            # added after the quiet entry was written can never be
-            # silently dropped from the emitted artifact (the schema
-            # would regress exactly when substitution fires)
-            **{k: quiet.get(k, record[k]) for k in stdout_keys},
-            "artifact_source": "quietest_same_commit_pass",
-            "measured_now_load1": load_start,
-            "measured_now_value": record["value"],
-            "queries": quiet["queries"],
-            "value": quiet["value"],
-        }
-    else:
-        record = {
-            **{k: v for k, v in record.items() if k not in ("queries", "value")},
-            "artifact_source": "this_run",
-            "queries": record["queries"],
-            "value": record["value"],
-        }
+    record = _finalize_record(record, quiet, opt_in)
     line = json.dumps(record)
     if len(line) > 1900:  # pragma: no cover - contract guard
         print(f"# WARNING stdout line {len(line)} chars nears the "

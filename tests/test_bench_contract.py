@@ -363,8 +363,39 @@ def test_substitution_never_regresses_stdout_schema(tmp_path):
     hist.write_text(_json.dumps(quiet))
     got = _quietest_same_code(str(hist), "abc1234", record, extras)
     assert got is not None
-    # replicate bench.main's emission merge
-    stdout_keys = [k for k in record if k not in ("queries", "value")]
-    merged = {k: got.get(k, record[k]) for k in stdout_keys}
+    from bench import _finalize_record
+
+    merged = _finalize_record(record, got, opt_in=True)
     assert merged["new_contract_key"] == 42
     assert merged["load1"] == 0.2
+
+
+def test_headline_is_always_the_measured_value_by_default():
+    """Round-13 advisor (HIGH): the emitted `value` must be this run's
+    measurement unless the evaluator explicitly opts into substitution.
+    A quiet same-commit pass only annotates the artifact as quiet_ref_*
+    supplementary fields."""
+    from bench import _finalize_record
+
+    record = {"sf": 0.1, "queries": {"a": 1.0}, "load1": 5.0, "value": 1.0}
+    quiet = {"sf": 0.1, "queries": {"a": 0.9}, "value": 0.9,
+             "git": "abc1234", "load1": 0.2, "jvms_other": 0, "ts": 7}
+
+    out = _finalize_record(record, quiet, opt_in=False)
+    assert out["value"] == 1.0 and out["queries"] == {"a": 1.0}
+    assert out["artifact_source"] == "this_run"
+    assert out["quiet_ref_value"] == 0.9
+    assert out["quiet_ref_load1"] == 0.2
+    assert out["quiet_ref_ts"] == 7
+
+    out = _finalize_record(record, None, opt_in=False)
+    assert out["value"] == 1.0
+    assert out["artifact_source"] == "this_run"
+    assert "quiet_ref_value" not in out
+
+    # opt-in substitution stays fully disclosed
+    out = _finalize_record(record, quiet, opt_in=True)
+    assert out["value"] == 0.9
+    assert out["artifact_source"] == "quietest_same_commit_pass"
+    assert out["measured_now_value"] == 1.0
+    assert out["measured_now_load1"] == 5.0
