@@ -67,3 +67,32 @@ def sql_dsum(expr: str) -> str:
 def sql_davg(expr: str) -> str:
     """DuckDB-side twin of :func:`davg`."""
     return f"{sql_dsum(expr)} / count({expr})"
+
+
+# Deterministic hash discipline: md5 of a salted key, first 48 bits,
+# reduced mod ``mod`` — identical on both engines (md5 is
+# engine-independent; conv/CAST of a 12-hex-digit slice fits a BIGINT
+# exactly). THE one definition behind the CMS buckets
+# (queries/aggregates.py), the Bloom bit positions (queries/joins.py)
+# and the cms_sketch_maintainer (streaming/analytics.py), so a recipe
+# change cannot diverge an operator from its oracle or a monitor from
+# its batch twin.
+def md5_mod(salt: str, key, mod: int) -> Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        % mod
+    )
+
+
+def sql_md5_mod(salt: str, key: str, mod: int) -> str:
+    """DuckDB-side twin of :func:`md5_mod`."""
+    return (
+        f"CAST('0x' || substring(md5('{salt}:' || CAST({key} AS VARCHAR)), "
+        f"1, 12) AS BIGINT) % {mod}"
+    )

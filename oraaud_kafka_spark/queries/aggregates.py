@@ -13,7 +13,18 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load, register_views
-from . import DEC, DEC_MONEY, DEC_RATE, dsum, sql_davg, sql_dsum, sql_to_dbl, to_dbl
+from . import (
+    DEC,
+    DEC_MONEY,
+    DEC_RATE,
+    dsum,
+    md5_mod,
+    sql_davg,
+    sql_dsum,
+    sql_md5_mod,
+    sql_to_dbl,
+    to_dbl,
+)
 
 _GLOBAL_ORACLE = f"""
 SELECT count(*) AS n_rows,
@@ -2940,4 +2951,192 @@ def q_agg_theta_audience_overlap(
             ).alias("within_rel_error"),
         )
         .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min-Sketch heavy-hitter frequency certification (registered
+# round 14) — the point-FREQUENCY member of the mergeable-sketch family
+# (HLL = distinct count, KLL = quantiles, Theta = set algebra, CMS =
+# per-key counts): a d x w counter grid where cell (i, hash_i(k) % w)
+# accumulates every occurrence of k, and est(k) = min_i over the d
+# cells — never an underestimate, over by at most (e/w)*N w.h.p.
+# (Cormode & Muthukrishnan 2005). Built manually from the repo's
+# deterministic md5 hash discipline (queries.md5_mod) so both engines
+# run the identical grid — and so the live cms_sketch_maintainer
+# (streaming/analytics.py) shares the exact bucket recipe. The 100 TB
+# story is double: (1) ONE partial-agg'd pass collapses any fact volume
+# to d*w = 2048 cells, after which every frequency question costs a
+# broadcast lookup, never a rescan; (2) the sketch is MERGEABLE by
+# cell-wise addition — this query builds per-priority sketches, merges
+# them, and certifies merged == directly-built (the q_time_rollup_merge
+# algebra) plus est >= exact with slack within the e/w bound via
+# integer cross-multiplication (no float decides).
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 512
+_CMS_TOP = 10
+# eps = e/w: (est - exact) * w * 1e6 <= 2718282 * N, all-integer
+_CMS_E_NUM = 2_718_282
+_CMS_E_DEN = 1_000_000
+
+
+def _cms_bucket_sql(i: int, key: str) -> str:
+    return sql_md5_mod(str(i), key, _CMS_W)
+
+
+def _cms_bucket(i: int, key):
+    return md5_mod(str(i), key, _CMS_W)
+
+
+_CMS_ORACLE = f"""
+WITH hashed AS (
+  {" UNION ALL ".join(
+      f"SELECT o_custkey, o_orderpriority, {i} AS depth, "
+      f"{_cms_bucket_sql(i, 'o_custkey')} AS bucket FROM orders"
+      for i in range(_CMS_D)
+  )}
+),
+sk_direct AS (SELECT depth, bucket, count(*) AS c FROM hashed GROUP BY 1, 2),
+sk_prio AS (
+  SELECT o_orderpriority, depth, bucket, count(*) AS c
+  FROM hashed GROUP BY 1, 2, 3
+),
+sk_merged AS (
+  SELECT depth, bucket, CAST(sum(c) AS BIGINT) AS c
+  FROM sk_prio GROUP BY 1, 2
+),
+cert AS (
+  SELECT count(*) FILTER (WHERE coalesce(d.c, -1) != coalesce(m.c, -1))
+           AS n_diff
+  FROM sk_direct d FULL JOIN sk_merged m
+    ON d.depth = m.depth AND d.bucket = m.bucket
+),
+exact AS (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS big_n FROM orders),
+topk AS (
+  SELECT k, n, rank FROM (
+    SELECT k, n, row_number() OVER (ORDER BY n DESC, k) AS rank FROM exact
+  ) WHERE rank <= {_CMS_TOP}
+),
+probes AS (
+  {" UNION ALL ".join(
+      f"SELECT rank, k, n, {i} AS depth, {_cms_bucket_sql(i, 'k')} AS bucket "
+      f"FROM topk"
+      for i in range(_CMS_D)
+  )}
+),
+est AS (
+  SELECT p.rank, p.k, p.n, min(s.c) AS est
+  FROM probes p JOIN sk_merged s
+    ON s.depth = p.depth AND s.bucket = p.bucket
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(rank AS BIGINT) AS rank, CAST(k AS BIGINT) AS cust_key,
+       CAST(n AS BIGINT) AS exact_n, CAST(est AS BIGINT) AS est_n,
+       CAST(est - n AS BIGINT) AS overestimate,
+       (SELECT n_diff FROM cert) = 0 AS merged_equals_direct,
+       (est - n) * {_CMS_W} * {_CMS_E_DEN} <= {_CMS_E_NUM} * big_n
+         AS within_eps
+FROM est CROSS JOIN tot
+ORDER BY rank
+"""
+
+
+@query("q_agg_cms_heavy_hitters", oracle=_CMS_ORACLE)
+def q_agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    hashed = o.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("depth"),
+                    _cms_bucket(i, F.col("o_custkey")).alias("bucket"),
+                )
+                for i in range(_CMS_D)
+            ])
+        ).alias("db"),
+    ).select("o_custkey", "o_orderpriority", "db.depth", "db.bucket")
+    sk_direct = hashed.groupBy("depth", "bucket").agg(
+        F.count("*").alias("c")
+    )
+    sk_merged = (
+        hashed.groupBy("o_orderpriority", "depth", "bucket")
+        .agg(F.count("*").alias("c"))
+        .groupBy("depth", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    cert = (
+        sk_direct.withColumnRenamed("c", "cd")
+        .join(
+            sk_merged.withColumnRenamed("c", "cm"),
+            ["depth", "bucket"],
+            "full",
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.coalesce("cd", F.lit(-1))
+                    != F.coalesce("cm", F.lit(-1)),
+                    1,
+                ).otherwise(0)
+            ).alias("n_diff")
+        )
+    )
+    exact = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("n")
+    )
+    tot = o.agg(F.count("*").cast("long").alias("big_n"))
+    # TakeOrderedAndProject cut first; the rank window then runs over
+    # exactly _CMS_TOP rows, never the key domain
+    top = exact.orderBy(F.desc("n"), "k").limit(_CMS_TOP)
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), "k"))
+        .cast("long")
+        .alias("rank"),
+        "k",
+        "n",
+    )
+    probes = ranked.select(
+        "rank",
+        "k",
+        "n",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("depth"),
+                    _cms_bucket(i, F.col("k")).alias("bucket"),
+                )
+                for i in range(_CMS_D)
+            ])
+        ).alias("db"),
+    ).select("rank", "k", "n", "db.depth", "db.bucket")
+    est = (
+        F.broadcast(probes)
+        .join(sk_merged, ["depth", "bucket"])
+        .groupBy("rank", "k", "n")
+        .agg(F.min("c").alias("est"))
+    )
+    return (
+        est.crossJoin(F.broadcast(cert))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            F.col("k").cast("long").alias("cust_key"),
+            F.col("n").cast("long").alias("exact_n"),
+            F.col("est").cast("long").alias("est_n"),
+            (F.col("est") - F.col("n")).cast("long").alias("overestimate"),
+            (F.col("n_diff") == 0).alias("merged_equals_direct"),
+            (
+                (F.col("est") - F.col("n")) * _CMS_W * _CMS_E_DEN
+                <= _CMS_E_NUM * F.col("big_n")
+            ).alias("within_eps"),
+        )
+        .orderBy("rank")
     )

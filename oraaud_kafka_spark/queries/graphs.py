@@ -294,3 +294,199 @@ def q_events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(nv).cast("bigint").alias("n_vertices"),
         F.round("r", 6).alias("pagerank"),
     ).orderBy(F.col("pagerank").desc(), "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Part CO-PURCHASE graph (registered round 14) — the second graph this
+# module derives: parts are connected when they appear in >= 2 common
+# orders (the support floor keeps the edge set signal-bearing and
+# BOUNDED — the fixture carries 2.3-3.6k edges at every SF while the
+# raw pair count grows 100x). THE one definition (SQL CTE + DataFrame
+# twins) shared by the triangle count below and the round-15/16 queue's
+# link prediction and weighted PageRank, so the graph can never
+# silently diverge between them.
+# ---------------------------------------------------------------------------
+
+_TRI_SUPPORT = 2  # co-purchase edges need >= 2 common orders
+
+_COPURCHASE_CTE_SQL = f"""op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_TRI_SUPPORT}
+),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY 1
+)"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (u < v) co-purchase edges under the support floor —
+    the DataFrame twin of _COPURCHASE_CTE_SQL's ``e``."""
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= _TRI_SUPPORT)
+        .select("u", "v")
+    )
+
+
+def _copurchase_degrees(e: DataFrame) -> DataFrame:
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the co-purchase graph — the third graph
+# archetype next to the degree profile and PageRank: triangles measure
+# how clique-like the co-purchase structure is (recommender
+# neighborhoods, bundle detection). Scale shape is the Schank/Wagner
+# degree-ordered orientation: every edge points from its lower-
+# (degree, id) endpoint to the higher one, so each triangle is counted
+# EXACTLY once and the wedge fan-out per node is bounded by its
+# oriented out-degree (<= sqrt(2m) on any graph) — the all-orders pair
+# expansion per order is bounded by order width, wedges close against
+# the canonical (min, max) edge set via ONE hash equi-join, and nothing
+# quadratic in |parts| ever forms. All counts are exact integers;
+# transitivity is the single IEEE division 3*triangles / wedges.
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = f"""
+WITH {_COPURCHASE_CTE_SQL},
+o AS (
+  SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS s,
+         CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS t
+  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+wedge AS (
+  SELECT a.s AS x, least(a.t, b.t) AS y, greatest(a.t, b.t) AS z
+  FROM o a JOIN o b ON a.s = b.s AND a.t < b.t
+),
+tri AS (SELECT w.x, w.y, w.z FROM wedge w JOIN e ON e.u = w.y AND e.v = w.z),
+node_tri AS (
+  SELECT node, count(*) AS n_tri
+  FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+  GROUP BY 1
+),
+gstats AS (
+  SELECT (SELECT count(*) FROM deg) AS n_nodes,
+         (SELECT count(*) FROM e) AS n_edges,
+         (SELECT coalesce(CAST(sum(d * (d - 1) / 2) AS BIGINT), 0)
+          FROM deg) AS n_wedges,
+         (SELECT count(*) FROM tri) AS n_triangles
+)
+SELECT CAST(rank AS BIGINT) AS rank, CAST(node AS BIGINT) AS part_key,
+       CAST(n_tri AS BIGINT) AS n_tri,
+       CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_wedges AS BIGINT) AS n_wedges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       CAST(3 * n_triangles AS DOUBLE) / n_wedges AS transitivity
+FROM (
+  SELECT node, n_tri,
+         row_number() OVER (ORDER BY n_tri DESC, node) AS rank
+  FROM node_tri
+) CROSS JOIN gstats
+WHERE rank <= 5
+ORDER BY rank
+"""
+
+
+@query("q_graph_triangle_count", oracle=_TRIANGLE_ORACLE)
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_edges(spark, sf_dir)
+    deg = _copurchase_degrees(e)
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    # degree-ordered orientation: lower (degree, id) -> higher; the
+    # degree table is node-cardinality — not provably bounded on a
+    # general graph, so no forced broadcast: AQE picks the strategy
+    # from the measured size at runtime
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    oa = o.select(F.col("s"), F.col("t").alias("t1"))
+    ob = o.select(F.col("s"), F.col("t").alias("t2"))
+    wedge = (
+        oa.join(ob, "s")
+        .filter(F.col("t1") < F.col("t2"))
+        .select(
+            F.col("s").alias("x"),
+            F.least("t1", "t2").alias("y"),
+            F.greatest("t1", "t2").alias("z"),
+        )
+    )
+    # wedges close against the CANONICAL (u < v by id) edge set — one
+    # hash equi-join, no OR-condition nested loop
+    tri = wedge.join(
+        e.select(F.col("u").alias("y"), F.col("v").alias("z")), ["y", "z"]
+    )
+    node_tri = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    glob = (
+        deg.agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.col("d") * (F.col("d") - 1) / 2)
+            .cast("long")
+            .alias("n_wedges"),
+        )
+        .crossJoin(e.agg(F.count("*").alias("n_edges")))
+        .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.coalesce("n_wedges", F.lit(0)).alias("n_wedges"),
+            "n_triangles",
+        )
+    )
+    ranked = node_tri.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_tri"), "node"))
+        .cast("long")
+        .alias("rank"),
+        F.col("node").cast("long").alias("part_key"),
+        F.col("n_tri").cast("long").alias("n_tri"),
+    ).filter(F.col("rank") <= 5)
+    return (
+        ranked.crossJoin(glob)
+        .select(
+            "rank",
+            "part_key",
+            "n_tri",
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (
+                (3 * F.col("n_triangles")).cast("double") / F.col("n_wedges")
+            ).alias("transitivity"),
+        )
+        .orderBy("rank")
+    )

@@ -11,7 +11,7 @@ from pyspark.sql.functions import broadcast
 
 from ..registry import query
 from ..tables import load
-from . import DEC, DEC_MONEY, DEC_RATE, sql_dsum, sql_to_dbl, to_dbl
+from . import DEC, DEC_MONEY, DEC_RATE, md5_mod, sql_dsum, sql_md5_mod, sql_to_dbl, to_dbl
 
 _INNER_ORACLE = f"""
 SELECT c_mktsegment,
@@ -659,3 +659,242 @@ def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.col("lift").desc(), "p_a", "p_b"
     ).limit(_BASKET_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning eval (registered round 14) — the
+# runtime-filter story every 100 TB join plan lives on: instead of
+# shuffling the whole fact side into a join against a filtered
+# dimension, build a k-hash Bloom bitset over the dim keys (here:
+# partkeys of the data-derived min brand), broadcast it as ONE row
+# carrying an array<long> of 32-bit words, and pre-filter the fact
+# scan with pure bit arithmetic — no per-row join, the exact shape of
+# Spark's own InjectRuntimeFilter / DPP bloom path, built here from
+# first principles so its sizing is measurable. Two word arrays
+# (m = 4096 and 16384 bits, k = 3) probe in a SINGLE fact pass; the
+# report per config is the no-false-negative certificate (n_missed
+# MUST be 0 — a Bloom filter may only over-admit) plus the
+# false-positive rate the m sizing buys. All hashes are the repo's
+# md5-conv discipline (queries.md5_mod), every count an exact integer,
+# fp_rate the only division.
+# ---------------------------------------------------------------------------
+
+_BLOOM_MS = (4096, 16384)
+_BLOOM_K = 3
+
+
+def _bloom_pos_sql(j: int, key: str, m: int) -> str:
+    return sql_md5_mod(f"b{j}", key, m)
+
+
+def _bloom_pos(j: int, key, m: int):
+    return md5_mod(f"b{j}", key, m)
+
+
+def _bloom_oracle() -> str:
+    def word_cte(m: int) -> str:
+        pos_rows = " UNION ALL ".join(
+            f"SELECT {_bloom_pos_sql(j, 'p_partkey', m)} AS pos FROM dim"
+            for j in range(_BLOOM_K)
+        )
+        return f"""
+words_{m} AS (
+  SELECT pos // 32 AS word, bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS mask
+  FROM ({pos_rows}) GROUP BY 1
+),
+arr_{m} AS (
+  SELECT list(coalesce(w.mask, 0) ORDER BY g.range) AS words
+  FROM range(0, {m // 32}) g LEFT JOIN words_{m} w ON w.word = g.range
+)"""
+
+    def probe(m: int) -> str:
+        checks = " AND ".join(
+            f"(a{m}.words[CAST({_bloom_pos_sql(j, 'l_partkey', m)} // 32 "
+            f"AS INT) + 1] & (CAST(1 AS BIGINT) << "
+            f"CAST({_bloom_pos_sql(j, 'l_partkey', m)} % 32 AS INT))) != 0"
+            for j in range(_BLOOM_K)
+        )
+        return f"({checks})"
+
+    per_cfg = ", ".join(
+        f"CAST(count(*) FILTER (WHERE pass_{m}) AS BIGINT) AS n_pass_{m}, "
+        f"CAST(count(*) FILTER (WHERE hit AND NOT pass_{m}) AS BIGINT) "
+        f"AS n_missed_{m}, "
+        f"CAST(count(*) FILTER (WHERE pass_{m} AND NOT hit) AS BIGINT) "
+        f"AS n_fp_{m}"
+        for m in _BLOOM_MS
+    )
+    out_rows = " UNION ALL ".join(
+        f"SELECT {m} AS m_bits, {_BLOOM_K} AS k_hashes, n_dim_keys, n_fact, "
+        f"n_exact, n_pass_{m} AS n_pass, n_missed_{m} AS n_missed, "
+        f"n_fp_{m} AS n_false_pos, "
+        f"CAST(n_fp_{m} AS DOUBLE) / (n_fact - n_exact) AS fp_rate "
+        f"FROM stats"
+        for m in _BLOOM_MS
+    )
+    return f"""
+WITH dim AS (
+  SELECT p_partkey FROM part
+  WHERE p_brand = (SELECT min(p_brand) FROM part)
+),
+{",".join(word_cte(m).lstrip() for m in _BLOOM_MS)},
+flags AS (
+  SELECT (d.p_partkey IS NOT NULL) AS hit,
+         {", ".join(f"{probe(m)} AS pass_{m}" for m in _BLOOM_MS)}
+  FROM lineitem l
+  CROSS JOIN arr_4096 a4096 CROSS JOIN arr_16384 a16384
+  LEFT JOIN dim d ON d.p_partkey = l.l_partkey
+),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM dim) AS n_dim_keys,
+         CAST(count(*) AS BIGINT) AS n_fact,
+         CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_exact,
+         {per_cfg}
+  FROM flags
+)
+SELECT CAST(m_bits AS BIGINT) AS m_bits, CAST(k_hashes AS BIGINT) AS k_hashes,
+       n_dim_keys, n_fact, n_exact, n_pass, n_missed, n_false_pos, fp_rate
+FROM ({out_rows})
+ORDER BY m_bits
+"""
+
+
+_BLOOM_ORACLE = _bloom_oracle()
+
+
+@query("q_join_bloom_prune_eval", oracle=_BLOOM_ORACLE)
+def q_join_bloom_prune_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    min_brand = part.agg(F.min("p_brand").alias("mb"))
+    dim = (
+        part.join(
+            F.broadcast(min_brand), F.col("p_brand") == F.col("mb"), "inner"
+        )
+        .select("p_partkey")
+    )
+
+    def words(m: int) -> DataFrame:
+        pos = dim.select(
+            F.explode(
+                F.array(*[
+                    _bloom_pos(j, F.col("p_partkey"), m)
+                    for j in range(_BLOOM_K)
+                ])
+            ).alias("pos")
+        )
+        w = (
+            pos.select(
+                (F.col("pos") / 32).cast("long").alias("word"),
+                # shiftleft needs a literal bit count in the Python API;
+                # the SQL form takes the column
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+                ).alias("one_bit"),
+            )
+            .groupBy("word")
+            .agg(F.bit_or("one_bit").alias("mask"))
+        )
+        dense = (
+            spark.range(m // 32)
+            .withColumnRenamed("id", "word")
+            .join(w, "word", "left")
+            .select("word", F.coalesce("mask", F.lit(0)).alias("mask"))
+        )
+        return dense.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("word", "mask"))),
+                lambda x: x.mask,
+            ).alias(f"words_{m}")
+        )
+
+    def probe(m: int):
+        checks = None
+        for j in range(_BLOOM_K):
+            c = (
+                F.element_at(
+                    F.col(f"words_{m}"),
+                    (F.col(f"p_{m}_{j}") / 32).cast("int") + 1,
+                ).bitwiseAND(
+                    F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT), "
+                        f"CAST(p_{m}_{j} % 32 AS INT))"
+                    )
+                )
+                != 0
+            )
+            checks = c if checks is None else (checks & c)
+        return checks
+
+    flags = (
+        li.select(
+            "l_partkey",
+            *[
+                _bloom_pos(j, F.col("l_partkey"), m).alias(f"p_{m}_{j}")
+                for m in _BLOOM_MS
+                for j in range(_BLOOM_K)
+            ],
+        )
+        .crossJoin(F.broadcast(words(_BLOOM_MS[0])))
+        .crossJoin(F.broadcast(words(_BLOOM_MS[1])))
+        .join(
+            dim.withColumn("hit0", F.lit(True)),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "left",
+        )
+        .select(
+            F.coalesce("hit0", F.lit(False)).alias("hit"),
+            *[probe(m).alias(f"pass_{m}") for m in _BLOOM_MS],
+        )
+    )
+    n_dim = dim.agg(F.count("*").cast("long").alias("n_dim_keys"))
+    stats = flags.agg(
+        F.count("*").cast("long").alias("n_fact"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
+        *[
+            x
+            for m in _BLOOM_MS
+            for x in (
+                F.sum(F.when(F.col(f"pass_{m}"), 1).otherwise(0))
+                .cast("long")
+                .alias(f"n_pass_{m}"),
+                F.sum(
+                    F.when(F.col("hit") & ~F.col(f"pass_{m}"), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"n_missed_{m}"),
+                F.sum(
+                    F.when(F.col(f"pass_{m}") & ~F.col("hit"), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"n_fp_{m}"),
+            )
+        ],
+    ).crossJoin(F.broadcast(n_dim))
+    return (
+        stats.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(m).cast("long").alias("m_bits"),
+                        F.lit(_BLOOM_K).cast("long").alias("k_hashes"),
+                        F.col("n_dim_keys"),
+                        F.col("n_fact"),
+                        F.col("n_exact"),
+                        F.col(f"n_pass_{m}").alias("n_pass"),
+                        F.col(f"n_missed_{m}").alias("n_missed"),
+                        F.col(f"n_fp_{m}").alias("n_false_pos"),
+                        (
+                            F.col(f"n_fp_{m}").cast("double")
+                            / (F.col("n_fact") - F.col("n_exact"))
+                        ).alias("fp_rate"),
+                    )
+                    for m in _BLOOM_MS
+                ])
+            ).alias("r")
+        )
+        .select("r.*")
+        .orderBy("m_bits")
+    )

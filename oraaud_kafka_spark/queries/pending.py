@@ -5,13 +5,14 @@ The driver-window throttle (round-9 rule, re-affirmed by every verdict
 since) admits ~3 new registered operators per round so the
 never-driver-checked backlog stays at zero; round 12 promoted the R12
 trio (theta overlap, dynamic-gap sessions, conversion rate), round 13
-promoted the R13 trio (Holt-Winters, range-search S-curve eval, CDC
-chunking) into llm/similarity.py, queries/event_time.py and
-llm/multimodal.py. PENDING_R14 / PENDING_R15 / PENDING_R16 /
-PENDING_R17 / PENDING_R18 are the round-14..18 batches — each fully
-implemented with DuckDB oracles and swept by tests/test_pending_r1*.py
-at sf0.001 AND the driver's sf0.01, so registration in its round is a
-@query decorator + _FRONT placement, nothing else.
+the R13 trio (Holt-Winters, range-search S-curve eval, CDC chunking),
+round 14 the R14 trio (triangle count -> queries/graphs.py, CMS heavy
+hitters -> queries/aggregates.py, Bloom prune eval -> queries/joins.py).
+PENDING_R15 / PENDING_R16 / PENDING_R17 / PENDING_R18 / PENDING_R19 are
+the round-15..19 batches — each fully implemented with DuckDB oracles
+and swept by tests/test_pending_r1*.py at sf0.001 AND the driver's
+sf0.01, so registration in its round is a @query decorator + _FRONT
+placement, nothing else.
 
 Keeping them out of the registry (this module is NOT in
 registry._MODULES) means: no COVERAGE.md count drift, no "never" ledger
@@ -25,649 +26,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
-
-# ---------------------------------------------------------------------------
-# Triangle counting on the part CO-PURCHASE graph (round-14 queue) —
-# the third graph archetype next to the degree profile and PageRank:
-# parts are connected when they appear in >= 2 common orders (the
-# support floor keeps the edge set signal-bearing and BOUNDED — the
-# fixture carries 2.3-3.6k edges at every SF while the raw pair count
-# grows 100x), and triangles measure how clique-like the co-purchase
-# structure is (recommender neighborhoods, bundle detection). Scale
-# shape is the Schank/Wagner degree-ordered orientation: every edge
-# points from its lower-(degree, id) endpoint to the higher one, so
-# each triangle is counted EXACTLY once and the wedge fan-out per node
-# is bounded by its oriented out-degree (<= sqrt(2m) on any graph) —
-# the all-orders pair expansion per order is bounded by order width,
-# wedges close against the canonical (min, max) edge set via ONE hash
-# equi-join, and nothing quadratic in |parts| ever forms. All counts
-# are exact integers; transitivity is the single IEEE division
-# 3*triangles / wedges_undirected.
-# ---------------------------------------------------------------------------
-
-_TRI_SUPPORT = 2  # co-purchase edges need >= 2 common orders
-
-# THE one definition of the part co-purchase graph (canonical u < v
-# edges with the support floor, plus degrees) — shared by the triangle
-# count and the link-prediction oracle/query pair so the graph can
-# never silently diverge between them.
-_COPURCHASE_CTE_SQL = f"""op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-e AS (
-  SELECT a.l_partkey AS u, b.l_partkey AS v
-  FROM op a JOIN op b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2 HAVING count(*) >= {_TRI_SUPPORT}
-),
-deg AS (
-  SELECT node, count(*) AS d
-  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
-  GROUP BY 1
-)"""
-
-
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical (u < v) co-purchase edges under the support floor —
-    the DataFrame twin of _COPURCHASE_CTE_SQL's ``e``."""
-    li = load(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("v"))
-    return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("n_common"))
-        .filter(F.col("n_common") >= _TRI_SUPPORT)
-        .select("u", "v")
-    )
-
-
-def _copurchase_degrees(e: DataFrame) -> DataFrame:
-    return (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-    )
-
-
-TRIANGLE_ORACLE = f"""
-WITH {_COPURCHASE_CTE_SQL},
-o AS (
-  SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS s,
-         CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS t
-  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
-),
-wedge AS (
-  SELECT a.s AS x, least(a.t, b.t) AS y, greatest(a.t, b.t) AS z
-  FROM o a JOIN o b ON a.s = b.s AND a.t < b.t
-),
-tri AS (SELECT w.x, w.y, w.z FROM wedge w JOIN e ON e.u = w.y AND e.v = w.z),
-node_tri AS (
-  SELECT node, count(*) AS n_tri
-  FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
-        UNION ALL SELECT z FROM tri)
-  GROUP BY 1
-),
-gstats AS (
-  SELECT (SELECT count(*) FROM deg) AS n_nodes,
-         (SELECT count(*) FROM e) AS n_edges,
-         (SELECT coalesce(CAST(sum(d * (d - 1) / 2) AS BIGINT), 0)
-          FROM deg) AS n_wedges,
-         (SELECT count(*) FROM tri) AS n_triangles
+from .graphs import (
+    _COPURCHASE_CTE_SQL,
+    _TRI_SUPPORT,
+    _copurchase_edges,
+    _copurchase_degrees,
 )
-SELECT CAST(rank AS BIGINT) AS rank, CAST(node AS BIGINT) AS part_key,
-       CAST(n_tri AS BIGINT) AS n_tri,
-       CAST(n_nodes AS BIGINT) AS n_nodes,
-       CAST(n_edges AS BIGINT) AS n_edges,
-       CAST(n_wedges AS BIGINT) AS n_wedges,
-       CAST(n_triangles AS BIGINT) AS n_triangles,
-       CAST(3 * n_triangles AS DOUBLE) / n_wedges AS transitivity
-FROM (
-  SELECT node, n_tri,
-         row_number() OVER (ORDER BY n_tri DESC, node) AS rank
-  FROM node_tri
-) CROSS JOIN gstats
-WHERE rank <= 5
-ORDER BY rank
-"""
-
-
-def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _copurchase_edges(spark, sf_dir)
-    deg = _copurchase_degrees(e)
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    # degree-ordered orientation: lower (degree, id) -> higher; the
-    # degree table is node-cardinality — not provably bounded on a
-    # general graph, so no forced broadcast: AQE picks the strategy
-    # from the measured size at runtime
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    o = (
-        e.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-        )
-    )
-    oa = o.select(F.col("s"), F.col("t").alias("t1"))
-    ob = o.select(F.col("s"), F.col("t").alias("t2"))
-    wedge = (
-        oa.join(ob, "s")
-        .filter(F.col("t1") < F.col("t2"))
-        .select(
-            F.col("s").alias("x"),
-            F.least("t1", "t2").alias("y"),
-            F.greatest("t1", "t2").alias("z"),
-        )
-    )
-    # wedges close against the CANONICAL (u < v by id) edge set — one
-    # hash equi-join, no OR-condition nested loop
-    tri = wedge.join(
-        e.select(F.col("u").alias("y"), F.col("v").alias("z")), ["y", "z"]
-    )
-    node_tri = (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("n_tri"))
-    )
-    glob = (
-        deg.agg(
-            F.count("*").alias("n_nodes"),
-            F.sum(F.col("d") * (F.col("d") - 1) / 2)
-            .cast("long")
-            .alias("n_wedges"),
-        )
-        .crossJoin(e.agg(F.count("*").alias("n_edges")))
-        .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
-        .select(
-            "n_nodes",
-            "n_edges",
-            F.coalesce("n_wedges", F.lit(0)).alias("n_wedges"),
-            "n_triangles",
-        )
-    )
-    ranked = node_tri.select(
-        F.row_number()
-        .over(Window.orderBy(F.desc("n_tri"), "node"))
-        .cast("long")
-        .alias("rank"),
-        F.col("node").cast("long").alias("part_key"),
-        F.col("n_tri").cast("long").alias("n_tri"),
-    ).filter(F.col("rank") <= 5)
-    return (
-        ranked.crossJoin(glob)
-        .select(
-            "rank",
-            "part_key",
-            "n_tri",
-            "n_nodes",
-            "n_edges",
-            "n_wedges",
-            "n_triangles",
-            (
-                (3 * F.col("n_triangles")).cast("double") / F.col("n_wedges")
-            ).alias("transitivity"),
-        )
-        .orderBy("rank")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Count-Min-Sketch heavy-hitter frequency certification (round-14
-# queue) — the point-FREQUENCY member of the mergeable-sketch family
-# (HLL = distinct count, KLL = quantiles, Theta = set algebra, CMS =
-# per-key counts): a d x w counter grid where cell (i, hash_i(k) % w)
-# accumulates every occurrence of k, and est(k) = min_i over the d
-# cells — never an underestimate, over by at most (e/w)*N w.h.p.
-# (Cormode & Muthukrishnan 2005). Built manually from the repo's
-# deterministic md5 hash discipline so both engines run the identical
-# grid. The 100 TB story is double: (1) ONE partial-agg'd pass collapses
-# any fact volume to d*w = 2048 cells, after which every frequency
-# question costs a broadcast lookup, never a rescan; (2) the sketch is
-# MERGEABLE by cell-wise addition — this query builds per-priority
-# sketches, merges them, and certifies merged == directly-built
-# (the q_time_rollup_merge algebra) plus est >= exact with slack within
-# the e/w bound via integer cross-multiplication (no float decides).
-# ---------------------------------------------------------------------------
-
-_CMS_D = 4
-_CMS_W = 512
-_CMS_TOP = 10
-# eps = e/w: (est - exact) * w * 1e6 <= 2718282 * N, all-integer
-_CMS_E_NUM = 2_718_282
-_CMS_E_DEN = 1_000_000
-
-
-def _md5_mod_sql(salt: str, key: str, mod: int) -> str:
-    """The repo's md5-conv hash discipline, salted and reduced mod
-    ``mod`` — THE one definition (with _md5_mod below) behind both the
-    CMS buckets and the Bloom bit positions, so a recipe change cannot
-    diverge the two operators or their oracles."""
-    return (
-        f"CAST('0x' || substring(md5('{salt}:' || CAST({key} AS VARCHAR)), "
-        f"1, 12) AS BIGINT) % {mod}"
-    )
-
-
-def _md5_mod(salt: str, key, mod: int):
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string"))), 1, 12
-            ),
-            16,
-            10,
-        ).cast("long")
-        % mod
-    )
-
-
-def _cms_bucket_sql(i: int, key: str) -> str:
-    return _md5_mod_sql(str(i), key, _CMS_W)
-
-
-def _cms_bucket(i: int, key):
-    return _md5_mod(str(i), key, _CMS_W)
-
-
-CMS_ORACLE = f"""
-WITH hashed AS (
-  {" UNION ALL ".join(
-      f"SELECT o_custkey, o_orderpriority, {i} AS depth, "
-      f"{_cms_bucket_sql(i, 'o_custkey')} AS bucket FROM orders"
-      for i in range(_CMS_D)
-  )}
-),
-sk_direct AS (SELECT depth, bucket, count(*) AS c FROM hashed GROUP BY 1, 2),
-sk_prio AS (
-  SELECT o_orderpriority, depth, bucket, count(*) AS c
-  FROM hashed GROUP BY 1, 2, 3
-),
-sk_merged AS (
-  SELECT depth, bucket, CAST(sum(c) AS BIGINT) AS c
-  FROM sk_prio GROUP BY 1, 2
-),
-cert AS (
-  SELECT count(*) FILTER (WHERE coalesce(d.c, -1) != coalesce(m.c, -1))
-           AS n_diff
-  FROM sk_direct d FULL JOIN sk_merged m
-    ON d.depth = m.depth AND d.bucket = m.bucket
-),
-exact AS (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1),
-tot AS (SELECT CAST(count(*) AS BIGINT) AS big_n FROM orders),
-topk AS (
-  SELECT k, n, rank FROM (
-    SELECT k, n, row_number() OVER (ORDER BY n DESC, k) AS rank FROM exact
-  ) WHERE rank <= {_CMS_TOP}
-),
-probes AS (
-  {" UNION ALL ".join(
-      f"SELECT rank, k, n, {i} AS depth, {_cms_bucket_sql(i, 'k')} AS bucket "
-      f"FROM topk"
-      for i in range(_CMS_D)
-  )}
-),
-est AS (
-  SELECT p.rank, p.k, p.n, min(s.c) AS est
-  FROM probes p JOIN sk_merged s
-    ON s.depth = p.depth AND s.bucket = p.bucket
-  GROUP BY 1, 2, 3
-)
-SELECT CAST(rank AS BIGINT) AS rank, CAST(k AS BIGINT) AS cust_key,
-       CAST(n AS BIGINT) AS exact_n, CAST(est AS BIGINT) AS est_n,
-       CAST(est - n AS BIGINT) AS overestimate,
-       (SELECT n_diff FROM cert) = 0 AS merged_equals_direct,
-       (est - n) * {_CMS_W} * {_CMS_E_DEN} <= {_CMS_E_NUM} * big_n
-         AS within_eps
-FROM est CROSS JOIN tot
-ORDER BY rank
-"""
-
-
-def q_agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
-    hashed = o.select(
-        "o_custkey",
-        "o_orderpriority",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("depth"),
-                    _cms_bucket(i, F.col("o_custkey")).alias("bucket"),
-                )
-                for i in range(_CMS_D)
-            ])
-        ).alias("db"),
-    ).select("o_custkey", "o_orderpriority", "db.depth", "db.bucket")
-    sk_direct = hashed.groupBy("depth", "bucket").agg(
-        F.count("*").alias("c")
-    )
-    sk_merged = (
-        hashed.groupBy("o_orderpriority", "depth", "bucket")
-        .agg(F.count("*").alias("c"))
-        .groupBy("depth", "bucket")
-        .agg(F.sum("c").cast("long").alias("c"))
-    )
-    cert = (
-        sk_direct.withColumnRenamed("c", "cd")
-        .join(
-            sk_merged.withColumnRenamed("c", "cm"),
-            ["depth", "bucket"],
-            "full",
-        )
-        .agg(
-            F.sum(
-                F.when(
-                    F.coalesce("cd", F.lit(-1))
-                    != F.coalesce("cm", F.lit(-1)),
-                    1,
-                ).otherwise(0)
-            ).alias("n_diff")
-        )
-    )
-    exact = o.groupBy(F.col("o_custkey").alias("k")).agg(
-        F.count("*").alias("n")
-    )
-    tot = o.agg(F.count("*").cast("long").alias("big_n"))
-    # TakeOrderedAndProject cut first; the rank window then runs over
-    # exactly _CMS_TOP rows, never the key domain
-    top = exact.orderBy(F.desc("n"), "k").limit(_CMS_TOP)
-    ranked = top.select(
-        F.row_number()
-        .over(Window.orderBy(F.desc("n"), "k"))
-        .cast("long")
-        .alias("rank"),
-        "k",
-        "n",
-    )
-    probes = ranked.select(
-        "rank",
-        "k",
-        "n",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("depth"),
-                    _cms_bucket(i, F.col("k")).alias("bucket"),
-                )
-                for i in range(_CMS_D)
-            ])
-        ).alias("db"),
-    ).select("rank", "k", "n", "db.depth", "db.bucket")
-    est = (
-        F.broadcast(probes)
-        .join(sk_merged, ["depth", "bucket"])
-        .groupBy("rank", "k", "n")
-        .agg(F.min("c").alias("est"))
-    )
-    return (
-        est.crossJoin(F.broadcast(cert))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "rank",
-            F.col("k").cast("long").alias("cust_key"),
-            F.col("n").cast("long").alias("exact_n"),
-            F.col("est").cast("long").alias("est_n"),
-            (F.col("est") - F.col("n")).cast("long").alias("overestimate"),
-            (F.col("n_diff") == 0).alias("merged_equals_direct"),
-            (
-                (F.col("est") - F.col("n")) * _CMS_W * _CMS_E_DEN
-                <= _CMS_E_NUM * F.col("big_n")
-            ).alias("within_eps"),
-        )
-        .orderBy("rank")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Bloom-filter semi-join pruning eval (round-14 queue) — the runtime-
-# filter story every 100 TB join plan lives on: instead of shuffling
-# the whole fact side into a join against a filtered dimension, build a
-# k-hash Bloom bitset over the dim keys (here: partkeys of the
-# data-derived min brand), broadcast it as ONE row carrying an
-# array<long> of 32-bit words, and pre-filter the fact scan with pure
-# bit arithmetic — no per-row join, the exact shape of Spark's own
-# InjectRuntimeFilter / DPP bloom path, built here from first
-# principles so its sizing is measurable. Two word arrays (m = 4096 and
-# 16384 bits, k = 3) probe in a SINGLE fact pass; the report per config
-# is the no-false-negative certificate (n_missed MUST be 0 — a Bloom
-# filter may only over-admit) plus the false-positive rate the m sizing
-# buys. All hashes are the repo's md5-conv discipline, every count an
-# exact integer, fp_rate the only division.
-# ---------------------------------------------------------------------------
-
-_BLOOM_MS = (4096, 16384)
-_BLOOM_K = 3
-
-
-def _bloom_pos_sql(j: int, key: str, m: int) -> str:
-    return _md5_mod_sql(f"b{j}", key, m)
-
-
-def _bloom_pos(j: int, key, m: int):
-    return _md5_mod(f"b{j}", key, m)
-
-
-def _bloom_oracle() -> str:
-    def word_cte(m: int) -> str:
-        pos_rows = " UNION ALL ".join(
-            f"SELECT {_bloom_pos_sql(j, 'p_partkey', m)} AS pos FROM dim"
-            for j in range(_BLOOM_K)
-        )
-        return f"""
-words_{m} AS (
-  SELECT pos // 32 AS word, bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS mask
-  FROM ({pos_rows}) GROUP BY 1
-),
-arr_{m} AS (
-  SELECT list(coalesce(w.mask, 0) ORDER BY g.range) AS words
-  FROM range(0, {m // 32}) g LEFT JOIN words_{m} w ON w.word = g.range
-)"""
-
-    def probe(m: int) -> str:
-        checks = " AND ".join(
-            f"(a{m}.words[CAST({_bloom_pos_sql(j, 'l_partkey', m)} // 32 "
-            f"AS INT) + 1] & (CAST(1 AS BIGINT) << "
-            f"CAST({_bloom_pos_sql(j, 'l_partkey', m)} % 32 AS INT))) != 0"
-            for j in range(_BLOOM_K)
-        )
-        return f"({checks})"
-
-    per_cfg = ", ".join(
-        f"CAST(count(*) FILTER (WHERE pass_{m}) AS BIGINT) AS n_pass_{m}, "
-        f"CAST(count(*) FILTER (WHERE hit AND NOT pass_{m}) AS BIGINT) "
-        f"AS n_missed_{m}, "
-        f"CAST(count(*) FILTER (WHERE pass_{m} AND NOT hit) AS BIGINT) "
-        f"AS n_fp_{m}"
-        for m in _BLOOM_MS
-    )
-    out_rows = " UNION ALL ".join(
-        f"SELECT {m} AS m_bits, {_BLOOM_K} AS k_hashes, n_dim_keys, n_fact, "
-        f"n_exact, n_pass_{m} AS n_pass, n_missed_{m} AS n_missed, "
-        f"n_fp_{m} AS n_false_pos, "
-        f"CAST(n_fp_{m} AS DOUBLE) / (n_fact - n_exact) AS fp_rate "
-        f"FROM stats"
-        for m in _BLOOM_MS
-    )
-    return f"""
-WITH dim AS (
-  SELECT p_partkey FROM part
-  WHERE p_brand = (SELECT min(p_brand) FROM part)
-),
-{",".join(word_cte(m).lstrip() for m in _BLOOM_MS)},
-flags AS (
-  SELECT (d.p_partkey IS NOT NULL) AS hit,
-         {", ".join(f"{probe(m)} AS pass_{m}" for m in _BLOOM_MS)}
-  FROM lineitem l
-  CROSS JOIN arr_4096 a4096 CROSS JOIN arr_16384 a16384
-  LEFT JOIN dim d ON d.p_partkey = l.l_partkey
-),
-stats AS (
-  SELECT (SELECT CAST(count(*) AS BIGINT) FROM dim) AS n_dim_keys,
-         CAST(count(*) AS BIGINT) AS n_fact,
-         CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_exact,
-         {per_cfg}
-  FROM flags
-)
-SELECT CAST(m_bits AS BIGINT) AS m_bits, CAST(k_hashes AS BIGINT) AS k_hashes,
-       n_dim_keys, n_fact, n_exact, n_pass, n_missed, n_false_pos, fp_rate
-FROM ({out_rows})
-ORDER BY m_bits
-"""
-
-
-BLOOM_ORACLE = _bloom_oracle()
-
-
-def q_join_bloom_prune_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load(spark, sf_dir, "part")
-    li = load(spark, sf_dir, "lineitem")
-    min_brand = part.agg(F.min("p_brand").alias("mb"))
-    dim = (
-        part.join(
-            F.broadcast(min_brand), F.col("p_brand") == F.col("mb"), "inner"
-        )
-        .select("p_partkey")
-    )
-
-    def words(m: int) -> DataFrame:
-        pos = dim.select(
-            F.explode(
-                F.array(*[
-                    _bloom_pos(j, F.col("p_partkey"), m)
-                    for j in range(_BLOOM_K)
-                ])
-            ).alias("pos")
-        )
-        w = (
-            pos.select(
-                (F.col("pos") / 32).cast("long").alias("word"),
-                # shiftleft needs a literal bit count in the Python API;
-                # the SQL form takes the column
-                F.expr(
-                    "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
-                ).alias("one_bit"),
-            )
-            .groupBy("word")
-            .agg(F.bit_or("one_bit").alias("mask"))
-        )
-        dense = (
-            spark.range(m // 32)
-            .withColumnRenamed("id", "word")
-            .join(w, "word", "left")
-            .select("word", F.coalesce("mask", F.lit(0)).alias("mask"))
-        )
-        return dense.agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("word", "mask"))),
-                lambda x: x.mask,
-            ).alias(f"words_{m}")
-        )
-
-    def probe(m: int):
-        checks = None
-        for j in range(_BLOOM_K):
-            c = (
-                F.element_at(
-                    F.col(f"words_{m}"),
-                    (F.col(f"p_{m}_{j}") / 32).cast("int") + 1,
-                ).bitwiseAND(
-                    F.expr(
-                        f"shiftleft(CAST(1 AS BIGINT), "
-                        f"CAST(p_{m}_{j} % 32 AS INT))"
-                    )
-                )
-                != 0
-            )
-            checks = c if checks is None else (checks & c)
-        return checks
-
-    flags = (
-        li.select(
-            "l_partkey",
-            *[
-                _bloom_pos(j, F.col("l_partkey"), m).alias(f"p_{m}_{j}")
-                for m in _BLOOM_MS
-                for j in range(_BLOOM_K)
-            ],
-        )
-        .crossJoin(F.broadcast(words(_BLOOM_MS[0])))
-        .crossJoin(F.broadcast(words(_BLOOM_MS[1])))
-        .join(
-            dim.withColumn("hit0", F.lit(True)),
-            F.col("p_partkey") == F.col("l_partkey"),
-            "left",
-        )
-        .select(
-            F.coalesce("hit0", F.lit(False)).alias("hit"),
-            *[probe(m).alias(f"pass_{m}") for m in _BLOOM_MS],
-        )
-    )
-    n_dim = dim.agg(F.count("*").cast("long").alias("n_dim_keys"))
-    stats = flags.agg(
-        F.count("*").cast("long").alias("n_fact"),
-        F.sum(F.when(F.col("hit"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_exact"),
-        *[
-            x
-            for m in _BLOOM_MS
-            for x in (
-                F.sum(F.when(F.col(f"pass_{m}"), 1).otherwise(0))
-                .cast("long")
-                .alias(f"n_pass_{m}"),
-                F.sum(
-                    F.when(F.col("hit") & ~F.col(f"pass_{m}"), 1).otherwise(0)
-                )
-                .cast("long")
-                .alias(f"n_missed_{m}"),
-                F.sum(
-                    F.when(F.col(f"pass_{m}") & ~F.col("hit"), 1).otherwise(0)
-                )
-                .cast("long")
-                .alias(f"n_fp_{m}"),
-            )
-        ],
-    ).crossJoin(F.broadcast(n_dim))
-    return (
-        stats.select(
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(m).cast("long").alias("m_bits"),
-                        F.lit(_BLOOM_K).cast("long").alias("k_hashes"),
-                        F.col("n_dim_keys"),
-                        F.col("n_fact"),
-                        F.col("n_exact"),
-                        F.col(f"n_pass_{m}").alias("n_pass"),
-                        F.col(f"n_missed_{m}").alias("n_missed"),
-                        F.col(f"n_fp_{m}").alias("n_false_pos"),
-                        (
-                            F.col(f"n_fp_{m}").cast("double")
-                            / (F.col("n_fact") - F.col("n_exact"))
-                        ).alias("fp_rate"),
-                    )
-                    for m in _BLOOM_MS
-                ])
-            ).alias("r")
-        )
-        .select("r.*")
-        .orderBy("m_bits")
-    )
-
-
-PENDING_R14 = {
-    "q_graph_triangle_count": (q_graph_triangle_count, TRIANGLE_ORACLE),
-    "q_agg_cms_heavy_hitters": (q_agg_cms_heavy_hitters, CMS_ORACLE),
-    "q_join_bloom_prune_eval": (q_join_bloom_prune_eval, BLOOM_ORACLE),
-}
-
 
 # ---------------------------------------------------------------------------
 # BM25 top-k retrieval (round-15 queue) — the ranking rung above the

@@ -2012,7 +2012,7 @@ def cms_sketch_maintainer(base_dir: str, key_col: str = "o_custkey"):
 
     from pyspark.sql import functions as F
 
-    from ..queries.pending import _CMS_D, _cms_bucket
+    from ..queries.aggregates import _CMS_D, _cms_bucket
 
     def _committed(marker: str) -> int:
         if not os.path.exists(marker):

@@ -119,6 +119,18 @@ ALLOWED_UNBOUNDED: dict[str, tuple[str, ...]] = {
     "q_dedup_semantic": ("scan-vec_id",) * 3,
     "q_eval_ndcg_retrieval": ("scan-vec_id",),
     "q_eval_mrr_retrieval": ("scan-vec_id",),
+    # pending round-19: the RRF fusion's hinted frame is the 10-query
+    # vec_id < N_QUERIES slice (k-bounded like the whole similarity
+    # family); the hint appears once per shortlist branch (full-dim and
+    # truncated cosine) of the shared scored subtree.
+    "q_sim_rrf_fusion": ("scan-vec_id",) * 2,
+    # pending round-19: the label-noise centroid table is grouped on
+    # the label domain (the embeddings fixture's 10 class labels —
+    # bounded like the source-label / event-type / nation domains
+    # above) and carries one 64-double array per label; the 4
+    # appearances are subtree duplication (dists feeds both the min
+    # aggregate and the argmin join-back).
+    "q_emb_label_noise": ("grouped-agg",) * 4,
 }
 
 
@@ -171,17 +183,17 @@ def _all_query_frames(spark):
     a pending operator must clear the same hint audit it will face
     once registered, not discover it at registration time."""
     from oraaud_kafka_spark.queries.pending import (
-        PENDING_R14,
         PENDING_R15,
         PENDING_R16,
         PENDING_R17,
         PENDING_R18,
+        PENDING_R19,
     )
 
     registry.load_all()
     for name in registry.all_queries():
         yield name, registry.QUERIES[name](spark, SF_DIR)
-    for queue in (PENDING_R14, PENDING_R15, PENDING_R16, PENDING_R17, PENDING_R18):
+    for queue in (PENDING_R15, PENDING_R16, PENDING_R17, PENDING_R18, PENDING_R19):
         for name, (fn, _oracle) in queue.items():
             yield name, fn(spark, SF_DIR)
 

@@ -42,7 +42,7 @@ def test_bm25_result_structure(spark):
 def test_link_prediction_excludes_existing_edges(spark):
     """Every predicted link is a genuinely MISSING edge (the anti join
     held), jaccard sits in (0, 1], and common <= union."""
-    from oraaud_kafka_spark.queries.pending import _copurchase_edges
+    from oraaud_kafka_spark.queries.graphs import _copurchase_edges
 
     fn, _ = PENDING_R15["q_graph_link_prediction"]
     got = fn(spark, SF_DIR).toPandas()

@@ -1107,3 +1107,55 @@ def test_range_search_pair_join_is_blocked_equi_join(spark):
             "BroadcastHashJoin",
         )
     )
+
+
+def test_triangle_count_closes_wedges_by_equi_join(spark):
+    """The triangle count's wedge closure is a hash/merge EQUI-join on
+    the canonical (y, z) edge key — never a CartesianProduct or an
+    OR-condition nested loop — and the co-purchase edge formation
+    partial-aggregates map-side before its shuffle, so per-node wedge
+    fan-out (bounded by oriented out-degree <= sqrt(2m)) is the only
+    quadratic term anywhere in the plan."""
+    df = registry.QUERIES["q_graph_triangle_count"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the single-row global-stats frames are the only nested-loop
+    # broadcasts (bounded by construction)
+    bnl = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert len(bnl) <= 3
+    assert all("Cross" in ln for ln in bnl)
+    assert "partial_count" in plan
+
+
+def test_cms_sketch_collapses_before_any_join(spark):
+    """The CMS build is ONE pass over orders with map-side partial
+    counts into the d x w = 2048-cell grid; the probe side is the
+    TakeOrderedAndProject top-10 (never a key-domain sort), and the
+    only nested-loop joins are the one-row cert/total broadcasts."""
+    df = registry.QUERIES["q_agg_cms_heavy_hitters"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+    bnl = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert len(bnl) <= 2
+    assert all("Cross" in ln for ln in bnl)
+
+
+def test_bloom_prune_probes_in_a_single_fact_pass(spark):
+    """Both Bloom word arrays broadcast as ONE-row frames and probe in
+    a single lineitem scan via pure bit arithmetic — the fact side is
+    scanned once, the only nested-loop joins are those one-row
+    broadcasts (plus the one-row dim-count), and the exact-match check
+    is a hash equi-join, never a pair expansion."""
+    df = registry.QUERIES["q_join_bloom_prune_eval"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    scans = [
+        ln for ln in plan.splitlines()
+        if "Scan parquet" in ln and "lineitem" in ln
+    ]
+    assert len(scans) == 1, f"lineitem scanned {len(scans)}x"
+    bnl = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert len(bnl) <= 3
+    assert all("Cross" in ln for ln in bnl)

@@ -2363,7 +2363,7 @@ def test_cms_maintainer_equals_oneshot_sketch(spark, tmp_path):
     pending batch q_agg_cms_heavy_hitters merge certificate."""
     import os
 
-    from oraaud_kafka_spark.queries.pending import _CMS_D, _cms_bucket
+    from oraaud_kafka_spark.queries.aggregates import _CMS_D, _cms_bucket
     from oraaud_kafka_spark.streaming.analytics import (
         cms_sketch_maintainer,
         current_cms_dir,
