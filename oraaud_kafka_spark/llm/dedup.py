@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..operators.triangle import triangle_self_join
 from ..registry import query
-from ..tables import load, spread
+from ..tables import CAL_SLICE_K, cal_slice, load, spread, sql_cal_key
 
 _EXACT_ORACLE = """
 SELECT count(*) AS n_docs,
@@ -988,8 +988,11 @@ def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash BANDING-recall calibration (round-11; the measurement the
 # containment path already has via q_dedup_containment_eval, applied to
-# the q_dedup_minhash_lsh machinery): on the deterministic doc_id % 2
-# slice, bucket EVERY within-language pair by its exact Jaccard tier
+# the q_dedup_minhash_lsh machinery): on the deterministic FIXED-SIZE
+# md5-rank slice (tables.cal_slice, K = 256 — corpus-size-independent
+# calibration cost; round-13 verdict replaced the doc_id % 2 modulus,
+# which was additionally still quadratic per language under the
+# lang-blocking), bucket EVERY within-slice language pair by its exact Jaccard tier
 # (floor(4*J), integer-exact rational arithmetic) and report, per tier,
 # how many pairs the production 4x4 banding would catch — overall and
 # per band. This is the empirical banding S-curve P(caught | J-tier)
@@ -1002,8 +1005,6 @@ def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rate is one IEEE division.
 # ---------------------------------------------------------------------------
 
-_MH_MB_EVAL_MOD = 2  # slice = every 2nd doc id
-
 _MB_SIG_LIST_SQL = ", ".join(
     f"list_min(list_transform(shs, s -> ({_mh_a(i)} * "
     f"CAST('0x' || substring(md5(s), 1, 12) AS BIGINT) + {_mh_b(i)}) "
@@ -1014,7 +1015,7 @@ _MB_SIG_LIST_SQL = ", ".join(
 _MINHASH_MB_EVAL_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
-  WHERE doc_id % {_MH_MB_EVAL_MOD} = 0
+  ORDER BY {sql_cal_key('doc_id')}, doc_id LIMIT {CAL_SLICE_K}
 ),
 sh AS (
   SELECT doc_id, lang,
@@ -1050,9 +1051,7 @@ def q_dedup_minhash_multiband_eval(
 ) -> DataFrame:
     from ..operators.triangle import triangle_self_join
 
-    d = load(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % _MH_MB_EVAL_MOD == 0
-    )
+    d = cal_slice(load(spark, sf_dir, "documents"), "doc_id")
     keyed = spread(
         d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= 3)
@@ -1381,9 +1380,11 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_dedup_simhash_eval pattern applied to q_dedup_containment): measure
 # the single-band (lang, 1-perm-MinHash) blocking's RECALL against
 # EXHAUSTIVE within-language containment ground truth on a
-# deterministic corpus slice (doc_id % 2 = 0 — bounded, reproducible,
-# no rand(); halving docs quarters the exhaustive pair work while the
-# fixtures' near-dup density keeps the slice non-vacuous). For every true pair (containment >= 1/2), "caught" means
+# deterministic FIXED-SIZE corpus slice (tables.cal_slice: the K = 256
+# docs ranked lowest by md5('cal:' || doc_id) — reproducible, no
+# rand(), and CONSTANT-COST at any corpus size; round-13 verdict
+# replaced the doc_id % 2 modulus whose pair work scaled quadratically
+# with the corpus). For every true pair (containment >= 1/2), "caught" means
 # the two docs share their min-hash shingle, i.e. the blocked join
 # would have formed the pair. Per-language report: docs in slice, true
 # pairs, caught pairs, recall. This is the number that decides how many
@@ -1396,12 +1397,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # triangle_self_join so one hot language cannot serialize a task.
 # ---------------------------------------------------------------------------
 
-_CONTAIN_EVAL_MOD = 2  # slice = every 2nd doc id
-
 _CONTAIN_EVAL_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
-  WHERE doc_id % {_CONTAIN_EVAL_MOD} = 0
+  ORDER BY {sql_cal_key('doc_id')}, doc_id LIMIT {CAL_SLICE_K}
 ),
 keyed AS (
   SELECT doc_id, lang, shs, len(shs) AS n_sh,
@@ -1438,9 +1437,7 @@ ORDER BY lang
 
 @query("q_dedup_containment_eval", oracle=_CONTAIN_EVAL_ORACLE)
 def q_dedup_containment_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % _CONTAIN_EVAL_MOD == 0
-    )
+    d = cal_slice(load(spark, sf_dir, "documents"), "doc_id")
     toks = F.split("text", " ")
     shingles = F.array_distinct(
         F.transform(

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load, spread
+from ..tables import CAL_SLICE_K, cal_slice, load, spread, sql_cal_key
 
 N_QUERIES = 10
 TOP_K = 5
@@ -1128,7 +1128,10 @@ def q_eval_mrr_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # SRP banding-recall calibration for cosine RANGE SEARCH: the
 # threshold-retrieval complement of the top-k evals. On the
-# deterministic vec_id % 2 slice, bucket EVERY vector pair by its exact
+# deterministic FIXED-SIZE md5-rank slice (tables.cal_slice — K = 256
+# vectors at ANY corpus size, so the calibration cost is
+# corpus-size-independent; round-13 verdict replaced the % 2 modulus
+# that scaled quadratically), bucket EVERY sliced pair by its exact
 # cosine tier and report, per tier, how many pairs the B x r
 # signed-random-projection banding would catch — overall and per band.
 # This is the empirical S-curve P(caught | cosine tier) that sizes
@@ -1149,7 +1152,6 @@ def q_eval_mrr_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic and integer-exact.
 # ---------------------------------------------------------------------------
 
-_RS_MOD = 2  # calibration slice = every 2nd vector
 # (B=6, r=4) measured monotone on the fixture at both SFs
 # (tier0 FP floor ~0.25 -> tier3 recall ~0.76); r=6 was too strict
 # (tier-3 recall collapsed to 0), r=3 too loose (FP floor ~0.5)
@@ -1181,7 +1183,7 @@ WITH {_sql_directional_cte()},
 anch AS (SELECT vec_id AS aid, embedding AS av FROM embeddings
          WHERE vec_id < {_RS_N_ANCHORS}),
 sliced AS (SELECT vec_id, embedding FROM embeddings
-           WHERE vec_id % {_RS_MOD} = 0),
+           ORDER BY {sql_cal_key('vec_id')}, vec_id LIMIT {CAL_SLICE_K}),
 bucketed AS (
   SELECT e.vec_id, e.embedding,
          string_agg(CASE WHEN {_sql_dot('e.embedding', 'a.av')} >= 0
@@ -1225,9 +1227,7 @@ def q_sim_range_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors = e.filter(F.col("vec_id") < _RS_N_ANCHORS).select(
         F.col("vec_id").alias("aid"), F.col("embedding").alias("av")
     )
-    sliced = e.filter(F.col("vec_id") % _RS_MOD == 0).select(
-        "vec_id", "embedding"
-    )
+    sliced = cal_slice(e, "vec_id").select("vec_id", "embedding")
     # sign bits against the broadcast anchors, assembled in aid order
     # (the q_sim_lsh_bucketed_topk bucket construction, widened to B*r)
     bucketed = (

@@ -94,3 +94,28 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql queries."""
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# Calibration-eval slice discipline (round-14, replacing the id % 2
+# moduli): ground-truth evals need an exhaustive pair join, so their
+# input must be a FIXED-SIZE deterministic sample — a modulus slice
+# scales with the corpus and turns the calibration quadratic at 100x.
+# The K docs/vectors ranked lowest by md5('cal:' || id) are a
+# reproducible pseudo-random draw (the repo's reservoir discipline, no
+# rand()), identical in both engines, and constant-cost at ANY corpus
+# size: the Spark side is a TakeOrderedAndProject top-K over one scan,
+# never a global sort.
+CAL_SLICE_K = 256
+
+
+def cal_slice(df: DataFrame, id_col: str, k: int = CAL_SLICE_K) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    key = F.md5(F.concat(F.lit("cal:"), F.col(id_col).cast("string")))
+    return df.orderBy(key, id_col).limit(k)
+
+
+def sql_cal_key(id_col: str) -> str:
+    """DuckDB-side twin of :func:`cal_slice`'s ordering key; use as
+    ``ORDER BY {sql_cal_key('doc_id')}, doc_id LIMIT {CAL_SLICE_K}``."""
+    return f"md5('cal:' || CAST({id_col} AS VARCHAR))"

@@ -776,13 +776,24 @@ def test_containment_eval_matches_python_reference(spark):
     from .conftest import SF_DIR
 
     from oraaud_kafka_spark import registry
-    from oraaud_kafka_spark.llm.dedup import _CONTAIN_EVAL_MOD
+    from oraaud_kafka_spark.tables import CAL_SLICE_K
 
     registry.load_all()
     t = pq.read_table(f"{SF_DIR}/documents.parquet").to_pylist()
+    # replicate tables.cal_slice: the K doc_ids ranked lowest by
+    # md5('cal:' || doc_id)
+    sliced_ids = set(
+        sorted(
+            (r["doc_id"] for r in t),
+            key=lambda i: (
+                hashlib.md5(f"cal:{i}".encode()).hexdigest(),
+                i,
+            ),
+        )[:CAL_SLICE_K]
+    )
     docs = {}
     for row in t:
-        if row["doc_id"] % _CONTAIN_EVAL_MOD != 0:
+        if row["doc_id"] not in sliced_ids:
             continue
         toks = row["text"].split(" ")
         if len(toks) < 3:
