@@ -1957,13 +1957,27 @@ def signature_store_maintainer(
                 fh,
             )
         os.replace(tmp_marker, marker)
-        # the PREVIOUS commit's superseded dirs have now survived one
-        # full commit cycle — safe to drop, idempotent under replay
-        if state["garbage"]:
-            import shutil
+        # Prune by SWEEP, not by the previous marker's garbage list
+        # (round-13 advisor): any sigs dir the just-committed marker
+        # references neither as live (sig_dirs) nor in its one-cycle
+        # grace list (garbage) is superseded and has survived at least
+        # one full commit cycle — INCLUDING dirs leaked by a crash
+        # between a past commit's marker replace and its prune, which
+        # the list-based delete would have orphaned forever (the
+        # cms_sketch_maintainer discipline applied here).
+        import shutil
 
-            for d in state["garbage"]:
-                shutil.rmtree(os.path.join(base_dir, d), ignore_errors=True)
+        keep = set(sig_dirs) | set(garbage)
+        for name in os.listdir(base_dir):
+            if not (
+                name.startswith("sigs_batch=")
+                or name.startswith("sigs_compact=")
+            ):
+                continue
+            if name not in keep:
+                shutil.rmtree(
+                    os.path.join(base_dir, name), ignore_errors=True
+                )
 
     return apply_batch
 
@@ -2110,7 +2124,7 @@ def current_cms_dir(base_dir: str) -> str:
 # id raises instead of silently dropping documents.
 # ---------------------------------------------------------------------------
 
-_CLUSTER_CC_ROUNDS = 6
+_CLUSTER_CC_MAX_ROUNDS = 64
 
 
 def cluster_store_maintainer(base_dir: str):
@@ -2234,23 +2248,46 @@ def cluster_store_maintainer(base_dir: str):
         ).localCheckpoint(eager=True)
         qlabels = qdir.select(F.col("qu").alias("node")).distinct().select(
             "node", F.col("node").alias("lbl")
-        )
-        for _ in range(_CLUSTER_CC_ROUNDS):
+        ).localCheckpoint(eager=True)
+        # Hash-min + pointer-jump to LABEL FIXPOINT (round-13 advisor:
+        # a fixed round count silently splits any quotient component
+        # whose diameter outruns it, breaking the byte-equality
+        # contract with q_dedup_cluster_cc — the live path has no
+        # oracle to catch that). Pointer jumping halves the remaining
+        # diameter each round, so rounds needed ~ log2(diameter);
+        # _CLUSTER_CC_MAX_ROUNDS = 64 can only be exhausted by a bug,
+        # and then we RAISE rather than commit split clusters.
+        for rnd in range(_CLUSTER_CC_MAX_ROUNDS):
             contrib = qdir.join(
                 qlabels, qdir["qu"] == qlabels["node"]
             ).select(F.col("qv").alias("node"), "lbl")
-            qlabels = (
+            merged = (
                 qlabels.unionByName(contrib)
                 .groupBy("node")
                 .agg(F.min("lbl").alias("lbl"))
             )
-            hop = qlabels.select(
+            hop = merged.select(
                 F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl")
             )
-            qlabels = qlabels.join(
-                hop, qlabels["lbl"] == hop["p_node"]
+            nxt = merged.join(
+                hop, merged["lbl"] == hop["p_node"]
             ).select("node", F.col("p_lbl").alias("lbl")).localCheckpoint(
                 eager=True
+            )
+            n_changed = (
+                nxt.alias("n")
+                .join(qlabels.alias("o"), "node")
+                .filter(F.col("n.lbl") != F.col("o.lbl"))
+                .count()
+            )
+            qlabels = nxt
+            if n_changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"cluster store CC did not reach a label fixpoint in "
+                f"{_CLUSTER_CC_MAX_ROUNDS} rounds ({n_changed} labels "
+                "still changing) — refusing to commit split clusters"
             )
         qmap = qlabels.filter(F.col("node") != F.col("lbl")).select(
             F.col("node").alias("old_lbl"), F.col("lbl").alias("new_lbl")
@@ -2304,13 +2341,21 @@ def cluster_store_maintainer(base_dir: str):
                 fh,
             )
         os.replace(tmp_marker, marker)
-        # the previous commit's superseded label version has survived
-        # one full commit cycle — safe to drop, idempotent under replay
-        if state["garbage"]:
-            import shutil
+        # Prune by SWEEP (the signature-store / cms_sketch_maintainer
+        # discipline): any labels_v dir that is neither the version the
+        # just-committed marker references nor in its one-cycle grace
+        # list is superseded — including versions leaked by a crash
+        # between a past commit's marker replace and its prune.
+        import shutil
 
-            for d in state["garbage"]:
-                shutil.rmtree(os.path.join(base_dir, d), ignore_errors=True)
+        keep = {f"labels_v={batch_id}"} | set(garbage)
+        for name in os.listdir(base_dir):
+            if not name.startswith("labels_v="):
+                continue
+            if name not in keep:
+                shutil.rmtree(
+                    os.path.join(base_dir, name), ignore_errors=True
+                )
 
     return apply_batch
 

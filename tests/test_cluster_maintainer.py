@@ -103,3 +103,27 @@ def test_cluster_store_rejects_foreign_checkpoint(spark, tmp_path):
     cluster_store_maintainer(base)(b0, 0)
     with pytest.raises(ValueError, match="another checkpoint"):
         cluster_store_maintainer(base)(b1, 0)
+
+
+def test_cluster_store_sweeps_crash_leaked_label_versions(spark, tmp_path):
+    """A crash between a past commit's marker replace and its prune
+    leaves a superseded labels_v dir referenced by nothing; the
+    list-based delete would orphan it forever. The commit-time sweep
+    collects it while retaining the live + one-cycle-grace versions."""
+    b0, b1, b2 = _batches(spark, SF_DIR, "ranges")
+    base = str(tmp_path / "clusterstore")
+    apply_batch = cluster_store_maintainer(base)
+    apply_batch(b0, 0)
+    apply_batch(b1, 1)
+    # simulate the crash-leaked dir: an old version nothing references
+    leaked = os.path.join(base, "labels_v=9999")
+    os.makedirs(leaked)
+    with open(os.path.join(leaked, "part-0.parquet"), "w") as fh:
+        fh.write("leak")
+    apply_batch(b2, 2)
+    versions = sorted(
+        p for p in os.listdir(base) if p.startswith("labels_v=")
+    )
+    assert versions == ["labels_v=1", "labels_v=2"]
+    got = _clusters_pdf(committed_clusters(spark, base))
+    assert got.equals(_clusters_pdf(q_dedup_cluster_cc(spark, SF_DIR)))

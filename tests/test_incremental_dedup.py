@@ -279,3 +279,39 @@ def test_maintainer_over_real_stream(spark, tmp_path):
         )
     )
     assert got.equals(_decisions_pdf(q_dedup_incremental(spark, SF_DIR)))
+
+
+def test_sig_store_sweeps_crash_leaked_dirs(spark, tmp_path):
+    """A crash between a past commit's marker replace and its prune
+    leaves superseded sigs_batch=*/sigs_compact=* dirs referenced by
+    nothing (neither sig_dirs nor garbage); the list-based delete would
+    orphan them forever. The commit-time sweep collects them while the
+    live shards and the one-cycle grace list survive."""
+    corpus, shard1, shard2 = _splits(spark)
+    base = str(tmp_path / "sigstore_sweep")
+    apply_batch = signature_store_maintainer(base, corpus_pred=_rule_pred)
+    apply_batch(corpus, 0)
+    apply_batch(shard1, 1)
+    for name in ("sigs_batch=9999", "sigs_compact=9998"):
+        leaked = os.path.join(base, name)
+        os.makedirs(leaked)
+        with open(os.path.join(leaked, "part-0.parquet"), "w") as fh:
+            fh.write("leak")
+    apply_batch(shard2, 2)
+    with open(os.path.join(base, "_committed")) as fh:
+        state = json.load(fh)
+    on_disk = {
+        p for p in os.listdir(base)
+        if p.startswith(("sigs_batch=", "sigs_compact="))
+    }
+    assert on_disk == set(state["sig_dirs"]) | set(state["garbage"])
+    assert "sigs_batch=9999" not in on_disk
+    assert "sigs_compact=9998" not in on_disk
+    # decisions unaffected by the sweep (committed_decisions spans all
+    # batches; the registered query reports the shard only — compare
+    # the overlap by doc_id)
+    got = _decisions_pdf(committed_decisions(spark, base))
+    want = _decisions_pdf(q_dedup_incremental(spark, SF_DIR))
+    merged = got.merge(want, on="doc_id", suffixes=("_got", "_want"))
+    assert len(merged) == len(want)
+    assert (merged["action_got"] == merged["action_want"]).all()
