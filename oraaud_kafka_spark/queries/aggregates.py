@@ -1288,13 +1288,18 @@ def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # instead contributes to each resample with an independent Poisson(1)
 # weight; Chamandy et al., "Estimating Uncertainty for Massive Data
 # Streams", Google 2012). Everything is deterministic: the uniform for
-# (row, b) is the 48-bit md5 of "orderkey:b", the Poisson inverse-CDF
-# is a CASE over fixed cumulative literals, and each resample mean
-# divides two exact int64 sums. The CI bounds are picked by explicit
-# rank (2nd / 31st of B=32 sorted means — a ~94% interval), never by
-# interpolated quantiles whose arithmetic could differ across engines.
-# Scale shape: the B-fold explode is map-side; state is 2 integers per
-# (resample) — one shuffle of B*groups partial sums.
+# (row, b) is a 16-bit slice of the md5 of "orderkey:<b div 8>" —
+# digest b//8, hex chars (b%8)*4+1..+4, so ONE digest seeds eight
+# resamples and each row pays 4 md5 calls instead of 32 (round-14
+# constant cut; 16 bits is ample resolution for a 6-bucket Poisson
+# inverse-CDF, and both engines slice the identical digest). The
+# inverse-CDF is a CASE over fixed cumulative literals, and each
+# resample mean divides two exact int64 sums. The CI bounds are picked
+# by explicit rank (2nd / 31st of B=32 sorted means — a ~94%
+# interval), never by interpolated quantiles whose arithmetic could
+# differ across engines. Scale shape: the B-fold explode is map-side;
+# state is 2 integers per (resample) — one shuffle of B*groups
+# partial sums.
 # ---------------------------------------------------------------------------
 
 _BOOT_B = 32
@@ -1312,8 +1317,9 @@ WITH rb AS (
 w AS (
   SELECT b, cents,
          (CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':'
-                                     || CAST(b AS VARCHAR)), 1, 12)
-               AS BIGINT) + 1) / 281474976710657.0 AS u
+                                     || CAST(b // 8 AS VARCHAR)),
+                                 CAST((b % 8) * 4 + 1 AS INT), 4)
+               AS BIGINT) + 1) / 65537.0 AS u
   FROM rb
 ),
 ws AS (
@@ -1358,29 +1364,49 @@ def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    rb = o.select(
-        "o_orderkey",
+
+    # one digest seeds eight resamples, in TWO Generate stages so the
+    # digests genuinely materialize once: subexpression elimination
+    # does not reach inside a generator, so a single 32-element u
+    # array would re-run md5 per element — instead stage 1 explodes
+    # the 4 digests (4 md5 calls per row, each evaluated once) and
+    # stage 2 slices the materialized digest column into its 8
+    # 16-bit uniforms (cheap substr+conv; Generate is a projection
+    # barrier, so CollapseProject cannot re-inline the md5)
+    rb_g = o.select(
         cents.alias("cents"),
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
-    )
-    u = (
-        F.conv(
-            F.substring(
+        F.posexplode(
+            F.array(*[
                 F.md5(
                     F.concat_ws(
                         ":",
                         F.col("o_orderkey").cast("string"),
-                        F.col("b").cast("string"),
+                        F.lit(str(g)),
                     )
-                ),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("double")
-        + F.lit(1)
-    ) / F.lit(281474976710657.0)
+                )
+                for g in range(_BOOT_B // 8)
+            ])
+        ).alias("g", "dg"),
+    )
+    rb = rb_g.select(
+        "cents",
+        "g",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda j: (
+                    F.conv(
+                        F.col("dg").substr(j * 4 + 1, F.lit(4)), 16, 10
+                    ).cast("double")
+                    + F.lit(1)
+                )
+                / F.lit(65537.0),
+            )
+        ).alias("j", "u"),
+    ).select(
+        "cents", (F.col("g") * 8 + F.col("j")).alias("b"), "u"
+    )
+    u = F.col("u")
     w = (
         F.when(u < float(_P0), 0)
         .when(u < float(_P1), 1)

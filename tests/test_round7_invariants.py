@@ -749,8 +749,11 @@ def test_bootstrap_ci_matches_python_replay(spark):
     for b in range(32):
         sw = swc = 0
         for k, c in cents.items():
-            h = int(hashlib.md5(f"{k}:{b}".encode()).hexdigest()[:12], 16)
-            u = (h + 1) / 281474976710657.0
+            # digest b//8, 16-bit hex slice (b%8)*4 .. +4 (the round-14
+            # one-digest-seeds-eight-resamples recipe)
+            digest = hashlib.md5(f"{k}:{b // 8}".encode()).hexdigest()
+            h = int(digest[(b % 8) * 4 : (b % 8) * 4 + 4], 16)
+            u = (h + 1) / 65537.0
             w = next((i for i, p in enumerate(cum) if u < p), 5)
             sw += w
             swc += w * c
