@@ -77,3 +77,69 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node").alias(node_col), "component")
+
+
+def min_label_cc_pointer_jump(
+    qdir: DataFrame, *, max_rounds: int = 64
+) -> DataFrame:
+    """Hash-min + pointer-jump connected components over a BIDIRECTED
+    edge table ``qdir`` (columns qu, qv; every undirected edge present
+    in both directions), run to LABEL FIXPOINT. Returns (node, lbl)
+    where lbl is the min node id of the component.
+
+    The per-round step is hash-min (every node takes the min of its own
+    and its in-neighbors' labels) followed by one pointer jump
+    (lbl := lbl's current label), which roughly halves the remaining
+    label-tree height — so rounds needed ~ log2(diameter), not
+    diameter. Convergence is CHECKED per round (changed-label count);
+    a fixed round count would silently split any component whose
+    diameter outruns it (round-13 advisor finding against the cluster
+    maintainer's old fixed-6 loop — see
+    tests/test_cluster_maintainer.py for the 40-hop path that needs 7+
+    rounds). ``max_rounds`` exhaustion RAISES rather than returning
+    split labels; at 64 it is only reachable by a bug.
+
+    Used by streaming.analytics.cluster_store_maintainer on the
+    batch-bounded quotient graph; generic over any bidirected edge
+    frame. Lineage is truncated per round via eager localCheckpoint
+    (the iterative-plan-growth discipline of connected_components
+    above).
+    """
+    qlabels = (
+        qdir.select(F.col("qu").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    n_changed = -1
+    for _ in range(max_rounds):
+        contrib = qdir.join(qlabels, qdir["qu"] == qlabels["node"]).select(
+            F.col("qv").alias("node"), "lbl"
+        )
+        merged = (
+            qlabels.unionByName(contrib)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        hop = merged.select(
+            F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl")
+        )
+        nxt = (
+            merged.join(hop, merged["lbl"] == hop["p_node"])
+            .select("node", F.col("p_lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            nxt.alias("n")
+            .join(qlabels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        qlabels = nxt
+        if n_changed == 0:
+            return qlabels
+    raise RuntimeError(
+        f"quotient CC did not reach a label fixpoint in {max_rounds} "
+        f"rounds ({n_changed} labels still changing) — refusing to "
+        "return split components"
+    )

@@ -2246,49 +2246,20 @@ def cluster_store_maintainer(base_dir: str):
         qdir = q.unionByName(
             q.select(F.col("qv").alias("qu"), F.col("qu").alias("qv"))
         ).localCheckpoint(eager=True)
-        qlabels = qdir.select(F.col("qu").alias("node")).distinct().select(
-            "node", F.col("node").alias("lbl")
-        ).localCheckpoint(eager=True)
         # Hash-min + pointer-jump to LABEL FIXPOINT (round-13 advisor:
         # a fixed round count silently splits any quotient component
         # whose diameter outruns it, breaking the byte-equality
         # contract with q_dedup_cluster_cc — the live path has no
-        # oracle to catch that). Pointer jumping halves the remaining
-        # diameter each round, so rounds needed ~ log2(diameter);
-        # _CLUSTER_CC_MAX_ROUNDS = 64 can only be exhausted by a bug,
-        # and then we RAISE rather than commit split clusters.
-        for rnd in range(_CLUSTER_CC_MAX_ROUNDS):
-            contrib = qdir.join(
-                qlabels, qdir["qu"] == qlabels["node"]
-            ).select(F.col("qv").alias("node"), "lbl")
-            merged = (
-                qlabels.unionByName(contrib)
-                .groupBy("node")
-                .agg(F.min("lbl").alias("lbl"))
-            )
-            hop = merged.select(
-                F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl")
-            )
-            nxt = merged.join(
-                hop, merged["lbl"] == hop["p_node"]
-            ).select("node", F.col("p_lbl").alias("lbl")).localCheckpoint(
-                eager=True
-            )
-            n_changed = (
-                nxt.alias("n")
-                .join(qlabels.alias("o"), "node")
-                .filter(F.col("n.lbl") != F.col("o.lbl"))
-                .count()
-            )
-            qlabels = nxt
-            if n_changed == 0:
-                break
-        else:
-            raise RuntimeError(
-                f"cluster store CC did not reach a label fixpoint in "
-                f"{_CLUSTER_CC_MAX_ROUNDS} rounds ({n_changed} labels "
-                "still changing) — refusing to commit split clusters"
-            )
+        # oracle to catch that). The loop lives in
+        # operators.components.min_label_cc_pointer_jump, which RAISES
+        # on max_rounds exhaustion rather than returning split labels;
+        # unit-pinned there on a 40-hop path the old fixed-6 loop
+        # would have split.
+        from ..operators.components import min_label_cc_pointer_jump
+
+        qlabels = min_label_cc_pointer_jump(
+            qdir, max_rounds=_CLUSTER_CC_MAX_ROUNDS
+        )
         qmap = qlabels.filter(F.col("node") != F.col("lbl")).select(
             F.col("node").alias("old_lbl"), F.col("lbl").alias("new_lbl")
         )

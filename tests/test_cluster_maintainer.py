@@ -127,3 +127,37 @@ def test_cluster_store_sweeps_crash_leaked_label_versions(spark, tmp_path):
     assert versions == ["labels_v=1", "labels_v=2"]
     got = _clusters_pdf(committed_clusters(spark, base))
     assert got.equals(_clusters_pdf(q_dedup_cluster_cc(spark, SF_DIR)))
+
+
+def test_pointer_jump_cc_converges_past_the_old_round_budget(spark):
+    """The round-13 advisor finding, pinned: a 300-node path graph has
+    quotient diameter 299 — the old fixed-6-round loop would have
+    returned split labels for it. The fixpoint loop must converge
+    (every node labeled with the global min) and the exhaustion guard
+    must RAISE, never return split components."""
+    import pytest as _pytest
+
+    from oraaud_kafka_spark.operators.components import (
+        min_label_cc_pointer_jump,
+    )
+
+    n = 300
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["qu", "qv"]
+    )
+    qdir = edges.unionByName(
+        edges.selectExpr("qv as qu", "qu as qv")
+    ).localCheckpoint(eager=True)
+    got = min_label_cc_pointer_jump(qdir).toPandas()
+    assert len(got) == n
+    assert (got["lbl"] == 0).all(), got[got["lbl"] != 0].head()
+    # a hub graph converges too (diameter 2)
+    star = spark.createDataFrame(
+        [(500, 500 + i) for i in range(1, 20)], ["qu", "qv"]
+    )
+    sdir = star.unionByName(star.selectExpr("qv as qu", "qu as qv"))
+    sgot = min_label_cc_pointer_jump(sdir.localCheckpoint(eager=True))
+    assert {r.lbl for r in sgot.collect()} == {500}
+    # exhaustion raises instead of silently splitting
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        min_label_cc_pointer_jump(qdir, max_rounds=2)
