@@ -58,14 +58,28 @@ def connected_components(
         nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("component"))
     )
 
+    changed = -1
     for _ in range(max_iter):
         neighbor_labels = bi.join(
             labels, bi.s == labels.node
         ).select(F.col("t").alias("node"), "component")
-        new_labels = ckpt(
+        merged = (
             labels.union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jump: component := component's own current label —
+        # halves the remaining label-tree height each round, so
+        # convergence is O(log diameter) rather than O(diameter); the
+        # fixpoint (min reachable id) is unchanged
+        hop = merged.select(
+            F.col("node").alias("p_node"),
+            F.col("component").alias("p_component"),
+        )
+        new_labels = ckpt(
+            merged.join(hop, merged["component"] == hop["p_node"]).select(
+                "node", F.col("p_component").alias("component")
+            )
         )
         changed = (
             labels.alias("old")
@@ -75,8 +89,18 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select(F.col("node").alias(node_col), "component")
+            return labels.select(F.col("node").alias(node_col), "component")
+    # exhaustion must be LOUD: returning the last labels would silently
+    # split any component whose convergence outruns the budget — the
+    # exact failure the round-13 advisor flagged against the cluster
+    # maintainer's old fixed-round loop, and this operator feeds
+    # q_dedup_components / q_dedup_cluster_cc, the batch side of that
+    # maintainer's byte-equality contract
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"({changed} labels still changing) — refusing to return split "
+        "components"
+    )
 
 
 def min_label_cc_pointer_jump(

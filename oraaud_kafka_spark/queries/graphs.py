@@ -385,7 +385,7 @@ node_tri AS (
 gstats AS (
   SELECT (SELECT count(*) FROM deg) AS n_nodes,
          (SELECT count(*) FROM e) AS n_edges,
-         (SELECT coalesce(CAST(sum(d * (d - 1) / 2) AS BIGINT), 0)
+         (SELECT coalesce(CAST(sum((d * (d - 1)) // 2) AS BIGINT), 0)
           FROM deg) AS n_wedges,
          (SELECT count(*) FROM tri) AS n_triangles
 )
@@ -453,9 +453,11 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     glob = (
         deg.agg(
             F.count("*").alias("n_nodes"),
-            F.sum(F.col("d") * (F.col("d") - 1) / 2)
-            .cast("long")
-            .alias("n_wedges"),
+            # d*(d-1) is even, so integer `div` per term is exact and
+            # the sum stays in BIGINT — a raw double sum would go
+            # order-dependent past 2^53 wedges and break the bitwise
+            # hash-compare (the queries/__init__ determinism rule)
+            F.sum(F.expr("(d * (d - 1)) div 2")).alias("n_wedges"),
         )
         .crossJoin(e.agg(F.count("*").alias("n_edges")))
         .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
@@ -466,14 +468,18 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_triangles",
         )
     )
-    ranked = node_tri.select(
+    # TakeOrderedAndProject cut first; the rank window then runs over
+    # exactly 5 rows, never the node domain (the q_agg_cms_heavy_hitters
+    # discipline)
+    top = node_tri.orderBy(F.desc("n_tri"), "node").limit(5)
+    ranked = top.select(
         F.row_number()
         .over(Window.orderBy(F.desc("n_tri"), "node"))
         .cast("long")
         .alias("rank"),
         F.col("node").cast("long").alias("part_key"),
         F.col("n_tri").cast("long").alias("n_tri"),
-    ).filter(F.col("rank") <= 5)
+    )
     return (
         ranked.crossJoin(glob)
         .select(

@@ -982,8 +982,10 @@ def test_minhash_multiband_eval_pair_join_is_blocked_hash_join(spark):
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
         "BroadcastHashJoin"
     ) >= 1
-    # the doc_id % 2 slice reaches the parquet scan
-    assert "PushedFilters" in plan
+    # the fixed-size calibration slice is a TakeOrderedAndProject
+    # top-K over one scan (tables.cal_slice), never a global sort —
+    # the shape that keeps the eval corpus-size-independent
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_theta_overlap_sketch_aggs_are_partial_and_pair_join_bounded(spark):
