@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load, register_views
+from ..tables import load, register_views, spread
 from . import (
     DEC,
     DEC_MONEY,
@@ -1364,6 +1364,11 @@ def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    # the 4 md5 digests + 32-way explode per row ARE this query's cost,
+    # and the single-row-group local fixture serves that map stage as ONE
+    # task — widen the projected scan first (spread is a no-op on a real
+    # multi-split table); only the two needed columns cross the exchange
+    ob = spread(o.select("o_orderkey", "o_totalprice"))
 
     # one digest seeds eight resamples, in TWO Generate stages so the
     # digests genuinely materialize once: subexpression elimination
@@ -1373,7 +1378,7 @@ def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 2 slices the materialized digest column into its 8
     # 16-bit uniforms (cheap substr+conv; Generate is a projection
     # barrier, so CollapseProject cannot re-inline the md5)
-    rb_g = o.select(
+    rb_g = ob.select(
         cents.alias("cents"),
         F.posexplode(
             F.array(*[

@@ -341,9 +341,13 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _copurchase_degrees(e: DataFrame) -> DataFrame:
+    # explode, not unionAll: a union embeds TWO copies of the whole
+    # co-purchase subtree (scan + distinct + self-join + agg) in the
+    # plan, an explode embeds one — same node multiset, half the work
+    # (round-14 optimization: the un-reused union branches were the
+    # dominant cost of q_graph_triangle_count)
     return (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
+        e.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
     )
@@ -443,27 +447,38 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = wedge.join(
         e.select(F.col("u").alias("y"), F.col("v").alias("z")), ["y", "z"]
     )
+    # explode, not a 3-way unionAll: the union form embeds THREE copies
+    # of the whole wedge-closure subtree; the exploded form embeds one
+    # (same node multiset — round-14 plan-dedup, see _copurchase_degrees)
     node_tri = (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("n_tri"))
     )
+    # global stats from ONE degree pass + ONE node_tri pass via exact
+    # integer identities (sum(d) = 2|E|; sum(n_tri) = 3|triangles|,
+    # every triangle contributing one count to each of its 3 nodes) —
+    # the former shape re-aggregated e and tri as separate subtree
+    # copies just to re-count what deg/node_tri already carry
     glob = (
         deg.agg(
             F.count("*").alias("n_nodes"),
+            F.expr("sum(d) div 2").alias("n_edges"),
             # d*(d-1) is even, so integer `div` per term is exact and
             # the sum stays in BIGINT — a raw double sum would go
             # order-dependent past 2^53 wedges and break the bitwise
             # hash-compare (the queries/__init__ determinism rule)
             F.sum(F.expr("(d * (d - 1)) div 2")).alias("n_wedges"),
         )
-        .crossJoin(e.agg(F.count("*").alias("n_edges")))
-        .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
+        .crossJoin(
+            node_tri.agg(
+                F.coalesce(F.expr("sum(n_tri) div 3"), F.lit(0).cast("long"))
+                .alias("n_triangles")
+            )
+        )
         .select(
             "n_nodes",
-            "n_edges",
+            F.coalesce("n_edges", F.lit(0).cast("long")).alias("n_edges"),
             F.coalesce("n_wedges", F.lit(0)).alias("n_wedges"),
             "n_triangles",
         )
