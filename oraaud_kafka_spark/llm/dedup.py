@@ -1587,27 +1587,59 @@ def q_dedup_containment_multiband(
             ).alias("mh2"),
         )
     )
-    common = [
-        "doc_id_a", "doc_id_b", "shs_a", "shs_b", "n_sh_a", "n_sh_b",
-        "via_band1", "via_band2",
-    ]
-    p1 = triangle_self_join(
-        keyed, block_cols=["lang", "mh1"], id_col="doc_id", n_sub=4
+    # ONE banded self-join instead of a union of two (round-14 plan
+    # dedup): exploding each doc into (band, mh) rows and blocking on
+    # (lang, band, mh) forms exactly the union of band-1 and band-2
+    # candidate pairs while the expensive shingle/minhash projection is
+    # computed ONCE (the two sides of the single join canonicalize to
+    # one exchange; the old two-join form materialized `keyed` twice).
+    # Shuffled bytes are unchanged — 2x rows in one exchange vs the
+    # full keyed frame in each of two.
+    banded = keyed.select(
+        "doc_id",
+        "lang",
+        "shs",
+        "n_sh",
+        "mh1",
+        "mh2",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("band"), F.col("mh1").alias("mh")),
+                F.struct(F.lit(2).alias("band"), F.col("mh2").alias("mh")),
+            )
+        ).alias("bm"),
     ).select(
-        F.lit(True).alias("via_band1"),
-        (F.col("mh2_a") == F.col("mh2_b")).alias("via_band2"),
-        *(c for c in common if not c.startswith("via")),
-    ).select(*common)
-    p2 = triangle_self_join(
-        keyed, block_cols=["lang", "mh2"], id_col="doc_id", n_sub=4
-    ).select(
-        (F.col("mh1_a") == F.col("mh1_b")).alias("via_band1"),
-        F.lit(True).alias("via_band2"),
-        *(c for c in common if not c.startswith("via")),
-    ).select(*common)
+        "doc_id",
+        "lang",
+        "shs",
+        "n_sh",
+        "mh1",
+        "mh2",
+        F.col("bm.band").alias("band"),
+        F.col("bm.mh").alias("mh"),
+    )
     # pair-dedup BEFORE the quadratic-cost intersection: a pair caught
-    # by both bands carries identical payloads in both branches
-    cand = p1.unionByName(p2).dropDuplicates(["doc_id_a", "doc_id_b"])
+    # by both bands appears once per band with identical payloads, so
+    # the kept row's carried columns are deterministic; the via flags
+    # are recomputed from the carried minhashes, reproducing the old
+    # union's per-branch constants
+    cand = (
+        triangle_self_join(
+            banded, block_cols=["lang", "band", "mh"], id_col="doc_id",
+            n_sub=4,
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "shs_a",
+            "shs_b",
+            "n_sh_a",
+            "n_sh_b",
+            (F.col("mh1_a") == F.col("mh1_b")).alias("via_band1"),
+            (F.col("mh2_a") == F.col("mh2_b")).alias("via_band2"),
+        )
+    )
     inter = F.col("n_inter")
     min_sh = F.least("n_sh_a", "n_sh_b")
     return (

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load, spread
+from ..tables import bounded_sort, load, spread
 
 THUMB_BYTES = 8
 
@@ -135,7 +135,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features,
         "doc_id long, n_bytes int, payload_md5 string, thumb_hex string",
     )
-    return feats.orderBy("doc_id")
+    # bounded_sort: doc_id < 100 bounds the report; orderBy's range
+    # sampling would run the Arrow feature stage twice per execution
+    return bounded_sort(feats, "doc_id")
 
 
 # Frame-sampling plumbing: given (media, n_frames, stride) pick frame
@@ -157,7 +159,7 @@ ORDER BY doc_id, frame_no
 def q_multimodal_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
     n_bytes = F.octet_length(F.encode("text", "utf-8"))
-    return (
+    out = (
         d.select(
             "doc_id",
             F.explode(F.sequence(F.lit(0), F.lit(3))).alias("frame_no"),
@@ -170,8 +172,9 @@ def q_multimodal_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "byte_offset"
             ),
         )
-        .orderBy("doc_id", "frame_no")
     )
+    # doc_id < 20 bounds the report; skip the range-sampling re-scan
+    return bounded_sort(out, "doc_id", "frame_no")
 
 
 # Resize plumbing: target dimensions preserving aspect ratio, computed
@@ -208,13 +211,15 @@ def q_multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(480) + (F.col("n_chars") * 7) % 720).alias("src_h"),
     )
     scale = F.lit(float(_RESIZE_MAX)) / F.greatest("src_w", "src_h")
-    return dims.select(
+    out = dims.select(
         "doc_id",
         "src_w",
         "src_h",
         F.floor(F.col("src_w") * scale).cast("int").alias("dst_w"),
         F.floor(F.col("src_h") * scale).cast("int").alias("dst_h"),
-    ).orderBy("doc_id")
+    )
+    # doc_id < 100 bounds the report; skip the range-sampling re-scan
+    return bounded_sort(out, "doc_id")
 
 
 # Full encode -> decode -> featurize pipeline over the fake codec: the
@@ -290,7 +295,10 @@ def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _decode_stats,
         "doc_id long, w long, h long, mean_pixel double, max_pixel long",
     )
-    return stats.orderBy("doc_id")
+    # bounded_sort: doc_id < 100 bounds the report; orderBy's range
+    # sampling re-executed BOTH MapInPandas stages per run (round-14
+    # measurement — this was the roster's slowest bench entry)
+    return bounded_sort(stats, "doc_id")
 
 
 # Audio twin of q_multimodal_decode_stats: build FWAV payloads in one
@@ -370,7 +378,8 @@ def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, rate long, n_samples long, duration_s double, "
         "peak long, rms double",
     )
-    return stats.orderBy("doc_id")
+    # bounded_sort: doc_id < 100 bounds the report (see decode_stats)
+    return bounded_sort(stats, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -524,12 +533,12 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         _perceptual_hash, "doc_id long, w long, h long, ahash long"
     )
     wnd = Window.partitionBy("w", "h", "ahash")
-    return (
-        hashed.withColumn(
-            "n_same_hash", F.count("*").over(wnd).cast("long")
-        )
-        .orderBy("doc_id")
+    counted = hashed.withColumn(
+        "n_same_hash", F.count("*").over(wnd).cast("long")
     )
+    # bounded_sort: doc_id < 100 bounds the report; orderBy's range
+    # sampling would re-run the window + both Arrow stages per run
+    return bounded_sort(counted, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -623,7 +632,8 @@ def q_multimodal_silence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_frames long, n_silent long, silence_ratio double, "
         "lead_trim_frames long, trail_trim_frames long",
     )
-    return profile.orderBy("doc_id")
+    # bounded_sort: doc_id < 100 bounds the report (see decode_stats)
+    return bounded_sort(profile, "doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -431,16 +431,37 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
     )
-    oa = o.select(F.col("s"), F.col("t").alias("t1"))
-    ob = o.select(F.col("s"), F.col("t").alias("t2"))
+    # wedges via ONE grouped pass instead of a self-join of o: the
+    # self-join form embedded TWO copies of the whole orientation
+    # subtree (e + 2 degree joins = 6 scans each) in the plan; grouping
+    # the oriented out-neighbors per source and exploding the sorted
+    # pairs embeds ONE. Per-group state is bounded by the oriented
+    # out-degree (<= sqrt(2m) under the degree orientation — the same
+    # bound that caps the join's fan-out), so collect_list is safe at
+    # any graph scale. The array arrives sorted ascending, so pair
+    # (ts[i], ts[j]) with i < j IS (least, greatest) — no extra
+    # normalization (round-14 plan-dedup, step 2).
+    grouped = o.groupBy("s").agg(F.sort_array(F.collect_list("t")).alias("ts"))
     wedge = (
-        oa.join(ob, "s")
-        .filter(F.col("t1") < F.col("t2"))
-        .select(
+        grouped.select(
             F.col("s").alias("x"),
-            F.least("t1", "t2").alias("y"),
-            F.greatest("t1", "t2").alias("z"),
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ts",
+                        lambda y, i: F.transform(
+                            F.slice(
+                                F.col("ts"), i + 2, F.size("ts") - i - 1
+                            ),
+                            lambda z: F.struct(
+                                y.alias("y"), z.alias("z")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p"),
         )
+        .select("x", F.col("p.y").alias("y"), F.col("p.z").alias("z"))
     )
     # wedges close against the CANONICAL (u < v by id) edge set — one
     # hash equi-join, no OR-condition nested loop

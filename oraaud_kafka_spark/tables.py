@@ -90,6 +90,26 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def bounded_sort(df: DataFrame, *cols: str) -> DataFrame:
+    """Total-order sort for a BOUNDED output (a literal id-range filter,
+    a grouped report over a fixed domain) without a range exchange.
+
+    ``orderBy`` plans Exchange(rangepartitioning), and computing the
+    range bounds SAMPLES the child: the whole plan segment below the
+    exchange (up to the nearest materialized shuffle) executes a second
+    time per run. For a map-only lineage that segment is the entire
+    query — and when it contains MapInPandas/ArrowEvalPython stages the
+    sampling pass pays the full Python boundary cost again (round-14
+    measurement: the multimodal family ran every decode pipeline twice
+    per execution). Coalescing the bounded result to one partition and
+    sorting within it yields the identical total order with zero
+    exchanges and zero sampling. ONLY for outputs bounded by
+    construction — the coalesce serializes whatever remains above the
+    last shuffle, which is exactly the TakeOrderedAndProject trade for
+    bounded reports."""
+    return df.coalesce(1).sortWithinPartitions(*cols)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql queries."""
     for name in TABLES:
