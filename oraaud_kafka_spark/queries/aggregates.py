@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load, register_views, spread
+from ..tables import bounded_sort, load, register_views, spread
 from . import (
     DEC,
     DEC_MONEY,
@@ -378,7 +378,14 @@ ORDER BY l_returnflag
 
 @query("q_agg_corr_covar", oracle=_CORR_ORACLE)
 def q_agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    # spread + project-first: the 5-decimal-sum partial agg otherwise
+    # runs as one task on the single-row-group fixture (see
+    # q_agg_ols_regression); order-independent sums, result unchanged
+    li = spread(
+        load(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_discount"
+        )
+    )
     x = F.col("l_quantity")
     y = F.col("l_discount")
     n = F.count("*").cast("double")
@@ -398,7 +405,7 @@ def q_agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
             ).alias("corr_qd"),
         )
-        .orderBy("l_returnflag")
+        .transform(lambda d: bounded_sort(d, "l_returnflag"))
     )
 
 
@@ -1156,7 +1163,7 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_kept") > 0,
             F.round(F.col("s") / F.col("n_kept") / 100, 6),
         ).alias("trimmed_mean"),
-    ).orderBy("o_orderpriority")
+    ).transform(lambda d: bounded_sort(d, "o_orderpriority"))
 
 
 # ---------------------------------------------------------------------------
@@ -1279,7 +1286,7 @@ def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.col("s_mid") + wing).cast("double") / F.col("n") / 100, 6
         ).alias("winsorized_mean"),
-    ).orderBy("o_orderpriority")
+    ).transform(lambda d: bounded_sort(d, "o_orderpriority"))
 
 
 # ---------------------------------------------------------------------------
@@ -1721,9 +1728,18 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.count("*").alias("n_items"))
     )
-    base = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x"),
-        F.col("n_items").cast("bigint").alias("y"),
+    # base feeds THREE subtrees (the x-rank grouping, the y-rank
+    # grouping, and the final join) — without materialization the
+    # orders⋈per-order-counts join executes three times per run.
+    # localCheckpoint truncates the plan once (guide §3.3); recomputed
+    # from parquet on every invocation.
+    base = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x"),
+            F.col("n_items").cast("bigint").alias("y"),
+        )
+        .localCheckpoint(eager=True)
     )
 
     def ranks(col: str, alias: str):
@@ -2061,7 +2077,17 @@ ORDER BY l_linestatus
 
 @query("q_agg_ols_regression", oracle=_OLS_ORACLE)
 def q_agg_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    # The single-row-group fixture scans as ONE task, serializing the
+    # 5-decimal-sum partial aggregation on one core (guide §2.5 input
+    # skew); spread() recovers the parallelism and is a no-op on any
+    # multi-split table. Projection first keeps the exchange to the 3
+    # needed columns (guide §2.3). Decimal sums are order-independent,
+    # so the repartition cannot change a digit.
+    li = spread(
+        load(spark, sf_dir, "lineitem").select(
+            "l_linestatus", "l_quantity", "l_extendedprice"
+        )
+    )
     x = F.col("l_quantity")
     y = F.col("l_extendedprice") / F.lit(100).cast("double")
     s = li.groupBy("l_linestatus").agg(
@@ -2095,7 +2121,7 @@ def q_agg_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         ).alias("r2"),
-    ).orderBy("l_linestatus")
+    ).transform(lambda d: bounded_sort(d, "l_linestatus"))
 
 
 # ---------------------------------------------------------------------------

@@ -412,7 +412,18 @@ ORDER BY rank
 
 @query("q_graph_triangle_count", oracle=_TRIANGLE_ORACLE)
 def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _copurchase_edges(spark, sf_dir)
+    # The edge set is referenced SIX times downstream (degrees,
+    # orientation join x2, wedge closure, plus the whole pipeline again
+    # under glob/ranked); exchange reuse does not dedup across the
+    # differently-keyed aggregations, so the lineitem-distinct-self-join
+    # subtree executed up to 6x per run (36 scans / 110 Exchanges in the
+    # static plan). The support floor makes e the SMALL decision table
+    # (guide §8: decide with small rows) — materializing it once with
+    # localCheckpoint truncates the plan (guide §3.3) so everything
+    # downstream is edge-cardinality work over one in-memory relation,
+    # recomputed from parquet on every invocation (nothing persists
+    # across runs).
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     deg = _copurchase_degrees(e)
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))

@@ -596,10 +596,15 @@ LIMIT {_BASKET_TOP}
 @query("q_basket_association_rules", oracle=_BASKET_ORACLE)
 def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top part pairs by lift over order baskets, Apriori-pruned."""
+    # items feeds THREE subtrees (basket count, frequent-item table,
+    # pair expansion) — materialize the distinct once (guide §3.3 /
+    # §8.4: decide on the small proxy, never recompute it), recomputed
+    # from parquet on every invocation.
     items = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_b = broadcast(
         items.agg(F.count_distinct("l_orderkey").alias("n"))
@@ -618,15 +623,33 @@ def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("n")
     )
     fitems = items.join(freq.select("l_partkey"), "l_partkey")
-    a = fitems.select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("p_a")
-    )
-    b = fitems.select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("p_b")
+    # Per-basket pair expansion by exploding sorted frequent-item
+    # arrays instead of a basket-keyed self-join: ONE embedding of
+    # fitems and one shuffle (groupBy l_orderkey) instead of two join
+    # exchanges; per-group state is bounded by the Apriori-pruned
+    # basket width, and the ascending sort makes (ps[i], ps[j]) with
+    # i < j exactly the p_a < p_b pair set (the triangle-count wedge
+    # shape). Same pair multiset, identical counts.
+    grouped = fitems.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("ps")
     )
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("p_a") < F.col("p_b"))
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda a, i: F.transform(
+                            F.slice(F.col("ps"), i + 2, F.size("ps") - i - 1),
+                            lambda b: F.struct(
+                                a.alias("p_a"), b.alias("p_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.p_a", "p.p_b")
         .groupBy("p_a", "p_b")
         .agg(F.count("*").alias("pair_n"))
         .filter(F.col("pair_n") >= _BASKET_MIN_PAIR)
