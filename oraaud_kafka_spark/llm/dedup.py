@@ -232,6 +232,9 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for b in range(N_BANDS)
             ])
         ).alias("bk"),
+        # NOT checkpointed (round-14 A/B): materializing the band rows
+        # measured 0.71 -> 0.96 s — at 16 md5/doc the double-computed
+        # signature map is cheaper than the checkpoint round-trip
     ).select("doc_id", "bk.band_idx", "bk.band_key")
     a = band_rows.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
@@ -433,13 +436,16 @@ def q_dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(F.split("text", " ")).alias("toks"),
     ).withColumn("n_toks", F.size("toks"))
+    # the simhash-signature pipeline (per-token bit aggregation) is
+    # embedded twice by the a/b pair sides — materialize once per
+    # invocation (guide §3.3)
     st = sig.join(toks, "doc_id").select(
         "doc_id",
         "simhash_bits",
         F.substring("simhash_bits", 1, _SIMHASH_PREFIX).alias("prefix"),
         "toks",
         "n_toks",
-    )
+    ).localCheckpoint(eager=True)
     a = st.select(*[F.col(c).alias(f"{c}_a") for c in st.columns], "prefix").drop(
         "prefix_a"
     )
@@ -522,6 +528,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.triangle import triangle_self_join
 
     d = load(spark, sf_dir, "documents")
+    # NOT checkpointed (round-14 A/B): tokenize-distinct is cheap
+    # relative to serializing the token arrays — materializing measured
+    # 0.86 -> 1.67 s, the opposite of the md5-shingle queries
     t = spread(
         d.select(
             "doc_id",
@@ -751,8 +760,12 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for av in anchors
         ]
     ).alias("bucket")
-    bucketed = spread(e.select("vec_id", "embedding")).select(
-        "vec_id", "embedding", bucket
+    # 16-anchor SRP projection embedded twice by the triangle join's
+    # a/b sides — materialize once per invocation (guide §3.3)
+    bucketed = (
+        spread(e.select("vec_id", "embedding"))
+        .select("vec_id", "embedding", bucket)
+        .localCheckpoint(eager=True)
     )
     cosine = dot(F.col("embedding_a"), F.col("embedding_b")) / (
         norm(F.col("embedding_a")) * norm(F.col("embedding_b"))
@@ -936,18 +949,52 @@ def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     shingles = mh_shingles()
+    # The shingle + 16-md5 map is the dominant cost and feeds SIX
+    # subtrees (sa/sb signature probes, xa/xb shingle-set probes, and —
+    # via minhash_candidate_pairs — both band-join sides). Materialize
+    # it once per invocation (guide §3.3) and derive the candidate
+    # pairs from the SAME checkpointed signatures instead of
+    # re-deriving the pipeline; the band construction is identical to
+    # minhash_candidate_pairs, so the pair set is unchanged.
     hashed = tokenized.select(
         "doc_id",
         shingles.alias("shs"),
         F.transform(shingles, mh_base_hash).alias("bhs"),
-    )
+    ).localCheckpoint(eager=True)
     sigs = hashed.select("doc_id", *mh_signature_cols())
     sets = hashed.select(
         "doc_id",
         F.array_distinct("shs").alias("sh"),
         F.size(F.array_distinct("shs")).alias("n"),
     )
-    pairs = minhash_candidate_pairs(spark, sf_dir)
+    band_rows = (
+        sigs.select("doc_id", *mh_band_cols())
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.col(f"band{b}").alias("band_key"),
+                    )
+                    for b in range(N_BANDS)
+                ])
+            ).alias("bk"),
+        )
+        .select("doc_id", "bk.band_idx", "bk.band_key")
+    )
+    pairs = (
+        band_rows.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+        .join(
+            band_rows.select(
+                F.col("doc_id").alias("doc_b"), "band_idx", "band_key"
+            ),
+            ["band_idx", "band_key"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"ha{i}") for i in range(N_HASHES)]
     )
@@ -1074,7 +1121,9 @@ def q_dedup_minhash_multiband_eval(
             *mh_signature_cols(),
         )
         .select("doc_id", "lang", "shs", "n_sh", *mh_band_cols())
-    )
+        # the cal-slice TakeOrdered + 16-perm signature map is embedded
+        # twice by the triangle join — materialize once per invocation
+    ).localCheckpoint(eager=True)
     pairs = triangle_self_join(
         keyed, block_cols=["lang"], id_col="doc_id", n_sub=4
     )
@@ -1230,7 +1279,11 @@ def semantic_dedup(
     # decomposition: per-task pair width is bounded by (|cluster|/4)^2
     # even when one cluster is pathologically popular, and every
     # unordered pair is still formed exactly once (vec_id_a < vec_id_b).
-    members = ranked
+    # The K-fold crossJoin + top-1 window assignment is the dominant
+    # cost and members feeds THREE subtrees (both pair-join sides and
+    # the final label join) — materialize it once per invocation
+    # (guide §3.3).
+    members = ranked.localCheckpoint(eager=True)
     pairs = triangle_self_join(
         members,
         block_cols=["cid"],
@@ -1344,7 +1397,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("shs").alias("n_sh"),
             F.array_min(F.transform("shs", F.md5)).alias("mh1"),
         )
-    )
+        # the shingle+md5 map stage dominates and the triangle self-join
+        # embeds its input TWICE (a/b sides) — materialize it once per
+        # invocation (guide §3.3)
+    ).localCheckpoint(eager=True)
     pairs = triangle_self_join(
         keyed, block_cols=["lang", "mh1"], id_col="doc_id", n_sub=4
     )
@@ -1456,7 +1512,10 @@ def q_dedup_containment_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("shs").alias("n_sh"),
             F.array_min(F.transform("shs", F.md5)).alias("mh1"),
         )
-    )
+        # the cal-slice TakeOrdered + shingle/md5 map feeds THREE
+        # subtrees (both pair-join sides and the per-lang doc counts) —
+        # materialize once per invocation (guide §3.3)
+    ).localCheckpoint(eager=True)
     pairs = triangle_self_join(
         keyed, block_cols=["lang"], id_col="doc_id", n_sub=4
     )
@@ -1586,7 +1645,11 @@ def q_dedup_containment_multiband(
                 )
             ).alias("mh2"),
         )
-    )
+        # the two triangle-join sides do NOT canonicalize to one
+        # exchange (alias-divergent projections defeat ReuseExchange —
+        # round-14 measurement on q_dedup_containment); materialize the
+        # shingle/minhash projection once per invocation (guide §3.3)
+    ).localCheckpoint(eager=True)
     # ONE banded self-join instead of a union of two (round-14 plan
     # dedup): exploding each doc into (band, mh) rows and blocking on
     # (lang, band, mh) forms exactly the union of band-1 and band-2

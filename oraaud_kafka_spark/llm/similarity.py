@@ -1252,6 +1252,9 @@ def q_sim_range_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bits")
         )
     )
+    # the cal-slice TakeOrdered + anchor-crossJoin signature build is
+    # embedded twice by the triangle join's a/b sides — materialize
+    # once per invocation (guide §3.3)
     banded = bucketed.select(
         "vec_id",
         "embedding",
@@ -1260,7 +1263,7 @@ def q_sim_range_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("bits", 1 + b * _RS_BITS, _RS_BITS).alias(f"band{b}")
             for b in range(_RS_BANDS)
         ],
-    )
+    ).localCheckpoint(eager=True)
     pairs = triangle_self_join(
         banded, block_cols=[], id_col="vec_id", n_sub=4
     )

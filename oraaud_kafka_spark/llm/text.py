@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load, spread
+from ..tables import checkpoint_sort, load, spread
 
 # BPE-ish pre-tokenizer: runs of alphanumerics OR single non-space symbols.
 # Kept to a regex subset (character classes, +) that Java regex and RE2
@@ -67,7 +67,9 @@ ORDER BY doc_id
 
 @query("q_text_quality_score", oracle=_QUALITY_ORACLE)
 def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # spread: the per-token stopword/distinct scans are the dominant
+    # per-row cost and the single-row-group fixture scans as ONE task
+    d = spread(load(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
     n_toks = F.size(toks)
@@ -86,7 +88,9 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("quality_pass"),
         )
-        .orderBy("doc_id")
+        # checkpoint_sort: the range sort's sampling pass otherwise
+        # re-runs the whole map-only feature stage a second time
+        .transform(lambda df: checkpoint_sort(df, "doc_id"))
     )
 
 
@@ -132,7 +136,9 @@ ORDER BY lang, lang_guess
 
 @query("q_text_lang_id", oracle=_LANGID_ORACLE)
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # spread: five marker-array scans per token dominate, and the
+    # single-row-group fixture scans as ONE task
+    d = spread(load(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     # NB: the lambda must be single-parameter — PySpark reads a 2-arg
     # lambda as (element, index) — so capture the marker array via closure.
@@ -207,6 +213,9 @@ ORDER BY doc_id
 
 @query("q_text_repetition_filter", oracle=_REPETITION_ORACLE)
 def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT spread (round-14 A/B): the extra full-text shuffle measured
+    # 0.58 -> 0.76 s — the tokenize+explode map is cheaper than moving
+    # the text
     d = load(spark, sf_dir, "documents")
     t = d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
     exploded = t.select(
@@ -893,7 +902,9 @@ def q_text_dup_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
             > _DUP_FRAC_GATE
         )
         .alias("would_drop"),
-    ).orderBy("doc_id")
+        # checkpoint_sort: don't re-run the per-row gram sort in the
+        # range-bound sampling pass
+    ).transform(lambda df: checkpoint_sort(df, "doc_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -1003,7 +1014,10 @@ def q_text_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size("toks") - F.size("merged")).cast("long").alias("n_merges"),
             F.array_join("merged", " ").alias("merged_text"),
         )
-        .orderBy("doc_id")
+        # checkpoint_sort: don't re-run the positional rewrite in the
+        # range-bound sampling pass (the sort shuffles the rebuilt text
+        # either way)
+        .transform(lambda df: checkpoint_sort(df, "doc_id"))
     )
 
 
@@ -1471,7 +1485,9 @@ ORDER BY doc_id
 @query("q_text_readability", oracle=_READ_ORACLE)
 def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease per document with a banded difficulty label."""
-    d = load(spark, sf_dir, "documents")
+    # spread: three regexp extractions per row dominate, and the
+    # single-row-group fixture scans as ONE task
+    d = spread(load(spark, sf_dir, "documents"))
     n_words = F.size(F.split("text", " ")).cast("bigint")
     n_sent = F.greatest(
         F.lit(1), F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), 0))
@@ -1504,7 +1520,9 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(flesch >= 30, F.lit("standard"))
         .otherwise(F.lit("difficult"))
         .alias("band"),
-    ).orderBy("doc_id")
+        # checkpoint_sort: don't re-run the regexp extraction in the
+        # range-bound sampling pass
+    ).transform(lambda df: checkpoint_sort(df, "doc_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -1878,7 +1896,9 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-evaluate it PER ELEMENT (no common-subexpression elimination
     inside lambda bodies — observed as an O(n·d²) blow-up), while a
     bound column materializes once per row and F.get is then O(1)."""
-    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # spread: the single-row-group fixture scans as ONE task and the
+    # per-row O(n log n) char sort is the dominant cost (guide §2.5)
+    d = spread(load(spark, sf_dir, "documents").filter(F.length("text") > 0))
     n_int = F.col("__n")
     n = n_int.cast("double")
     staged = (
@@ -1917,13 +1937,23 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (c.cast("double") / n)
         * F.round(F.log(c.cast("double") / n), 12),
     )
-    return staged.select(
-        "doc_id",
-        "lang",
-        n_int.cast("bigint").alias("n_chars_doc"),
-        F.size("__starts").cast("bigint").alias("n_distinct_chars"),
-        F.round(entropy, 6).alias("entropy_nats"),
-        F.round(entropy, 6).between(_ENTROPY_LO, _ENTROPY_HI).alias(
-            "natural_band"
-        ),
-    ).orderBy("doc_id")
+    # materialize the NARROW per-doc result before the presentation
+    # sort: the range exchange's bound-sampling pass otherwise
+    # re-executes the whole map-only entropy pipeline a second time
+    # (guide §1.4 / the multimodal bounded-report finding); the
+    # checkpoint holds 5 scalars per doc — the same bytes the sort
+    # itself must shuffle — and is recomputed on every invocation.
+    return (
+        staged.select(
+            "doc_id",
+            "lang",
+            n_int.cast("bigint").alias("n_chars_doc"),
+            F.size("__starts").cast("bigint").alias("n_distinct_chars"),
+            F.round(entropy, 6).alias("entropy_nats"),
+            F.round(entropy, 6).between(_ENTROPY_LO, _ENTROPY_HI).alias(
+                "natural_band"
+            ),
+        )
+        .localCheckpoint(eager=True)
+        .orderBy("doc_id")
+    )

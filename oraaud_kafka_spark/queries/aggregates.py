@@ -39,6 +39,9 @@ FROM lineitem
 
 @query("q_agg_global", oracle=_GLOBAL_ORACLE)
 def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT spread (round-14 A/B, 1.03 -> 1.16 s): the near-unique
+    # orderkey domain makes the distinct partial agg barely reduce, so
+    # the extra exchange outweighs the 1-task map
     li = load(spark, sf_dir, "lineitem")
     return li.agg(
         F.count("*").alias("n_rows"),
@@ -104,7 +107,15 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_customers"),
             to_dbl(F.sum(F.col("c_acctbal").cast(DEC))).alias("total_bal"),
         )
-        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+        # bounded report (region x nation rollup): no range exchange,
+        # no bound-sampling re-run of the rollup aggregate
+        .transform(
+            lambda d: bounded_sort(
+                d,
+                F.col("r_name").asc_nulls_first(),
+                F.col("n_name").asc_nulls_first(),
+            )
+        )
     )
 
 
@@ -120,7 +131,13 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 
 @query("q_agg_cube", oracle=_CUBE_ORACLE)
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    # spread + project: the cube Expand quadruples the rows into a
+    # partial agg that otherwise runs as ONE task (guide §2.5)
+    li = spread(
+        load(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus", "l_quantity"
+        )
+    )
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
@@ -597,15 +614,26 @@ ORDER BY l_returnflag
 
 @query("q_agg_approx_percentile", oracle=_APPROX_PCT_ORACLE)
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").withColumn(
+    # spread + project: the sort-based exact-median aggregate has no
+    # map-side partial, so the single-row-group scan otherwise feeds
+    # the whole exchange from ONE task (guide §2.5)
+    li = spread(
+        load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    ).withColumn(
         "cents", F.round(F.col("l_extendedprice") * 100).cast("bigint")
     )
+    # two aggregations joined on the 3-row group key, NOT one: mixing
+    # the sort-based exact median with the percentile_approx sketch in
+    # a single agg forces SortAggregate for both (the kll rollup's
+    # split shape measured ~2x faster on identical inputs)
+    exact = li.groupBy("l_returnflag").agg(
+        F.median("cents").alias("exact_p50_cents")
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("cents", 0.5, 10000).alias("approx_p50_cents")
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.median("cents").alias("exact_p50_cents"),
-            F.percentile_approx("cents", 0.5, 10000).alias("approx_p50_cents"),
-        )
+        exact.join(approx, "l_returnflag")
         .select(
             "l_returnflag",
             "exact_p50_cents",
@@ -688,7 +716,13 @@ ORDER BY l_returnflag
 
 @query("q_agg_kll_quantile_rollup", oracle=_KLL_ORACLE)
 def q_agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").withColumn(
+    # spread + project: see q_agg_approx_percentile — the exact-median
+    # leg has no map-side partial
+    li = spread(
+        load(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus", "l_extendedprice"
+        )
+    ).withColumn(
         "cents", F.round(F.col("l_extendedprice") * 100).cast("bigint")
     )
     per_cell = li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -1013,6 +1047,9 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    # NOT spread (round-14 A/B): order values are near-unique, so the
+    # cent-collapse barely shrinks the data and spreading just shuffles
+    # the rows twice (0.97 -> 1.4 s)
     vals = (
         load(spark, sf_dir, "orders")
         .groupBy("o_orderpriority", cents.alias("cents"))
@@ -1058,7 +1095,9 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         ).alias("gini"),
-    ).orderBy("o_orderpriority")
+        # bounded report (priority domain); the last exchange feeds only
+        # the 5-group final aggregate, so coalesce(1) is safe
+    ).transform(lambda d: bounded_sort(d, "o_orderpriority"))
 
 
 # ---------------------------------------------------------------------------

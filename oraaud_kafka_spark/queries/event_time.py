@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators.segmented import segmented_running_max
 from ..registry import query
-from ..tables import load
+from ..tables import checkpoint_sort, load
 from . import DEC, davg, dsum, sql_davg, sql_dsum, sql_to_dbl, to_dbl
 
 _TUMBLE_ORACLE = f"""
@@ -93,7 +93,9 @@ def q_time_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"))
         .select("user_id", "session_start", "n_events")
-        .orderBy("user_id", "session_start")
+        # checkpoint_sort: don't re-run the session merge in the
+        # range-bound sampling pass (narrow per-session rows)
+        .transform(lambda d: checkpoint_sort(d, "user_id", "session_start"))
     )
 
 
@@ -2271,9 +2273,12 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sid"),
         "ts",
     )
+    # bounds feeds BOTH the +1 and -1 point streams — materialize the
+    # narrow per-session rows once per invocation (guide §3.3) so the
+    # two-window sessionization pipeline runs once, not twice
     bounds = sess.groupBy("user_id", "sid").agg(
         F.min("ts").alias("s"), F.max("ts").alias("e")
-    )
+    ).localCheckpoint(eager=True)
     pts = bounds.select(
         "user_id", F.col("s").alias("ts"), F.lit(1).alias("delta")
     ).unionAll(

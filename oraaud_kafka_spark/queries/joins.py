@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..registry import query
-from ..tables import load, spread
+from ..tables import bounded_sort, checkpoint_sort, load, spread
 from . import DEC, DEC_MONEY, DEC_RATE, md5_mod, sql_dsum, sql_md5_mod, sql_to_dbl, to_dbl
 
 _INNER_ORACLE = f"""
@@ -78,7 +78,11 @@ def q_join_5way_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(to_dbl(F.sum(rev)).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), "n_name")
+        # bounded report (nation domain): no range exchange, no
+        # bound-sampling re-run of the final aggregate
+        .transform(
+            lambda d: bounded_sort(d, F.col("revenue").desc(), "n_name")
+        )
     )
 
 
@@ -356,7 +360,11 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_ts="ts",
         build_ts="ts",
         value_cols=["last_purchase"],
-    ).select("event_id", "user_id", "ts", "last_purchase").orderBy("event_id")
+    ).select("event_id", "user_id", "ts", "last_purchase").transform(
+        # checkpoint_sort: don't re-run the union+window as-of pass in
+        # the range-bound sampling (narrow per-click rows)
+        lambda d: checkpoint_sort(d, "event_id")
+    )
 
 
 # Salted skew join: deterministic celebrity-key mitigation

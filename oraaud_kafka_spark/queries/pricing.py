@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load, spread
+from ..tables import bounded_sort, load, spread
 from . import DEC, DEC_MONEY, DEC_RATE, sql_davg, sql_dsum, sql_to_dbl, to_dbl
 
 CUTOFF = "1998-09-02 00:00:00"
@@ -77,7 +77,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # bounded report (returnflag x linestatus domain): no range
+        # exchange, no bound-sampling re-run of the final aggregate
+        .transform(
+            lambda d: bounded_sort(d, "l_returnflag", "l_linestatus")
+        )
     )
 
 
@@ -101,7 +105,6 @@ SELECT
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{CUTOFF}'
 GROUP BY l_returnflag, l_linestatus
-ORDER BY l_returnflag, l_linestatus
 """
 
 
@@ -110,7 +113,10 @@ def q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(_SPARK_SQL)
+    # presentation ORDER BY applied as bounded_sort (returnflag x
+    # linestatus domain) instead of inside the SQL text: identical
+    # total order, no range exchange / sampling re-run
+    return bounded_sort(spark.sql(_SPARK_SQL), "l_returnflag", "l_linestatus")
 
 
 # TPC-H Q3 shape (shipping priority): two selective dimension filters,

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..operators.segmented import segmented_running_max
 from ..registry import query
-from ..tables import load
+from ..tables import bounded_sort, checkpoint_sort, load
 from . import DEC, to_dbl
 
 _TOPK_ORACLE = """
@@ -40,6 +40,10 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("c_mktsegment", "rnk", "o_orderkey", "o_totalprice")
+        # NOT bounded_sort (round-14 A/B, 0.43 -> 0.53 s): coalesce(1)
+        # narrows the whole post-exchange segment to one task, which
+        # here is the ranking window over every order — the range sort
+        # only re-samples the already-shuffled window input, cheaper
         .orderBy("c_mktsegment", "rnk")
     )
 
@@ -370,7 +374,9 @@ def q_window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         n_w.alias("n_w"),
         F.when(defined, corr).alias("roll_corr"),
-    ).orderBy("event_type", "event_id")
+        # checkpoint_sort: don't re-run the 5-moment rolling window in
+        # the range-bound sampling pass (narrow per-event rows)
+    ).transform(lambda d: checkpoint_sort(d, "event_type", "event_id"))
 
 
 # ---------------------------------------------------------------------------

@@ -110,6 +110,23 @@ def bounded_sort(df: DataFrame, *cols: str) -> DataFrame:
     return df.coalesce(1).sortWithinPartitions(*cols)
 
 
+def checkpoint_sort(df: DataFrame, *cols: str) -> DataFrame:
+    """Presentation sort for a ROW-CARDINALITY report whose lineage is
+    expensive (heavy map-only stage, no materialized shuffle below):
+    ``orderBy`` plans a range exchange whose bound-sampling pass
+    re-executes the whole exchange-free child segment a second time
+    (see bounded_sort), but coalesce(1) is only valid for bounded
+    outputs. Materializing the NARROW final projection once
+    (localCheckpoint — recomputed from source on every invocation,
+    nothing persists across runs) lets the sampling pass read the
+    in-memory rows instead: the expensive lineage runs exactly once,
+    and the sort shuffles the same narrow bytes it would have anyway.
+    Only worth it when the per-row compute dominates the cost of
+    writing the projected rows once — A/B-measure (a cheap tokenize
+    map got SLOWER under this on round-14 measurement)."""
+    return df.localCheckpoint(eager=True).orderBy(*cols)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql queries."""
     for name in TABLES:
