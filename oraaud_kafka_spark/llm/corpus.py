@@ -852,9 +852,16 @@ ORDER BY vec_id, dim
 @query("q_emb_whiten_apply", oracle=_WHITEN_ORACLE)
 def q_emb_whiten_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    comp = spread(e).select(
-        "vec_id", F.posexplode("embedding").alias("dim", "xf")
-    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    # comp feeds the per-dim stats AND the whitening join, and the final
+    # presentation sort's bound sampling would re-run the exchange-free
+    # scan+explode+join a third time — materialize the narrow component
+    # stream once per invocation (guide §3.3)
+    comp = (
+        spread(e)
+        .select("vec_id", F.posexplode("embedding").alias("dim", "xf"))
+        .select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+        .localCheckpoint(eager=True)
+    )
     n = F.count("*").cast("double")
     s1 = (
         F.sum(F.col("x").cast("decimal(18,8)"))

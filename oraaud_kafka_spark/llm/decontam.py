@@ -73,7 +73,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(F.col("toks"), i, 3), " "),
         )
     )
-    sh = tokenized.select("doc_id", "lang", "source", shingles.alias("shs"))
+    # the shingle transform is the dominant cost and sh feeds BOTH the
+    # benchmark-shingle build and the candidate explode — materialize it
+    # once per invocation (guide §3.3, the q_dedup_containment finding)
+    sh = tokenized.select(
+        "doc_id", "lang", "source", shingles.alias("shs")
+    ).localCheckpoint(eager=True)
     bench = (
         sh.filter(F.col("source") == BENCH_SOURCE)
         .select(F.explode_outer("shs").alias("s"))

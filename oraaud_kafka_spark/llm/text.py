@@ -690,8 +690,15 @@ def unigram_logprob_scores(d: DataFrame) -> DataFrame:
     tok = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
     )
-    vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
-    total = tok.agg(F.count("*").alias("n"))
+    # vocab is vocab-bounded — materialize it once (it feeds both the
+    # scoring join and, via its count sum, the corpus total, which
+    # previously re-derived the whole token stream a third time)
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    total = vocab.agg(F.sum("cnt").cast("long").alias("n"))
     scored = (
         tok.join(vocab, "tok")
         .crossJoin(F.broadcast(total))
@@ -1087,7 +1094,14 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents"))
     t = d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
     tok = t.select(F.explode("toks").alias("tok"))
-    uni = tok.groupBy("tok").agg(F.count("*").alias("c1"))
+    # vocab-bounded count table, materialized once: it feeds both the
+    # vocab-size scalar and the pair-logprob join (the q_text_unigram
+    # shape)
+    uni = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+        .localCheckpoint(eager=True)
+    )
     v = uni.agg(F.count("*").alias("vocab"))
     bigram_structs = F.transform(
         F.sequence(F.lit(1), F.size("toks") - 1),
@@ -1098,7 +1112,14 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = t.filter(F.size("toks") >= 2).select(
         "doc_id", "lang", F.explode(bigram_structs).alias("b")
     ).select("doc_id", "lang", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
-    c2 = bg.groupBy("prev", "cur").agg(F.count("*").alias("n2"))
+    # pair-vocab-bounded count table, materialized once: the transition
+    # stream otherwise re-derives for both the count build and the
+    # scoring join's pair_lp side
+    c2 = (
+        bg.groupBy("prev", "cur")
+        .agg(F.count("*").alias("n2"))
+        .localCheckpoint(eager=True)
+    )
     # The (prev, cur) -> logprob mapping is a pure function of the
     # PAIR, so compute it once on the vocab^2-bounded pair table (c2
     # joined to the unigram context — both count tables, both tiny
