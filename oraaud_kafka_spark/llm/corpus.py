@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load, spread
+from ..tables import load, materialize, spread
 
 # Hash-mod split: md5 of the doc id, first 6 hex digits -> 24-bit int,
 # mod 100. 80/10/10 train/val/test. Same hex-parse trick as llm.dedup
@@ -860,7 +860,7 @@ def q_emb_whiten_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread(e)
         .select("vec_id", F.posexplode("embedding").alias("dim", "xf"))
         .select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n = F.count("*").cast("double")
     s1 = (

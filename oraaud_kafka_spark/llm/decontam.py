@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load, spread
+from ..tables import load, materialize, spread
 
 BENCH_SOURCE = "src0"
 # contaminated when >= 1/5 of a doc's distinct shingles appear in the bench set
@@ -78,7 +78,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once per invocation (guide §3.3, the q_dedup_containment finding)
     sh = tokenized.select(
         "doc_id", "lang", "source", shingles.alias("shs")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     bench = (
         sh.filter(F.col("source") == BENCH_SOURCE)
         .select(F.explode_outer("shs").alias("s"))

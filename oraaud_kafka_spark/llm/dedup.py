@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..operators.triangle import triangle_self_join
 from ..registry import query
-from ..tables import CAL_SLICE_K, cal_slice, load, spread, sql_cal_key
+from ..tables import CAL_SLICE_K, cal_slice, load, materialize, spread, sql_cal_key
 
 _EXACT_ORACLE = """
 SELECT count(*) AS n_docs,
@@ -445,7 +445,7 @@ def q_dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("simhash_bits", 1, _SIMHASH_PREFIX).alias("prefix"),
         "toks",
         "n_toks",
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     a = st.select(*[F.col(c).alias(f"{c}_a") for c in st.columns], "prefix").drop(
         "prefix_a"
     )
@@ -765,7 +765,7 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = (
         spread(e.select("vec_id", "embedding"))
         .select("vec_id", "embedding", bucket)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     cosine = dot(F.col("embedding_a"), F.col("embedding_b")) / (
         norm(F.col("embedding_a")) * norm(F.col("embedding_b"))
@@ -960,7 +960,7 @@ def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         shingles.alias("shs"),
         F.transform(shingles, mh_base_hash).alias("bhs"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     sigs = hashed.select("doc_id", *mh_signature_cols())
     sets = hashed.select(
         "doc_id",
@@ -1123,7 +1123,7 @@ def q_dedup_minhash_multiband_eval(
         .select("doc_id", "lang", "shs", "n_sh", *mh_band_cols())
         # the cal-slice TakeOrdered + 16-perm signature map is embedded
         # twice by the triangle join — materialize once per invocation
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     pairs = triangle_self_join(
         keyed, block_cols=["lang"], id_col="doc_id", n_sub=4
     )
@@ -1283,7 +1283,7 @@ def semantic_dedup(
     # cost and members feeds THREE subtrees (both pair-join sides and
     # the final label join) — materialize it once per invocation
     # (guide §3.3).
-    members = ranked.localCheckpoint(eager=True)
+    members = ranked.transform(materialize)
     pairs = triangle_self_join(
         members,
         block_cols=["cid"],
@@ -1400,7 +1400,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the shingle+md5 map stage dominates and the triangle self-join
         # embeds its input TWICE (a/b sides) — materialize it once per
         # invocation (guide §3.3)
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     pairs = triangle_self_join(
         keyed, block_cols=["lang", "mh1"], id_col="doc_id", n_sub=4
     )
@@ -1515,7 +1515,7 @@ def q_dedup_containment_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the cal-slice TakeOrdered + shingle/md5 map feeds THREE
         # subtrees (both pair-join sides and the per-lang doc counts) —
         # materialize once per invocation (guide §3.3)
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     pairs = triangle_self_join(
         keyed, block_cols=["lang"], id_col="doc_id", n_sub=4
     )
@@ -1649,7 +1649,7 @@ def q_dedup_containment_multiband(
         # exchange (alias-divergent projections defeat ReuseExchange —
         # round-14 measurement on q_dedup_containment); materialize the
         # shingle/minhash projection once per invocation (guide §3.3)
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     # ONE banded self-join instead of a union of two (round-14 plan
     # dedup): exploding each doc into (band, mh) rows and blocking on
     # (lang, band, mh) forms exactly the union of band-1 and band-2

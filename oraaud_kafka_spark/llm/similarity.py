@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import CAL_SLICE_K, cal_slice, load, spread, sql_cal_key
+from ..tables import CAL_SLICE_K, cal_slice, load, materialize, spread, sql_cal_key
 
 N_QUERIES = 10
 TOP_K = 5
@@ -1263,7 +1263,7 @@ def q_sim_range_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("bits", 1 + b * _RS_BITS, _RS_BITS).alias(f"band{b}")
             for b in range(_RS_BANDS)
         ],
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     pairs = triangle_self_join(
         banded, block_cols=[], id_col="vec_id", n_sub=4
     )

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import checkpoint_sort, load, spread
+from ..tables import checkpoint_sort, load, materialize, spread
 
 # BPE-ish pre-tokenizer: runs of alphanumerics OR single non-space symbols.
 # Kept to a regex subset (character classes, +) that Java regex and RE2
@@ -696,7 +696,7 @@ def unigram_logprob_scores(d: DataFrame) -> DataFrame:
     vocab = (
         tok.groupBy("tok")
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     total = vocab.agg(F.sum("cnt").cast("long").alias("n"))
     scored = (
@@ -1100,7 +1100,7 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = (
         tok.groupBy("tok")
         .agg(F.count("*").alias("c1"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     v = uni.agg(F.count("*").alias("vocab"))
     bigram_structs = F.transform(
@@ -1118,7 +1118,7 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = (
         bg.groupBy("prev", "cur")
         .agg(F.count("*").alias("n2"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # The (prev, cur) -> logprob mapping is a pure function of the
     # PAIR, so compute it once on the vocab^2-bounded pair table (c2
@@ -1833,10 +1833,21 @@ def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.w_a", "p.w_b")
-    raw = pairs.groupBy("w_a", "w_b").agg(F.count("*").alias("c_ab"))
+    # both count tables are vocab-bounded and multiply referenced (raw:
+    # floor filter + total; uc: two join sides + total) — materialize
+    # each once per invocation (guide §3.3, the LM-scorer shape)
+    raw = (
+        pairs.groupBy("w_a", "w_b")
+        .agg(F.count("*").alias("c_ab"))
+        .transform(materialize)
+    )
     bc = raw.filter(F.col("c_ab") >= _PMI_MIN)
     uni = d.select(F.explode(F.split("text", " ")).alias("w"))
-    uc = uni.groupBy("w").agg(F.count("*").alias("c"))
+    uc = (
+        uni.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .transform(materialize)
+    )
     nb = F.broadcast(raw.agg(F.sum("c_ab").alias("nb")))
     nu = F.broadcast(uc.agg(F.sum("c").alias("nu")))
     j = (
@@ -1975,6 +1986,6 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "natural_band"
             ),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
         .orderBy("doc_id")
     )

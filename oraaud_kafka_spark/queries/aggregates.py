@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import bounded_sort, load, register_views, spread
+from ..tables import bounded_sort, load, materialize, register_views, spread
 from . import (
     DEC,
     DEC_MONEY,
@@ -1778,7 +1778,7 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x"),
             F.col("n_items").cast("bigint").alias("y"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
 
     def ranks(col: str, alias: str):

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators.segmented import segmented_running_max
 from ..registry import query
-from ..tables import checkpoint_sort, load
+from ..tables import checkpoint_sort, load, materialize
 from . import DEC, davg, dsum, sql_davg, sql_dsum, sql_to_dbl, to_dbl
 
 _TUMBLE_ORACLE = f"""
@@ -2278,7 +2278,7 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-window sessionization pipeline runs once, not twice
     bounds = sess.groupBy("user_id", "sid").agg(
         F.min("ts").alias("s"), F.max("ts").alias("e")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     pts = bounds.select(
         "user_id", F.col("s").alias("ts"), F.lit(1).alias("delta")
     ).unionAll(

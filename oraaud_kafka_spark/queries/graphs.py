@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import load, materialize
 
 _PR_ITERS = 12
 
@@ -423,7 +423,7 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # downstream is edge-cardinality work over one in-memory relation,
     # recomputed from parquet on every invocation (nothing persists
     # across runs).
-    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e = _copurchase_edges(spark, sf_dir).transform(materialize)
     deg = _copurchase_degrees(e)
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))

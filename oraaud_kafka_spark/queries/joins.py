@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..registry import query
-from ..tables import bounded_sort, checkpoint_sort, load, spread
+from ..tables import bounded_sort, checkpoint_sort, load, materialize, spread
 from . import DEC, DEC_MONEY, DEC_RATE, md5_mod, sql_dsum, sql_md5_mod, sql_to_dbl, to_dbl
 
 _INNER_ORACLE = f"""
@@ -612,7 +612,7 @@ def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n_b = broadcast(
         items.agg(F.count_distinct("l_orderkey").alias("n"))

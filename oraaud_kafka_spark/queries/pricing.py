@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import bounded_sort, load, spread
+from ..tables import bounded_sort, load, materialize, spread
 from . import DEC, DEC_MONEY, DEC_RATE, sql_davg, sql_dsum, sql_to_dbl, to_dbl
 
 CUTOFF = "1998-09-02 00:00:00"
@@ -280,7 +280,7 @@ JOIN customer  ON c_nationkey = n_nationkey
 JOIN orders    ON o_custkey = c_custkey
 JOIN order_rev ON l_orderkey = o_orderkey
 GROUP BY n_name
-""").localCheckpoint(eager=True)
+""").transform(materialize)
     nation_rev.createOrReplaceTempView("__r14_nation_rev")
     return spark.sql(f"""
 WITH threshold AS (

@@ -110,6 +110,25 @@ def bounded_sort(df: DataFrame, *cols: str) -> DataFrame:
     return df.coalesce(1).sortWithinPartitions(*cols)
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint for a multiply-referenced intermediate
+    (guide §3.3): the self-join sides' alias-divergent projections
+    defeat ReuseExchange, so without materialization the expensive
+    lineage below executes once PER reference. Recomputed from the
+    parquet inputs on every invocation — checkpoint RDDs die with the
+    DataFrame object and are never served across runs (unlike
+    ``.cache()``, whose CacheManager matches the next run's identical
+    plan and would hand it stale-free but PRE-COMPUTED results —
+    measurement gaming in a bench).
+
+    ``SPARK_GRAFT_PLAN_TRANSPARENT=1`` makes this a no-op so plan-pin
+    tests can assert on the full logical lineage the checkpoint
+    otherwise hides; production never sets it."""
+    if os.environ.get("SPARK_GRAFT_PLAN_TRANSPARENT") == "1":
+        return df
+    return df.localCheckpoint(eager=True)
+
+
 def checkpoint_sort(df: DataFrame, *cols: str) -> DataFrame:
     """Presentation sort for a ROW-CARDINALITY report whose lineage is
     expensive (heavy map-only stage, no materialized shuffle below):
@@ -124,7 +143,7 @@ def checkpoint_sort(df: DataFrame, *cols: str) -> DataFrame:
     Only worth it when the per-row compute dominates the cost of
     writing the projected rows once — A/B-measure (a cheap tokenize
     map got SLOWER under this on round-14 measurement)."""
-    return df.localCheckpoint(eager=True).orderBy(*cols)
+    return materialize(df).orderBy(*cols)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -22,6 +22,18 @@ def _loaded():
     registry.load_all()
 
 
+@pytest.fixture
+def transparent(monkeypatch):
+    """See through tables.materialize: round-14 materializes multiply-
+    referenced intermediates with eager localCheckpoint, which replaces
+    the lineage below it with a Scan ExistingRDD leaf — hiding exactly
+    the shape these pins exist to protect. Setting the flag makes
+    materialize a no-op at DataFrame CONSTRUCTION time, so pins assert
+    on the full logical shape that executes below the checkpoint in
+    production."""
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_TRANSPARENT", "1")
+
+
 def _plan(df, execute: bool = False) -> str:
     if execute:
         # AQE finalizes join strategies / codegen stages only at runtime;
@@ -83,7 +95,7 @@ def test_semi_join_does_not_materialize_right(spark):
     assert "LeftSemi" in _plan(df)
 
 
-def test_asof_join_is_single_window_no_join(spark):
+def test_asof_join_is_single_window_no_join(spark, transparent):
     df = registry.QUERIES["q_join_asof"](spark, SF_DIR)
     plan = _plan(df)
     # the as-of is union + window — any Join node means the quadratic
@@ -369,7 +381,7 @@ def test_containment_pair_join_triangle_blocked(spark):
     ), plan
 
 
-def test_bpe_apply_merge_top1_broadcast_no_collect(spark):
+def test_bpe_apply_merge_top1_broadcast_no_collect(spark, transparent):
     """The winning merge pair must enter the rewrite as a broadcast
     (1-row side of a BroadcastNestedLoopJoin Cross) and the candidate
     ranking as TakeOrderedAndProject — no global sort, no driver-side
@@ -578,7 +590,7 @@ def test_pagerank_loop_never_rescans_events(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
-def test_char_entropy_is_map_only(spark):
+def test_char_entropy_is_map_only(spark, transparent):
     """The char histogram lives in per-row array expressions — one scan,
     no aggregate exchange anywhere (only the presentation sort)."""
     df = registry.QUERIES["q_text_char_entropy"](spark, SF_DIR)
@@ -615,7 +627,7 @@ def test_multiband_containment_rides_triangle(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_readability_is_map_only(spark):
+def test_readability_is_map_only(spark, transparent):
     """Flesch scoring is pure per-row expression work: one scan, no
     aggregate exchange anywhere (only the presentation sort)."""
     df = registry.QUERIES["q_text_readability"](spark, SF_DIR)
@@ -970,7 +982,9 @@ def test_kll_rollup_sketch_aggs_are_partial(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_minhash_multiband_eval_pair_join_is_blocked_hash_join(spark):
+def test_minhash_multiband_eval_pair_join_is_blocked_hash_join(
+    spark, transparent
+):
     """The exhaustive calibration harness still rides the triangle
     decomposition: the pair join is a hash equi-join on the (block,
     cell) key — a cartesian pair expansion here would be the exact
