@@ -337,6 +337,15 @@ def main() -> None:
         "metric": "headline_queries_total_sec",
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Measurement-methodology epoch (round-15 integrity fix): epoch 2
+        # entries time FULLY RECOMPUTED invocations — query builds that
+        # eagerly checkpoint or collect at build time are no longer plan-
+        # memoized, so every timed sample pays the whole computation from
+        # parquet. Epoch-1 entries (pre-fix) under-measured those queries
+        # by serving build-time-computed state to later samples; the two
+        # populations are NOT comparable, and the history regression
+        # gates only compare entries of equal epoch.
+        "meas_epoch": 2,
         # per-query value = best of 4 samples taken as min-of-2 inside
         # each of 2 whole-suite-separated passes (see comment above);
         # 6 when the loaded-start extra headline pass ran — recorded so

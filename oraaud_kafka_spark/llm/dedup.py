@@ -746,6 +746,9 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    from ..tables import note_data_computed
+
+    note_data_computed()  # build-time anchor fetch: no plan memo
     e = _emb_directional(load(spark, sf_dir, "embeddings"))
     anchors = [
         [float(x) for x in row[0]]
@@ -1314,6 +1317,9 @@ def semantic_dedup(
 
 @query("q_dedup_semantic", oracle=_SEM_ORACLE)
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import note_data_computed
+
+    note_data_computed()  # build-time count for K: no plan memo
     e = _emb_directional(load(spark, sf_dir, "embeddings"))
     # K = ceil(sqrt(N)): one metadata-cheap count at plan-build keeps
     # cluster width ~sqrt(N) at any corpus size (the oracle computes the

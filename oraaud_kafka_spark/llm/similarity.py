@@ -255,6 +255,9 @@ def q_sim_pandas_udf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     e = _directional(load(spark, sf_dir, "embeddings"))
+    from ..tables import note_data_computed
+
+    note_data_computed()  # build-time query-vector fetch: no plan memo
     qrow = (
         e.filter(F.col("vec_id") == 0).select("embedding").head()
     )

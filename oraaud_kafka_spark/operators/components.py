@@ -47,6 +47,9 @@ def connected_components(
         reliable = True
 
     def ckpt(df: DataFrame) -> DataFrame:
+        from ..tables import note_data_computed
+
+        note_data_computed()  # iterative build computes data: no memo
         return df.checkpoint() if reliable else df.localCheckpoint()
 
     bi = edges.select(
@@ -129,6 +132,9 @@ def min_label_cc_pointer_jump(
     (the iterative-plan-growth discipline of connected_components
     above).
     """
+    from ..tables import note_data_computed
+
+    note_data_computed()  # iterative build computes data: no memo
     qlabels = (
         qdir.select(F.col("qu").alias("node"))
         .distinct()

@@ -83,6 +83,9 @@ def train_kmeans(
     Each round runs ONE Spark job: project assignment (codegen'd argmax)
     -> groupBy(cid) with dim partial-agg'd avg()s -> collect k rows to
     the driver. Empty clusters keep their previous centroid."""
+    from ..tables import note_data_computed
+
+    note_data_computed()  # iterative build computes data: no memo
     init = (
         vectors.orderBy(id_col)
         .limit(k)

@@ -39,6 +39,9 @@ def _profile(df: DataFrame, candidates: tuple[str, ...], rsd: float):
     stats {col: (n_nonnull, min, max)})."""
     from ..queries.reshape import profile_approx
 
+    from ..tables import note_data_computed
+
+    note_data_computed()  # profiling scan at build time: no memo
     row = profile_approx(df, candidates, rsd=rsd).first()
     ranked = sorted(
         ((c, int(row[f"{c}__ad"])) for c in candidates),

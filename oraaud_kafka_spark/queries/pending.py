@@ -574,6 +574,9 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage to the materialized (two-longs-per-row) tables; at scale
     # that is the standard iterate-checkpoint loop every Pregel-style
     # computation runs.
+    from ..tables import note_data_computed
+
+    note_data_computed()  # iterative build computes data: no memo
     edges = pairs.select(
         F.col("a_id").alias("u"), F.col("b_id").alias("v")
     ).unionByName(
@@ -720,6 +723,9 @@ def q_graph_pagerank_copurchase(
     # checkpointing truncates it to the (src, dst, share) edge table —
     # raw data is read exactly once, at build, and each iteration
     # shuffles two longs + a double per edge.
+    from ..tables import note_data_computed
+
+    note_data_computed()  # iterative build computes data: no memo
     shares = shares.localCheckpoint(eager=True)
     vbase = shares.select(F.col("src").alias("t")).distinct()
     nv_df = vbase.agg(F.count("*").cast("long").alias("nv"))

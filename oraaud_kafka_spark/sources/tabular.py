@@ -296,6 +296,9 @@ def zorder_write(
             for i, n in enumerate(str_cols)
             for a in (F.min(n).alias(f"__lo{i}"), F.max(n).alias(f"__hi{i}"))
         ]
+        from ..tables import note_data_computed
+
+        note_data_computed()  # build-time min/max scan: no plan memo
         row = df.agg(*aggs).first()
         for i, n in enumerate(str_cols):
             lo, hi = row[f"__lo{i}"], row[f"__hi{i}"]

@@ -48,6 +48,11 @@ def main() -> int:
         spark.sparkContext.setJobDescription(f"measure:{name}")
         df = registry.QUERIES[name](spark, args.sf_dir)
         if plans_dir:
+            # plan dumped from a dedicated build; the timed loop below
+            # rebuilds per rep (round-15 fix: queries whose build
+            # computes data — eager checkpoints, driver-side iteration
+            # — are no longer memoized, and timing a pre-built frame
+            # would exclude exactly that work)
             jvm = spark.sparkContext._jvm
             mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
@@ -59,7 +64,8 @@ def main() -> int:
         ts = []
         for i in range(2 + args.reps):
             t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            df_i = registry.QUERIES[name](spark, args.sf_dir)
+            df_i.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             if i >= 2:  # discard two warm runs
                 ts.append(dt)

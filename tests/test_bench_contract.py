@@ -5,6 +5,8 @@ end-to-end test at the smallest scale factor."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import subprocess
@@ -13,6 +15,18 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _same_epoch(entries: list[dict]) -> list[dict]:
+    """Only entries sharing the LATEST entry's measurement-methodology
+    epoch are mutually comparable (round-15: epoch 2 times fully
+    recomputed invocations; epoch-1 entries under-measured queries whose
+    build computes data — see bench.py meas_epoch)."""
+    if not entries:
+        return entries
+    epoch = entries[-1].get("meas_epoch", 1)
+    return [e for e in entries if e.get("meas_epoch", 1) == epoch]
+
+
+@pytest.mark.slow  # ~6 min: full bench.py subprocess at sf0.001
 def test_bench_emits_single_json_line_contract(tmp_path):
     history = tmp_path / "bench_history.jsonl"
     env = dict(
@@ -114,7 +128,7 @@ def test_no_per_query_regression_between_recorded_rounds():
     with open(hist_path) as f:
         entries = [json.loads(ln) for ln in f if ln.strip()]
     sf = entries[-1].get("sf")
-    same_sf = [e for e in entries if e.get("sf") == sf]
+    same_sf = _same_epoch([e for e in entries if e.get("sf") == sf])
     if len(same_sf) < 2:
         pytest.skip(f"fewer than two history entries at sf={sf}")
     # "current" = per-query MIN over the last TWO entries when two
@@ -185,7 +199,7 @@ def test_headline_total_never_doubles_unnormalized():
     with open(hist_path) as f:
         entries = [json.loads(ln) for ln in f if ln.strip()]
     sf = entries[-1].get("sf")
-    same_sf = [e for e in entries if e.get("sf") == sf]
+    same_sf = _same_epoch([e for e in entries if e.get("sf") == sf])
     if len(same_sf) < 2:
         pytest.skip(f"fewer than two history entries at sf={sf}")
     cur = same_sf[-1]["value"]
@@ -219,9 +233,9 @@ def test_extras_total_never_doubles_unnormalized():
     # extras roster grows as operators register (round 10 widened it
     # from ~110 to the full registry), and a raw-total comparison
     # across rosters reads the widening itself as a 2x "regression"
-    same_sf = [
-        e for e in entries if e.get("sf") == sf and e.get("queries_extra")
-    ]
+    same_sf = _same_epoch(
+        [e for e in entries if e.get("sf") == sf and e.get("queries_extra")]
+    )
     if len(same_sf) < 2:
         pytest.skip(f"fewer than two extras-bearing entries at sf={sf}")
     cur_extras = same_sf[-1]["queries_extra"]

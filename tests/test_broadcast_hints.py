@@ -34,6 +34,8 @@ hint's boundedness argument is written down here.
 
 from __future__ import annotations
 
+import pytest
+
 from oraaud_kafka_spark import registry
 
 from .conftest import SF_DIR
@@ -198,6 +200,7 @@ def _all_query_frames(spark):
             yield name, fn(spark, SF_DIR)
 
 
+@pytest.mark.slow  # ~1 min: builds every registered + pending plan
 def test_no_forced_broadcast_of_scale_growing_frames(spark, monkeypatch):
     # See through tables.materialize (round-14): an eager localCheckpoint
     # replaces its lineage with a LogicalRDD leaf, hiding any hints below

@@ -18,6 +18,8 @@ the round-10 code:
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 import pyarrow.parquet as pq
@@ -245,6 +247,7 @@ def test_duration_ms_parses_and_rejects():
             raise TypeError(f"accepted {bad!r} -> {v}")
 
 
+@pytest.mark.slow  # ~6 min of real-time stream waits (opt-in lane)
 def test_monitor_idle_timeout_runs_through_real_stream(spark, tmp_path):
     """The TTL path through a REAL applyInPandasWithState run: with
     idle_timeout set, the first micro-batch calls
@@ -385,6 +388,7 @@ def test_interval_monitor_join_state_survives_checkpoint_restart(
     assert rows[0].n_pairs == 1 and rows[0].sum_lag_us == 300_000_000
 
 
+@pytest.mark.slow  # ~4 min of real ProcessingTimeTimeout waits
 def test_monitor_idle_timeout_really_evicts_across_restarts(spark, tmp_path):
     """The TTL eviction path through a REAL ProcessingTimeTimeout: a
     key idle past a 1-second timeout is evicted when a later batch

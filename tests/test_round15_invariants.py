@@ -1,0 +1,111 @@
+"""Round-15 measurement-integrity invariants.
+
+Round 14 introduced eager materialization (tables.materialize /
+checkpoint_sort) while the registry's round-13 plan memo was still
+handing the SAME DataFrame object to every invocation. For a build that
+computes data (eager checkpoint, driver-side collect loop) that object
+carries the computed state, so every bench sample after the first read
+checkpointed blocks / baked-in literals instead of recomputing from
+parquet — result caching, which the bench forbids. The fix: builds that
+bump tables.DATA_EPOCH are never memoized. These tests pin the fix.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from oraaud_kafka_spark import registry, tables
+
+from .conftest import SF_DIR
+
+registry.load_all()
+
+# Known data-computing builders, one per mechanism class:
+#   materialize          -> q_basket_association_rules (items distinct)
+#   checkpoint_sort      -> q_text_quality_score (headline)
+#   driver-side loop     -> q_events_pagerank (collect + power iteration)
+#   iterative CC         -> q_dedup_components (operators.components)
+_DATA_COMPUTING = (
+    "q_basket_association_rules",
+    "q_text_quality_score",
+    "q_events_pagerank",
+    "q_dedup_components",
+)
+
+# Pure-plan builders that must KEEP the prepared-statement memo (the
+# plan-object cache the round-14 judge audited and accepted).
+_PLAN_ONLY = ("q_agg_rollup", "q1_pricing_summary", "q_dedup_minhash_lsh")
+
+
+@pytest.mark.parametrize("name", _DATA_COMPUTING)
+def test_data_computing_builds_are_never_memoized(spark, name):
+    epoch0 = tables.DATA_EPOCH
+    df1 = registry.QUERIES[name](spark, SF_DIR)
+    assert tables.DATA_EPOCH > epoch0, (
+        f"{name} no longer computes at build time — move it to the "
+        "plan-only list"
+    )
+    df2 = registry.QUERIES[name](spark, SF_DIR)
+    assert df1 is not df2, (
+        f"{name} computes data at build time but the registry served a "
+        "memoized frame — later invocations would read precomputed "
+        "state instead of recomputing from parquet"
+    )
+
+
+@pytest.mark.parametrize("name", _PLAN_ONLY)
+def test_plan_only_builds_keep_the_memo(spark, name):
+    epoch0 = tables.DATA_EPOCH
+    df1 = registry.QUERIES[name](spark, SF_DIR)
+    assert tables.DATA_EPOCH == epoch0, (
+        f"{name} started computing at build time — its memo entry is "
+        "now a result cache; audit the new action site"
+    )
+    assert registry.QUERIES[name](spark, SF_DIR) is df1
+
+
+def test_materialize_reliable_checkpoint(spark, tmp_path):
+    """materialize(reliable=True) goes through DataFrame.checkpoint()
+    against a fault-tolerant dir (the operators.components discipline,
+    verdict r14 item 2) — lineage recomputes on executor loss instead
+    of aborting the job."""
+    df = spark.range(10)
+    out = tables.materialize(df, checkpoint_dir=str(tmp_path / "ckpt"))
+    assert out.count() == 10
+    # a reliable checkpoint leaves files under the checkpoint dir
+    ckpt_files = list((tmp_path / "ckpt").rglob("*"))
+    assert ckpt_files, "reliable checkpoint wrote nothing to checkpoint_dir"
+    # default stays the executor-local fast path and still computes
+    assert tables.materialize(spark.range(5)).count() == 5
+
+
+@pytest.mark.slow
+def test_registry_sweep_no_build_time_jobs_escape_the_bypass(spark):
+    """Completeness net for note_data_computed(): build EVERY registered
+    query under a unique job group; if any Spark job ran during the
+    build, the build must not have been memoized. Catches a new
+    build-time action site added without the note call."""
+    # Pre-warm every fixture-table load (and the temp views over them):
+    # the FIRST spark.read.parquet of a table runs a schema-inference /
+    # file-listing job ("parquet at NativeMethodAccessor") that is plan
+    # METADATA, not query data — without the warm-up it charges to
+    # whichever query touches the table first and false-flags it.
+    tables.register_views(spark, SF_DIR)
+    tracker = spark.sparkContext.statusTracker()
+    missed = []
+    for i, name in enumerate(registry.QUERIES):
+        group = f"r15-probe-{i}-{name}"
+        spark.sparkContext.setJobGroup(group, name)
+        try:
+            df1 = registry.QUERIES[name](spark, SF_DIR)
+        finally:
+            spark.sparkContext.setJobGroup(None, None)
+        ran_jobs = bool(tracker.getJobIdsForGroup(group))
+        if ran_jobs:
+            df2 = registry.QUERIES[name](spark, SF_DIR)
+            if df1 is df2:
+                missed.append(name)
+    assert not missed, (
+        "builds ran Spark jobs but were memoized (missing "
+        f"note_data_computed at an action site): {missed}"
+    )
