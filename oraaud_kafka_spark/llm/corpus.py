@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load, materialize, spread
+from ..tables import load, spread
 
 # Hash-mod split: md5 of the doc id, first 6 hex digits -> 24-bit int,
 # mod 100. 80/10/10 train/val/test. Same hex-parse trick as llm.dedup
@@ -858,15 +858,15 @@ ORDER BY vec_id, dim
 @query("q_emb_whiten_apply", oracle=_WHITEN_ORACLE)
 def q_emb_whiten_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    # comp feeds the per-dim stats AND the whitening join, and the final
-    # presentation sort's bound sampling would re-run the exchange-free
-    # scan+explode+join a third time — materialize the narrow component
-    # stream once per invocation (guide §3.3)
+    # NOT materialized (round-15 honest A/B, full recompute per rep:
+    # ckpt 0.84 s vs plain 0.68 s): comp does feed the per-dim stats
+    # AND the whitening join, but the posexplode component stream is
+    # cheap to re-derive next to the checkpoint round-trip + the
+    # per-invocation rebuild a data-computing build forces.
     comp = (
         spread(e)
         .select("vec_id", F.posexplode("embedding").alias("dim", "xf"))
         .select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
-        .transform(materialize)
     )
     n = F.count("*").cast("double")
     s1 = (

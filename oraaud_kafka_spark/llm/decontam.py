@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load, materialize, spread
+from ..tables import load, spread
 
 BENCH_SOURCE = "src0"
 # contaminated when >= 1/5 of a doc's distinct shingles appear in the bench set
@@ -73,12 +73,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(F.col("toks"), i, 3), " "),
         )
     )
-    # the shingle transform is the dominant cost and sh feeds BOTH the
-    # benchmark-shingle build and the candidate explode — materialize it
-    # once per invocation (guide §3.3, the q_dedup_containment finding)
+    # NOT materialized (round-15 honest A/B, full recompute per rep:
+    # ckpt 1.09 s vs plain 0.89 s): sh does feed both the
+    # benchmark-shingle build and the candidate explode, but the
+    # O(corpus) shingle-array rows cost more to checkpoint (serialize +
+    # store + rebuild per invocation) than the doubled transform.
     sh = tokenized.select(
         "doc_id", "lang", "source", shingles.alias("shs")
-    ).transform(materialize)
+    )
     bench = (
         sh.filter(F.col("source") == BENCH_SOURCE)
         .select(F.explode_outer("shs").alias("s"))

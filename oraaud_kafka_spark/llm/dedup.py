@@ -436,16 +436,18 @@ def q_dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(F.split("text", " ")).alias("toks"),
     ).withColumn("n_toks", F.size("toks"))
-    # the simhash-signature pipeline (per-token bit aggregation) is
-    # embedded twice by the a/b pair sides — materialize once per
-    # invocation (guide §3.3)
+    # NOT materialized (round-15 honest A/B, full recompute per rep:
+    # ckpt 0.90 s vs plain 0.57 s): the a/b sides re-derive the
+    # signature pipeline, but the cal-slice input is a FIXED 256 docs,
+    # so the doubled work is constant-bounded at any corpus size and
+    # cheaper than the checkpoint round-trip + per-invocation rebuild.
     st = sig.join(toks, "doc_id").select(
         "doc_id",
         "simhash_bits",
         F.substring("simhash_bits", 1, _SIMHASH_PREFIX).alias("prefix"),
         "toks",
         "n_toks",
-    ).transform(materialize)
+    )
     a = st.select(*[F.col(c).alias(f"{c}_a") for c in st.columns], "prefix").drop(
         "prefix_a"
     )
@@ -952,18 +954,19 @@ def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     shingles = mh_shingles()
-    # The shingle + 16-md5 map is the dominant cost and feeds SIX
-    # subtrees (sa/sb signature probes, xa/xb shingle-set probes, and —
-    # via minhash_candidate_pairs — both band-join sides). Materialize
-    # it once per invocation (guide §3.3) and derive the candidate
-    # pairs from the SAME checkpointed signatures instead of
-    # re-deriving the pipeline; the band construction is identical to
-    # minhash_candidate_pairs, so the pair set is unchanged.
+    # NOT materialized (round-15 honest A/B, full recompute per rep:
+    # ckpt 1.41 s vs plain 0.92 s): the shingle + 16-md5 map feeds six
+    # subtrees, but its input is the FIXED 256-doc cal slice, so the
+    # re-derivations are constant-bounded at any corpus size and
+    # cheaper than the checkpoint round-trip + per-invocation rebuild.
+    # Candidate pairs still derive from THIS frame (band construction
+    # identical to minhash_candidate_pairs, so the pair set is
+    # unchanged).
     hashed = tokenized.select(
         "doc_id",
         shingles.alias("shs"),
         F.transform(shingles, mh_base_hash).alias("bhs"),
-    ).transform(materialize)
+    )
     sigs = hashed.select("doc_id", *mh_signature_cols())
     sets = hashed.select(
         "doc_id",
@@ -1124,9 +1127,12 @@ def q_dedup_minhash_multiband_eval(
             *mh_signature_cols(),
         )
         .select("doc_id", "lang", "shs", "n_sh", *mh_band_cols())
-        # the cal-slice TakeOrdered + 16-perm signature map is embedded
-        # twice by the triangle join — materialize once per invocation
-    ).transform(materialize)
+        # NOT materialized (round-15 honest A/B, full recompute per
+        # rep: ckpt 1.05 s vs plain 0.46 s): the triangle join embeds
+        # the cal-slice signature map twice, but the slice is a FIXED
+        # 256 docs — constant-bounded double work beats the checkpoint
+        # round-trip + per-invocation rebuild at any corpus size
+    )
     pairs = triangle_self_join(
         keyed, block_cols=["lang"], id_col="doc_id", n_sub=4
     )
@@ -1518,10 +1524,12 @@ def q_dedup_containment_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("shs").alias("n_sh"),
             F.array_min(F.transform("shs", F.md5)).alias("mh1"),
         )
-        # the cal-slice TakeOrdered + shingle/md5 map feeds THREE
-        # subtrees (both pair-join sides and the per-lang doc counts) —
-        # materialize once per invocation (guide §3.3)
-    ).transform(materialize)
+        # NOT materialized (round-15 honest A/B, full recompute per
+        # rep: ckpt 0.65 s vs plain 0.37 s): three subtrees re-derive
+        # the cal-slice shingle map, but the slice is a FIXED 256 docs
+        # — constant-bounded triple work beats the checkpoint
+        # round-trip + per-invocation rebuild at any corpus size
+    )
     pairs = triangle_self_join(
         keyed, block_cols=["lang"], id_col="doc_id", n_sub=4
     )
@@ -1651,11 +1659,15 @@ def q_dedup_containment_multiband(
                 )
             ).alias("mh2"),
         )
-        # the two triangle-join sides do NOT canonicalize to one
-        # exchange (alias-divergent projections defeat ReuseExchange —
-        # round-14 measurement on q_dedup_containment); materialize the
-        # shingle/minhash projection once per invocation (guide §3.3)
-    ).transform(materialize)
+        # NOT materialized (round-15 honest A/B, full recompute per
+        # rep: ckpt 1.56 s vs plain 1.18 s): the triangle-join sides do
+        # re-derive the shingle/minhash projection (alias-divergent
+        # projections defeat ReuseExchange), but with full recompute
+        # per invocation the doubled map stage is cheaper than the
+        # checkpoint round-trip + rebuild. Contrast q_dedup_containment,
+        # where the SAME projection feeds a wider pair join and the
+        # checkpoint wins 2.6x — kept there.
+    )
     # ONE banded self-join instead of a union of two (round-14 plan
     # dedup): exploding each doc into (band, mh) rows and blocking on
     # (lang, band, mh) forms exactly the union of band-1 and band-2

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import checkpoint_sort, load, materialize, spread
+from ..tables import load, materialize, spread
 
 # BPE-ish pre-tokenizer: runs of alphanumerics OR single non-space symbols.
 # Kept to a regex subset (character classes, +) that Java regex and RE2
@@ -88,9 +88,12 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("quality_pass"),
         )
-        # checkpoint_sort: the range sort's sampling pass otherwise
-        # re-runs the whole map-only feature stage a second time
-        .transform(lambda df: checkpoint_sort(df, "doc_id"))
+        # plain orderBy (round-15 honest A/B, full recompute per rep:
+        # checkpoint_sort 0.44 s vs orderBy 0.41 s): the sampling pass
+        # re-runs only the segment above the spread exchange, which is
+        # cheaper than the checkpoint round-trip + per-invocation
+        # rebuild a data-computing build forces
+        .orderBy("doc_id")
     )
 
 
@@ -909,9 +912,10 @@ def q_text_dup_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
             > _DUP_FRAC_GATE
         )
         .alias("would_drop"),
-        # checkpoint_sort: don't re-run the per-row gram sort in the
-        # range-bound sampling pass
-    ).transform(lambda df: checkpoint_sort(df, "doc_id"))
+        # plain orderBy (round-15 honest A/B, full recompute per rep:
+        # checkpoint_sort 0.63 s vs orderBy 0.46 s): the doubled gram
+        # sort is cheaper than the checkpoint round-trip + rebuild
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1021,10 +1025,11 @@ def q_text_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size("toks") - F.size("merged")).cast("long").alias("n_merges"),
             F.array_join("merged", " ").alias("merged_text"),
         )
-        # checkpoint_sort: don't re-run the positional rewrite in the
-        # range-bound sampling pass (the sort shuffles the rebuilt text
-        # either way)
-        .transform(lambda df: checkpoint_sort(df, "doc_id"))
+        # plain orderBy (round-15 honest A/B, full recompute per rep:
+        # checkpoint_sort 0.97 s vs orderBy 0.76 s): the doubled
+        # positional rewrite is cheaper than checkpointing the rebuilt
+        # text + the per-invocation rebuild
+        .orderBy("doc_id")
     )
 
 
@@ -1094,14 +1099,14 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents"))
     t = d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
     tok = t.select(F.explode("toks").alias("tok"))
-    # vocab-bounded count table, materialized once: it feeds both the
-    # vocab-size scalar and the pair-logprob join (the q_text_unigram
-    # shape)
-    uni = (
-        tok.groupBy("tok")
-        .agg(F.count("*").alias("c1"))
-        .transform(materialize)
-    )
+    # NOT materialized (round-15 honest A/B, full recompute per rep:
+    # both count tables checkpointed 1.94 s vs plain 1.50 s): the count
+    # tables end in their own groupBy exchanges, so extra references
+    # re-run only the post-shuffle aggregate — cheaper than the two
+    # checkpoint round-trips + the per-invocation rebuild. (Contrast
+    # q_text_unigram_logprob, where the A/B went the other way and the
+    # vocab checkpoint is kept.)
+    uni = tok.groupBy("tok").agg(F.count("*").alias("c1"))
     v = uni.agg(F.count("*").alias("vocab"))
     bigram_structs = F.transform(
         F.sequence(F.lit(1), F.size("toks") - 1),
@@ -1112,14 +1117,8 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = t.filter(F.size("toks") >= 2).select(
         "doc_id", "lang", F.explode(bigram_structs).alias("b")
     ).select("doc_id", "lang", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
-    # pair-vocab-bounded count table, materialized once: the transition
-    # stream otherwise re-derives for both the count build and the
-    # scoring join's pair_lp side
-    c2 = (
-        bg.groupBy("prev", "cur")
-        .agg(F.count("*").alias("n2"))
-        .transform(materialize)
-    )
+    # NOT materialized (round-15 honest A/B — see uni above)
+    c2 = bg.groupBy("prev", "cur").agg(F.count("*").alias("n2"))
     # The (prev, cur) -> logprob mapping is a pure function of the
     # PAIR, so compute it once on the vocab^2-bounded pair table (c2
     # joined to the unigram context — both count tables, both tiny
@@ -1541,9 +1540,10 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(flesch >= 30, F.lit("standard"))
         .otherwise(F.lit("difficult"))
         .alias("band"),
-        # checkpoint_sort: don't re-run the regexp extraction in the
-        # range-bound sampling pass
-    ).transform(lambda df: checkpoint_sort(df, "doc_id"))
+        # plain orderBy (round-15 honest A/B, full recompute per rep:
+        # checkpoint_sort 0.49 s vs orderBy 0.36 s): the doubled regexp
+        # extraction is cheaper than the checkpoint round-trip + rebuild
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1833,21 +1833,15 @@ def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.w_a", "p.w_b")
-    # both count tables are vocab-bounded and multiply referenced (raw:
-    # floor filter + total; uc: two join sides + total) — materialize
-    # each once per invocation (guide §3.3, the LM-scorer shape)
-    raw = (
-        pairs.groupBy("w_a", "w_b")
-        .agg(F.count("*").alias("c_ab"))
-        .transform(materialize)
-    )
+    # NOT materialized (round-15 honest A/B, full recompute per rep:
+    # ckpt 0.89 s vs plain 0.65 s): both count tables are multiply
+    # referenced, but each ends in its OWN groupBy exchange, so the
+    # extra references re-run only the post-shuffle aggregate — cheaper
+    # than two checkpoint round-trips + the per-invocation rebuild.
+    raw = pairs.groupBy("w_a", "w_b").agg(F.count("*").alias("c_ab"))
     bc = raw.filter(F.col("c_ab") >= _PMI_MIN)
     uni = d.select(F.explode(F.split("text", " ")).alias("w"))
-    uc = (
-        uni.groupBy("w")
-        .agg(F.count("*").alias("c"))
-        .transform(materialize)
-    )
+    uc = uni.groupBy("w").agg(F.count("*").alias("c"))
     nb = F.broadcast(raw.agg(F.sum("c_ab").alias("nb")))
     nu = F.broadcast(uc.agg(F.sum("c").alias("nu")))
     j = (
@@ -1969,12 +1963,11 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (c.cast("double") / n)
         * F.round(F.log(c.cast("double") / n), 12),
     )
-    # materialize the NARROW per-doc result before the presentation
-    # sort: the range exchange's bound-sampling pass otherwise
-    # re-executes the whole map-only entropy pipeline a second time
-    # (guide §1.4 / the multimodal bounded-report finding); the
-    # checkpoint holds 5 scalars per doc — the same bytes the sort
-    # itself must shuffle — and is recomputed on every invocation.
+    # plain orderBy (round-15 honest A/B, full recompute per rep:
+    # materialize-before-sort 0.55 s vs orderBy 0.41 s): the sampling
+    # pass re-runs only the segment above the spread exchange, which is
+    # cheaper than the checkpoint round-trip + the per-invocation
+    # rebuild a data-computing build forces.
     return (
         staged.select(
             "doc_id",
@@ -1986,6 +1979,5 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "natural_band"
             ),
         )
-        .transform(materialize)
         .orderBy("doc_id")
     )

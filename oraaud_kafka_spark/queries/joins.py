@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..registry import query
-from ..tables import bounded_sort, checkpoint_sort, load, materialize, spread
+from ..tables import bounded_sort, load, materialize, spread
 from . import DEC, DEC_MONEY, DEC_RATE, md5_mod, sql_dsum, sql_md5_mod, sql_to_dbl, to_dbl
 
 _INNER_ORACLE = f"""
@@ -360,10 +360,13 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_ts="ts",
         build_ts="ts",
         value_cols=["last_purchase"],
-    ).select("event_id", "user_id", "ts", "last_purchase").transform(
-        # checkpoint_sort: don't re-run the union+window as-of pass in
-        # the range-bound sampling (narrow per-click rows)
-        lambda d: checkpoint_sort(d, "event_id")
+    ).select("event_id", "user_id", "ts", "last_purchase").orderBy(
+        # plain orderBy (round-15 honest A/B, full recompute per rep:
+        # checkpoint_sort 0.42 s vs orderBy 0.38 s): the sampling pass
+        # re-runs only the window segment above the union's user_id
+        # exchange, which is cheaper than the checkpoint round-trip +
+        # the per-invocation rebuild a data-computing build forces
+        "event_id"
     )
 
 

@@ -22,12 +22,12 @@ registry.load_all()
 
 # Known data-computing builders, one per mechanism class:
 #   materialize          -> q_basket_association_rules (items distinct)
-#   checkpoint_sort      -> q_text_quality_score (headline)
+#   checkpoint_sort      -> q_time_session_window (headline)
 #   driver-side loop     -> q_events_pagerank (collect + power iteration)
 #   iterative CC         -> q_dedup_components (operators.components)
 _DATA_COMPUTING = (
     "q_basket_association_rules",
-    "q_text_quality_score",
+    "q_time_session_window",
     "q_events_pagerank",
     "q_dedup_components",
 )
