@@ -729,7 +729,7 @@ ORDER BY vec_a, vec_b
 
 @query("q_dedup_embedding_lsh", oracle=_EMB_LSH_ORACLE)
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.kmeans import _dot_lit
+    from ..operators.kmeans import _sql_dot_lit
     from ..operators.triangle import triangle_self_join
 
     def dot(a, b):
@@ -759,11 +759,16 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("embedding")
         .collect()
     ]
-    bucket = F.concat(
-        *[
-            F.when(_dot_lit(F.col("embedding"), av) >= 0, "1").otherwise("0")
+    # SQL-text fast path (kmeans._sql_dot_lit): 16 anchor-dot
+    # expressions parse from one string instead of py4j-per-node
+    bucket = F.expr(
+        "concat("
+        + ", ".join(
+            f"CASE WHEN {_sql_dot_lit('embedding', av)} >= 0"
+            " THEN '1' ELSE '0' END"
             for av in anchors
-        ]
+        )
+        + ")"
     ).alias("bucket")
     # 16-anchor SRP projection embedded twice by the triangle join's
     # a/b sides — materialize once per invocation (guide §3.3)

@@ -54,12 +54,61 @@ def _norm_sq(vec: Column) -> Column:
     )
 
 
-def nearest_centroid(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+# SQL-text twins of the literal-vector expressions above (round-15,
+# guide §1.2 per-task work — here per-ROUND driver work): composing a
+# k x dim literal expression through Column operators costs one py4j
+# round-trip per node (~1.2 s per Lloyd round at k=8, dim=64, measured),
+# while the IDENTICAL expression tree parses from one SQL string in
+# milliseconds. Double literals go through CAST('<repr>' AS DOUBLE),
+# the repo's IEEE round-trip-exact form (queries/graphs.py lit_d), so
+# the folded constants are bit-identical to F.lit(float(v)).
+
+def _sql_lit_d(x: float) -> str:
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _sql_dot_lit(vec_sql: str, vals: list[float]) -> str:
+    arr = "array(" + ", ".join(_sql_lit_d(v) for v in vals) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, "
+        "(x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_norm_sq(vec_sql: str) -> str:
+    return (
+        f"aggregate(transform({vec_sql}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def nearest_centroid(
+    vec: Column | str, centroids: list[tuple[int, list[float]]]
+) -> Column:
     """Argmax-cosine centroid id as a single expression (no shuffle, no
     UDF). Ties break to the lowest cid. Centroid norms are Python-side
-    constants — computed once, folded into the expression."""
+    constants — computed once, folded into the expression.
+
+    Pass ``vec`` as a COLUMN-NAME STRING for the SQL-text fast path
+    (one parser call instead of ~k*dim py4j round-trips — the hot loop
+    of train_kmeans); the Column form builds the identical tree through
+    the DataFrame API."""
     import math
 
+    if isinstance(vec, str):
+        cands = []
+        for cid, cv in centroids:
+            cn = math.sqrt(sum(float(x) * float(x) for x in cv)) or 1.0
+            cands.append(
+                f"named_struct('cos', {_sql_dot_lit(vec, cv)}"
+                f" / (SQRT({_sql_norm_sq(vec)}) * {_sql_lit_d(cn)}),"
+                f" 'neg_cid', {-int(cid)})"
+            )
+        return F.expr(
+            f"CAST(-(array_max(array({', '.join(cands)})).neg_cid) AS INT)"
+        ).alias("cid")
     cands = []
     for cid, cv in centroids:
         cn = math.sqrt(sum(float(x) * float(x) for x in cv)) or 1.0
@@ -98,12 +147,19 @@ def train_kmeans(
     if dim is None:
         dim = len(centroids[0][1])
     for _ in range(max_iter):
+        # SQL-text fast path for both the argmax projection and the
+        # per-dimension means: identical expression trees, one parser
+        # call per expression instead of py4j-per-node (1.7 s -> ~0.6 s
+        # per round measured at k=8, dim=64)
         assigned = vectors.select(
-            nearest_centroid(F.col(vec_col), centroids), F.col(vec_col).alias("v")
+            nearest_centroid(vec_col, centroids), F.col(vec_col).alias("v")
         )
         means = (
             assigned.groupBy("cid")
-            .agg(*[F.avg(F.col("v")[i].cast("double")).alias(f"d{i}") for i in range(dim)])
+            .agg(*[
+                F.expr(f"avg(CAST(v[{i}] AS DOUBLE))").alias(f"d{i}")
+                for i in range(dim)
+            ])
             .collect()
         )
         updated = dict(centroids)

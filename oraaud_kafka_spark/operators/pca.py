@@ -35,9 +35,6 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .kmeans import _dot_lit
-
-
 def _col_means(vectors: DataFrame, vec_col: str, dim: int) -> list[float]:
     rows = (
         vectors.select(F.posexplode(vec_col).alias("j", "xj"))
@@ -83,8 +80,15 @@ def power_iteration_top_pc(
     lam = 0.0
 
     def cov_times(vcur: list[float]) -> list[float]:
+        from .kmeans import _sql_dot_lit, _sql_lit_d
+
         mu_dot_v = sum(m * x for m, x in zip(mu, vcur))
-        s = (_dot_lit(F.col(vec_col), vcur) - F.lit(mu_dot_v)).alias("s")
+        # SQL-text fast path (see kmeans._sql_dot_lit): the identical
+        # dim-literal dot expression, one parser call per round instead
+        # of py4j-per-node
+        s = F.expr(
+            f"{_sql_dot_lit(vec_col, vcur)} - {_sql_lit_d(mu_dot_v)}"
+        ).alias("s")
         scored = vectors.select(F.col(vec_col).alias("x"), s)
         # one posexplode + ONE partial-agg'd sum instead of dim
         # separate aggregate columns: the shuffle still carries only

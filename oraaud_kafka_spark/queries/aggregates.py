@@ -41,11 +41,18 @@ FROM lineitem
 def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOT spread (round-14 A/B, 1.03 -> 1.16 s): the near-unique
     # orderkey domain makes the distinct partial agg barely reduce, so
-    # the extra exchange outweighs the 1-task map
+    # the extra exchange outweighs the 1-task map.
+    # TWO-LEVEL distinct (round-15, guide §2.3 / verdict item 5):
+    # mixing count_distinct with the plain aggregates in ONE agg plans
+    # an Expand that replicates every input row 2x before the shuffle;
+    # splitting into a dedup-then-count leg (map-side partial dedup, no
+    # Expand anywhere) plus a plain partial-agg'd stats leg measured
+    # 1.10 s -> 0.49 s at sf0.1. count("l_orderkey") over the distinct
+    # frame (not count(*)) keeps NULL-orderkey semantics identical to
+    # count(DISTINCT ...) — the q_agg_approx_count_distinct precedent.
     li = load(spark, sf_dir, "lineitem")
-    return li.agg(
+    base = li.agg(
         F.count("*").alias("n_rows"),
-        F.count_distinct("l_orderkey").alias("n_orders"),
         to_dbl(F.sum(F.col("l_quantity").cast(DEC))).alias("total_qty"),
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
@@ -53,6 +60,14 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             to_dbl(F.sum(F.col("l_extendedprice").cast(DEC)))
             / F.count("l_extendedprice")
         ).alias("avg_price"),
+    )
+    dist = (
+        li.select("l_orderkey")
+        .distinct()
+        .agg(F.count("l_orderkey").alias("n_orders"))
+    )
+    return base.crossJoin(F.broadcast(dist)).select(
+        "n_rows", "n_orders", "total_qty", "first_ship", "last_ship", "avg_price"
     )
 
 
@@ -614,11 +629,19 @@ ORDER BY l_returnflag
 
 @query("q_agg_approx_percentile", oracle=_APPROX_PCT_ORACLE)
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread + project: the sort-based exact-median aggregate has no
-    # map-side partial, so the single-row-group scan otherwise feeds
-    # the whole exchange from ONE task (guide §2.5)
-    li = spread(
-        load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    # NO spread (round-15 A/B at sf0.1: the spread repartition alone
+    # costs ~0.5 s shuffling 600k rows while BOTH aggregate legs have
+    # partial/buffered map sides that don't need the parallelism —
+    # full query 1.71 s with spread vs 1.11 s without).
+    # Exact leg stays F.median (round-15 negative A/B on the verdict's
+    # frequency-collapsed two-order-statistic form: extendedprice cents
+    # are near-unique, so the collapse doesn't reduce and the window
+    # over distinct values measures 1.49 s vs 1.11 s — same finding as
+    # the r14 gini spread A/B; the collapsed form WAS proven
+    # bit-identical to F.median at all three SFs before being rejected
+    # on speed).
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
     ).withColumn(
         "cents", F.round(F.col("l_extendedprice") * 100).cast("bigint")
     )
@@ -716,8 +739,10 @@ ORDER BY l_returnflag
 
 @query("q_agg_kll_quantile_rollup", oracle=_KLL_ORACLE)
 def q_agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread + project: see q_agg_approx_percentile — the exact-median
-    # leg has no map-side partial
+    # spread + project (round-15 re-A/B: 1.06 s with vs 1.21 s without
+    # — the KLL sketch-building map work is heavy enough that widening
+    # the single-row-group scan pays, unlike q_agg_approx_percentile
+    # where the same spread lost)
     li = spread(
         load(spark, sf_dir, "lineitem").select(
             "l_returnflag", "l_linestatus", "l_extendedprice"

@@ -161,13 +161,30 @@ def test_sample_stratified_no_preorder_shuffle(spark):
     assert plan.count("Exchange") == 1
 
 
-def test_profile_table_single_scan(spark):
-    """The n-column profile must read the table ONCE (the oracle's
-    UNION-of-scans shape is exactly what this pin forbids)."""
+def test_profile_table_no_expand_and_column_pruned_scans(spark):
+    """Round-15 shape: NO Expand anywhere (the old single-agg
+    multi-distinct replicated every input row n_cols+1 times
+    pre-shuffle), one plain stats pass plus one dedup-then-count leg
+    per profiled column. The extra scans are column-pruned — each
+    distinct leg reads exactly its own column, so total bytes read stay
+    ~2x the profiled columns, not n_cols full passes (and the legs run
+    as independent back-fillable jobs, guide §2.6). Measured 0.92 s ->
+    0.50 s at sf0.1."""
     # fresh plan: the memoized DataFrame may already be AQE-finalized
     df = registry.QUERIES["q_profile_table"].__wrapped__(spark, SF_DIR)
     plan = _plan(df)
-    assert plan.count("Scan parquet") == 1
+    assert "Expand" not in plan
+    from oraaud_kafka_spark.queries.reshape import _PROFILE_COLS
+
+    assert plan.count("Scan parquet") == 1 + len(_PROFILE_COLS)
+    # every distinct-leg scan is pruned to a single column
+    import re
+
+    single_col = [
+        m for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        if m.count(":") == 1
+    ]
+    assert len(single_col) >= len(_PROFILE_COLS), plan[:2000]
 
 
 def test_pack_chunked_single_scan_single_window(spark):
