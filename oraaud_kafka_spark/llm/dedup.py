@@ -300,7 +300,12 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(spark, sf_dir)
-    labeled = connected_components(d.select("doc_id"), pairs)
+    # candidate pairs are DISTINCT with doc_a < doc_b by construction,
+    # so the bidirected union inside CC is already duplicate-free —
+    # skip its dedup exchange (round-15)
+    labeled = connected_components(
+        d.select("doc_id"), pairs, edges_distinct=True
+    )
     return (
         labeled.groupBy("component")
         .agg(

@@ -34,6 +34,7 @@ def connected_components(
     max_iter: int = 50,
     reliable: bool = False,
     checkpoint_dir: str | None = None,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Label each node in ``nodes`` with the min node id reachable in the
     undirected graph given by ``edges``. Returns (node_col, component).
@@ -41,7 +42,16 @@ def connected_components(
 
     ``reliable=True`` (implied by ``checkpoint_dir``) uses
     ``DataFrame.checkpoint()`` against the session's checkpoint dir so an
-    executor loss mid-iteration recomputes instead of aborting."""
+    executor loss mid-iteration recomputes instead of aborting.
+
+    ``edges_distinct=True`` declares the input pair set already
+    duplicate-free with src < dst (the minhash candidate-pair contract),
+    which makes the bidirected union distinct BY CONSTRUCTION — the
+    per-invocation dedup exchange over the edge set is skipped
+    (round-15, guide §2.4: remove shuffles outright). Duplicates would
+    only cost join multiplicity, never wrong labels (min over
+    duplicates is the same min), so the default stays the safe dedup
+    for arbitrary inputs."""
     if checkpoint_dir is not None:
         nodes.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
         reliable = True
@@ -55,14 +65,16 @@ def connected_components(
     bi = edges.select(
         F.col(src_col).alias("s"), F.col(dst_col).alias("t")
     ).union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("t")))
-    bi = ckpt(bi.distinct())
+    if not edges_distinct:
+        bi = bi.distinct()
+    bi = ckpt(bi)
 
     labels = ckpt(
         nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("component"))
     )
 
     changed = -1
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_labels = bi.join(
             labels, bi.s == labels.node
         ).select(F.col("t").alias("node"), "component")
@@ -84,6 +96,14 @@ def connected_components(
                 "node", F.col("p_component").alias("component")
             )
         )
+        if it == 0:
+            # skip the round-1 convergence count (round-15): any graph
+            # with at least one non-canonical edge changes labels in
+            # round 1, so the count is a wasted job on every real
+            # input; an edgeless/already-canonical graph merely pays
+            # one extra (cheap) round before round 2's count returns 0
+            labels = new_labels
+            continue
         changed = (
             labels.alias("old")
             .join(new_labels.alias("new"), "node")
