@@ -67,9 +67,11 @@ ORDER BY doc_id
 
 @query("q_text_quality_score", oracle=_QUALITY_ORACLE)
 def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread: the per-token stopword/distinct scans are the dominant
-    # per-row cost and the single-row-group fixture scans as ONE task
-    d = spread(load(spark, sf_dir, "documents"))
+    # NOT spread (round-15 honest A/B: 0.82 s with vs 0.52 s without —
+    # the repartition shuffles every document's full text, which costs
+    # more than the one-task feature map it parallelizes; the r14
+    # repetition_filter finding, re-measured here)
+    d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
     n_toks = F.size(toks)
@@ -553,9 +555,11 @@ LIMIT {_BPE_TOP_K}
 @query("q_text_bpe_pair_counts", oracle=_BPE_ORACLE)
 def q_text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    tokenized = spread(
-        d.select(F.split("text", " ").alias("toks")).filter(F.size("toks") >= 2)
-    )
+    # NOT spread (round-15 honest A/B: 0.75 s with vs 0.50 s without —
+    # shuffling the token arrays costs more than the pair map saves)
+    tokenized = d.select(
+        F.split("text", " ").alias("toks")
+    ).filter(F.size("toks") >= 2)
     pairs = F.transform(
         F.sequence(F.lit(1), F.size("toks") - 1),
         lambda i: F.concat_ws(
@@ -753,7 +757,10 @@ def unigram_logprob_scores(d: DataFrame) -> DataFrame:
 
 @query("q_text_unigram_logprob", oracle=_UNIGRAM_ORACLE)
 def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(load(spark, sf_dir, "documents"))
+    # NOT spread (round-15 honest A/B: 2.0 s with vs 1.5 s without —
+    # the full-text repartition feeds BOTH embeddings of the token
+    # stream, doubling its cost)
+    d = load(spark, sf_dir, "documents")
     return unigram_logprob_scores(d).orderBy("doc_id")
 
 
@@ -786,7 +793,9 @@ ORDER BY lang, tier
 
 @query("q_text_ccnet_tiers", oracle=_CCNET_ORACLE)
 def q_text_ccnet_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(load(spark, sf_dir, "documents"))
+    # NOT spread (round-15 honest A/B: 2.1 s with vs 1.6 s without —
+    # see q_text_unigram_logprob)
+    d = load(spark, sf_dir, "documents")
     scores = unigram_logprob_scores(d)
     w = Window.partitionBy("lang").orderBy(
         F.col("avg_logprob").desc(), F.col("doc_id")
