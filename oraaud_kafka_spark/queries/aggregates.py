@@ -44,9 +44,11 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the extra exchange outweighs the 1-task map.
     # TWO-LEVEL distinct (round-15, guide §2.3 / verdict item 5):
     # mixing count_distinct with the plain aggregates in ONE agg plans
-    # an Expand that replicates every input row 2x before the shuffle;
-    # splitting into a dedup-then-count leg (map-side partial dedup, no
-    # Expand anywhere) plus a plain partial-agg'd stats leg measured
+    # a two-phase aggregate KEYED ON the near-unique l_orderkey — every
+    # decimal/min/max buffer rides the 600k-key shuffle before the
+    # final 1-row reduce (plan pair in plans/r15). Splitting into a
+    # dedup-then-count leg (narrow: one long per row) plus a plain
+    # stats leg (partial-aggregated to ONE row per map task) measured
     # 1.10 s -> 0.49 s at sf0.1. count("l_orderkey") over the distinct
     # frame (not count(*)) keeps NULL-orderkey semantics identical to
     # count(DISTINCT ...) — the q_agg_approx_count_distinct precedent.

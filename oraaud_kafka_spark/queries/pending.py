@@ -953,7 +953,26 @@ def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_cte_chain_inline(spark, sf_dir):
+    """Thin single-text CTE-chain twin (queued per the r14 verdict item
+    on q_sql_cte_chain): the ONE-text WITH pipeline submitted verbatim,
+    covering the inlined-CTE surface the registered materialized-CTE
+    idiom deliberately no longer exercises. Same text as its oracle."""
+    from ..queries.pricing import _CTE_SQL
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CTE_SQL)
+
+
+def _cte_inline_oracle() -> str:
+    from ..queries.pricing import _CTE_SQL
+
+    return _CTE_SQL
+
+
 PENDING_R16 = {
+    "q_sql_cte_chain_inline": (q_sql_cte_chain_inline, _cte_inline_oracle()),
     "q_dedup_cluster_cc": (q_dedup_cluster_cc, CLUSTER_CC_ORACLE),
     "q_graph_pagerank_copurchase": (
         q_graph_pagerank_copurchase,
