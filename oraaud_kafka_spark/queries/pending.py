@@ -2457,3 +2457,15 @@ PENDING_R19 = {
     "q_sim_rrf_fusion": (q_sim_rrf_fusion, RRF_ORACLE),
     "q_emb_label_noise": (q_emb_label_noise, LABEL_NOISE_ORACLE),
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-15 registration (verdict r14 item 10): promote the PENDING_R15
+# trio into the registry. Registration is exactly the @query wiring —
+# the operators and their parity tests (tests/test_pending_r15.py, both
+# SFs) predate this round; later queues stay pending.
+# ---------------------------------------------------------------------------
+from ..registry import query as _query  # noqa: E402
+
+for _name, (_fn, _oracle) in PENDING_R15.items():
+    _query(_name, oracle=_oracle)(_fn)

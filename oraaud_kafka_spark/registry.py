@@ -50,6 +50,9 @@ _MODULES = (
     "oraaud_kafka_spark.queries.aggregates",
     "oraaud_kafka_spark.queries.windows",
     "oraaud_kafka_spark.queries.sorts",
+    # pending.py self-registers ONLY the queue promoted this round
+    # (PENDING_R15 at round 15); later queues stay pending
+    "oraaud_kafka_spark.queries.pending",
 )
 
 _loaded = False
@@ -70,71 +73,12 @@ _loaded = False
 # locally every round (scripts/gate_sim.py over all queries at the
 # driver's sf0.01, plus tests/test_parity.py in CI) — see COVERAGE.md
 # for the per-query ledger.
-# Round-14 window = the 14 r8-aged rows + the 33 oldest r9-aged rows
-# + the 3 operators NEW this round (the pre-built PENDING_R14 trio:
-# co-purchase triangle count, CMS heavy-hitter certification, Bloom
-# semi-join prune eval).
+# Round-15 window = the 47 oldest green rows by last-checked round
+# (all r9-aged; after this round no green row predates round 10) + the
+# 3 operators NEW this round (the promoted PENDING_R15 trio: BM25
+# top-k, co-purchase link prediction, Neyman sampling allocation) —
+# scripts/round_open.py output, verbatim.
 _FRONT = (
-    "q_agg_trimmed_mean",
-    "q_agg_bootstrap_ci",
-    "q_agg_benford_digits",
-    "q_agg_ks_two_sample",
-    "q_agg_spearman",
-    "q_agg_chi2_independence",
-    "q_agg_mann_whitney_u",
-    "q_agg_ols_regression",
-    "q_agg_theil_index",
-    "q_window_first_last",
-    "q_window_lead_next",
-    "q_window_range_frame",
-    "q_window_time_range_frame",
-    "q_window_distribution_ranks",
-    "q_text_token_count",
-    "q_text_quality_score",
-    "q_text_lang_id",
-    "q_text_fingerprint",
-    "q_text_repetition_filter",
-    "q_text_tfidf_topk",
-    "q_text_heavy_hitters",
-    "q_text_quality_quantile",
-    "q_dedup_exact",
-    "q_dedup_exact_keep_first",
-    "q_dedup_minhash_lsh",
-    "q_dedup_components",
-    "q_dedup_simhash",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_embedding_cosine",
-    "q_dedup_embedding_lsh",
-    "q_dedup_span_c4",
-    "q_dedup_cluster_sizes",
-    "q_dedup_minhash_eval",
-    "q_sim_cosine_topk_brute",
-    "q_sim_lsh_bucketed_topk",
-    "q_sim_ivf_topk",
-    "q_rag_retrieve_enrich",
-    "q_eval_ndcg_retrieval",
-    "q_eval_mrr_retrieval",
-    "q_multimodal_features",
-    "q_multimodal_frame_offsets",
-    "q_multimodal_resize_dims",
-    "q_multimodal_decode_stats",
-    "q_multimodal_audio_stats",
-    "q_split_train_val_test",
-    "q_emb_centroids",
-    "q_emb_quantize_int8",
-    "q_agg_cms_heavy_hitters",
-    "q_graph_triangle_count",
-    "q_join_bloom_prune_eval",
-)
-
-
-# Immediately behind the window: the continuation of the same fair
-# rotation (the remaining r9-aged rows, then the oldest r10 rows) — if
-# the driver's window is ever wider than 50, these are checked first;
-# if not, nothing changes. Round 15 should promote the leading 50 of
-# this list into _FRONT (minus slots for the PENDING_R15 trio) —
-# scripts/round_open.py computes the exact list.
-_NEXT = (
     "q_corpus_overlap_matrix",
     "q_pack_chunked",
     "q_sample_stratified",
@@ -182,6 +126,19 @@ _NEXT = (
     "q_explode_wordcount",
     "q_map_ops",
     "q_json_tuple",
+    "q_graph_link_prediction",
+    "q_sample_neyman_allocation",
+    "q_text_bm25_topk",
+)
+
+
+# Immediately behind the window: the continuation of the same fair
+# rotation (the remaining r9-aged rows, then the oldest r10 rows) — if
+# the driver's window is ever wider than 50, these are checked first;
+# if not, nothing changes. Round 16 should promote the leading 50 of
+# this list into _FRONT (minus slots for any PENDING_R16 promotion) —
+# scripts/round_open.py computes the exact list.
+_NEXT = (
     "q_posexplode",
     "q_json_variant",
     "q_subquery_scalar",
@@ -195,6 +152,53 @@ _NEXT = (
     "q_unpivot",
     "q_profile_table",
     "q_crosstab_margins",
+    "q_filter_null_logic",
+    "q_agg_approx_count_distinct",
+    "q_agg_hhi_concentration",
+    "q_eval_cohens_kappa",
+    "q_agg_mutual_information",
+    "q_window_max_drawdown",
+    "q_dedup_simhash_eval",
+    "q_dedup_minhash_multiband_eval",
+    "q_dedup_semantic",
+    "q1_pricing_summary",
+    "q_sql_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q_sim_pandas_udf_cosine",
+    "q_sim_ivf_kmeans_topk",
+    "q_text_gopher_rules",
+    "q_text_bpe_pair_counts",
+    "q_text_inverted_index",
+    "q_text_unigram_logprob",
+    "q_text_ccnet_tiers",
+    "q_sample_importance_dsir",
+    "q_corpus_pipeline_card",
+    "q_emb_dim_stats",
+    "q_pack_greedy",
+    "q_pack_length_buckets",
+    "q_sample_temperature",
+    "q_events_top_paths",
+    "q_time_ohlc_bars",
+    "q_time_interval_latency",
+    "q_udf_pandas_scalar",
+    "q_udf_pandas_grouped_agg",
+    "q_udf_apply_in_pandas",
+    "q_udf_python_udtf",
+    "q_udf_arrow_scalar",
+    "q_set_union_distinct",
+    "q_set_union_all",
+    "q_set_except_all",
+    "q_profile_table_approx",
+    "q_filter_predicates",
+    "q_filter_like",
+    "q_filter_regex",
+    "q_filter_case_when",
+    "q_join_inner",
+    "q_join_5way_revenue",
+    "q_join_left_histogram",
+    "q_join_right_outer",
+    "q_join_full_outer",
 )
 
 
